@@ -1,0 +1,117 @@
+"""Cached external-lookup enrichment — reference operator J2 (reverse DNS).
+
+Reference behavior (/root/reference/lib/maillogsentinel/dns_utils.py):
+- ``socket.gethostbyaddr(ip)``; errors mapped to ``ERRNO <n>`` /
+  ``Timeout`` / ``Failed (Unknown)`` (dns_utils.py:40-50);
+- LRU cache (size, TTL) in front of the syscall (dns_utils.py:92-161);
+- downstream row semantics (log_utils.py:105-113): success →
+  (hostname, 'OK'); failure → (literal "null", error-string).
+
+Spark-first shape: external lookups must never run once per fact row.
+We project ``distinct(ip)`` (tiny vs. the fact table — shuffle on a
+low-cardinality key), resolve each unique IP exactly once via
+``mapPartitions`` with a per-executor TTL cache, and broadcast the
+resulting dim back onto the fact table. At 100 TB the expensive network
+call count is bounded by |distinct ip|, not |events|, and the fact side
+never shuffles (broadcast hash join).
+
+The resolver is injectable (a Python callable or a static DataFrame),
+exactly as the reference's tests inject a mock
+(tests/lib/maillogsentinel/test_parser.py:37-40).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import RDNS_SCHEMA
+
+ResolverFn = Callable[[str], tuple[str | None, str | None]]
+
+# Per-executor process-wide cache {ip: (hostname, error, resolved_at)} —
+# the Spark analogue of the reference's lru_cache+TTL (dns_utils.py:92-161).
+_EXECUTOR_CACHE: dict[str, tuple[str | None, str | None, float]] = {}
+
+
+def default_socket_resolver(ip: str) -> tuple[str | None, str | None]:
+    """Production resolver: socket.gethostbyaddr with the reference's
+    error mapping (dns_utils.py:40-50)."""
+    import socket
+
+    try:
+        hostname, _, _ = socket.gethostbyaddr(ip)
+        return hostname, None
+    except socket.herror as e:
+        return None, f"ERRNO {e.args[0]}" if e.args else "Failed (Unknown)"
+    except socket.timeout:
+        return None, "Timeout"
+    except OSError:
+        return None, "Failed (Unknown)"
+
+
+def resolve_distinct_ips(
+    ips: DataFrame,
+    resolver: ResolverFn,
+    ttl_seconds: float = 3600.0,
+    max_cache: int = 100_000,
+) -> DataFrame:
+    """``ip`` DataFrame → (ip, hostname, error) resolving each distinct IP
+    once per executor per TTL window."""
+
+    def run(partitions: Iterator) -> Iterator:
+        now = time.monotonic()
+        for row in partitions:
+            ip = row["ip"]
+            hit = _EXECUTOR_CACHE.get(ip)
+            if hit is not None and now - hit[2] < ttl_seconds:
+                hostname, error = hit[0], hit[1]
+            else:
+                hostname, error = resolver(ip)
+                if len(_EXECUTOR_CACHE) >= max_cache:
+                    _EXECUTOR_CACHE.clear()
+                _EXECUTOR_CACHE[ip] = (hostname, error, now)
+            yield (ip, hostname, error)
+
+    return ips.select("ip").distinct().rdd.mapPartitions(run).toDF(RDNS_SCHEMA)
+
+
+def resolver_from_table(rdns: DataFrame) -> DataFrame:
+    """Use a static (ip, hostname, error) table as the resolver dim."""
+    return rdns.select("ip", "hostname", "error")
+
+
+def enrich_rdns(
+    events: DataFrame,
+    resolver: ResolverFn | DataFrame,
+    ip_col: str = "ip",
+    ttl_seconds: float = 3600.0,
+) -> DataFrame:
+    """Add (hostname, reverse_dns_status) to ``events``.
+
+    Success → (hostname, 'OK'); failure → ('null', error) — the literal
+    "null" sentinel the reference writes (log_utils.py:105-113).
+    """
+    if isinstance(resolver, DataFrame):
+        dim = resolver_from_table(resolver)
+    else:
+        dim = resolve_distinct_ips(
+            events.select(F.col(ip_col).alias("ip")), resolver, ttl_seconds
+        )
+    dim = dim.withColumnRenamed("ip", "__rdns_ip")
+    joined = events.join(
+        F.broadcast(dim), events[ip_col] == dim["__rdns_ip"], "left"
+    )
+    return (
+        joined.withColumn(
+            "reverse_dns_status",
+            F.when(F.col("hostname").isNotNull(), F.lit("OK")).otherwise(
+                F.coalesce(F.col("error"), F.lit("Failed (Unknown)"))
+            ),
+        )
+        .withColumn("hostname", F.coalesce(F.col("hostname"), F.lit("null")))
+        .drop("__rdns_ip", "error")
+    )

@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults are chosen for the 100 TB design target and merely *scaled down*
+for local testing:
+
+- **AQE on**: runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace hand-tuned plans.
+- **Arrow on**: any pandas interchange (Pandas UDFs, ``applyInPandas``)
+  moves columnar batches, never rows.
+- **shuffle partitions**: sized from the available parallelism; AQE
+  coalesces down after filters, so over-provisioning is safe.
+- **broadcast threshold** left at default (10 MB) — dims we *know* are
+  small (geo ranges, rDNS cache table) are broadcast explicitly with
+  ``F.broadcast`` so the plan does not depend on stats being present.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "maillogsentinel-spark"
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    On a real cluster ``master`` comes from spark-submit; locally we run
+    ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = cpu_count()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Files: 128 MB splits keep scan tasks memory-bounded at any SF.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is None:
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
