@@ -49,6 +49,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Files: 128 MB splits keep scan tasks memory-bounded at any SF.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # testdata events.parquet stores TIMESTAMP(NANOS) which Spark has
+        # no native type for; read as long and convert at the loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
