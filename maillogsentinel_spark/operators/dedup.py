@@ -1,0 +1,264 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five levels, each shuffle-conscious for the 100 TB target:
+
+- **exact**: group by content hash, keep min id. One shuffle on a
+  64-char hash key — the minimum possible.
+- **n-gram Jaccard**: candidate pairs via an equi-join on shared
+  shingles (any pair with jaccard > 0 shares one), with a
+  document-frequency cap that drops ubiquitous shingles — the skew
+  guard that keeps the self-join from exploding on hot n-grams.
+- **MinHash + LSH**: per-doc signatures (min of salted portable hashes
+  over shingles — a scan projection, no shuffle), banded into buckets,
+  candidates = pairs sharing a band bucket, then *verified* with exact
+  Jaccard. At scale: the only shuffles are on band keys and candidate
+  pairs — never all-pairs.
+- **SimHash**: 32-bit signatures; near-pairs via the pigeonhole chunk
+  join (hamming ≤ 3 across 4 chunks ⇒ at least one 8-bit chunk equal),
+  so the join is equi on chunks, never a cross product.
+- **embedding cosine**: exact all-pairs above a threshold (the oracle
+  path); the approximate scale path is similarity.knn_lsh's bucketing.
+
+All hashing is the DuckDB-portable md5-prefix hash so the driver's
+oracle can reproduce every pipeline exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64
+from ..functions.vectors import cosine_similarity, to_double_array
+from .textstats import shingles, tokens
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """(keep_id, n_dups) per distinct content — keep = min id."""
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("__h"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .drop("__h")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Survivor rows only (deterministic: min id per content group)."""
+    keep = exact_dedup_groups(df, id_col, content_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "inner")
+
+
+def _doc_shingles(
+    docs: DataFrame, id_col: str, text_col: str, k: int, df_cap: int | None
+) -> DataFrame:
+    """(id, shingle) distinct pairs, with optional document-frequency cap
+    (drop shingles present in > df_cap docs — the skew guard)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), k))).alias("sh"),
+    )
+    if df_cap is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(freq.filter(F.col("__df") <= df_cap), "sh").drop("__df")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.3,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """All pairs with k-shingle Jaccard ≥ threshold.
+
+    jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct shingles. Exact:
+    every qualifying pair shares ≥1 shingle, so the shingle equi-join
+    finds all of them; no candidate is missed (unlike LSH)."""
+    sh = _doc_shingles(docs, id_col, text_col, k, df_cap).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    jac = (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ),
+        )
+    )
+    return (
+        jac.filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_signature(text: Column, k: int, num_perm: int) -> Column:
+    """array<long> MinHash signature: per permutation, min over shingles
+    of the salted portable hash. Scan-only — no shuffle."""
+    sh = shingles(tokens(text), k)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: hash64(s, salt=f"mh{i}")))
+            for i in range(num_perm)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.3,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """MinHash→LSH candidates → exact-Jaccard verification.
+
+    rows-per-band = num_perm/bands; a pair is a candidate iff some band's
+    signature slice matches exactly. Verification recomputes true
+    Jaccard, so output ⊆ ngram_jaccard_pairs — approximation affects
+    recall only, never precision."""
+    rows = num_perm // bands
+    with_sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), k, num_perm).alias("sig"),
+    )
+    banded = with_sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows + r].cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(
+        docs, id_col, text_col, k, threshold=0.0, df_cap=df_cap
+    ).withColumnRenamed("jaccard", "jaccard")
+    return (
+        candidates.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with 32-bit SimHash hamming distance ≤ max_hamming (≤3).
+
+    Pigeonhole: split the signature into 4 8-bit chunks; hamming ≤ 3 ⇒
+    at least one chunk identical — so candidates come from 4 equi-joins
+    on (chunk_idx, chunk_value), never a cross join."""
+    from .textstats import simhash32
+
+    assert max_hamming <= 3, "pigeonhole guarantee holds for ≤ 3 with 4 chunks"
+    sig = docs.select(
+        F.col(id_col).alias("id"), simhash32(tokens(F.col(text_col))).alias("sim"),
+    )
+    chunks = sig.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright("sim", c * 8).bitwiseAND(F.lit(255)).alias("v"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "sim", "ck.c", "ck.v")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("sim_a ^ sim_b"))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold. O(n²) by construction — the
+    correctness baseline. The scale path is LSH bucketing
+    (similarity.knn_lsh) which trades recall for an equi-join."""
+    v = emb.select(
+        F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("v")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    sim = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,105 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``knn_bruteforce``: exact top-k cosine per query. The query side is
+  broadcast (queries ≪ corpus); the corpus side is scanned once with the
+  dot product in codegen, then per-query top-k via window row_number —
+  at 100 TB this is one scan + one small shuffle of per-partition
+  survivors.
+- ``knn_lsh``: random-hyperplane LSH bucketing as the scale path: only
+  corpus vectors in the query's bucket are scored. Hyperplanes are
+  *deterministic* (integer-arithmetic pseudo-random), so results are
+  reproducible anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, to_double_array
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors (cosine desc, neighbor id asc; self excluded
+    when ids collide)."""
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), to_double_array(F.col(vec_col)).alias("qv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = F.round(cosine_similarity(F.col("cv"), F.col("qv")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def hyperplane(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random component in [-1, 1)."""
+    return ((plane * 73856093 + dim * 19349663) % 2000 - 1000) / 1000.0
+
+
+def _bucket_expr(vec_col: str, n_planes: int, dims: int):
+    """Sign-bit bucket id from n_planes deterministic hyperplanes."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        dot = None
+        for d in range(dims):
+            term = F.col(vec_col)[d].cast("double") * F.lit(hyperplane(p, d))
+            dot = term if dot is None else dot + term
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 6,
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing the query's
+    hyperplane-sign bucket. Equi-join on the bucket id replaces the
+    cross join — the candidate set shrinks ~2^n_planes-fold."""
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        to_double_array(F.col(vec_col)).alias("cv"),
+        _bucket_expr(vec_col, n_planes, dims).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("qv"),
+        _bucket_expr(vec_col, n_planes, dims).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = F.round(cosine_similarity(F.col("cv"), F.col("qv")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

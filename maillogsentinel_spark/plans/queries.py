@@ -555,3 +555,386 @@ def q_per_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("user_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extension queries: dedup, similarity, text analysis,
+# multimodal (SURVEY §7 Phase 4 / BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB fragments mirroring operators/textstats.py exactly
+_SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')"
+_SQL_SHINGLES3 = (
+    "CASE WHEN len(t) >= 3 THEN list_transform(range(len(t)-2), "
+    "i -> array_to_string(list_slice(t, i+1, i+3), ' ')) "
+    "ELSE []::VARCHAR[] END"
+)
+
+
+def _sql_hash64(expr: str, salt: str | None = None) -> str:
+    if salt is not None:
+        expr = f"'{salt}' || chr(31) || {expr}"
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text) ORDER BY keep_id
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on the content hash, min-id survivor."""
+    from ..operators.dedup import exact_dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text").orderBy("keep_id")
+
+
+_SQL_JACCARD_CTES = f"""
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES3})) AS s FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT id_a, id_b, round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
+      FROM common JOIN sizes sa ON id_a = sa.doc_id
+                  JOIN sizes sb ON id_b = sb.doc_id
+    )
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_JACCARD_CTES}
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-shingle Jaccard ≥ 0.3 (shingle equi-join,
+    never all-pairs)."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.3)
+
+
+def _sql_minhash_sig(num_perm: int) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(shl, s -> {_sql_hash64('s', f'mh{i}')}))"
+        for i in range(num_perm)
+    )
+    return f"[{mins}]"
+
+
+def _sql_minhash_oracle(num_perm: int = 16, bands: int = 4) -> str:
+    rows = num_perm // bands
+    band_structs = ", ".join(
+        f"{{'band': {b}, 'key': array_to_string(list_slice(sig, {b * rows + 1}, {(b + 1) * rows}), ',')}}"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SQL_JACCARD_CTES},
+    shl_t AS (SELECT doc_id, {_SQL_SHINGLES3} AS shl FROM toks),
+    sigs AS (SELECT doc_id, {_sql_minhash_sig(num_perm)} AS sig FROM shl_t),
+    banded AS (
+      SELECT doc_id, unnest([{band_structs}], recursive := true) FROM sigs
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b, j.jaccard
+    FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+    WHERE j.jaccard >= 0.3
+    ORDER BY c.id_a, c.id_b
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_sql_minhash_oracle())
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) → LSH(4 bands) candidates → exact-Jaccard
+    verification at 0.3. Oracle replicates the full pipeline."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, k=3, num_perm=16, bands=4, threshold=0.3)
+
+
+_SQL_SIMHASH_CTES = f"""
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+    th AS (SELECT doc_id, {_sql_hash64('tk')} AS h FROM tok),
+    votes AS (
+      SELECT doc_id, g.b AS b,
+             sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, generate_series(0, 31) g(b) GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sim
+      FROM votes GROUP BY 1
+    )
+"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_CTES}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (hamming ≤ 3) via pigeonhole chunk equi-join;
+    oracle is the brute-force cross join — identical output by the
+    pigeonhole guarantee."""
+    from ..operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+_SQL_DOT = (
+    "list_reduce(list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i]), "
+    "(x, y) -> x + y)"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = _SQL_DOT.format(a=a, b=a)
+    nb = _SQL_DOT.format(a=b, b=b)
+    return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+@query(
+    "embedding_cosine_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cosine('a.v', 'b.v')} AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_sql_cosine('a.v', 'b.v')} >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine ≥ 0.4), double-precision
+    sequential dot product on both sides."""
+    from ..operators.dedup import embedding_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, threshold=0.4)
+
+
+@query(
+    "knn_bruteforce",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_sql_cosine('e.v', 'q.qv')} AS cosine
+      FROM e, q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 query vectors — the ANN
+    correctness baseline."""
+    from ..operators.similarity import knn_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return knn_bruteforce(emb, queries_df, k=5)
+
+
+def _sql_lsh_bucket(v: str, n_planes: int = 6) -> str:
+    terms = []
+    for p in range(n_planes):
+        dot = (
+            f"list_reduce(list_transform(range(1, len({v})+1), "
+            f"d -> {v}[d] * (((({p}::BIGINT * 73856093 + (d-1) * 19349663) % 2000) - 1000) / 1000.0)), "
+            "(x, y) -> x + y)"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "knn_lsh",
+    oracle=f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT vec_id, v, {_sql_lsh_bucket('v')} AS bucket FROM e0),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_sql_cosine('e.v', 'q.qv')} AS cosine
+      FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via deterministic random-hyperplane buckets —
+    the scale path (equi-join replaces the cross join). Deterministic
+    planes make even the approximation oracle-checkable."""
+    from ..operators.similarity import knn_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return knn_lsh(emb, queries_df, k=5, n_planes=6, dims=64)
+
+
+def _sql_lang_case() -> str:
+    from ..operators.textstats import LANG_PRIORITY, LANG_STOPWORDS
+
+    scores = {
+        lang: (
+            f"len(list_filter(t, x -> x IN ({', '.join(repr(w) for w in words)})))"
+            f" * 10 + {LANG_PRIORITY[lang]}"
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    g = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {g} = ({scores[lang]}) THEN '{lang}'" for lang in LANG_STOPWORDS
+    )
+    return f"CASE WHEN {g} < 10 THEN 'unknown' {whens} END"
+
+
+@query(
+    "text_lang_quality",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, text, {_SQL_TOKS} AS t FROM documents)
+    SELECT doc_id, lang,
+           {_sql_lang_case()} AS lang_guess,
+           len(t) AS n_tokens,
+           round(least(1.0, len(t) / 100.0) * 0.4
+                 + (CASE WHEN len(t) > 0
+                         THEN len(list_distinct(t))::DOUBLE / len(t) ELSE 0 END) * 0.3
+                 + (CASE WHEN length(text) > 0
+                         THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                              / length(text) ELSE 0 END) * 0.3, 6) AS quality
+    FROM toks ORDER BY doc_id
+    """,
+)
+def q_text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + quality score + token count, one scan."""
+    from ..operators.textstats import lang_id, quality_score, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        lang_id(F.col("text")).alias("lang_guess"),
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "token_counts_by_source",
+    oracle=f"""
+    WITH toks AS (SELECT source, n_chars, {_SQL_TOKS} AS t FROM documents)
+    SELECT source, count(*) AS n_docs, sum(len(t)) AS total_tokens,
+           min(len(t)) AS min_tokens, max(len(t)) AS max_tokens,
+           sum(n_chars) AS total_chars
+    FROM toks GROUP BY source ORDER BY source
+    """,
+)
+def q_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source (integer-exact aggs)."""
+    from ..operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    n = token_count(F.col("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n).alias("total_tokens"),
+            F.min(n).alias("min_tokens"),
+            F.max(n).alias("max_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_CTES},
+    shl_t AS (SELECT doc_id, {_SQL_SHINGLES3} AS shl FROM toks),
+    fp AS (SELECT doc_id,
+                  list_min(list_transform(shl, s -> {_sql_hash64('s')})) AS fingerprint
+           FROM shl_t)
+    SELECT fp.doc_id, fp.fingerprint, sig.sim AS simhash
+    FROM fp JOIN sig ON fp.doc_id = sig.doc_id
+    ORDER BY fp.doc_id
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fingerprints: min-shingle-hash + 32-bit SimHash."""
+    from ..operators.textstats import min_shingle_fingerprint, simhash32, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        min_shingle_fingerprint(F.col("text"), k=3).alias("fingerprint"),
+        simhash32(tokens(F.col("text"))).alias("simhash"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
+           CAST(strlen(text) AS DOUBLE) AS f_len,
+           CAST(ascii(left(text, 1)) AS DOUBLE) AS f_first,
+           CAST(ascii(right(text, 1)) AS DOUBLE) AS f_last
+    FROM documents ORDER BY media_id
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text→payload bytes→Arrow-batched
+    mapInPandas feature extraction (decode step is the deterministic
+    fake; real decode is stubbed per environment)."""
+    from ..operators.multimodal import attach_binary, extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary(docs)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.col("features")[0].alias("f_len"),
+        F.col("features")[1].alias("f_first"),
+        F.col("features")[2].alias("f_last"),
+    ).orderBy("media_id")

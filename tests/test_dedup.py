@@ -1,0 +1,80 @@
+"""Dedup operator semantics on tiny in-memory corpora."""
+
+from maillogsentinel_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "the quick brown fox jumps over the sleepy dog"),        # near dup of 1
+    (4, "completely different content about spark engines here"),
+    (5, "unrelated short text"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    groups = exact_dedup_groups(_docs(spark), "doc_id", "text").collect()
+    by_keep = {r["keep_id"]: r["n_dups"] for r in groups}
+    assert by_keep[1] == 2  # docs 1+2 collapse, min id kept
+    assert set(by_keep) == {1, 3, 4, 5}
+    survivors = exact_dedup(_docs(spark), "doc_id", "text")
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [1, 3, 4, 5]
+
+
+def test_ngram_jaccard(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(_docs(spark), k=3, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0                      # identical
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0  # near dup
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_subset_of_exact(spark):
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           minhash_lsh_pairs(_docs(spark), k=3, threshold=0.3).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in
+             ngram_jaccard_pairs(_docs(spark), k=3, threshold=0.3).collect()}
+    assert lsh <= exact          # LSH never invents pairs (verified)
+    assert (1, 2) in lsh         # identical docs always collide
+
+
+def test_simhash(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(_docs(spark), max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0    # identical text → identical signature
+
+
+def test_df_cap_drops_hot_shingles(spark):
+    # a shingle present in every doc is dropped by the frequency cap
+    docs = spark.createDataFrame(
+        [(i, f"common shared prefix unique{i} word{i} tail{i}") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    capped = ngram_jaccard_pairs(docs, k=3, threshold=0.01, df_cap=4).collect()
+    uncapped = ngram_jaccard_pairs(docs, k=3, threshold=0.01).collect()
+    assert len(capped) < len(uncapped)
+
+
+def test_embedding_pairs(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0]),   # ~same direction
+            (3, [0.0, 1.0, 0.0]),     # orthogonal
+        ],
+        ["vec_id", "embedding"],
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_cosine_pairs(emb, threshold=0.9).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] > 0.999

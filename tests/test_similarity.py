@@ -1,0 +1,49 @@
+"""Similarity-search operators: exact top-k and LSH recall."""
+
+from pyspark.sql import functions as F
+
+from maillogsentinel_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+
+def _emb(spark, n=60, dims=8):
+    import math
+    rows = []
+    for i in range(n):
+        # points on a ring → known neighbor structure
+        ang = 2 * math.pi * i / n
+        rows.append((i, [math.cos(ang), math.sin(ang)] + [0.1] * (dims - 2)))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_knn_bruteforce_exact(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") == 0).withColumnRenamed("vec_id", "query_id")
+    res = knn_bruteforce(emb, q, k=3).collect()
+    assert [r["rank"] for r in res] == [1, 2, 3]
+    # ring neighbors 1 and 59 are the closest two
+    assert {res[0]["neighbor_id"], res[1]["neighbor_id"]} == {1, 59}
+    assert all(r["query_id"] == 0 for r in res)
+    assert res[0]["cosine"] >= res[1]["cosine"] >= res[2]["cosine"]
+
+
+def test_knn_lsh_high_recall_on_self_bucket(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    exact = knn_bruteforce(emb, q, k=1).collect()
+    approx = {r["query_id"]: r for r in knn_lsh(emb, q, k=1, n_planes=2, dims=8).collect()}
+    # with 2 planes the nearest ring-neighbor shares the bucket for most queries
+    hits = sum(
+        1 for r in exact
+        if r["query_id"] in approx
+        and approx[r["query_id"]]["neighbor_id"] == r["neighbor_id"]
+    )
+    assert hits >= 3  # recall ≥ 60% on this structured set
+
+
+def test_knn_lsh_never_beats_exact(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    exact = {(r["query_id"], r["rank"]): r["cosine"]
+             for r in knn_bruteforce(emb, q, k=3).collect()}
+    for r in knn_lsh(emb, q, k=3, n_planes=2, dims=8).collect():
+        assert r["cosine"] <= exact[(r["query_id"], 1)] + 1e-9
