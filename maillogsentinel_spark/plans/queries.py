@@ -938,3 +938,62 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")[1].alias("f_first"),
         F.col("features")[2].alias("f_last"),
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Anonymization + SQL-cast queries (§2.10, P7/P10)
+# ---------------------------------------------------------------------------
+
+@query(
+    "anonymize_users",
+    oracle="""
+    WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1)
+    SELECT user_id,
+           'anon_user_' || (row_number() OVER (ORDER BY first_ts, user_id))::VARCHAR AS token
+    FROM f ORDER BY user_id
+    """,
+)
+def q_anonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global consistent dictionary encoding by first-seen order — the
+    distributed core of the reference's anonymizer maps
+    (log_anonymizer.py:17-37; full regex operator in
+    operators/anonymize.py)."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    w = Window.orderBy("first_ts", "user_id")
+    return first.select(
+        "user_id",
+        F.concat(F.lit("anon_user_"), F.row_number().over(w).cast("string")).alias(
+            "token"
+        ),
+    ).orderBy("user_id")
+
+
+@query(
+    "sql_cast_normalize",
+    oracle="""
+    WITH s AS (
+      SELECT event_id,
+             CASE user_id % 4 WHEN 0 THEN 'N/A' WHEN 1 THEN '' WHEN 2 THEN 'null'
+                  ELSE user_id::VARCHAR END AS asn_s
+      FROM events
+    )
+    SELECT event_id,
+           TRY_CAST(CASE WHEN lower(trim(asn_s)) IN ('', 'null', 'na', 'n/a')
+                         THEN NULL ELSE asn_s END AS BIGINT) AS asn
+    FROM s ORDER BY event_id
+    """,
+)
+def q_sql_cast_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7+P10: null-ish normalization + try-cast, the core of the
+    mapping-driven SQL export (sources/sqlio.py)."""
+    from ..sources.sqlio import normalize_nullish
+
+    ev = _t(spark, sf_dir, "events")
+    asn_s = F.expr(
+        "CASE user_id % 4 WHEN 0 THEN 'N/A' WHEN 1 THEN '' WHEN 2 THEN 'null' "
+        "ELSE cast(user_id AS string) END"
+    )
+    return ev.select(
+        "event_id", normalize_nullish(asn_s).try_cast("long").alias("asn")
+    ).orderBy("event_id")

@@ -1,0 +1,73 @@
+"""Structured Streaming ingestion — reference S3/S4 + §2.9.
+
+The reference tracks progress as a byte offset into the live log,
+resets it on rotation, and sweeps rotated files only on first run
+(/root/reference/lib/maillogsentinel/parser.py:137-196, utils.py:214-270,
+bin/maillogsentinel.py:643). All of that state machinery is replaced by
+the Structured Streaming file source + one checkpoint directory:
+
+- new log lines → the source picks up appended *files*; a rotated file
+  is just a new file name, processed exactly once (strictly better than
+  the reference's reset-to-zero heuristic, which can re-read);
+- exactly-once: file-source tracking lives in the checkpoint; the
+  reference's separate offset/state files and its documented
+  at-least-once divergence (sql_exporter.py:621-630 advances the offset
+  past failed rows) disappear.
+
+Enrichment runs inside ``foreachBatch`` — each micro-batch is a full
+batch DataFrame, so the identical batch pipeline (parse → rDNS → geo)
+is reused unchanged: one code path for batch and streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.pipeline import build_events
+from ..sources.store import write_events
+
+
+def start_ingest(
+    spark: SparkSession,
+    log_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    year: int,
+    resolver,
+    geo_country: DataFrame | None = None,
+    geo_asn: DataFrame | None = None,
+    available_now: bool = True,
+    processing_time: str = "60 seconds",
+):
+    """Stream log files from ``log_dir`` into the events store.
+
+    ``available_now=True`` processes everything pending then stops — the
+    direct analogue of the reference's one-shot systemd-timer run.
+    """
+    lines = spark.readStream.text(log_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ev = build_events(batch_df, year, resolver, geo_country, geo_asn)
+        write_events(ev, store_path, mode="append")
+
+    writer = lines.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def streaming_daily_user_counts(events_stream: DataFrame) -> DataFrame:
+    """§2.9 windowed streaming agg: daily tumbling window per user with a
+    1-day watermark for late data — the streaming form of the report's
+    implicit day bucket (reference report.py:152)."""
+    return (
+        events_stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("day"), F.col("user"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("day").start.alias("day"), "user", "cnt")
+    )
