@@ -134,13 +134,14 @@ def minhash_lsh_pairs(
 
     rows-per-band = num_perm/bands; a pair is a candidate iff some band's
     signature slice matches exactly. Verification recomputes true
-    Jaccard, so output ⊆ ngram_jaccard_pairs — approximation affects
-    recall only, never precision."""
+    Jaccard **for candidate pairs only** (the candidate set is small; a
+    full-corpus Jaccard join would defeat the LSH), so output ⊆
+    ngram_jaccard_pairs — approximation affects recall only, never
+    precision."""
+    from .signatures import minhash_table
+
     rows = num_perm // bands
-    with_sig = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), k, num_perm).alias("sig"),
-    )
+    with_sig = minhash_table(docs, id_col, text_col, k, num_perm)
     banded = with_sig.select(
         "id",
         F.explode(
@@ -172,11 +173,32 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(
-        docs, id_col, text_col, k, threshold=0.0, df_cap=df_cap
-    ).withColumnRenamed("jaccard", "jaccard")
+    # verify candidates only: join each side's shingle set through the
+    # (small, broadcastable) candidate list
+    sh = _doc_shingles(docs, id_col, text_col, k, df_cap)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    cands = F.broadcast(candidates)
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("cid_b"), F.col("sh").alias("sh_b"))
+    common = (
+        cands.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("cid_b")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
     return (
-        candidates.join(exact, ["id_a", "id_b"])
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
@@ -194,12 +216,10 @@ def simhash_pairs(
     Pigeonhole: split the signature into 4 8-bit chunks; hamming ≤ 3 ⇒
     at least one chunk identical — so candidates come from 4 equi-joins
     on (chunk_idx, chunk_value), never a cross join."""
-    from .textstats import simhash32
+    from .signatures import simhash_table
 
     assert max_hamming <= 3, "pigeonhole guarantee holds for ≤ 3 with 4 chunks"
-    sig = docs.select(
-        F.col(id_col).alias("id"), simhash32(tokens(F.col(text_col))).alias("sim"),
-    )
+    sig = simhash_table(docs, id_col, text_col).withColumnRenamed("simhash", "sim")
     chunks = sig.select(
         "id",
         "sim",
@@ -240,20 +260,44 @@ def simhash_pairs(
     )
 
 
+def _normalized_vectors(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, nv): unit-normalized double vectors (zero-norm rows dropped).
+    One fold per row; pair similarity then needs a single dot."""
+    from ..functions.vectors import dot
+
+    v = emb.select(
+        F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("v")
+    )
+    withn = v.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    return withn.filter(F.col("norm") > 0).select(
+        "id", F.transform("v", lambda x: x / F.col("norm")).alias("nv")
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    method: str = "expr",
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold. O(n²) by construction — the
-    correctness baseline. The scale path is LSH bucketing
-    (similarity.knn_lsh) which trades recall for an equi-join."""
-    v = emb.select(
-        F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("v")
-    )
-    a, b = v.alias("a"), v.alias("b")
-    sim = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+    correctness baseline (LSH bucketing in similarity.knn_lsh is the
+    recall-trading scale path).
+
+    method='expr': pre-normalize, then one sequential-fold dot per pair —
+    bit-identical to the DuckDB oracle.
+    method='gemm': numpy matrix product inside mapInPandas against a
+    broadcast normalized matrix — 100-1000× faster; float sum order
+    differs from the fold in the last bits, so it is benched with a
+    rows-level check rather than a value-hash oracle."""
+    if method == "gemm":
+        return _cosine_pairs_gemm(emb, id_col, vec_col, threshold)
+    from ..functions.vectors import dot
+
+    nv = _normalized_vectors(emb, id_col, vec_col)
+    a, b = nv.alias("a"), nv.alias("b")
+    sim = F.round(dot(F.col("a.nv"), F.col("b.nv")), 6)
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
@@ -262,3 +306,59 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def _cosine_pairs_gemm(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Blocked GEMM all-pairs: each partition's block multiplies against
+    the broadcast full matrix; emits only (i < j, sim ≥ t) pairs. At
+    cluster scale replace the broadcast side with block tiling."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import SparkSession
+    from pyspark.sql import types as T
+
+    spark = SparkSession.getActiveSession()
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    keep = norms > 0
+    ids, mat = ids[keep], mat[keep] / norms[keep, None]
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = b_ids.value, b_mat.value
+        order = {int(v): i for i, v in enumerate(all_ids)}
+        for pdf in batches:
+            idx = np.array([order[int(v)] for v in pdf[id_col] if int(v) in order])
+            if len(idx) == 0:
+                yield pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+                continue
+            sims = np.round(all_mat[idx] @ all_mat.T, 6)  # (block, n)
+            bi, bj = np.nonzero(sims >= threshold)  # round-then-filter, like expr
+            gi = all_ids[idx[bi]]
+            gj = all_ids[bj]
+            mask = gi < gj
+            yield pd.DataFrame(
+                {
+                    "id_a": gi[mask],
+                    "id_b": gj[mask],
+                    "cosine": sims[bi, bj][mask],
+                }
+            )
+
+    out = emb.select(id_col).mapInPandas(block, schema)
+    return out.orderBy("id_a", "id_b")

@@ -719,14 +719,24 @@ def _sql_cosine(a: str, b: str) -> str:
     return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
 
 
+_SQL_NORMALIZED_E = f"""
+    e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    en AS (SELECT vec_id, v, sqrt({_SQL_DOT.format(a='v', b='v')}) AS norm FROM e0),
+    e AS (SELECT vec_id, list_transform(v, x -> x / norm) AS nv
+          FROM en WHERE norm > 0)
+"""
+
+_SQL_NDOT = _SQL_DOT.format(a="a.nv", b="b.nv")
+
+
 @query(
     "embedding_cosine_pairs",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH {_SQL_NORMALIZED_E}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_sql_cosine('a.v', 'b.v')} AS cosine
+           round({_SQL_NDOT}, 6) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE {_sql_cosine('a.v', 'b.v')} >= 0.4
+    WHERE round({_SQL_NDOT}, 6) >= 0.4
     ORDER BY id_a, id_b
     """,
 )
@@ -901,15 +911,18 @@ def q_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc fingerprints: min-shingle-hash + 32-bit SimHash."""
-    from ..operators.textstats import min_shingle_fingerprint, simhash32, tokens
+    """Per-doc fingerprints: min-shingle-hash + 32-bit SimHash (codegen
+    explode/agg tables — bit-identical to the expression forms)."""
+    from ..operators.signatures import fingerprint_table, simhash_table
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        min_shingle_fingerprint(F.col("text"), k=3).alias("fingerprint"),
-        simhash32(tokens(F.col("text"))).alias("simhash"),
-    ).orderBy("doc_id")
+    fp = fingerprint_table(docs, "doc_id", "text", k=3)
+    sh = simhash_table(docs, "doc_id", "text")
+    return (
+        fp.join(sh, "id")
+        .select(F.col("id").alias("doc_id"), "fingerprint", "simhash")
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -997,3 +1010,15 @@ def q_sql_cast_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", normalize_nullish(asn_s).try_cast("long").alias("asn")
     ).orderBy("event_id")
+
+
+@query("embedding_cosine_pairs_gemm")
+def q_embedding_cosine_pairs_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path of embedding_cosine_pairs: blocked numpy GEMM inside
+    mapInPandas. Float sum order differs from the sequential fold in the
+    last bits, so this twin is registered without a value oracle (driver
+    rows-level check); the 'expr' twin carries the exact oracle."""
+    from ..operators.dedup import embedding_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, threshold=0.4, method="gemm")

@@ -29,13 +29,18 @@ def top_counts(df: DataFrame, keys: list[str], k: int | None = 10) -> DataFrame:
 
 
 def daily_report_stats(
-    events: DataFrame, report_date: dt.date, ts_col: str = "ts"
+    events: DataFrame, report_date: dt.date | str, ts_col: str = "ts"
 ) -> dict:
     """All report aggregations for one day; returns dict of DataFrames
     plus scalar counts (collected — they are single numbers).
 
+    ``report_date`` accepts a ``datetime.date`` or the reference's
+    ``dd/mm/YYYY`` "today" string (report.py:263).
+
     Keys mirror report.py:97-108's stats dict.
     """
+    if isinstance(report_date, str):
+        report_date = dt.datetime.strptime(report_date, "%d/%m/%Y").date()
     day = events.filter(F.to_date(F.col(ts_col)) == F.lit(report_date)).cache()
 
     stats = {

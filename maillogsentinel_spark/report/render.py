@@ -30,10 +30,15 @@ def _section(title: str, rows: list[tuple], headers: list[str]) -> list[str]:
 
 
 def render_report(
-    stats: dict, report_date: dt.date, server_name: str = "mailserver"
+    stats: dict, report_date: dt.date | str, server_name: str = "mailserver"
 ) -> str:
     """stats: output of daily_report_stats with DataFrames collect()ed
-    into lists of Rows (see report job in plans/pipeline.py)."""
+    into lists of Rows (see report job in plans/pipeline.py).
+
+    ``report_date`` accepts a ``datetime.date`` or the reference's
+    ``dd/mm/YYYY`` string form (report.py:263)."""
+    if isinstance(report_date, str):
+        report_date = dt.datetime.strptime(report_date, "%d/%m/%Y").date()
 
     def rows(key):
         v = stats[key]
