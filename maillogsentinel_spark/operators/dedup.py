@@ -285,24 +285,31 @@ def embedding_cosine_pairs(
     correctness baseline (LSH bucketing in similarity.knn_lsh is the
     recall-trading scale path).
 
-    method='expr': pre-normalize, then one sequential-fold dot per pair —
-    bit-identical to the DuckDB oracle.
+    method='expr': GEMM candidate prefilter at threshold−1e-4 (numpy and
+    the sequential fold agree to ~1e-12, so no exact-qualifying pair can
+    be pruned), then the sequential-fold dot recomputed per candidate —
+    output values bit-identical to the DuckDB oracle at candidate-set
+    cost instead of all-pairs cost.
     method='gemm': numpy matrix product inside mapInPandas against a
-    broadcast normalized matrix — 100-1000× faster; float sum order
-    differs from the fold in the last bits, so it is benched with a
-    rows-level check rather than a value-hash oracle."""
+    broadcast normalized matrix; float sum order differs from the fold
+    in the last bits, so it is benched with a rows-level check rather
+    than a value-hash oracle."""
     if method == "gemm":
         return _cosine_pairs_gemm(emb, id_col, vec_col, threshold)
     from ..functions.vectors import dot
 
+    cands = _cosine_pairs_gemm(emb, id_col, vec_col, threshold - 1e-4).select(
+        "id_a", "id_b"
+    )
     nv = _normalized_vectors(emb, id_col, vec_col)
-    a, b = nv.alias("a"), nv.alias("b")
-    sim = F.round(dot(F.col("a.nv"), F.col("b.nv")), 6)
+    a = nv.select(F.col("id").alias("id_a"), F.col("nv").alias("__nva"))
+    b = nv.select(F.col("id").alias("id_b"), F.col("nv").alias("__nvb"))
+    sim = F.round(dot(F.col("__nva"), F.col("__nvb")), 6)
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("cosine")
-        )
+        F.broadcast(cands)
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
