@@ -1022,3 +1022,532 @@ def q_embedding_cosine_pairs_gemm(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs(emb, threshold=0.4, method="gemm")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H batch 2 — semi/anti joins, outer-join distributions, OR-predicate
+# pushdown, HAVING subqueries (tables lack l_shipmode/l_commitdate/o_comment,
+# so the classic predicates are adapted to the driver's schema)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q4_semi",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_tpch_q4_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-style EXISTS → LEFT SEMI join (no duplication of the probe
+    side, build side only needs the join key)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice AS {_DEC}) * (1 - CAST(l_discount AS {_DEC}))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting: fact-fact shuffle join on o_orderkey,
+    dims broadcast, top-20 TakeOrderedAndProject."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast(_DEC)
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q12_priority",
+    oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q_tpch_q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (conditional counts after a fact-fact join); the
+    schema has no l_shipmode so priority classes stand in."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "tpch_q13_custdist",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: outer join with a join-side predicate (kept in the ON
+    clause, NOT a post-filter — the null-extension must survive),
+    then a distribution re-aggregation."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q14_promo",
+    oracle=f"""
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS {_DEC}) * (1 - CAST(l_discount AS {_DEC}))
+                    ELSE 0 END) AS DOUBLE) AS promo_revenue,
+           CAST(sum(CAST(l_extendedprice AS {_DEC}) * (1 - CAST(l_discount AS {_DEC}))) AS DOUBLE) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: broadcast dim join + conditional decimal-exact sums (the
+    promo/total ratio is left to the caller — a double division would
+    be the only non-exact bit)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast(_DEC)
+    )
+    zero = F.lit(0).cast("decimal(24,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS {_DEC})) > 200
+    )
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey LIMIT 100
+    """,
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: HAVING-subquery → aggregate-then-semi-join; the qualifying
+    key set is tiny, so it broadcasts into the probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(_DEC)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("__q"))
+        .filter(F.col("__q") > 200)
+        .select(F.col("l_orderkey").alias("__bigkey"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    joined = (
+        li.join(F.broadcast(big), F.col("l_orderkey") == F.col("__bigkey"), "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q19_or",
+    oracle=f"""
+    SELECT CAST(sum(CAST(l_extendedprice AS {_DEC}) * (1 - CAST(l_discount AS {_DEC}))) AS DOUBLE) AS revenue,
+           count(*) AS cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q_tpch_q19_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: disjunctive mixed-side predicates. The join stays an
+    equi-join on p_partkey; the OR-of-ANDs evaluates post-join (the
+    per-side conjuncts cannot be pushed without changing results)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 21))
+        | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 30))
+        | ((b == "Brand#34") & s.between(1, 35) & q.between(20, 40))
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast(_DEC)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "tpch_q22_anti",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > 6000
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY 1 ORDER BY c_nationkey
+    """,
+)
+def q_tpch_q22_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22: NOT EXISTS → LEFT ANTI join (build side is just the
+    distinct key column)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 6000)
+    okeys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    anti = cust.join(okeys, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (
+        anti.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / set ops / percentiles / running windows / as-of join
+# (engine surface beyond the reference: SURVEY §2.4/§2.5/§2.7 "free in
+# Spark" items, made contract-checked)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_rollup",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS cnt
+    FROM events
+    GROUP BY ROLLUP(event_type, day)
+    ORDER BY event_type NULLS FIRST, day NULLS FIRST
+    """,
+)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP — partial aggregation handles the
+    grouping-set expansion map-side; one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first()
+        )
+    )
+
+
+@query(
+    "events_set_ops",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+    SELECT 'both' AS segment, user_id FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM c)
+    UNION ALL
+    SELECT 'purchase_only' AS segment, user_id FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c)
+    ORDER BY segment, user_id
+    """,
+)
+def q_events_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operations: INTERSECT / EXCEPT (plan as semi/anti
+    aggregates) + UNION ALL, tagged into one result."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    c = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    both = p.intersect(c).select(F.lit("both").alias("segment"), "user_id")
+    only = p.exceptAll(c).select(F.lit("purchase_only").alias("segment"), "user_id")
+    return both.unionAll(only).orderBy("segment", "user_id")
+
+
+@query(
+    "lineitem_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95,
+           CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+           CAST(max(l_extendedprice) AS DOUBLE) AS hi
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`, bit-identical — verified). The approximate
+    scale path is approx_percentile/t-digest; exact needs a per-group
+    sort so it stays a deliberate choice."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "events_running_value",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value
+    FROM events ORDER BY event_id
+    """,
+)
+def q_events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user total — cumulative window, decimal-exact so the
+    frame-order summation matches the oracle bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+        .alias("running_value"),
+    ).orderBy("event_id")
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    WITH p AS (SELECT user_id AS pu, ts AS pts FROM events
+               WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id, p.pts AS pts_asof
+    FROM events e ASOF LEFT JOIN p
+      ON e.user_id = p.pu AND e.ts >= p.pts
+    ORDER BY e.event_id
+    """,
+)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): latest purchase at-or-before each
+    event, per user. DuckDB's native ASOF JOIN is the oracle; right side
+    pre-deduped per (user, ts) for determinism."""
+    from ..operators.asof import asof_join_backward
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id"), F.col("ts").alias("pts"))
+        .distinct()
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    right = purchases
+    out = asof_join_backward(
+        left, right, key="user_id", left_ts="ts", right_ts="pts", payload_cols=[]
+    )
+    return out.select(
+        "event_id", "user_id", F.col("pts_asof")
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Mail-report completion (A4-A6) + ipinfo point lookup (S12)
+# ---------------------------------------------------------------------------
+
+@query(
+    "top10_geo_breakdown",
+    oracle=f"""
+    WITH pts AS (SELECT {_SQL_IP_LONG} AS ip_long FROM events WHERE event_type <> 'click'),
+         dim AS ({_SQL_GEO_DIM}),
+         enr AS (
+           SELECT coalesce(dim.country, 'N/A') AS country,
+                  coalesce('AS' || (64000 + dim.range_start // 140000000)::VARCHAR, 'N/A') AS asn,
+                  coalesce('ASO-' || dim.country, 'N/A') AS aso
+           FROM pts LEFT JOIN dim
+             ON pts.ip_long >= dim.range_start AND pts.ip_long <= dim.range_end
+         ),
+         c AS (SELECT 'country' AS dim_kind, country AS k, count(*) AS cnt
+               FROM enr GROUP BY 2 ORDER BY cnt DESC, k LIMIT 10),
+         a AS (SELECT 'asn' AS dim_kind, asn AS k, count(*) AS cnt
+               FROM enr GROUP BY 2 ORDER BY cnt DESC, k LIMIT 10),
+         o AS (SELECT 'aso' AS dim_kind, aso AS k, count(*) AS cnt
+               FROM enr GROUP BY 2 ORDER BY cnt DESC, k LIMIT 10)
+    SELECT * FROM c UNION ALL SELECT * FROM a UNION ALL SELECT * FROM o
+    ORDER BY dim_kind, cnt DESC, k
+    """,
+)
+def q_top10_geo_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A5+A6 in one pass: enrich once (J1+J3 merge semantics with
+    per-side N/A defaults), reuse the cached slice for three top-10s,
+    UNION ALL tagged."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") != "click")
+    pts = ev.select(ip_to_long(_synth_ip()).alias("ip_long"))
+    dim = _geo_dim(spark, sf_dir).withColumn(
+        "asn",
+        F.concat(F.lit("AS"),
+                 (F.lit(64000) + F.expr("range_start div 140000000")).cast("string")),
+    ).withColumn("aso", F.concat(F.lit("ASO-"), F.col("country")))
+    enr = range_join(pts, "ip_long", dim,
+                     start_col="range_start", end_col="range_end").select(
+        F.coalesce("country", F.lit("N/A")).alias("country"),
+        F.coalesce("asn", F.lit("N/A")).alias("asn"),
+        F.coalesce("aso", F.lit("N/A")).alias("aso"),
+    ).cache()
+
+    def top10(col: str, kind: str) -> DataFrame:
+        return (
+            enr.groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), "k")
+            .limit(10)
+            .select(F.lit(kind).alias("dim_kind"), "k", "cnt")
+        )
+
+    out = top10("country", "country").unionAll(top10("asn", "asn")).unionAll(
+        top10("aso", "aso")
+    )
+    return out.orderBy("dim_kind", F.desc("cnt"), "k")
+
+
+@query(
+    "ip_point_lookup",
+    oracle=f"""
+    WITH pts AS (
+      SELECT DISTINCT {_SQL_IP} AS ip, {_SQL_IP_LONG} AS ip_long
+      FROM events WHERE event_id % 997 = 0
+    ),
+    dim AS ({_SQL_GEO_DIM})
+    SELECT pts.ip,
+           coalesce(dim.country, 'N/A') AS country_code,
+           coalesce((64000 + dim.range_start // 140000000)::VARCHAR, 'N/A') AS asn
+    FROM pts LEFT JOIN dim
+      ON pts.ip_long >= dim.range_start AND pts.ip_long <= dim.range_end
+    ORDER BY ip
+    """,
+)
+def q_ip_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 (ipinfo CLI point lookup) as a set-oriented plan: a small
+    distinct ip list range-joined against the broadcast dims; one row
+    per ip with per-field N/A defaults (ipinfo.py:330-339 semantics)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 997 == 0)
+    pts = ev.select(
+        _synth_ip().alias("ip"), ip_to_long(_synth_ip()).alias("ip_long")
+    ).distinct()
+    dim = _geo_dim(spark, sf_dir).withColumn(
+        "asn", (F.lit(64000) + F.expr("range_start div 140000000")).cast("string")
+    )
+    enr = range_join(pts, "ip_long", dim,
+                     start_col="range_start", end_col="range_end")
+    return enr.select(
+        "ip",
+        F.coalesce("country", F.lit("N/A")).alias("country_code"),
+        F.coalesce("asn", F.lit("N/A")).alias("asn"),
+    ).orderBy("ip")
