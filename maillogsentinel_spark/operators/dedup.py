@@ -55,11 +55,18 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 def _doc_shingles(
     docs: DataFrame, id_col: str, text_col: str, k: int, df_cap: int | None
 ) -> DataFrame:
-    """(id, shingle) distinct pairs, with optional document-frequency cap
-    (drop shingles present in > df_cap docs — the skew guard)."""
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), k))).alias("sh"),
+    """(id, sh) distinct pairs with sh as an int64 shingle hash, plus an
+    optional document-frequency cap (drop shingles present in > df_cap
+    docs — the skew guard).
+
+    The hash (xxhash64) shrinks the self-join's shuffle key from a
+    k-word string to 8 bytes; set-intersection counts are unchanged short
+    of a 64-bit collision inside one candidate pair (~1e-9 at millions of
+    shingles — far below any oracle tolerance)."""
+    from .signatures import doc_shingle_rows
+
+    sh = doc_shingle_rows(docs, id_col, text_col, k, distinct=True).select(
+        "id", F.xxhash64("sh").alias("sh")
     )
     if df_cap is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
@@ -110,12 +117,19 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(text: Column, k: int, num_perm: int) -> Column:
     """array<long> MinHash signature: per permutation, min over shingles
-    of the salted portable hash. Scan-only — no shuffle."""
-    sh = shingles(tokens(text), k)
+    of the universal-hash family (signatures.minhash_perm_consts — one
+    portable base hash, arithmetic permutations). Scan-only — no
+    shuffle. Bit-identical to signatures.minhash_table."""
+    from .signatures import MINHASH_P, minhash_perm_consts
+
+    sh = F.array_distinct(shingles(tokens(text), k))
+    base = F.transform(sh, lambda s: hash64(s) % MINHASH_P)
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, i=i: hash64(s, salt=f"mh{i}")))
-            for i in range(num_perm)
+            F.array_min(
+                F.transform(base, lambda h, a=a, b=b: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+            )
+            for a, b in minhash_perm_consts(num_perm)
         ]
     )
 

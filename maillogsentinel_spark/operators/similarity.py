@@ -56,13 +56,22 @@ def hyperplane(plane: int, dim: int) -> float:
 
 
 def _bucket_expr(vec_col: str, n_planes: int, dims: int):
-    """Sign-bit bucket id from n_planes deterministic hyperplanes."""
+    """Sign-bit bucket id from n_planes deterministic hyperplanes.
+
+    Shaped as per-plane zip_with/aggregate folds over *flat* array
+    literals: a chained per-component Add expression (depth ~dims) makes
+    every Catalyst rule traversal quadratic-ish and costs seconds of
+    planning per run; the flat fold analyzes in milliseconds and the
+    sequential sum matches the DuckDB oracle's list_reduce bit-for-bit."""
+    v = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0)
     for p in range(n_planes):
-        dot = None
-        for d in range(dims):
-            term = F.col(vec_col)[d].cast("double") * F.lit(hyperplane(p, d))
-            dot = term if dot is None else dot + term
+        plane = F.array(*[F.lit(hyperplane(p, d)) for d in range(dims)])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 

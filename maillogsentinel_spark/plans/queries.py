@@ -233,7 +233,10 @@ def q_mail_report_top10_today(spark: SparkSession, sf_dir: str) -> DataFrame:
     day filter → top-10 with deterministic tie-break."""
     lines = _mail_events(spark, sf_dir).select("value")
     parsed = parse_sasl_lines(lines, year=REF_YEAR)
-    withdns = enrich_rdns(parsed, mail_resolver)
+    # dim branch resolves from the raw scan projection (superset of the
+    # parsed IPs) — avoids recomputing synth+parse a second time
+    raw_ips = _t(spark, sf_dir, "events").select(_synth_ip().alias("ip"))
+    withdns = enrich_rdns(parsed, mail_resolver, ip_source=raw_ips)
     dim = _geo_dim(spark, sf_dir)
     geo = range_join(
         withdns.withColumn("ip_long", ip_to_long(F.col("ip"))),
@@ -626,9 +629,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_sig(num_perm: int) -> str:
+    from ..operators.signatures import MINHASH_P, minhash_perm_consts
+
+    base = f"({_sql_hash64('s')} % {MINHASH_P})"
     mins = ", ".join(
-        f"list_min(list_transform(shl, s -> {_sql_hash64('s', f'mh{i}')}))"
-        for i in range(num_perm)
+        f"list_min(list_transform(shl, s -> ({a} * {base} + {b}) % {MINHASH_P}))"
+        for a, b in minhash_perm_consts(num_perm)
     )
     return f"[{mins}]"
 
