@@ -112,3 +112,84 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroid_stride: int = 23,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other classic ANN
+    scale path beside hyperplane LSH.
+
+    Structure mirrors a production IVF index:
+    1. coarse quantizer: deterministic seed centroids (every
+       ``centroid_stride``-th corpus id — no Lloyd iterations, so the
+       whole index is reproducible and SQL-oracle-checkable);
+    2. inverted lists: each corpus vector is assigned to its nearest
+       centroid (rounded cosine, centroid id as tie-break);
+    3. probe: each query scores only the lists of its ``nprobe``
+       nearest centroids.
+
+    Scale: the centroid set is tiny and broadcast everywhere; corpus
+    assignment is one scan + one shuffle on centroid id; a query
+    touches nprobe/nlist of the corpus. Recall is tunable via nprobe.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot
+    from .dedup import _normalized_vectors
+
+    # pre-normalize once per row: every pair similarity below is then a
+    # single sequential-fold dot instead of dot + two norms (3× fewer
+    # interpreted fold evaluations — assignment is |corpus| × nlist pairs)
+    nv = _normalized_vectors(corpus, id_col, vec_col)
+    c = nv.select(F.col("id").alias("neighbor_id"), F.col("nv").alias("cv"))
+    cent = nv.filter((F.col("id") % centroid_stride) == 0).select(
+        F.col("id").alias("centroid_id"), F.col("nv").alias("centv")
+    )
+
+    # inverted lists: nearest centroid per corpus vector
+    csim = F.round(dot(F.col("cv"), F.col("centv")), 6)
+    wassign = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("csim"), "centroid_id"
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .select("neighbor_id", "cv", "centroid_id", csim.alias("csim"))
+        .withColumn("__r", F.row_number().over(wassign))
+        .filter(F.col("__r") == 1)
+        .select("neighbor_id", "cv", "centroid_id")
+    )
+
+    # probe: nprobe nearest centroids per query
+    q = _normalized_vectors(queries, query_id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("nv").alias("qv")
+    )
+    qsim = F.round(dot(F.col("qv"), F.col("centv")), 6)
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("qsim"), "centroid_id")
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "centroid_id", qsim.alias("qsim"))
+        .withColumn("__r", F.row_number().over(wprobe))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+
+    # search only the probed lists
+    scored = assigned.join(F.broadcast(probed), "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = F.round(dot(F.col("cv"), F.col("qv")), 6)
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -1557,3 +1557,54 @@ def q_ip_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("country", F.lit("N/A")).alias("country_code"),
         F.coalesce("asn", F.lit("N/A")).alias("asn"),
     ).orderBy("ip")
+
+
+def _sql_knn_ivf(stride: int = 23, nprobe: int = 3, k: int = 5) -> str:
+    def ndot(a: str, b: str) -> str:
+        return f"round({_SQL_DOT.format(a=a, b=b)}, 6)"
+
+    return f"""
+    WITH {_SQL_NORMALIZED_E},
+    cent AS (SELECT vec_id AS centroid_id, nv AS centv FROM e
+             WHERE vec_id % {stride} = 0),
+    assigned AS (
+      SELECT neighbor_id, cv, centroid_id FROM (
+        SELECT e.vec_id AS neighbor_id, e.nv AS cv, cent.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {ndot('e.nv', 'cent.centv')} DESC, cent.centroid_id) AS r
+        FROM e CROSS JOIN cent
+      ) WHERE r = 1
+    ),
+    probed AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.vec_id AS query_id, q.nv AS qv, cent.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {ndot('q.nv', 'cent.centv')} DESC, cent.centroid_id) AS r
+        FROM e q CROSS JOIN cent WHERE q.vec_id < 10
+      ) WHERE r <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id, {ndot('a.cv', 'p.qv')} AS cosine
+      FROM assigned a JOIN probed p USING (centroid_id)
+      WHERE a.neighbor_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+@query("knn_ivf", oracle=_sql_knn_ivf())
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators/similarity.knn_ivf): deterministic stride-
+    seeded coarse centroids → inverted-list assignment → nprobe search.
+    Fully oracle-checked because the quantizer has no random state."""
+    from ..operators.similarity import knn_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return knn_ivf(emb, queries_df, k=5, centroid_stride=23, nprobe=3)

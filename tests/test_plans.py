@@ -1,0 +1,77 @@
+"""Physical-plan shape assertions — the 100 TB scale contracts.
+
+Correctness tests prove the small-SF answer; these prove the *plan*
+is the one that survives a 1000-executor scale-up: filters reach the
+parquet scan, small dims broadcast, nothing degenerates into a
+nested-loop or cartesian join, aggregations combine map-side.
+"""
+
+from pyspark.sql import functions as F
+
+from maillogsentinel_spark.plans import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_and_columns_pushed_to_scan(spark):
+    plan = _plan(Q.QUERIES["tpch_q6"](spark, SF))
+    scan_line = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    # predicate pushdown reaches the scan node
+    assert "DataFilters: [isnotnull(l_shipdate" in scan_line
+    # column pruning: only the 4 referenced columns are read
+    cols = scan_line.split("FileScan parquet [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in cols and "l_quantity" in cols
+    assert "l_partkey" not in cols and "l_returnflag" not in cols
+
+
+def test_geo_range_join_is_broadcast_not_nested_loop(spark):
+    plan = _plan(Q.QUERIES["geo_range_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mail_pipeline_rdns_is_broadcast(spark):
+    plan = _plan(Q.QUERIES["mail_report_top10_today"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q1_aggregation_is_partial_then_final(spark):
+    plan = _plan(Q.QUERIES["tpch_q1"](spark, SF))
+    # map-side combine: partial_sum appears before the exchange
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("HashAggregate")
+
+
+def test_top10_is_take_ordered_not_full_sort(spark):
+    plan = _plan(Q.QUERIES["top10_usernames"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_lsh_is_equi_join(spark):
+    plan = _plan(Q.QUERIES["knn_lsh"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_jaccard_join_key_is_hashed_long(spark):
+    from maillogsentinel_spark.operators.dedup import _doc_shingles
+
+    docs = Q._t(spark, SF, "documents")
+    sh = _doc_shingles(docs, "doc_id", "text", 3, None)
+    assert dict(sh.dtypes)["sh"] == "bigint"
+
+
+def test_semi_and_anti_joins_planned(spark):
+    semi = _plan(Q.QUERIES["tpch_q4_semi"](spark, SF))
+    anti = _plan(Q.QUERIES["tpch_q22_anti"](spark, SF))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+    for p in (semi, anti):
+        assert "CartesianProduct" not in p

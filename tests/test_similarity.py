@@ -47,3 +47,33 @@ def test_knn_lsh_never_beats_exact(spark):
              for r in knn_bruteforce(emb, q, k=3).collect()}
     for r in knn_lsh(emb, q, k=3, n_planes=2, dims=8).collect():
         assert r["cosine"] <= exact[(r["query_id"], 1)] + 1e-9
+
+
+def test_knn_ivf_recall_and_shape(spark):
+    from maillogsentinel_spark.operators.similarity import knn_ivf
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    exact = {r["query_id"]: r["neighbor_id"]
+             for r in knn_bruteforce(emb, q, k=1).collect()}
+    # stride 7 → 9 centroids over the ring; probing 3 lists must recover
+    # the true nearest neighbor for most queries
+    res = knn_ivf(emb, q, k=1, centroid_stride=7, nprobe=3).collect()
+    approx = {r["query_id"]: r["neighbor_id"] for r in res}
+    hits = sum(1 for qid, nid in exact.items() if approx.get(qid) == nid)
+    assert hits >= 3
+    # every result ranked, no self-matches
+    assert all(r["rank"] == 1 and r["neighbor_id"] != r["query_id"] for r in res)
+
+
+def test_knn_ivf_probe_narrowing(spark):
+    from maillogsentinel_spark.operators.similarity import knn_ivf
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") == 0).withColumnRenamed("vec_id", "query_id")
+    # nprobe = all lists ≡ brute force
+    all_lists = knn_ivf(emb, q, k=3, centroid_stride=7, nprobe=10**6).collect()
+    exact = knn_bruteforce(emb, q, k=3).collect()
+    assert [(r["neighbor_id"], r["cosine"]) for r in all_lists] == [
+        (r["neighbor_id"], r["cosine"]) for r in exact
+    ]
