@@ -71,7 +71,16 @@ def parse_sasl_lines(lines: DataFrame, year: int, value_col: str = "value") -> D
 
     # P3: dd/MM/yyyy HH:mm with injected year; seconds truncated
     # (log_utils.py:95 `time[:5]`). Invalid month/day → NULL ts → dropped.
-    ts = F.to_timestamp(
+    # try_to_timestamp, NOT to_timestamp: under ANSI (Spark 4 default) a
+    # single malformed-but-prefix-valid line (e.g. unknown month, which
+    # concat_ws silently skips as NULL) would otherwise abort the whole
+    # job instead of dropping the line.
+    # Documented divergence: the reference never calendar-validates the
+    # day — `int(day)` then a plain format string (log_utils.py:94-96),
+    # so it emits "99/01/2025" or "31/02/2025" events. We type ts as a
+    # real timestamp, so impossible dates drop here (strictly more
+    # correct; tests/test_parse_differential.py accounts for it).
+    ts = F.try_to_timestamp(
         F.concat_ws(
             " ",
             F.concat_ws(
@@ -82,7 +91,7 @@ def parse_sasl_lines(lines: DataFrame, year: int, value_col: str = "value") -> D
             ),
             F.substring("_time", 1, 5),
         ),
-        "yyyy-MM-dd HH:mm",
+        F.lit("yyyy-MM-dd HH:mm"),
     )
     # P4: strip + CR/LF → space (log_utils.py:100-101).
     user = F.trim(F.regexp_replace("_user_raw", r"[\r\n]", " "))
