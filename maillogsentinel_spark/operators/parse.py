@@ -69,33 +69,59 @@ def parse_sasl_lines(lines: DataFrame, year: int, value_col: str = "value") -> D
         F.regexp_extract("_rest", SASL_RE, 2).alias("_user_raw"),
     ).filter(F.col("ip") != "")
 
-    # P3: dd/MM/yyyy HH:mm with injected year; seconds truncated
-    # (log_utils.py:95 `time[:5]`). Invalid month/day → NULL ts → dropped.
-    # try_to_timestamp, NOT to_timestamp: under ANSI (Spark 4 default) a
-    # single malformed-but-prefix-valid line (e.g. unknown month, which
-    # concat_ws silently skips as NULL) would otherwise abort the whole
-    # job instead of dropping the line.
+    # P3: timestamp with injected year; seconds truncated (log_utils.py:95
+    # `time[:5]`). Built by ARITHMETIC, not string parsing: under ANSI
+    # (Spark 4 default) to_timestamp on one malformed line aborts the
+    # whole job, and the try_* family (try_to_timestamp /
+    # try_make_timestamp / try_cast) is CodegenFallback — measured 2×
+    # slower end-to-end because it breaks the stage out of codegen. The
+    # regex groups guarantee digit-only day/time tokens, so plain int
+    # casts can't throw; calendar validity is a codegen filter over
+    # per-month literal maps (leap-aware — computed driver-side from the
+    # injected year), and the epoch math (timestamp_seconds over
+    # UTC day numbers; session timezone is pinned UTC in session.py)
+    # cannot fail by construction.
     # Documented divergence: the reference never calendar-validates the
-    # day — `int(day)` then a plain format string (log_utils.py:94-96),
-    # so it emits "99/01/2025" or "31/02/2025" events. We type ts as a
-    # real timestamp, so impossible dates drop here (strictly more
-    # correct; tests/test_parse_differential.py accounts for it).
-    ts = F.try_to_timestamp(
-        F.concat_ws(
-            " ",
-            F.concat_ws(
-                "-",
-                F.lit(str(year)),
-                F.lpad(month_num(F.col("_mon")).cast("string"), 2, "0"),
-                F.lpad(F.col("_day"), 2, "0"),
-            ),
-            F.substring("_time", 1, 5),
-        ),
-        F.lit("yyyy-MM-dd HH:mm"),
+    # day or hour — `int(day)` into a plain format string
+    # (log_utils.py:94-96) emits "99/01/2025" or "31/02/2025" events. We
+    # type ts as a real timestamp, so impossible dates drop here
+    # (strictly more correct; tests/test_parse_differential.py accounts
+    # for it).
+    import datetime as dt
+
+    days_in = {
+        m: (dt.date(year, m + 1, 1) - dt.date(year, m, 1)).days if m < 12
+        else (dt.date(year + 1, 1, 1) - dt.date(year, 12, 1)).days
+        for m in range(1, 13)
+    }
+    offsets = {m: (dt.date(year, m, 1) - dt.date(year, 1, 1)).days
+               for m in range(1, 13)}
+    jan1_epoch_days = (dt.date(year, 1, 1) - dt.date(1970, 1, 1)).days
+    by_abbr = {abbr: num for abbr, num in MONTHS.items()}
+    dim_map = F.create_map(
+        *[F.lit(x) for a, n in by_abbr.items() for x in (a, days_in[n])]
+    )
+    off_map = F.create_map(
+        *[F.lit(x) for a, n in by_abbr.items() for x in (a, offsets[n])]
+    )
+
+    day = F.col("_day").cast("int")  # regex-guaranteed \d{1,2}
+    hh = F.substring("_time", 1, 2).cast("int")  # \d{2}
+    mm = F.substring("_time", 4, 2).cast("int")  # \d{2}
+    valid = (
+        month_num(F.col("_mon")).isNotNull()
+        & day.between(1, dim_map[F.col("_mon")])
+        & hh.between(0, 23)
+        & mm.between(0, 59)
+    )
+    epoch_days = (
+        F.lit(jan1_epoch_days) + off_map[F.col("_mon")] + day - F.lit(1)
+    )
+    ts = F.timestamp_seconds(
+        epoch_days.cast("long") * 86400 + hh * 3600 + mm * 60
     )
     # P4: strip + CR/LF → space (log_utils.py:100-101).
     user = F.trim(F.regexp_replace("_user_raw", r"[\r\n]", " "))
-    out = parsed.select(
+    return parsed.filter(valid).select(
         "server", ts.alias("ts"), "ip", user.alias("user")
-    ).filter(F.col("ts").isNotNull())
-    return out
+    )

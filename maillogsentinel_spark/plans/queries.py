@@ -319,7 +319,7 @@ def q_rev_dns_error_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_agg",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
            count(*) AS cnt
@@ -514,7 +514,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_sess
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
     FROM flagged GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -878,9 +878,9 @@ def q_text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_counts_by_source",
     oracle=f"""
     WITH toks AS (SELECT source, n_chars, {_SQL_TOKS} AS t FROM documents)
-    SELECT source, count(*) AS n_docs, sum(len(t)) AS total_tokens,
+    SELECT source, count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS total_tokens,
            min(len(t)) AS min_tokens, max(len(t)) AS max_tokens,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM toks GROUP BY source ORDER BY source
     """,
 )
@@ -911,7 +911,7 @@ def q_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp AS (SELECT doc_id,
                   list_min(list_transform(shl, s -> {_sql_hash64('s')})) AS fingerprint
            FROM shl_t)
-    SELECT fp.doc_id, fp.fingerprint, sig.sim AS simhash
+    SELECT fp.doc_id, fp.fingerprint, CAST(sig.sim AS BIGINT) AS simhash
     FROM fp JOIN sig ON fp.doc_id = sig.doc_id
     ORDER BY fp.doc_id
     """,
@@ -1118,9 +1118,9 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_linestatus,
            sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
            sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -1333,7 +1333,7 @@ def q_tpch_q22_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_rollup",
     oracle="""
-    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS cnt
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*) AS cnt
     FROM events
     GROUP BY ROLLUP(event_type, day)
     ORDER BY event_type NULLS FIRST, day NULLS FIRST
@@ -1344,7 +1344,7 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping-set expansion map-side; one shuffle."""
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.rollup("event_type", F.to_date("ts").alias("day"))
+        ev.rollup("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(
             F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first()
