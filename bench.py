@@ -42,13 +42,18 @@ def main() -> None:
     per_query: dict[str, float] = {}
     total = 0.0
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
-        except Exception as e:
-            print(f"# bench error {name}: {e}", file=sys.stderr)
-            dt = float("nan")
+        # best-of-2: the first pass pays per-query codegen/JIT; the min
+        # reflects steady-state plan cost rather than compiler noise
+        dt = float("nan")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).collect()
+                run = time.perf_counter() - t0
+            except Exception as e:
+                print(f"# bench error {name}: {e}", file=sys.stderr)
+                break
+            dt = run if dt != dt else min(dt, run)
         per_query[name] = round(dt, 3)
         total += dt if dt == dt else 0.0
 

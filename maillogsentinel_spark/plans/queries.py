@@ -47,12 +47,40 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+_SCAN_PARTS: dict[tuple[str, str], int] = {}
+
+# Only tables whose downstream per-row work is heavy enough to repay a
+# pre-shuffle (measured A/B, warm best-of-2 at sf0.1): embeddings
+# (vector math per row) wins 1.6×; for events/lineitem/orders/documents
+# the first groupBy/join already provides shuffle parallelism and the
+# extra exchange is a pure loss (events group: 2.9 s → 5.9 s with it).
+_REPARTITION = {"embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (see session.py); truncate to
         # micros exactly as DuckDB does when casting ns → TIMESTAMP
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The driver's testdata parquet files each hold ONE row group, so a
+    # scan is a single task regardless of core count and every per-row
+    # stage above it runs serially. Round-robin repartition restores
+    # parallelism; filters/projections still push through the exchange
+    # down to the scan, so only surviving columns/rows shuffle. Gated on
+    # the actual scan split count: at the 100 TB design point inputs are
+    # thousands of files/row-groups, the scan parallelizes naturally,
+    # and the gate keeps this a no-op (an unconditional repartition
+    # would shuffle the whole fact table).
+    if name in _REPARTITION:
+        key = (sf_dir, name)
+        parts = _SCAN_PARTS.get(key)
+        if parts is None:
+            parts = df.rdd.getNumPartitions()
+            _SCAN_PARTS[key] = parts
+        cpus = spark.sparkContext.defaultParallelism
+        if parts < max(2, cpus // 2):
+            df = df.repartition(cpus)
     return df
 
 
