@@ -57,7 +57,9 @@ _SCAN_PARTS: dict[tuple[str, str], int] = {}
 _REPARTITION = {"embeddings"}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, repartition: bool | None = None
+) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (see session.py); truncate to
@@ -72,7 +74,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # thousands of files/row-groups, the scan parallelizes naturally,
     # and the gate keeps this a no-op (an unconditional repartition
     # would shuffle the whole fact table).
-    if name in _REPARTITION:
+    # Per-query override: queries whose heavy work sits BEFORE the first
+    # shuffle (per-row regex scoring, value-buffering partial aggs) opt
+    # in; queries whose first groupBy/join already parallelizes leave it
+    # off (default = table policy).
+    if repartition if repartition is not None else name in _REPARTITION:
         key = (sf_dir, name)
         parts = _SCAN_PARTS.get(key)
         if parts is None:
@@ -947,7 +953,7 @@ def q_text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic + quality score + token count, one scan."""
     from ..operators.textstats import lang_id, quality_score, token_count
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=True)
     return docs.select(
         "doc_id",
         "lang",
@@ -1469,21 +1475,23 @@ def q_events_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolated percentiles (Spark `percentile` ==
-    DuckDB `quantile_cont`, bit-identical — verified). The approximate
-    scale path is approx_percentile/t-digest; exact needs a per-group
-    sort so it stays a deliberate choice."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
-            F.min("l_extendedprice").alias("lo"),
-            F.max("l_extendedprice").alias("hi"),
-        )
-        .orderBy("l_returnflag")
+    """Exact interpolated percentiles via the distributed-sort operator
+    (operators/quantiles.py). Spark's builtin exact `percentile` buffers
+    every group value in one aggregation buffer — OOM at the 100 TB
+    design point; the sort-based path spills and parallelizes while
+    producing bit-identical numbers (same `lo + frac*(hi-lo)` form as
+    DuckDB quantile_cont)."""
+    from ..operators.quantiles import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem", repartition=True)
+    qs = exact_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", {"p50": 0.5, "p95": 0.95}
     )
+    ext = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    return qs.join(ext, "l_returnflag").orderBy("l_returnflag")
 
 
 @query(

@@ -1,0 +1,83 @@
+"""exact_quantiles: distributed-sort interpolated percentiles.
+
+Semantics target: SQL percentile_cont (linear interpolation, type 7) —
+the reference has no quantile operator; this is generalized-engine
+surface verified against Python's statistics.quantiles / manual math.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from maillogsentinel_spark.operators.quantiles import exact_quantiles
+
+
+def _cont(sorted_vals, q):
+    pos = q * (len(sorted_vals) - 1)
+    lo = math.floor(pos)
+    frac = pos - lo
+    vlo = sorted_vals[lo]
+    vhi = sorted_vals[min(lo + 1, len(sorted_vals) - 1)]
+    return vlo + frac * (vhi - vlo)
+
+
+def test_matches_manual_interpolation(spark):
+    rows = [("a", float(v)) for v in [1, 3, 2, 10, 4]] + [
+        ("b", float(v)) for v in [7, 5]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["g"]: r
+        for r in exact_quantiles(
+            df, ["g"], "v", {"p50": 0.5, "p90": 0.9}
+        ).collect()
+    }
+    a = sorted([1.0, 2.0, 3.0, 4.0, 10.0])
+    b = sorted([5.0, 7.0])
+    assert out["a"]["p50"] == _cont(a, 0.5)
+    assert out["a"]["p90"] == _cont(a, 0.9)
+    assert out["b"]["p50"] == _cont(b, 0.5)
+    assert out["b"]["p90"] == _cont(b, 0.9)
+
+
+def test_endpoints_single_row_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("g", 5.0), ("g", None), ("solo", 42.0)], "g string, v double"
+    )
+    out = {
+        r["g"]: r
+        for r in exact_quantiles(
+            df, ["g"], "v", {"q0": 0.0, "q1": 1.0, "med": 0.5}
+        ).collect()
+    }
+    # NULL excluded: group g has the single value 5.0
+    assert out["g"]["q0"] == out["g"]["q1"] == out["g"]["med"] == 5.0
+    assert out["solo"]["med"] == 42.0
+
+
+def test_matches_builtin_percentile_closely(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.col("id") * 37 % 1000).cast("double").alias("v"),
+    )
+    ours = {
+        r["g"]: r["p95"]
+        for r in exact_quantiles(df, ["g"], "v", {"p95": 0.95}).collect()
+    }
+    theirs = {
+        r["g"]: r["p95"]
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, 0.95)").alias("p95"))
+        .collect()
+    }
+    for g, v in theirs.items():
+        assert ours[g] == pytest.approx(v, rel=1e-12)
+
+
+def test_rejects_out_of_range(spark):
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError):
+        exact_quantiles(df, ["g"], "v", {"bad": 1.5})
