@@ -1420,6 +1420,33 @@ def q_tpch_q22_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
+    "events_cube",
+    oracle="""
+    SELECT event_type, dayofweek(ts) + 1 AS wd, count(*) AS cnt,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY CUBE(event_type, wd)
+    ORDER BY event_type NULLS FIRST, wd NULLS FIRST
+    """,
+)
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, weekday): all 4 grouping sets in one
+    shuffle via map-side grouping-set expansion (§2.4 — free in Spark,
+    absent in the reference's fixed-function aggregations)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", F.dayofweek("ts").alias("wd"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("wd").asc_nulls_first()
+        )
+    )
+
+
+@query(
     "events_rollup",
     oracle="""
     SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*) AS cnt
