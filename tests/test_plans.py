@@ -75,3 +75,33 @@ def test_semi_and_anti_joins_planned(spark):
     assert "LeftAnti" in anti
     for p in (semi, anti):
         assert "CartesianProduct" not in p
+
+
+def test_q8_market_share_all_dims_broadcast(spark):
+    plan = _plan(Q.QUERIES["tpch_q8_market_share"](spark, SF))
+    # 8-way join: part/supplier/nation/region sides must all broadcast;
+    # only the fact-fact joins (lineitem⨝orders⨝customer) may shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q17_scalar_subquery_is_broadcast_self_join(spark):
+    plan = _plan(Q.QUERIES["tpch_q17_small_qty"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_having_subquery_is_left_semi(spark):
+    plan = _plan(Q.QUERIES["tpch_q20_qty_suppliers"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q15_max_revenue_no_unpartitioned_window(spark):
+    # the scalar max must NOT plan as a window over one partition
+    # (single-task at scale); broadcast join against a 1-row agg instead
+    plan = _plan(Q.QUERIES["tpch_q15_top_supplier"](spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
