@@ -4,20 +4,38 @@
 Spark's built-in exact ``percentile`` aggregate buffers EVERY value of a
 group inside one aggregation buffer (partial maps merged onto a single
 reducer per group) — fine at test scale, an OOM at the 100 TB design
-point where one group can hold billions of rows. This operator instead
-computes the same number via a distributed sort:
+point where one group can hold billions of rows.
 
-    sort by (group, value)  →  range-partitioned, fully parallel
-    row_number / count      →  one WindowExec over that sort, no extra
-                               shuffle
-    pick the two bracketing rows per quantile, interpolate
+Two strategies, both bit-identical to the builtin (same
+``lo + frac * (hi - lo)`` interpolation shape as Spark's Percentile and
+DuckDB's quantile_cont, verified in tests and against the DuckDB
+oracle):
 
-Peak memory per task is one sort run (spillable), never a whole group.
+``method="select"`` (default) — distributed selection, TWO fact scans:
+    1. stats pass: per-group count, exact min/max, and approx quantiles
+       (rank error ≤ n/_ACCURACY) at q ± _Q_MARGIN around every
+       requested fraction — a per-group candidate value-window wide
+       enough that the worst-case approx error still covers the target
+       ranks (proof in ``_quantiles_select``); groups of ≤ _SMALL_N
+       rows use the whole [min, max] window. Stats are broadcast.
+    2. bucket pass: each row contributes, per quantile window, either a
+       "strictly below" marker or its value; one map-side-combined
+       groupBy collapses this to DISTINCT candidate values with
+       multiplicities plus exact below-counts (= the window's global
+       rank offset). Duplicate-heavy data (even a constant column)
+       cannot blow up a partition.
+    3. a window over the tiny collapsed candidate set assigns exact
+       global rank ranges (offset + running multiplicity) and picks the
+       two bracketing values per quantile.
+    Every pass is an embarrassingly parallel scan + partial agg —
+    parallelism is the scan's, never the number of groups.
 
-Interpolation uses the exact expression shape ``lo + frac * (hi - lo)``
-that both Spark's Percentile and DuckDB's quantile_cont use, so results
-are bit-identical to the builtin (verified in tests and against the
-DuckDB oracle).
+``method="sort"`` — distributed sort: range-partitioned sort by
+    (group, value), row_number over it, pick bracketing rows. Simple and
+    spill-safe, but one WindowExec partition per GROUP: with few groups
+    (the common analytics case) parallelism collapses to the group
+    count regardless of cluster size. Kept as the cross-check and for
+    very-many-group shapes.
 
 Reference parity: the reference has no quantile operator at all
 (report.py's aggregations are counts and top-k only); this is part of
@@ -29,12 +47,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+_ACCURACY = 10000  # approx_percentile accuracy → rank error ≤ n/_ACCURACY
+_Q_MARGIN = 0.01  # candidate half-window in q-units for large groups
+_SMALL_N = 1024  # groups at or below this use the whole [min, max] window
+
 
 def exact_quantiles(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
     quantiles: dict[str, float],
+    method: str = "select",
 ) -> DataFrame:
     """Per-group exact interpolated quantiles.
 
@@ -45,7 +68,154 @@ def exact_quantiles(
     for name, q in quantiles.items():
         if not (0.0 <= q <= 1.0):
             raise ValueError(f"quantile {name}={q} outside [0, 1]")
+    if method == "select":
+        return _quantiles_select(df, group_cols, value_col, quantiles)
+    if method == "sort":
+        return _quantiles_sort(df, group_cols, value_col, quantiles)
+    raise ValueError(f"unknown method {method!r}")
 
+
+def _interpolate(group_cols: list[str], quantiles: dict[str, float]):
+    """Shared final projection: lo + frac * (hi - lo) per quantile."""
+    proj = [F.col(c) for c in group_cols]
+    for name, q in quantiles.items():
+        pos = F.lit(q) * (F.col("_n") - 1).cast("double")
+        frac = pos - F.floor(pos)
+        vlo = F.col(f"_lo_{name}").cast("double")
+        vhi = F.coalesce(F.col(f"_hi_{name}").cast("double"), vlo)
+        proj.append((vlo + frac * (vhi - vlo)).alias(name))
+    return proj
+
+
+# ---------------------------------------------------------------------------
+# selection strategy
+# ---------------------------------------------------------------------------
+
+def _quantiles_select(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: dict[str, float],
+) -> DataFrame:
+    """Coverage proof (targets are global 0-based ranks
+    L = floor(q*(n-1)) and L+1, window is [vs, vb]):
+
+    - n ≤ _SMALL_N: vs = min, vb = max — trivially covered.
+    - n > _SMALL_N: vs = approx(q - _Q_MARGIN), whose rank error is
+      ≤ n/_ACCURACY, so rank(vs) ≤ (q - _Q_MARGIN + 1/_ACCURACY)·n
+      = q·n - (_Q_MARGIN - 1/_ACCURACY)·n < q·n - 10 ≤ L
+      (since q·n - L ≤ q + 1 ≤ 2); symmetrically
+      rank(vb) ≥ q·n + 10 ≥ L + 1. A fraction clamped to 0 (resp. 1)
+      substitutes the exact min (resp. max).
+    Hence count(v < vs) ≤ L and count(v ≤ vb) ≥ L + 2: both target
+    ranks always fall inside the candidate set, for ANY merge order of
+    the approx summaries (the bound is worst-case). The bucket pass
+    counts v < vs exactly, so the final ranks are exact regardless of
+    where inside the window the approx landed.
+    """
+    vtype = df.schema[value_col].dataType
+    src = df.select(*group_cols, F.col(value_col).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+
+    # pass 1: per-group count, exact extremes, approx window bounds at
+    # only the 2·|quantiles| needed fractions
+    fracs: list[float] = []
+    frac_idx: dict[str, tuple[int, int, float, float]] = {}
+    for name, q in quantiles.items():
+        p_s = max(0.0, q - _Q_MARGIN)
+        p_b = min(1.0, q + _Q_MARGIN)
+        frac_idx[name] = (len(fracs), len(fracs) + 1, p_s, p_b)
+        fracs += [p_s, p_b]
+    stats = src.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.percentile_approx("_v", fracs, F.lit(_ACCURACY)).alias("_ap"),
+        F.min("_v").alias("_min"),
+        F.max("_v").alias("_max"),
+    )
+    small = F.col("_n") <= _SMALL_N
+    sel = [*group_cols, "_n"]
+    for name, q in quantiles.items():
+        i_s, i_b, p_s, p_b = frac_idx[name]
+        vs = F.when(small | F.lit(p_s == 0.0), F.col("_min")).otherwise(
+            F.element_at("_ap", i_s + 1)
+        )
+        vb = F.when(small | F.lit(p_b == 1.0), F.col("_max")).otherwise(
+            F.element_at("_ap", i_b + 1)
+        )
+        sel += [vs.alias(f"_vs_{name}"), vb.alias(f"_vb_{name}")]
+    bounds = stats.select(*sel)
+
+    # pass 2: one scan emits, per quantile window, either a below-marker
+    # (array position 2i, constant value) or the candidate value
+    # (position 2i+1); map-side partial agg collapses to distinct values
+    # + multiplicities, so shuffle volume is distinct keys only. The
+    # array stays a FLAT primitive array — a struct-array explode here
+    # measured 3× slower (leaves whole-stage codegen).
+    fact = src.join(F.broadcast(bounds), group_cols)
+    zero_v = F.lit(0).cast(vtype)
+    names = list(quantiles)
+    slots = []
+    for name in names:
+        slots.append(F.when(F.col("_v") < F.col(f"_vs_{name}"), zero_v))
+        slots.append(
+            F.when(
+                (F.col("_v") >= F.col(f"_vs_{name}"))
+                & (F.col("_v") <= F.col(f"_vb_{name}")),
+                F.col("_v"),
+            )
+        )
+    counts = (
+        fact.select(
+            *group_cols, "_n", F.posexplode(F.array(*slots)).alias("_pos", "_bv")
+        )
+        .filter(F.col("_bv").isNotNull())
+        .withColumn("_qi", (F.col("_pos") / 2).cast("int"))
+        .withColumn("_below", F.col("_pos") % 2 == 0)
+        .groupBy(*group_cols, "_n", "_qi", "_below", "_bv")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+
+    # pass 3 (tiny): the below-marker row sorts FIRST in the rank window
+    # (_below desc), so the running multiplicity sum absorbs the
+    # window's rank offset with no separate branch or join (branching on
+    # `counts` would re-execute the whole upstream plan).
+    w = (
+        Window.partitionBy(*group_cols, "_qi")
+        .orderBy(F.desc("_below"), F.asc("_bv"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        counts.withColumn("_end", F.sum("_cnt").over(w) - 1)
+        .withColumn("_start", F.col("_end") - F.col("_cnt") + 1)
+        .filter(~F.col("_below"))
+    )
+    aggs = []
+    for qi, (name, q) in enumerate(quantiles.items()):
+        pos_l = F.floor(F.lit(q) * (F.col("_n") - 1))
+        this = F.col("_qi") == qi
+        covers_lo = this & (F.col("_start") <= pos_l) & (pos_l <= F.col("_end"))
+        covers_hi = (
+            this & (F.col("_start") <= pos_l + 1) & (pos_l + 1 <= F.col("_end"))
+        )
+        aggs += [
+            F.max(F.when(covers_lo, F.col("_bv"))).alias(f"_lo_{name}"),
+            F.max(F.when(covers_hi, F.col("_bv"))).alias(f"_hi_{name}"),
+        ]
+    out = ranked.groupBy(*group_cols).agg(F.max("_n").alias("_n"), *aggs)
+    return out.select(*_interpolate(group_cols, quantiles))
+
+
+# ---------------------------------------------------------------------------
+# sort strategy
+# ---------------------------------------------------------------------------
+
+def _quantiles_sort(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: dict[str, float],
+) -> DataFrame:
     src = df.select(*group_cols, F.col(value_col).alias("_v")).filter(
         F.col("_v").isNotNull()
     )
@@ -76,18 +246,8 @@ def exact_quantiles(
         vlo = F.max(F.when(F.col("_rn") == lo, F.col("_v"))).alias(f"_lo_{name}")
         vhi = F.max(F.when(F.col("_rn") == lo + 1, F.col("_v"))).alias(f"_hi_{name}")
         aggs += [vlo, vhi]
-    out = picked.groupBy(*group_cols).agg(
-        F.max("_n").alias("_n"), *aggs
-    )
-    proj = [F.col(c) for c in group_cols]
-    for name, q in quantiles.items():
-        pos = F.lit(q) * (F.col("_n") - 1).cast("double")
-        frac = pos - F.floor(pos)
-        vlo = F.col(f"_lo_{name}").cast("double")
-        vhi = F.coalesce(F.col(f"_hi_{name}").cast("double"), vlo)
-        # exact builtin/DuckDB expression shape: lo + frac * (hi - lo)
-        proj.append((vlo + frac * (vhi - vlo)).alias(name))
-    return out.select(*proj)
+    out = picked.groupBy(*group_cols).agg(F.max("_n").alias("_n"), *aggs)
+    return out.select(*_interpolate(group_cols, quantiles))
 
 
 __all__ = ["exact_quantiles"]

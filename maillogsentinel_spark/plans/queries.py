@@ -1510,15 +1510,17 @@ def q_lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB quantile_cont)."""
     from ..operators.quantiles import exact_quantiles
 
-    li = _t(spark, sf_dir, "lineitem", repartition=True)
-    qs = exact_quantiles(
-        li, ["l_returnflag"], "l_extendedprice", {"p50": 0.5, "p95": 0.95}
-    )
-    ext = li.groupBy("l_returnflag").agg(
-        F.min("l_extendedprice").alias("lo"),
-        F.max("l_extendedprice").alias("hi"),
-    )
-    return qs.join(ext, "l_returnflag").orderBy("l_returnflag")
+    # no repartition: both selection passes are scan + map-side partial
+    # agg, so the round-robin exchange would be pure overhead
+    li = _t(spark, sf_dir, "lineitem")
+    # min/max ride along as the degenerate quantiles 0.0/1.0 (interpolation
+    # frac is 0 at both ends) — they share the same two passes.
+    return exact_quantiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        {"p50": 0.5, "p95": 0.95, "lo": 0.0, "hi": 1.0},
+    ).orderBy("l_returnflag")
 
 
 @query(

@@ -81,3 +81,51 @@ def test_rejects_out_of_range(spark):
     df = spark.createDataFrame([("a", 1.0)], "g string, v double")
     with pytest.raises(ValueError):
         exact_quantiles(df, ["g"], "v", {"bad": 1.5})
+
+
+def test_select_and_sort_strategies_agree(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    # adversarial shapes: constant group, 1-row group, 2-row group,
+    # duplicate-heavy group, smooth group
+    rows += [("const", 5.0)] * 400
+    rows += [("solo", 3.25)]
+    rows += [("pair", 1.0), ("pair", 2.0)]
+    rows += [("dupes", float(rnd.choice([1, 2, 3]))) for _ in range(500)]
+    rows += [("smooth", rnd.uniform(0, 1000)) for _ in range(800)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = {"q0": 0.0, "p25": 0.25, "p50": 0.5, "p95": 0.95, "q1": 1.0}
+    a = {r["g"]: r for r in exact_quantiles(df, ["g"], "v", qs, method="select").collect()}
+    b = {r["g"]: r for r in exact_quantiles(df, ["g"], "v", qs, method="sort").collect()}
+    assert set(a) == set(b)
+    for g in a:
+        for name in qs:
+            assert a[g][name] == b[g][name], (g, name, a[g][name], b[g][name])
+
+
+def test_select_matches_builtin_many_groups(spark):
+    df = spark.range(5000).select(
+        (F.col("id") % 97).cast("string").alias("g"),
+        ((F.col("id") * 7919) % 5000).cast("double").alias("v"),
+    )
+    ours = {
+        r["g"]: r
+        for r in exact_quantiles(
+            df, ["g"], "v", {"p50": 0.5, "p99": 0.99}, method="select"
+        ).collect()
+    }
+    theirs = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(ours) == set(theirs)
+    for g in theirs:
+        assert ours[g]["p50"] == pytest.approx(theirs[g]["p50"], rel=1e-12)
+        assert ours[g]["p99"] == pytest.approx(theirs[g]["p99"], rel=1e-12)
