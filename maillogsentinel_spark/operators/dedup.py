@@ -250,6 +250,12 @@ def simhash_pairs(
         ).alias("ck"),
     ).select("id", "sim", "ck.c", "ck.v")
     a, b = chunks.alias("a"), chunks.alias("b")
+    # hamming filter runs BEFORE the dedup shuffle: a pair can match on
+    # up to 4 chunks, so distinct() first would shuffle every duplicate
+    # candidate; filtering map-side prunes ~all of them. The sides stay
+    # unhinted: the signature table is 16 B/doc, so AQE broadcasts it at
+    # test scale but falls back to a shuffle equi-join on (c, v) when a
+    # billion-doc corpus outgrows the broadcast threshold.
     pairs = (
         a.join(
             b,
@@ -260,18 +266,12 @@ def simhash_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.sim").alias("sim_b"),
+            F.bit_count(F.expr("a.sim ^ b.sim")).cast("int").alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    ham = F.bit_count(F.expr("sim_a ^ sim_b"))
-    return (
-        pairs.withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
-    )
+    return pairs.orderBy("id_a", "id_b")
 
 
 def _normalized_vectors(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:

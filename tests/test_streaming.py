@@ -68,3 +68,76 @@ def test_streaming_windowed_agg(spark, tmp_path):
         ("alice", 1), ("bob", 1), ("carol", 1),
     ]
     assert rows[0]["day"] != rows[2]["day"]  # two distinct daily windows
+
+
+def test_streaming_sessions_gap_close(spark, tmp_path):
+    """Built-in session_window: two bursts separated by > gap become two
+    sessions; append mode emits only sessions finalized by watermark."""
+    from maillogsentinel_spark.streaming.sessions import streaming_sessions
+
+    logs = tmp_path / "slogs"
+    logs.mkdir()
+    lines = (
+        # alice: burst of 2 (gap 5 min), then 2h later a single event,
+        # then a far-future event that pushes the watermark past both
+        "Sep 28 10:00:00 s p[1]: warning: unknown[1.1.1.1]: SASL fail, sasl_username=alice\n"
+        "Sep 28 10:05:00 s p[2]: warning: unknown[1.1.1.1]: SASL fail, sasl_username=alice\n"
+        "Sep 28 12:00:00 s p[3]: warning: unknown[1.1.1.1]: SASL fail, sasl_username=alice\n"
+        "Sep 30 00:00:00 s p[4]: warning: unknown[2.2.2.2]: SASL fail, sasl_username=bob\n"
+    )
+    (logs / "mail.log").write_text(lines)
+
+    from maillogsentinel_spark.operators.parse import parse_sasl_lines
+
+    events = parse_sasl_lines(spark.readStream.text(str(logs)), year=2025)
+    sessions = streaming_sessions(events, key_col="user", gap="30 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM sessions_t ORDER BY key, session_start"
+    ).collect()
+    alice = [r for r in rows if r["key"] == "alice"]
+    assert [r["n_events"] for r in alice] == [2, 1]
+    # first session spans the 2-event burst + gap padding
+    assert alice[0]["session_start"].hour == 10
+    assert alice[1]["session_start"].hour == 12
+
+
+def test_streaming_failure_streaks_alerts_mid_stream(spark, tmp_path):
+    """applyInPandasWithState: alert appears as soon as the streak
+    crosses the threshold, within the batch that crosses it."""
+    from maillogsentinel_spark.streaming.sessions import (
+        streaming_failure_streaks,
+    )
+
+    logs = tmp_path / "flogs"
+    logs.mkdir()
+    burst = "".join(
+        f"Sep 28 10:0{i}:00 s p[{i}]: warning: unknown[9.9.9.9]: SASL fail, sasl_username=eve\n"
+        for i in range(4)
+    )
+    one = "Sep 28 10:00:00 s p[9]: warning: unknown[8.8.8.8]: SASL fail, sasl_username=al\n"
+    (logs / "mail.log").write_text(burst + one)
+
+    from maillogsentinel_spark.operators.parse import parse_sasl_lines
+
+    events = parse_sasl_lines(spark.readStream.text(str(logs)), year=2025)
+    alerts = streaming_failure_streaks(events, key_col="ip", threshold=3)
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("streaks_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM streaks_t").collect()
+    # 9.9.9.9 crossed threshold (4 >= 3) -> exactly one alert this batch;
+    # 8.8.8.8 (1 failure) stays silent
+    assert [(r["key"], r["streak"]) for r in rows] == [("9.9.9.9", 4)]
