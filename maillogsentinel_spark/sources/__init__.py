@@ -1,3 +1,8 @@
 from .logs import read_logs  # noqa: F401
 from .dims import load_geo_country, load_geo_asn  # noqa: F401
-from .store import write_events, read_events, write_events_csv  # noqa: F401
+from .store import (  # noqa: F401
+    read_events,
+    write_bucketed,
+    write_events,
+    write_events_csv,
+)

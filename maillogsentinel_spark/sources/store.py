@@ -47,3 +47,36 @@ def write_events_csv(events: DataFrame, path: str, mode: str = "overwrite") -> N
         .option("quoteAll", "false")
         .csv(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed, optionally sorted, Parquet table — the co-located-join
+    layout for the 100 TB design point.
+
+    Two fact tables bucketed on their join key with the same bucket
+    count join WITHOUT a shuffle: each task reads bucket i of both
+    sides. With ``sort_cols`` on the join key the merge phase also
+    skips its sort. This is the layout choice that removes the
+    biggest-ticket exchange (fact⨝fact, e.g. lineitem⨝orders on
+    orderkey) from every downstream query, paid once at write time.
+
+    The reference has no analogous concept (single CSV, no partitioning
+    — SURVEY §4 "no partitioning/shuffle concept"); this is pure scale
+    surface. Requires a catalog table (bucket metadata lives in the
+    catalog, not the files): ``path`` pins the data location, and
+    ``spark.catalog.dropTable`` does not delete external data.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -105,3 +105,39 @@ def test_q15_max_revenue_no_unpartitioned_window(spark):
     plan = _plan(Q.QUERIES["tpch_q15_top_supplier"](spark, SF))
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """write_bucketed: both sides bucketed on the join key -> the join
+    plan has NO shuffle exchange (the 100 TB fact-fact join layout)."""
+    from maillogsentinel_spark.sources.store import write_bucketed
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    write_bucketed(
+        li, "t_li_b", 4, ["l_orderkey"], ["l_orderkey"],
+        path=str(tmp_path / "li_b"),
+    )
+    write_bucketed(
+        orders, "t_ord_b", 4, ["o_orderkey"], ["o_orderkey"],
+        path=str(tmp_path / "ord_b"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the co-located path is what gets planned
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_li_b").join(
+            spark.table("t_ord_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_ord_b")
