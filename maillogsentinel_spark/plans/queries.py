@@ -2050,3 +2050,35 @@ def q_tpch_q20_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+    WITH fr AS (
+      SELECT doc_id, octet_length(encode(text)) AS nb,
+             unnest(generate_series(0, CAST(ceil(octet_length(encode(text))/16.0) AS BIGINT) - 1)) AS i
+      FROM documents
+    )
+    SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+           CAST(LEAST(16, nb - i*16) AS BIGINT) AS frame_bytes
+    FROM fr WHERE i % 2 = 0
+    ORDER BY media_id, frame_idx
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling plumbing (operators/multimodal.py):
+    binary payload → every-2nd fixed-size frame via a flat-map
+    mapInPandas. The oracle checks the fan-out shape (frame index +
+    byte count) rather than raw bytes, keeping the hash on primitive
+    columns."""
+    from ..operators.multimodal import attach_binary, sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary(docs)
+    frames = sample_frames(media, every_nth=2, frame_size=16)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame").cast("long").alias("frame_bytes"),
+    ).orderBy("media_id", "frame_idx")
