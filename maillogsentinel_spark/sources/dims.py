@@ -63,3 +63,43 @@ def load_geo_country(spark: SparkSession, path: str) -> DataFrame:
 def load_geo_asn(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.csv(path, schema=_RAW_ASN, header=False)
     return _clean(df, ["asn", "aso"])
+
+
+def refresh_dim(url: str, dest_path: str, logger=None) -> bool:
+    """S7 dim refresh: fetch ``url`` (``.gz`` transparently gunzipped)
+    and atomically replace ``dest_path`` (reference ipinfo.py:44-127 —
+    temp file + ``os.replace``; a failed download never clobbers the
+    existing dim).
+
+    Driver-side, out-of-band by design: the dim is then (re)read with
+    ``load_geo_country``/``load_geo_asn`` and broadcast. ``file://``
+    URLs work, which is what the tests use (no network in CI)."""
+    import gzip
+    import logging
+    import os
+    import shutil
+    import tempfile
+    import urllib.request
+
+    log = logger or logging.getLogger(__name__)
+    dest_dir = os.path.dirname(dest_path) or "."
+    tmp_path = ""
+    try:
+        with tempfile.NamedTemporaryFile(
+            mode="wb", delete=False, dir=dest_dir,
+            prefix=os.path.basename(dest_path) + ".tmp",
+        ) as tmp_f:
+            tmp_path = tmp_f.name
+            with urllib.request.urlopen(url) as resp:
+                if url.endswith(".gz"):
+                    with gzip.open(resp, "rb") as gz:
+                        shutil.copyfileobj(gz, tmp_f)
+                else:
+                    shutil.copyfileobj(resp, tmp_f)
+        os.replace(tmp_path, dest_path)
+        return True
+    except (OSError, gzip.BadGzipFile, ValueError) as e:
+        log.error("dim refresh failed for %s: %s", url, e)
+        if tmp_path and os.path.exists(tmp_path):
+            os.remove(tmp_path)
+        return False
