@@ -2082,3 +2082,59 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.octet_length("frame").cast("long").alias("frame_bytes"),
     ).orderBy("media_id", "frame_idx")
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "events_pivot_by_type",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day,
+           {", ".join(
+               "CAST(sum(CASE WHEN event_type = '" + t
+               + "' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS " + t
+               for t in _EVENT_TYPES)}
+    FROM events GROUP BY day ORDER BY day
+    """,
+)
+def q_events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily value totals, one column per event type. The
+    explicit value list keeps it a single-pass conditional aggregation
+    (no distinct-values pre-query); decimal-exact sums cast to double
+    at the end, matching the oracle bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    piv = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum("v").cast("double"))
+    )
+    return piv.orderBy("day")
+
+
+@query(
+    "events_median_by_type",
+    oracle="""
+    SELECT event_type, quantile_disc(value, 0.5) AS median_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_events_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 GROUPED_AGG pandas UDAF (operators/udaf.lower_median).
+    Discrete selection returns an actual element, so the value is
+    bit-identical to DuckDB quantile_disc — no float-summation order
+    dependence. (Spark forbids mixing GROUPED_AGG with non-pandas
+    aggregates in one agg, so this is UDAF-only.)"""
+    from ..operators.udaf import lower_median
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(lower_median(F.col("value")).alias("median_value"))
+        .orderBy("event_type")
+    )
