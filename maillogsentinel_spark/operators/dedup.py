@@ -53,7 +53,12 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 
 def _doc_shingles(
-    docs: DataFrame, id_col: str, text_col: str, k: int, df_cap: int | None
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    df_cap: int | None,
+    rows: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sh) distinct pairs with sh as an int64 shingle hash, plus an
     optional document-frequency cap (drop shingles present in > df_cap
@@ -65,9 +70,9 @@ def _doc_shingles(
     shingles — far below any oracle tolerance)."""
     from .signatures import doc_shingle_rows
 
-    sh = doc_shingle_rows(docs, id_col, text_col, k, distinct=True).select(
-        "id", F.xxhash64("sh").alias("sh")
-    )
+    if rows is None:
+        rows = doc_shingle_rows(docs, id_col, text_col, k, distinct=True)
+    sh = rows.select("id", F.xxhash64("sh").alias("sh"))
     if df_cap is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
         sh = sh.join(freq.filter(F.col("__df") <= df_cap), "sh").drop("__df")
@@ -152,10 +157,14 @@ def minhash_lsh_pairs(
     full-corpus Jaccard join would defeat the LSH), so output ⊆
     ngram_jaccard_pairs — approximation affects recall only, never
     precision."""
-    from .signatures import minhash_table
+    from .signatures import doc_shingle_rows, minhash_table
 
     rows = num_perm // bands
-    with_sig = minhash_table(docs, id_col, text_col, k, num_perm)
+    # ONE persisted raw shingle table feeds the sig build AND the
+    # verification branches (sa/sb/sizes) — the Python shingle stage is
+    # the expensive one, and each unshared plan branch would re-run it.
+    raw_sh = doc_shingle_rows(docs, id_col, text_col, k, distinct=True).persist()
+    with_sig = minhash_table(docs, id_col, text_col, k, num_perm, shingle_rows=raw_sh)
     banded = with_sig.select(
         "id",
         F.explode(
@@ -189,7 +198,7 @@ def minhash_lsh_pairs(
     )
     # verify candidates only: join each side's shingle set through the
     # (small, broadcastable) candidate list
-    sh = _doc_shingles(docs, id_col, text_col, k, df_cap)
+    sh = _doc_shingles(docs, id_col, text_col, k, df_cap, rows=raw_sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     cands = F.broadcast(candidates)
     sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))

@@ -137,10 +137,20 @@ def minhash_table(
     text_col: str = "text",
     k: int = 3,
     num_perm: int = 16,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig array<long>): min per universal-hash permutation. Docs
-    with no k-shingle are absent (no signature — nothing to band)."""
-    sh = _doc_shingles_distinct(docs, id_col, text_col, k)
+    with no k-shingle are absent (no signature — nothing to band).
+
+    ``shingle_rows`` (id, sh string) lets callers share one —
+    typically persisted — shingle table across the sig build and a
+    verification pass: the Python shingle generation is the expensive
+    stage and plan branches would otherwise re-run it per branch."""
+    sh = (
+        shingle_rows
+        if shingle_rows is not None
+        else _doc_shingles_distinct(docs, id_col, text_col, k)
+    )
     base = sh.select("id", (hash64(F.col("sh")) % MINHASH_P).alias("hm"))
     mins = base.groupBy("id").agg(
         *[
