@@ -2138,3 +2138,189 @@ def q_events_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(lower_median(F.col("value")).alias("median_value"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "tpch_q2_min_cost_supp",
+    oracle=f"""
+    WITH cost AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             CAST(sum(CAST(l_extendedprice AS {_DEC}) * (1 - CAST(l_discount AS {_DEC}))) AS DOUBLE) AS supply_cost
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE p_size IN (5, 15, 25, 35, 45) AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      GROUP BY 1, 2),
+    mn AS (SELECT pk AS mpk, min(supply_cost) AS min_cost FROM cost GROUP BY pk)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+    FROM cost JOIN mn ON pk = mpk AND supply_cost = min_cost
+    JOIN part ON p_partkey = pk
+    JOIN supplier ON s_suppkey = sk
+    JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q_tpch_q2_min_cost_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted to the driver schema (no partsupp /
+    ps_supplycost): "supply cost" of a (part, supplier) pair is the
+    discounted revenue shipped, derived from lineitem. The correlated
+    min-cost subquery becomes a per-part aggregate broadcast-joined
+    back on cost equality (safe: both engines cast the same
+    decimal-exact sum to double). Both dim filters (part size/type,
+    supplier region) are applied BEFORE the fact-table join and
+    broadcast, so the lineitem scan is pruned to the qualifying keys
+    and the per-(pk, sk) aggregate touches a fraction of the table —
+    at 100 TB the only shuffle is the grouped aggregate on (pk, sk)."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 15, 25, 35, 45) & (F.col("p_type") == "LARGE")
+    )
+    euro_nat = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(euro_nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount").cast(_DEC))
+    cost = (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(rev).cast("double").alias("supply_cost"))
+    )
+    mn = cost.groupBy(F.col("pk").alias("mpk")).agg(F.min("supply_cost").alias("min_cost"))
+    return (
+        cost.join(
+            F.broadcast(mn),
+            (F.col("pk") == F.col("mpk")) & (F.col("supply_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("pk"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("sk"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    oracle=f"""
+    WITH val AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS {_DEC}) * (1 - CAST(l_discount AS {_DEC}))) AS v
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey)
+    SELECT l_partkey, CAST(v AS DOUBLE) AS part_value FROM val
+    WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) * 0.001 FROM val)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp availqty·supplycost): a part's
+    "value" is its discounted revenue shipped by suppliers of one
+    nation; keep parts above 0.1% of the national total. The scalar
+    HAVING subquery is a one-row aggregate cross-broadcast into the
+    filter — the per-part aggregate is computed ONCE and reused for
+    both the total and the output (no second scan). Threshold math is
+    done in doubles on both sides from the same decimal-exact sums."""
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_7")
+        .select("n_nationkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount").cast(_DEC))
+    val = (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(rev).alias("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    thr = val.agg((F.sum("v").cast("double") * F.lit(0.001)).alias("thr"))
+    return (
+        val.select("l_partkey", F.col("v").cast("double").alias("part_value"))
+        .join(F.broadcast(thr), F.col("part_value") > F.col("thr"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@query(
+    "tpch_q21_waiting_supp",
+    oracle="""
+    WITH j AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'),
+    ord AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+      FROM j GROUP BY 1)
+    SELECT s_name, count(*) AS numwait
+    FROM j JOIN ord USING (l_orderkey) JOIN supplier ON s_suppkey = l_suppkey
+    WHERE late = 1 AND n_supp > 1 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q_tpch_q21_waiting_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (driver lineitem has no commit/receipt dates:
+    "late" = shipped >60 days after order date, on finalized orders).
+    The EXISTS (another supplier in the order) + NOT EXISTS (no OTHER
+    late supplier) pair collapses into two per-order distinct counts
+    computed with collect_set window functions OVER the join key the
+    rows are already hash-partitioned on — Catalyst reuses the join
+    exchange, so the whole exists/not-exists resolution adds a sort
+    but NO extra shuffle. Order groups are tiny (≤ ~7 lines), so the
+    in-memory sets are bounded."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).withColumn(
+        "late",
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = j.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late",
+        F.size(
+            F.collect_set(F.when(F.col("late") == 1, F.col("l_suppkey"))).over(w)
+        ),
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        flagged.filter(
+            (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
