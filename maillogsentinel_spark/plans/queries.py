@@ -728,14 +728,17 @@ def _sql_minhash_sig(num_perm: int) -> str:
     return f"[{mins}]"
 
 
-def _sql_minhash_oracle(num_perm: int = 16, bands: int = 4) -> str:
+def _sql_minhash_pairs_ctes(
+    num_perm: int = 16, bands: int = 4, threshold: float = 0.3
+) -> str:
+    """CTE chain ending in pairs(id_a, id_b, jaccard) — the verified
+    MinHash-LSH near-dup pairs, shared by the pair and cluster oracles."""
     rows = num_perm // bands
     band_structs = ", ".join(
         f"{{'band': {b}, 'key': array_to_string(list_slice(sig, {b * rows + 1}, {(b + 1) * rows}), ',')}}"
         for b in range(bands)
     )
-    return f"""
-    WITH {_SQL_JACCARD_CTES},
+    return f"""{_SQL_JACCARD_CTES},
     shl_t AS (SELECT doc_id, {_SQL_SHINGLES3} AS shl FROM toks),
     sigs AS (SELECT doc_id, {_sql_minhash_sig(num_perm)} AS sig FROM shl_t),
     banded AS (
@@ -745,11 +748,19 @@ def _sql_minhash_oracle(num_perm: int = 16, bands: int = 4) -> str:
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    )
-    SELECT c.id_a, c.id_b, j.jaccard
-    FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
-    WHERE j.jaccard >= 0.3
-    ORDER BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b, j.jaccard
+      FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+      WHERE j.jaccard >= {threshold}
+    )"""
+
+
+def _sql_minhash_oracle(num_perm: int = 16, bands: int = 4) -> str:
+    return f"""
+    WITH {_sql_minhash_pairs_ctes(num_perm, bands)}
+    SELECT id_a, id_b, jaccard FROM pairs
+    ORDER BY id_a, id_b
     """
 
 
@@ -761,6 +772,37 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, k=3, num_perm=16, bands=4, threshold=0.3)
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_sql_minhash_pairs_ctes()},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(id, reach) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    )
+    SELECT id AS doc_id, min(reach) AS cluster_id
+    FROM walk GROUP BY id ORDER BY doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH pairs → distributed connected
+    components (min-label propagation, operators/graph.py). cluster_id =
+    min doc id of the component = the elected survivor. Oracle computes
+    the same fixpoint with a recursive CTE (min reachable id)."""
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.graph import dedup_cluster_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, k=3, num_perm=16, bands=4, threshold=0.3)
+    return dedup_cluster_assign(pairs).orderBy("doc_id")
 
 
 _SQL_SIMHASH_CTES = f"""

@@ -1,0 +1,43 @@
+"""Connected-components operator semantics on tiny in-memory graphs."""
+
+from maillogsentinel_spark.operators.graph import (
+    connected_components,
+    dedup_cluster_assign,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        r["id"]: r["comp"] for r in connected_components(df).collect()
+    }
+
+
+def test_two_components(spark):
+    # {1,2,3} via 1-2, 2-3 and {10,11}
+    comp = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_needs_multiple_rounds(spark):
+    # a path graph: min label must propagate hop by hop
+    comp = _cc(spark, [(i, i + 1) for i in range(1, 9)])
+    assert comp == {i: 1 for i in range(1, 10)}
+
+
+def test_direction_and_duplicates_irrelevant(spark):
+    comp = _cc(spark, [(5, 2), (2, 5), (2, 7), (7, 2), (5, 2)])
+    assert comp == {2: 2, 5: 2, 7: 2}
+
+
+def test_self_loop_singleton(spark):
+    comp = _cc(spark, [(4, 4), (1, 2)])
+    assert comp == {1: 1, 2: 1, 4: 4}
+
+
+def test_cluster_assign_columns(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    rows = dedup_cluster_assign(pairs).orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["cluster_id"]) for r in rows] == [
+        (1, 1), (2, 1), (3, 1)
+    ]
