@@ -2366,3 +2366,152 @@ def q_tpch_q21_waiting_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-function breadth: lag / ntile (SURVEY §2.5 generalization)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_interarrival",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events ORDER BY event_id
+    """,
+)
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap via lag() — integer microseconds on
+    both sides, so the comparison is exact. Partitioning is by user_id
+    (high cardinality): the window shuffle spreads across the cluster,
+    no single-partition bottleneck."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id", "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).orderBy("event_id")
+
+
+@query(
+    "events_value_deciles",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id)
+               AS decile
+      FROM events
+    )
+    SELECT event_type, decile, count(*) AS cnt,
+           min(value) AS lo, max(value) AS hi
+    FROM d GROUP BY 1, 2 ORDER BY event_type, decile
+    """,
+)
+def q_events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucket stats per event_type via ntile(10) with a
+    deterministic (value, event_id) order. min/max of doubles are exact
+    picks — no float summation anywhere. Note the window partitions by
+    the LOW-cardinality event_type, so each window is one task: this
+    query covers the ntile surface; the scale path for quantiles over a
+    skewed/low-cardinality key is operators/quantiles.py (distributed
+    selection, two scans)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding vector ops: centroids + scalar quantization
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    per AS (
+      SELECT label, pos,
+             sum((v::DOUBLE)::DECIMAL(27,12))::DOUBLE / count(*) AS m
+      FROM ex GROUP BY 1, 2
+    )
+    SELECT label, array_agg(m ORDER BY pos) AS centroid
+    FROM per GROUP BY label ORDER BY label
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (elementwise mean) via posexplode + two-level
+    agg. The per-dim sum goes through DECIMAL so partial-agg order can't
+    change the bits; the final mean is ONE double division with exact
+    operands — identical IEEE result in both engines. The (label, pos)
+    grouping key is high-cardinality (labels × dims), so partial
+    aggregation parallelizes even with few labels — the shape that
+    survives a billion-vector corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    per = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda x: x["m"],
+            ).alias("centroid")
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+      FROM embeddings
+    )
+    SELECT vec_id, maxabs,
+           list_transform(embedding, x ->
+             CASE WHEN maxabs = 0 THEN 0
+                  ELSE round(127 * x::DOUBLE / maxabs)::INT END) AS q
+    FROM s ORDER BY vec_id
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization (q = round(127·v /
+    max|v|)) — the storage-shrink step before ANN indexing. Pure
+    row-local array expressions: a scan projection, zero shuffles at any
+    scale. Double arithmetic is identical in both engines; round() is
+    half-away-from-zero in both."""
+    emb = _t(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        ).alias("maxabs"),
+    )
+    q = F.transform(
+        "embedding",
+        lambda x: F.when(F.col("maxabs") == 0, F.lit(0))
+        .otherwise(F.round(F.lit(127) * x.cast("double") / F.col("maxabs")))
+        .cast("int"),
+    )
+    return s.select("vec_id", "maxabs", q.alias("q")).orderBy("vec_id")
