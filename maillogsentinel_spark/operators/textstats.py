@@ -115,6 +115,36 @@ def simhash32(toks: Column) -> Column:
     return reduce(lambda a, b: a + b, [bit_contrib(b) for b in range(32)])
 
 
+def tfidf_topk(docs, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
+    """Top-k TF-IDF terms per document: score = tf · ln(N/df), ranked by
+    (score desc, term asc) for a deterministic cut.
+
+    Scale shape: the tf groupBy keys on (doc, term) — high cardinality,
+    parallel everywhere; the df table is vocabulary-sized and joins back
+    on term (AQE broadcasts it when the vocabulary fits, falls back to a
+    shuffle join for heavy-tailed corpora — no manual hint on purpose);
+    N arrives via a 1-row broadcast cross join, not a driver collect;
+    the final window partitions by doc_id, so no single-task sort."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(total)).withColumn(
+        "score",
+        F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "score", "rank")
+    )
+
+
 def min_shingle_fingerprint(text: Column, k: int = 3) -> Column:
     """Document fingerprint: min portable hash over k-shingles (a 1-perm
     MinHash); NULL for docs shorter than k tokens."""

@@ -2458,8 +2458,10 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands — identical IEEE result in both engines. The (label, pos)
     grouping key is high-cardinality (labels × dims), so partial
     aggregation parallelizes even with few labels — the shape that
-    survives a billion-vector corpus."""
-    emb = _t(spark, sf_dir, "embeddings")
+    survives a billion-vector corpus. No pre-shuffle: the per-row work
+    before the first groupBy is just posexplode (measured: repartition
+    costs 1.5× here)."""
+    emb = _t(spark, sf_dir, "embeddings", repartition=False)
     ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
     per = ex.groupBy("label", "pos").agg(
         (
@@ -2499,8 +2501,9 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     max|v|)) — the storage-shrink step before ANN indexing. Pure
     row-local array expressions: a scan projection, zero shuffles at any
     scale. Double arithmetic is identical in both engines; round() is
-    half-away-from-zero in both."""
-    emb = _t(spark, sf_dir, "embeddings")
+    half-away-from-zero in both. No pre-shuffle: repartitioning a pure
+    projection only adds an exchange (measured 1.8× slower)."""
+    emb = _t(spark, sf_dir, "embeddings", repartition=False)
     s = emb.select(
         "vec_id",
         "embedding",
@@ -2515,3 +2518,90 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int"),
     )
     return s.select("vec_id", "maxabs", q.alias("q")).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level text ops: TF-IDF, end-to-end quality filtering
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    total AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, round(tf * ln(n_docs::DOUBLE / df), 6) AS score
+      FROM tf JOIN dfreq USING (term), total
+    )
+    SELECT doc_id, term, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per doc (operators/textstats.tfidf_topk).
+    Ranking uses the ROUNDED score (then term asc), so a last-ulp ln()
+    difference between engines can't reorder the cut."""
+    from ..operators.textstats import tfidf_topk
+
+    docs = _t(spark, sf_dir, "documents", repartition=True)
+    return tfidf_topk(docs, k=3).orderBy("doc_id", "rank")
+
+
+@query(
+    "corpus_quality_filter",
+    oracle=f"""
+    WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    toks AS (
+      SELECT d.doc_id, d.source, d.text, {_SQL_TOKS} AS t
+      FROM documents d JOIN surv USING (doc_id)
+    ),
+    q AS (
+      SELECT source,
+             round(least(1.0, len(t) / 100.0) * 0.4
+                   + (CASE WHEN len(t) > 0
+                           THEN len(list_distinct(t))::DOUBLE / len(t) ELSE 0 END) * 0.3
+                   + (CASE WHEN length(text) > 0
+                           THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                                / length(text) ELSE 0 END) * 0.3, 6) AS quality
+      FROM toks
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE quality >= 0.6) AS n_kept,
+           sum(quality::DECIMAL(18,6))::DOUBLE / count(*) AS avg_quality
+    FROM q GROUP BY source ORDER BY source
+    """,
+)
+def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data funnel: exact dedup (min-id survivor
+    per content hash) → quality scoring → keep-rate per source. One
+    hash-key shuffle for dedup, one scan projection for scoring, one
+    small agg — the minimal shuffle count for these semantics. Mean
+    quality goes through DECIMAL partials so agg order can't move bits."""
+    from ..operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents", repartition=True)
+    surv = (
+        docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    j = docs.join(surv, "doc_id").select(
+        "source", quality_score(F.col("text")).alias("quality")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("quality") >= 0.6, 1)).alias("n_kept"),
+            (
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )

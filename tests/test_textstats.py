@@ -47,3 +47,29 @@ def test_simhash_properties(spark):
 def test_fingerprint_null_for_short_docs(spark):
     assert _one(spark, "one two", min_shingle_fingerprint(F.col("text"), k=3)) is None
     assert _one(spark, "one two three four", min_shingle_fingerprint(F.col("text"), k=3)) is not None
+
+
+def test_tfidf_topk(spark):
+    from maillogsentinel_spark.operators.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry durian cherry durian"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["score"]))
+    # doc 1: apple (tf=2, df=1) beats banana (tf=1, df=2)
+    assert by_doc[1][0][1] == "apple"
+    # ubiquitous-ish terms score lower than rare ones at equal tf
+    import math
+    apple_score = dict((t, s) for _, t, s in by_doc[1])["apple"]
+    assert abs(apple_score - round(2 * math.log(3 / 1), 6)) < 1e-9
+    # every doc has at most k=2 entries, ranks are 1..k
+    assert all(sorted(r for r, _, _ in v) == list(range(1, len(v) + 1))
+               for v in by_doc.values())
