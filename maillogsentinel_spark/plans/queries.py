@@ -2605,3 +2605,88 @@ def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range-frame windows, distinct aggs, deterministic sampling
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_rolling_1h",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour
+    FROM events ORDER BY event_id
+    """,
+)
+def q_events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour per-user event count — a RANGE frame keyed on
+    integer epoch-microseconds, so frame membership is exact on both
+    engines (no interval/timezone semantics in play). user_id
+    partitioning keeps the window shuffle wide."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    ).orderBy("event_id")
+
+
+@query(
+    "events_daily_distinct_users",
+    oracle="""
+    SELECT ts::DATE AS day, event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+)
+def q_events_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-agg surface: daily active users per event type. Spark
+    plans count(DISTINCT) as a two-stage expand+agg — partials stay
+    parallel; the exact-distinct path (vs approx_count_distinct) is the
+    oracle-checkable one."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@query(
+    "corpus_hash_sample",
+    oracle=f"""
+    SELECT source, count(*) AS n_sampled, min(doc_id) AS first_id
+    FROM documents
+    WHERE ({_sql_hash64("doc_id::VARCHAR", salt="sample")}) % 20 = 0
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% corpus sample: keep rows whose salted portable
+    hash of the id is 0 mod 20. Unlike TABLESAMPLE/rand(), this is (a)
+    reproducible across engines, runs, and cluster sizes, (b) a pure
+    scan-side filter — no shuffle, no RNG state — and (c) consistent:
+    the same ids stay sampled as the corpus grows, which is what a
+    training-data holdout needs."""
+    from ..functions.hashing import hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    h = hash64(F.col("doc_id").cast("string"), salt="sample")
+    return (
+        docs.filter(h % 20 == 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("first_id"))
+        .orderBy("source")
+    )

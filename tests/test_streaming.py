@@ -141,3 +141,41 @@ def test_streaming_failure_streaks_alerts_mid_stream(spark, tmp_path):
     # 9.9.9.9 crossed threshold (4 >= 3) -> exactly one alert this batch;
     # 8.8.8.8 (1 failure) stays silent
     assert [(r["key"], r["streak"]) for r in rows] == [("9.9.9.9", 4)]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Row-level streaming dedup: a replayed line in a later micro-batch
+    is dropped (state restored from the checkpoint across runs)."""
+    from maillogsentinel_spark.operators.parse import parse_sasl_lines
+    from maillogsentinel_spark.streaming.dedup import streaming_dedup
+
+    logs = tmp_path / "dlogs"
+    logs.mkdir()
+    out = str(tmp_path / "dstore")
+    ckpt = str(tmp_path / "dckpt")
+
+    def run():
+        lines = spark.readStream.text(str(logs))
+        deduped = streaming_dedup(
+            parse_sasl_lines(lines, year=2025), keys=("ip", "user"), watermark="2 days"
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (logs / "a.log").write_text(LINE1 + LINE2)
+    run()
+    assert spark.read.parquet(out).count() == 2
+
+    # replay of LINE1 plus one genuinely new line
+    (logs / "b.log").write_text(LINE1 + LINE3)
+    run()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3  # replayed LINE1 dropped
+    assert sorted(r["user"] for r in rows) == ["alice", "bob", "carol"]
