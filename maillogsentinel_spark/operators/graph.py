@@ -7,11 +7,16 @@ MinHash-LSH / SimHash become CLUSTERS, and each cluster elects one
 survivor (min id) — the last step of every large-scale near-dedup
 pipeline.
 
-Algorithm: iterative min-label propagation.
+Algorithm: min-label propagation accelerated by pointer jumping.
 
 - labels start as ``comp = id``; each round every vertex takes the min
   of its own label and its neighbors' labels (one equi-join on the edge
-  list + one ``groupBy(id).min(comp)`` — exactly two shuffles/round).
+  list + one ``groupBy(id).min(comp)``), then POINTER-JUMPS: ``comp :=
+  label(comp)`` via a self-join on the label table. The jump halves the
+  remaining label distance, so convergence is O(log diameter) rounds
+  instead of O(diameter) — the classic shortcutting from parallel CC
+  (cf. Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14, whose star operations are the contraction analogue).
 - ``localCheckpoint(eager)`` after every round truncates the lineage;
   without it round *k* replays all *k−1* predecessor shuffles and the
   DAG grows quadratically.
@@ -20,16 +25,14 @@ Algorithm: iterative min-label propagation.
   decrease), so an unchanged sum == fixpoint. No driver-side diff join.
 
 Scale notes (100 TB design point):
-- Rounds needed = max component "min-label distance" ≈ component
-  diameter. Near-dup clusters are dense quasi-cliques (every member
-  shares LSH bands with most others), so diameter is tiny (2-4) in
-  practice; ``max_iter`` bounds the adversarial chain-graph case. For
-  graphs with genuinely long chains, the alternating large-star /
-  small-star contraction (Kiveris et al., "Connected Components in
-  MapReduce and Beyond", SoCC'14) converges in O(log²) rounds over the
-  same two-shuffle primitive and is the drop-in upgrade.
+- Near-dup clusters are dense quasi-cliques (every member shares LSH
+  bands with most others) with diameter 2-4; pointer jumping makes the
+  adversarial long-chain case cheap too (log₂ rounds). ``max_iter``
+  stays as a hard stop.
 - The edge list is persisted once and re-joined per round — the
   upstream pair-generation plan (LSH + verification) never re-executes.
+- Per round: three shuffles (edge join, min-agg, jump self-join), each
+  keyed on vertex id — wide, AQE-splittable, no single-task stage.
 """
 
 from __future__ import annotations
@@ -44,6 +47,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    jump_after: int = 2,
 ) -> DataFrame:
     """(id, comp) for every vertex of the undirected edge list; ``comp``
     is the minimum vertex id reachable from ``id`` (the canonical
@@ -66,16 +70,30 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sig = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         prop = und.join(lab, und["s"] == lab["id"]).select(
             F.col("d").alias("id"), F.col("comp")
         )
         lab = (
-            lab.unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            lab.unionByName(prop).groupBy("id").agg(F.min("comp").alias("comp"))
         )
+        if it >= jump_after:
+            # pointer jump: comp := label(comp). Every comp value is
+            # itself a vertex id (labels are always some vertex's id), so
+            # the lookup hits; left+coalesce only guards the theoretical
+            # miss. label(comp) ≤ comp by monotonicity, hence plain
+            # substitution, no least(). Deferred past the first rounds:
+            # dense near-dup cliques converge before it engages, so they
+            # never pay the extra join; long chains get O(log d) rounds
+            # from round jump_after on.
+            parent = lab.select(
+                F.col("id").alias("__pid"), F.col("comp").alias("__pcomp")
+            )
+            lab = (
+                lab.join(parent, lab["comp"] == parent["__pid"], "left")
+                .select("id", F.coalesce("__pcomp", "comp").alias("comp"))
+            )
+        lab = lab.localCheckpoint(eager=True)
         sig = lab.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
         if sig == prev_sig:
             break

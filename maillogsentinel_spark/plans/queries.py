@@ -2690,3 +2690,63 @@ def q_corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("first_id"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-resilient join + GROUPING SETS
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS cnt,
+           CAST(sum(e.user_id) AS BIGINT) AS sum_uid
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events ⨝ customer through the explicit salted join (operators/
+    skew.py): big side salted 8 ways, dim replicated, join key becomes
+    (key, salt) so a pathologically hot key spreads over 8 reducers.
+    Results are salt-invariant — the oracle is the plain join."""
+    from ..operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(
+        ev.withColumnRenamed("user_id", "c_custkey"), cust, "c_custkey", nsalt=8
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("c_custkey").alias("sum_uid"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "events_grouping_sets",
+    oracle="""
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS cnt
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (day), ())
+    ORDER BY event_type NULLS FIRST, day NULLS FIRST
+    """,
+)
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither cube nor rollup): per-type totals,
+    per-day totals, and the grand total in ONE shuffle via map-side
+    grouping-set expansion."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    return (
+        ev.groupingSets([["event_type"], ["day"], []], "event_type", day)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first()
+        )
+    )

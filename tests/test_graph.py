@@ -41,3 +41,10 @@ def test_cluster_assign_columns(spark):
     assert [(r["doc_id"], r["cluster_id"]) for r in rows] == [
         (1, 1), (2, 1), (3, 1)
     ]
+
+
+def test_long_chain_pointer_jumping(spark):
+    # 40-node path: O(log d) rounds must still reach the fixpoint well
+    # inside max_iter
+    comp = _cc(spark, [(i, i + 1) for i in range(1, 40)])
+    assert comp == {i: 1 for i in range(1, 41)}
