@@ -242,7 +242,14 @@ def simhash_pairs(
     from .signatures import simhash_table
 
     assert max_hamming <= 3, "pigeonhole guarantee holds for ≤ 3 with 4 chunks"
-    sig = simhash_table(docs, id_col, text_col).withColumnRenamed("simhash", "sim")
+    # persist: the signature pipeline (explode + md5 + 32 vote sums) feeds
+    # BOTH sides of the self-join; unpersisted plan branches would run it
+    # twice (measured ~2× on the whole query)
+    sig = (
+        simhash_table(docs, id_col, text_col)
+        .withColumnRenamed("simhash", "sim")
+        .persist()
+    )
     chunks = sig.select(
         "id",
         "sim",
