@@ -2750,3 +2750,65 @@ def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first()
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-means (2 Lloyd iterations, unrolled in the oracle)
+# ---------------------------------------------------------------------------
+
+_SQL_SQDIST = (
+    "list_reduce(list_transform(range(1, len({a})+1), "
+    "ix -> ({a}[ix] - {b}[ix]) * ({a}[ix] - {b}[ix])), (x, y) -> x + y)"
+)
+
+
+@query(
+    "kmeans_assign",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+    ),
+    d1 AS (
+      SELECT e.vec_id, i.cid, {_SQL_SQDIST.format(a='e.v', b='i.c')} AS dist
+      FROM e, init i
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    ex AS (
+      SELECT a1.cid, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS x
+      FROM e JOIN a1 USING (vec_id)
+    ),
+    m AS (
+      SELECT cid, pos, sum(x::DECIMAL(27,12))::DOUBLE / count(*) AS mx
+      FROM ex GROUP BY 1, 2
+    ),
+    c2 AS (SELECT cid, array_agg(mx ORDER BY pos) AS c FROM m GROUP BY cid),
+    d2 AS (
+      SELECT e.vec_id, c2.cid, {_SQL_SQDIST.format(a='e.v', b='c2.c')} AS dist
+      FROM e, c2
+    )
+    SELECT vec_id, CAST(cid AS INT) AS cid FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM d2) WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration deterministic Lloyd's k-means (k=8): init = 8
+    lowest-id vectors, decimal-exact mean recompute, tie-break to lowest
+    cluster id. The oracle unrolls both assignment passes — every one of
+    the 500+ per-vector assignments must match exactly."""
+    from ..operators.clustering import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = kmeans_assign(emb, k=8, iters=2)
+    return out.select("vec_id", F.col("cid").cast("int").alias("cid")).orderBy(
+        "vec_id"
+    )
