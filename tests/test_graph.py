@@ -48,3 +48,13 @@ def test_long_chain_pointer_jumping(spark):
     # inside max_iter
     comp = _cc(spark, [(i, i + 1) for i in range(1, 40)])
     assert comp == {i: 1 for i in range(1, 41)}
+
+
+def test_empty_edges(spark):
+    from pyspark.sql import types as T
+
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("src", T.LongType()),
+                          T.StructField("dst", T.LongType())])
+    )
+    assert connected_components(empty).count() == 0

@@ -141,3 +141,24 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_li_b")
         spark.sql("DROP TABLE IF EXISTS t_ord_b")
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    from maillogsentinel_spark.plans.queries import QUERIES
+
+    df = QUERIES["kmeans_assign"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # centroid side is broadcast; the corpus is never shuffled for
+    # assignment and nothing plans as an unhinted cartesian
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_no_cartesian_and_windows_partitioned(spark):
+    from maillogsentinel_spark.plans.queries import QUERIES
+
+    df = QUERIES["doc_tfidf_topk"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the per-doc ranking window is partitioned (no global single-task sort)
+    assert "Window" in plan and "windowspecdefinition(doc_id" in plan
