@@ -2812,3 +2812,102 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("cid").cast("int").alias("cid")).orderBy(
         "vec_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship LLM-pipeline composition: the corpus preparation funnel
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_prepare_funnel",
+    oracle=f"""
+    WITH RECURSIVE {_sql_minhash_pairs_ctes()},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, reach) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    cc AS (SELECT id AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY id),
+    exact AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    flags AS (
+      SELECT d.source,
+             (e.doc_id IS NOT NULL) AS is_exact,
+             (e.doc_id IS NOT NULL AND
+              (c.cluster_id IS NULL OR d.doc_id = c.cluster_id)) AS is_keep,
+             round(least(1.0, len(t.t) / 100.0) * 0.4
+                   + (CASE WHEN len(t.t) > 0
+                           THEN len(list_distinct(t.t))::DOUBLE / len(t.t) ELSE 0 END) * 0.3
+                   + (CASE WHEN length(d.text) > 0
+                           THEN length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                                / length(d.text) ELSE 0 END) * 0.3, 6) AS quality,
+             len(t.t) AS ntok
+      FROM documents d
+      JOIN toks t ON t.doc_id = d.doc_id
+      LEFT JOIN exact e ON e.doc_id = d.doc_id
+      LEFT JOIN cc c ON c.doc_id = d.doc_id
+    )
+    SELECT source,
+           count(*) AS n_raw,
+           count(*) FILTER (WHERE is_exact) AS n_exact,
+           count(*) FILTER (WHERE is_keep) AS n_neardup,
+           count(*) FILTER (WHERE is_keep AND quality >= 0.6) AS n_final,
+           CAST(coalesce(sum(ntok) FILTER (WHERE is_keep AND quality >= 0.6), 0)
+                AS BIGINT) AS tok_budget
+    FROM flags GROUP BY source ORDER BY source
+    """,
+)
+def q_corpus_prepare_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus funnel in one plan: exact dedup
+    (content-hash survivors) → near-dup drop (MinHash-LSH pairs →
+    connected components, keep only each cluster's min-id member) →
+    quality gate → per-source doc and token budgets. Everything joins on
+    doc_id, integer counts only — bit-exact against an oracle that
+    replays the identical funnel including the recursive-CTE clustering.
+    Shuffle inventory: content-hash agg, LSH band/candidate joins, CC
+    rounds, and one final per-source agg — each keyed wide."""
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.graph import dedup_cluster_assign
+    from ..operators.textstats import quality_score, token_count
+
+    docs = _t(spark, sf_dir, "documents", repartition=True)
+    exact = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", F.lit(True).alias("is_exact")
+    )
+    cc = dedup_cluster_assign(
+        minhash_lsh_pairs(docs, k=3, num_perm=16, bands=4, threshold=0.3)
+    )
+    flags = (
+        docs.join(exact, "doc_id", "left")
+        .join(cc, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("is_exact", F.lit(False)).alias("is_exact"),
+            (
+                F.coalesce("is_exact", F.lit(False))
+                & (
+                    F.col("cluster_id").isNull()
+                    | (F.col("doc_id") == F.col("cluster_id"))
+                )
+            ).alias("is_keep"),
+            quality_score(F.col("text")).alias("quality"),
+            token_count(F.col("text")).cast("long").alias("ntok"),
+        )
+    )
+    final = F.col("is_keep") & (F.col("quality") >= 0.6)
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count(F.when(F.col("is_exact"), 1)).alias("n_exact"),
+            F.count(F.when(F.col("is_keep"), 1)).alias("n_neardup"),
+            F.count(F.when(final, 1)).alias("n_final"),
+            F.coalesce(F.sum(F.when(final, F.col("ntok"))), F.lit(0)).alias(
+                "tok_budget"
+            ),
+        )
+        .orderBy("source")
+    )
