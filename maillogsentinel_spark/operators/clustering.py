@@ -48,16 +48,16 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assign(
+def kmeans_fit(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 2,
 ) -> DataFrame:
-    """(vec_id, cid) after ``iters`` Lloyd assignment passes with
-    ``iters - 1`` mean recomputes in between. Deterministic end to end
-    (see module docstring)."""
+    """(cid, c array<double>): centroids after ``iters - 1`` Lloyd mean
+    recomputes (init = the k lowest-id vectors; ``iters=1`` returns the
+    init centroids untouched). Deterministic end to end."""
     e = emb.select(
         F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("v")
     )
@@ -66,8 +66,8 @@ def kmeans_assign(
         (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
         F.col("v").alias("c"),
     )
-    assigned = _assign(e, cents)
     for _ in range(iters - 1):
+        assigned = _assign(e, cents)
         ex = e.join(assigned, "vec_id").select(
             "cid", F.posexplode("v").alias("pos", "x")
         )
@@ -82,5 +82,23 @@ def kmeans_assign(
                 F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
             ).alias("c")
         )
-        assigned = _assign(e, cents)
-    return assigned
+    # materialize the k-row centroid table: every downstream branch
+    # (assignment, probing) would otherwise replay the whole training
+    # sub-plan — one corpus pass per branch
+    return cents.localCheckpoint(eager=True)
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """(vec_id, cid) after ``iters`` Lloyd assignment passes with
+    ``iters - 1`` mean recomputes in between. Deterministic end to end
+    (see module docstring)."""
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("v")
+    )
+    return _assign(e, kmeans_fit(emb, id_col, vec_col, k, iters))

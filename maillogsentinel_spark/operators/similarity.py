@@ -193,3 +193,78 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def knn_ivf_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nlist: int = 8,
+    nprobe: int = 2,
+    train_iters: int = 2,
+) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: clustering.kmeans_fit
+    learns the nlist centroids (deterministically), inverted lists are
+    the Lloyd assignment, queries probe their nprobe nearest centroids
+    (squared-L2, the training metric) and candidates are re-ranked by
+    exact cosine.
+
+    Scale: identical roles to knn_ivf — centroids broadcast everywhere,
+    corpus touched by one scan + one shuffle for list assignment, a
+    query scans nprobe/nlist of the corpus. The trained quantizer packs
+    lists by actual data density instead of id-stride, which is what
+    keeps probe recall stable when the corpus is not uniformly
+    distributed."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot
+    from .clustering import _assign, kmeans_fit
+
+    cents = kmeans_fit(corpus, id_col, vec_col, k=nlist, iters=train_iters)
+    e = corpus.select(
+        F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("v")
+    )
+    lists = _assign(e, cents)
+    inv = e.join(lists, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cid"
+    )
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("qv"),
+    )
+    qdist = F.aggregate(
+        F.zip_with("qv", "c", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    wprobe = Window.partitionBy("query_id").orderBy("qdist", "cid")
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cid", qdist.alias("qdist"))
+        .withColumn("__r", F.row_number().over(wprobe))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+
+    scored = inv.join(F.broadcast(probed), "cid").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = F.round(
+        dot(F.col("cv"), F.col("qv"))
+        / (
+            F.sqrt(dot(F.col("cv"), F.col("cv")))
+            * F.sqrt(dot(F.col("qv"), F.col("qv")))
+        ),
+        6,
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

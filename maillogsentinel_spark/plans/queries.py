@@ -2762,13 +2762,14 @@ _SQL_SQDIST = (
 )
 
 
-@query(
-    "kmeans_assign",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+def _sql_kmeans_ctes(k: int = 8) -> str:
+    """CTE chain ending in c2(cid, c): centroids after one Lloyd mean
+    recompute from the deterministic lowest-id init. Shared by the
+    kmeans_assign and knn_ivf_kmeans oracles."""
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     init AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
-      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k})
     ),
     d1 AS (
       SELECT e.vec_id, i.cid, {_SQL_SQDIST.format(a='e.v', b='i.c')} AS dist
@@ -2788,7 +2789,13 @@ _SQL_SQDIST = (
       SELECT cid, pos, sum(x::DECIMAL(27,12))::DOUBLE / count(*) AS mx
       FROM ex GROUP BY 1, 2
     ),
-    c2 AS (SELECT cid, array_agg(mx ORDER BY pos) AS c FROM m GROUP BY cid),
+    c2 AS (SELECT cid, array_agg(mx ORDER BY pos) AS c FROM m GROUP BY cid)"""
+
+
+@query(
+    "kmeans_assign",
+    oracle=f"""
+    WITH {_sql_kmeans_ctes()},
     d2 AS (
       SELECT e.vec_id, c2.cid, {_SQL_SQDIST.format(a='e.v', b='c2.c')} AS dist
       FROM e, c2
@@ -2911,3 +2918,54 @@ def q_corpus_prepare_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "knn_ivf_kmeans",
+    oracle=f"""
+    WITH {_sql_kmeans_ctes()},
+    d2 AS (
+      SELECT e.vec_id, c2.cid, {_SQL_SQDIST.format(a='e.v', b='c2.c')} AS dist
+      FROM e, c2
+    ),
+    lists AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c2.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_SQL_SQDIST.format(a='q.v', b='c2.c')}, c2.cid) AS pr
+        FROM e q, c2 WHERE q.vec_id < 10) WHERE pr <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, l.vec_id AS neighbor_id,
+             {{cos}} AS cosine
+      FROM probes p
+      JOIN lists l USING (cid)
+      JOIN e ev ON ev.vec_id = l.vec_id
+      JOIN e qv ON qv.vec_id = p.query_id
+      WHERE l.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """.format(cos=_sql_cosine("ev.v", "qv.v")),
+)
+def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN with a TRAINED coarse quantizer: k-means centroids (2 Lloyd
+    iterations) → inverted lists → 2-probe search → exact-cosine
+    re-rank. The oracle composes the unrolled k-means CTEs with the
+    probing pipeline — end-to-end exact."""
+    from ..operators.similarity import knn_ivf_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return knn_ivf_kmeans(emb, queries_df, k=5, nlist=8, nprobe=2)

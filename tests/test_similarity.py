@@ -77,3 +77,27 @@ def test_knn_ivf_probe_narrowing(spark):
     assert [(r["neighbor_id"], r["cosine"]) for r in all_lists] == [
         (r["neighbor_id"], r["cosine"]) for r in exact
     ]
+
+
+def test_knn_ivf_kmeans_shape_and_determinism(spark):
+    from maillogsentinel_spark.operators.similarity import knn_ivf_kmeans
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 5").withColumnRenamed("vec_id", "query_id")
+
+    def run():
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in knn_ivf_kmeans(emb, q, k=3, nlist=4, nprobe=2).collect()
+        )
+
+    a = run()
+    assert a == run()                      # deterministic end to end
+    per_q = {}
+    for qid, rank, nid, cos in a:
+        per_q.setdefault(qid, []).append((rank, cos))
+        assert nid != qid
+    for ranks in per_q.values():
+        assert [r for r, _ in ranks] == list(range(1, len(ranks) + 1))
+        sims = [c for _, c in ranks]
+        assert sims == sorted(sims, reverse=True)
