@@ -162,3 +162,27 @@ def test_tfidf_no_cartesian_and_windows_partitioned(spark):
     assert "CartesianProduct" not in plan
     # the per-doc ranking window is partitioned (no global single-task sort)
     assert "Window" in plan and "windowspecdefinition(doc_id" in plan
+
+
+def test_events_store_day_filter_prunes_partitions(spark, tmp_path):
+    """The daily report's day filter must become a PartitionFilter on the
+    date-partitioned store — scanning one day, not the history."""
+    from pyspark.sql import functions as F
+
+    from maillogsentinel_spark.sources.store import read_events, write_events
+
+    ev = spark.createDataFrame(
+        [("s", f"2025-08-{d:02d} 10:00:00", f"1.1.1.{d}") for d in (1, 2, 3)],
+        ["server", "ts_s", "ip"],
+    ).select(
+        "server", F.to_timestamp("ts_s").alias("ts"), "ip",
+        F.to_date(F.to_timestamp("ts_s")).alias("event_date"),
+    )
+    path = str(tmp_path / "store")
+    write_events(ev, path)
+    got = read_events(spark, path).filter(F.col("event_date") == "2025-08-02")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_date" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    assert got.count() == 1
