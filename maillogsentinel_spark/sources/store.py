@@ -80,3 +80,33 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "event_date",
+    target_files_per_partition: int = 1,
+) -> int:
+    """Rewrite each partition of a date-partitioned store into
+    ``target_files_per_partition`` files. Returns partitions compacted.
+
+    Streaming appends accrete one small file per micro-batch per day —
+    the classic small-files problem: at 100 TB the scan's task count
+    (and the namenode/listing load) grows with file count, not data
+    size. Compaction is maintenance, not ingestion: run it on cold
+    partitions (past days no new batch will touch) so it never races
+    the writer; each partition is rewritten via dynamic partition
+    overwrite, which commits per-partition atomically."""
+    df = spark.read.parquet(path)
+    parts = df.select(partition_col).distinct()
+    n = parts.count()
+    (
+        df.repartition(target_files_per_partition * max(n, 1), F.col(partition_col))
+        .sortWithinPartitions(partition_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    return n

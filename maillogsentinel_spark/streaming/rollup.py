@@ -1,0 +1,83 @@
+"""Incrementally-maintained daily rollup (streaming materialized view).
+
+The reference recomputes its daily report by re-reading the WHOLE event
+CSV every run (`/root/reference/lib/maillogsentinel/report.py:89-93`, the
+authors' own noted bottleneck). The scale-correct replacement is an
+incrementally maintained aggregate: each micro-batch recomputes only the
+(day) partitions it touched and atomically replaces them with dynamic
+partition overwrite.
+
+Why this shape at 100 TB:
+- a micro-batch touches 1-2 days; the rollup update reads the store's
+  matching partitions only (partition pruning) — work is proportional
+  to the batch's day span, never to store history;
+- dynamic partitionOverwriteMode replaces exactly the recomputed
+  partitions — the refresh is idempotent: re-running it for a day
+  always rewrites that partition to the store's current truth, so the
+  view never drifts from the store (the store append itself carries the
+  file-source checkpoint's semantics, see streaming/ingest.py);
+- no streaming state store at all: the watermark/state problem
+  disappears because the store, not the stream, is the source of truth
+  for affected days.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def update_daily_rollup(
+    spark: SparkSession, store_path: str, rollup_path: str, batch_df: DataFrame
+) -> None:
+    """Recompute the per-(day, user) counts for every day present in
+    ``batch_df`` from the canonical store, and atomically replace those
+    rollup partitions."""
+    days = [r["d"] for r in batch_df.select(F.to_date("ts").alias("d")).distinct().collect()]
+    if not days:
+        return
+    store = spark.read.parquet(store_path)
+    day_col = F.to_date("ts")
+    agg = (
+        store.filter(day_col.isin(days))
+        .groupBy(day_col.alias("event_date"), F.col("user"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    (
+        agg.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date")
+        .parquet(rollup_path)
+    )
+
+
+def start_rollup_ingest(
+    spark: SparkSession,
+    log_dir: str,
+    store_path: str,
+    rollup_path: str,
+    checkpoint_dir: str,
+    year: int,
+    resolver,
+):
+    """Ingest + rollup maintenance in one foreachBatch: append the batch
+    to the canonical store, then refresh the touched rollup days from
+    the store. Returns the started query (availableNow trigger)."""
+    from ..operators.parse import parse_sasl_lines
+    from ..sources.store import write_events
+
+    lines = spark.readStream.text(log_dir)
+    events = parse_sasl_lines(lines, year=year)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_events(batch_df, store_path)
+        update_daily_rollup(spark, store_path, rollup_path, batch_df)
+
+    return (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

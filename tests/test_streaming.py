@@ -179,3 +179,58 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 3  # replayed LINE1 dropped
     assert sorted(r["user"] for r in rows) == ["alice", "bob", "carol"]
+
+
+def test_incremental_rollup_and_compaction(spark, tmp_path):
+    """foreachBatch maintains a per-day rollup by dynamic partition
+    overwrite; compaction shrinks per-partition file counts."""
+    import glob
+    import os
+
+    from maillogsentinel_spark.sources.store import compact_store
+    from maillogsentinel_spark.streaming.rollup import start_rollup_ingest
+
+    logs = tmp_path / "rlogs"
+    logs.mkdir()
+    store = str(tmp_path / "rstore")
+    rollup = str(tmp_path / "rrollup")
+    ckpt = str(tmp_path / "rckpt")
+
+    def run():
+        q = start_rollup_ingest(
+            spark, str(logs), store, rollup, ckpt, 2025, _resolver
+        )
+        q.awaitTermination(120)
+
+    (logs / "a.log").write_text(LINE1 + LINE2)   # two users, day 28
+    run()
+    rows = {(str(r["event_date"]), r["user"]): r["cnt"]
+            for r in spark.read.parquet(rollup).collect()}
+    assert rows == {("2025-09-28", "alice"): 1, ("2025-09-28", "bob"): 1}
+
+    # second batch: same day new event for alice + a new day
+    (logs / "b.log").write_text(LINE1 + LINE3)
+    run()
+    rows = {(str(r["event_date"]), r["user"]): r["cnt"]
+            for r in spark.read.parquet(rollup).collect()}
+    assert rows == {
+        ("2025-09-28", "alice"): 2, ("2025-09-28", "bob"): 1,
+        ("2025-09-29", "carol"): 1,
+    }
+
+    # the day-28 store partition now holds files from two batches;
+    # compaction rewrites it to one file and keeps the data identical
+    day_dir = os.path.join(store, "event_date=2025-09-28")
+    before = len(glob.glob(os.path.join(day_dir, "*.parquet")))
+    assert before >= 2
+    data_before = sorted(
+        (r["user"], str(r["ts"])) for r in spark.read.parquet(store).collect()
+    )
+    n = compact_store(spark, store)
+    assert n == 2  # two day partitions compacted
+    after = len(glob.glob(os.path.join(day_dir, "*.parquet")))
+    assert after == 1
+    data_after = sorted(
+        (r["user"], str(r["ts"])) for r in spark.read.parquet(store).collect()
+    )
+    assert data_after == data_before
