@@ -2969,3 +2969,52 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "query_id"
     )
     return knn_ivf_kmeans(emb, queries_df, k=5, nlist=8, nprobe=2)
+
+
+@query(
+    "events_user_analytics",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, event_type, value,
+             first_value(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS first_type,
+             last_value(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_type
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           min(first_type) AS first_type,
+           min(last_type) AS last_type
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_events_user_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function surface: first_value/last_value over an
+    explicit unbounded ROWS frame with a total (ts, event_id) order —
+    deterministic on both engines; user_id partitioning keeps the
+    window shuffle wide."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    with_fl = ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    )
+    return (
+        with_fl.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("first_type").alias("first_type"),
+            F.min("last_type").alias("last_type"),
+        )
+        .orderBy("user_id")
+    )
