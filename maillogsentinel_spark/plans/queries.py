@@ -3018,3 +3018,52 @@ def q_events_user_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "token_counts_bpe",
+    oracle=f"""
+    WITH toks AS (SELECT source, {_SQL_TOKS} AS t FROM documents),
+    per AS (
+      SELECT source, len(t) AS w,
+             list_reduce(list_transform(t, x ->
+               CAST(ceil(length(x) / 4.0) AS BIGINT)), (a, b) -> a + b) AS sw
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT source,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           CAST(sum(sw) AS BIGINT) AS n_subwords,
+           round(CAST(sum(sw) AS DOUBLE) / sum(w), 6) AS subwords_per_word
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token-budget estimate: whitespace/word tokens plus a
+    subword estimate of ceil(len/4) pieces per word — the deterministic
+    stand-in for a real BPE vocab (tokenizer libs aren't in this
+    container; the Spark-side shape — scan-local array fold, one final
+    per-source agg — is the part that matters at scale). Integer-exact:
+    len/4.0 is a power-of-two division, ceil exact on both engines."""
+    from ..operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents", repartition=True)
+    toks = tokens(F.col("text"))
+    sw = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda a, t: a + F.ceil(F.length(t) / 4),
+    )
+    per = docs.select(
+        "source", F.size(toks).alias("w"), sw.alias("sw")
+    ).filter(F.col("w") > 0)
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("w").alias("n_words"),
+            F.sum("sw").alias("n_subwords"),
+            F.round(
+                F.sum("sw").cast("double") / F.sum("w"), 6
+            ).alias("subwords_per_word"),
+        )
+        .orderBy("source")
+    )

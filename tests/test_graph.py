@@ -58,3 +58,33 @@ def test_empty_edges(spark):
                           T.StructField("dst", T.LongType())])
     )
     assert connected_components(empty).count() == 0
+
+
+def test_random_graphs_match_union_find(spark):
+    """Seeded random graphs: distributed CC must equal a reference
+    union-find on every vertex."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(5, 40)
+        edges = [(rng.randint(0, n), rng.randint(0, n))
+                 for _ in range(rng.randint(3, 60))]
+
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for a, b in edges:
+            union(a, b)
+        want = {v: find(v) for v in parent}
+
+        got = _cc(spark, edges)
+        assert got == want, f"trial {trial}: {sorted(edges)}"
