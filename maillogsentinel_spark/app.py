@@ -1,0 +1,235 @@
+"""Main CLI — the reference's operational modes on the Spark engine.
+
+Mirrors `bin/maillogsentinel.py`'s surface (argparse modes at
+`/root/reference/bin/maillogsentinel.py:98-143`, INI layout at
+`lib/maillogsentinel/config.py:10-58`): default run = incremental
+extraction; `--report` renders/sends the daily report; `--sql-export`
+emits a byte-compat `.sql` transaction file; `--sql-import` loads it
+into SQLite. Install tooling (`--setup`, `--reset`, `--purge`, systemd
+generation) is an explicit non-goal (SURVEY §7).
+
+What replaces what:
+- byte-offset state files → one Structured Streaming checkpoint under
+  ``working_dir/checkpoint`` (exactly-once, rotation-safe);
+- the growing report-bottleneck CSV → a date-partitioned Parquet store
+  (the CSV is still emitted for byte-compat consumers);
+- `--report` reads one day's partition (partition pruning), not the
+  whole history.
+
+Wall-clock inputs are injectable (`--date`, `--year`) per the
+reproducibility rule in SURVEY §7 (hard part 3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import configparser
+import datetime as _dt
+import glob
+import os
+import sys
+
+VERSION = "1.0"
+
+
+def load_config(path: str | None) -> dict:
+    """Subset of the reference INI the analytics engine needs; same
+    sections/keys, same defaults shape (config.py:10-58)."""
+    cfg = {
+        "working_dir": "./maillogsentinel-work",
+        "mail_log": "/var/log/mail.log",
+        "csv_filename": "maillogsentinel.csv",
+        "email": None,
+        "country_db_path": None,
+        "asn_db_path": None,
+        "db_path": "maillogsentinel.sqlite",
+        "table_name": "maillogsentinel_events",
+        "column_mapping_file": None,
+    }
+    if path:
+        ini = configparser.ConfigParser()
+        ini.read(path)
+        g = ini.get
+        for section, key, dest in [
+            ("paths", "working_dir", "working_dir"),
+            ("paths", "mail_log", "mail_log"),
+            ("paths", "csv_filename", "csv_filename"),
+            ("report", "email", "email"),
+            ("geolocation", "country_db_path", "country_db_path"),
+            ("ASN_ASO", "asn_db_path", "asn_db_path"),
+            ("sqlite_database", "db_path", "db_path"),
+            ("sql_export_settings", "table_name", "table_name"),
+            ("sql_export_settings", "column_mapping_file", "column_mapping_file"),
+        ]:
+            if ini.has_option(section, key):
+                v = g(section, key)
+                cfg[dest] = v if v != "" else cfg[dest]
+    return cfg
+
+
+def _spark(cfg: dict):
+    from .session import get_spark
+
+    return get_spark(app_name="maillogsentinel-spark-cli")
+
+
+def run_extract(cfg: dict, year: int, resolver=None) -> int:
+    """Default mode: incremental ingest of the mail-log directory into
+    the Parquet store + byte-compat CSV mirror."""
+    from .plans.pipeline import build_events
+    from .sources.dims import load_geo_asn, load_geo_country
+    from .sources.logs import read_logs
+    from .sources.store import write_events, write_events_csv
+    from .streaming.ingest import start_ingest
+
+    spark = _spark(cfg)
+    wd = cfg["working_dir"]
+    os.makedirs(wd, exist_ok=True)
+    geo_c = (
+        load_geo_country(spark, cfg["country_db_path"])
+        if cfg["country_db_path"]
+        else None
+    )
+    geo_a = load_geo_asn(spark, cfg["asn_db_path"]) if cfg["asn_db_path"] else None
+    log_dir = os.path.dirname(os.path.abspath(cfg["mail_log"])) or "."
+    store = os.path.join(wd, "store")
+    q = start_ingest(
+        spark,
+        log_dir,
+        store,
+        os.path.join(wd, "checkpoint"),
+        year,
+        resolver or (lambda ip: (None, "Timeout")),
+        geo_country=geo_c,
+        geo_asn=geo_a,
+    )
+    q.awaitTermination(600)
+    if os.path.isdir(store) and glob.glob(os.path.join(store, "**", "*.parquet"),
+                                          recursive=True):
+        ev = spark.read.parquet(store).drop("event_date")
+        write_events_csv(ev, os.path.join(wd, cfg["csv_filename"] + ".d"))
+    return 0
+
+
+def run_report(cfg: dict, date_s: str, send: bool = False) -> int:
+    """--report: aggregate one day from the store, render the
+    reference-format text; optionally email it."""
+    from .report import daily_report_stats, render_report
+
+    spark = _spark(cfg)
+    store = os.path.join(cfg["working_dir"], "store")
+    ev = spark.read.parquet(store).drop("event_date")
+    stats = daily_report_stats(ev, date_s)
+    txt = render_report(stats, date_s, server_name=os.uname().nodename)
+    print(txt)
+    if send and cfg["email"]:
+        from .report.email_sink import build_report_email, send_email
+
+        msg = build_report_email(
+            txt,
+            sender=f"maillogsentinel@{os.uname().nodename}",
+            recipient=cfg["email"],
+            subject=f"[MailLogSentinel] {date_s}",
+        )
+        send_email(msg)
+    return 0
+
+
+def run_sql_export(cfg: dict, out_dir: str | None = None) -> int:
+    """--sql-export: events → BEGIN TRANSACTION; INSERT…; COMMIT; file
+    (byte-compat S8 shape, timestamped filename). Rows failing NOT-NULL
+    casts are quarantined, not silently skipped (documented divergence
+    from the reference's offset-advance-past-errors)."""
+    from pyspark.sql import functions as F
+
+    from .schemas import MAIL_CSV_COLUMNS
+    from .sources.sqlio import cast_with_mapping, insert_statements, load_mapping
+
+    spark = _spark(cfg)
+    store = os.path.join(cfg["working_dir"], "store")
+    ev = spark.read.parquet(store).drop("event_date")
+    csv_shape = ev.select(
+        F.col("server"),
+        F.date_format("ts", "dd/MM/yyyy HH:mm").alias("date"),
+        *[F.col(c) for c in MAIL_CSV_COLUMNS[2:]],
+    )
+    specs = load_mapping(cfg["column_mapping_file"] or _default_mapping())
+    good, quarantined = cast_with_mapping(csv_shape, specs)
+    text = insert_statements(good, cfg["table_name"], specs)
+    out_dir = out_dir or os.path.join(cfg["working_dir"], "sql_export")
+    os.makedirs(out_dir, exist_ok=True)
+    stamp = _dt.datetime.now().strftime("%Y%m%d_%H%M")
+    path = os.path.join(out_dir, f"{stamp}_maillogsentinel_export.sql")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(text)
+    nq = quarantined.count()
+    if nq:
+        print(f"# quarantined {nq} row(s)", file=sys.stderr)
+    print(path)
+    return 0
+
+
+def run_sql_import(cfg: dict, sql_dir: str | None = None) -> int:
+    """--sql-import: replay exported .sql files into SQLite (sorted,
+    idempotent via an imported-files log — S9 semantics)."""
+    import sqlite3
+
+    sql_dir = sql_dir or os.path.join(cfg["working_dir"], "sql_export")
+    log_path = os.path.join(cfg["working_dir"], "sql_imported_files.log")
+    done = set()
+    if os.path.exists(log_path):
+        done = set(open(log_path, encoding="utf-8").read().split())
+    conn = sqlite3.connect(os.path.join(cfg["working_dir"], cfg["db_path"]))
+    try:
+        from .sources.sqlio import load_mapping, sqlite_ddl
+
+        specs = load_mapping(cfg["column_mapping_file"] or _default_mapping())
+        conn.executescript(sqlite_ddl(specs, cfg["table_name"]))
+        n = 0
+        for p in sorted(glob.glob(os.path.join(sql_dir, "*.sql"))):
+            base = os.path.basename(p)
+            if base in done:
+                continue
+            conn.executescript(open(p, encoding="utf-8").read())
+            with open(log_path, "a", encoding="utf-8") as f:
+                f.write(base + "\n")
+            n += 1
+        conn.commit()
+        print(f"imported {n} file(s)")
+    finally:
+        conn.close()
+    return 0
+
+
+def _default_mapping() -> str:
+    return os.path.join(os.path.dirname(__file__), "config", "sql_column_mapping.json")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="maillogsentinel-spark",
+        description="Postfix SASL log analytics on PySpark",
+    )
+    p.add_argument("--config", default=None, help="INI config (reference layout)")
+    p.add_argument("--report", action="store_true", help="render daily report and exit")
+    p.add_argument("--send", action="store_true", help="with --report: email it")
+    p.add_argument("--sql-export", action="store_true")
+    p.add_argument("--sql-import", action="store_true")
+    p.add_argument("--date", default=None, help="report day dd/MM/yyyy (default: today)")
+    p.add_argument("--year", type=int, default=None, help="log-line year (default: current)")
+    p.add_argument("--version", action="version", version=f"%(prog)s {VERSION}")
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.config)
+    if args.report:
+        date_s = args.date or _dt.date.today().strftime("%d/%m/%Y")
+        return run_report(cfg, date_s, send=args.send)
+    if args.sql_export:
+        return run_sql_export(cfg)
+    if args.sql_import:
+        return run_sql_import(cfg)
+    return run_extract(cfg, args.year or _dt.date.today().year)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,52 @@
+"""Main CLI modes end-to-end: extract -> report -> sql-export -> sql-import."""
+
+import os
+import sqlite3
+
+from maillogsentinel_spark import app
+
+LINE = ("Aug 12 06:57:{s:02d} srv1 postfix/smtps/smtpd[1]: warning: "
+        "unknown[45.0.0.{o}]: SASL LOGIN authentication failed: "
+        "(reason unavailable), sasl_username=u{o}@x.com,\n")
+
+
+def test_cli_modes_end_to_end(spark, tmp_path, capsys, monkeypatch):
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "mail.log").write_text("".join(LINE.format(s=i, o=i) for i in range(4)))
+    wd = tmp_path / "work"
+    ini = tmp_path / "mls.conf"
+    ini.write_text(f"""[paths]
+working_dir = {wd}
+mail_log = {logs}/mail.log
+csv_filename = maillogsentinel.csv
+""")
+
+    # extract (default mode); resolver injected for hermeticity
+    monkeypatch.setattr(app, "_spark", lambda cfg: spark)
+    cfg = app.load_config(str(ini))
+    assert app.run_extract(cfg, year=2025, resolver=lambda ip: ("h-" + ip, None)) == 0
+    store_rows = spark.read.parquet(str(wd / "store")).collect()
+    assert len(store_rows) == 4
+
+    # report for the log day
+    assert app.main(["--config", str(ini), "--report", "--date", "12/08/2025"]) == 0
+    out = capsys.readouterr().out
+    assert "12/08/2025" in out and "4" in out
+
+    # sql export then import
+    assert app.main(["--config", str(ini), "--sql-export"]) == 0
+    sql_path = capsys.readouterr().out.strip().splitlines()[-1]
+    assert os.path.exists(sql_path)
+    body = open(sql_path).read()
+    assert body.startswith("BEGIN TRANSACTION;") and "INSERT INTO" in body
+
+    assert app.main(["--config", str(ini), "--sql-import"]) == 0
+    db = sqlite3.connect(str(wd / "maillogsentinel.sqlite"))
+    n = db.execute("SELECT count(*) FROM maillogsentinel_events").fetchone()[0]
+    assert n == 4
+    # idempotent: re-import skips already-imported files
+    assert app.main(["--config", str(ini), "--sql-import"]) == 0
+    n2 = db.execute("SELECT count(*) FROM maillogsentinel_events").fetchone()[0]
+    assert n2 == 4
+    db.close()
