@@ -68,3 +68,45 @@ def test_asof_preserves_left_rowcount_and_plan(spark):
     # nested-loop / cartesian range join
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_random_matches_bruteforce(spark):
+    """Seeded random instances vs a per-row reference implementation."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(3):
+        nl, nr = rng.randint(5, 30), rng.randint(0, 20)
+        left_rows = [
+            (i, rng.randint(0, 3), _ts("2025-01-01 00:00:00")
+             + dt.timedelta(minutes=rng.randint(0, 500)))
+            for i in range(nl)
+        ]
+        # unique (key, ts) on the right per the operator's determinism
+        # contract
+        seen = set()
+        right_rows = []
+        for j in range(nr):
+            k, m = rng.randint(0, 3), rng.randint(0, 500)
+            if (k, m) in seen:
+                continue
+            seen.add((k, m))
+            right_rows.append(
+                (k, _ts("2025-01-01 00:00:00") + dt.timedelta(minutes=m),
+                 float(j))
+            )
+
+        left = spark.createDataFrame(left_rows, "event_id long, k long, ts timestamp")
+        right = spark.createDataFrame(right_rows, "k long, pts timestamp, amount double")
+        got = {
+            r["event_id"]: (r["pts_asof"], r["amount_asof"])
+            for r in asof_join_backward(
+                left, right, key="k", left_ts="ts", right_ts="pts"
+            ).collect()
+        }
+
+        for eid, k, ts in left_rows:
+            cands = [(pts, amt) for (rk, pts, amt) in right_rows
+                     if rk == k and pts <= ts]
+            want = max(cands) if cands else (None, None)
+            assert got[eid] == want, f"trial {trial} event {eid}"
