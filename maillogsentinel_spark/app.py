@@ -91,6 +91,8 @@ def run_extract(cfg: dict, year: int, resolver=None) -> int:
         else None
     )
     geo_a = load_geo_asn(spark, cfg["asn_db_path"]) if cfg["asn_db_path"] else None
+    from .operators.rdns import default_socket_resolver
+
     log_dir = os.path.dirname(os.path.abspath(cfg["mail_log"])) or "."
     store = os.path.join(wd, "store")
     q = start_ingest(
@@ -99,7 +101,7 @@ def run_extract(cfg: dict, year: int, resolver=None) -> int:
         store,
         os.path.join(wd, "checkpoint"),
         year,
-        resolver or (lambda ip: (None, "Timeout")),
+        resolver or default_socket_resolver,
         geo_country=geo_c,
         geo_asn=geo_a,
     )
@@ -201,6 +203,30 @@ def run_sql_import(cfg: dict, sql_dir: str | None = None) -> int:
     return 0
 
 
+def run_reset(cfg: dict, purge: bool = False) -> int:
+    """--reset / --purge: archive the working dir's data (store, CSV
+    mirror, checkpoint; plus sql export/import artifacts when purging)
+    into a timestamped folder and start clean — the reference's
+    archive-and-reset semantics without its byte-offset state files."""
+    import shutil
+
+    wd = cfg["working_dir"]
+    stamp = _dt.datetime.now().strftime("%Y%m%d_%H%M%S")
+    dest = os.path.join(wd, f"archive_{stamp}")
+    targets = ["store", "checkpoint", cfg["csv_filename"] + ".d"]
+    if purge:
+        targets += ["sql_export", "sql_imported_files.log", cfg["db_path"]]
+    moved = 0
+    for t in targets:
+        src = os.path.join(wd, t)
+        if os.path.exists(src):
+            os.makedirs(dest, exist_ok=True)
+            shutil.move(src, os.path.join(dest, os.path.basename(t)))
+            moved += 1
+    print(dest if moved else "nothing to archive")
+    return 0
+
+
 def _default_mapping() -> str:
     return os.path.join(os.path.dirname(__file__), "config", "sql_column_mapping.json")
 
@@ -215,6 +241,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--send", action="store_true", help="with --report: email it")
     p.add_argument("--sql-export", action="store_true")
     p.add_argument("--sql-import", action="store_true")
+    p.add_argument("--reset", action="store_true", help="archive data, start clean")
+    p.add_argument("--purge", action="store_true", help="archive everything")
     p.add_argument("--date", default=None, help="report day dd/MM/yyyy (default: today)")
     p.add_argument("--year", type=int, default=None, help="log-line year (default: current)")
     p.add_argument("--version", action="version", version=f"%(prog)s {VERSION}")
@@ -228,6 +256,8 @@ def main(argv: list[str] | None = None) -> int:
         return run_sql_export(cfg)
     if args.sql_import:
         return run_sql_import(cfg)
+    if args.reset or args.purge:
+        return run_reset(cfg, purge=args.purge)
     return run_extract(cfg, args.year or _dt.date.today().year)
 
 

@@ -50,3 +50,22 @@ csv_filename = maillogsentinel.csv
     n2 = db.execute("SELECT count(*) FROM maillogsentinel_events").fetchone()[0]
     assert n2 == 4
     db.close()
+
+
+def test_cli_reset_archives_data(spark, tmp_path, capsys, monkeypatch):
+    logs = tmp_path / "logs2"
+    logs.mkdir()
+    (logs / "mail.log").write_text(LINE.format(s=0, o=0))
+    wd = tmp_path / "work2"
+    ini = tmp_path / "mls2.conf"
+    ini.write_text(f"[paths]\nworking_dir = {wd}\nmail_log = {logs}/mail.log\n")
+
+    monkeypatch.setattr(app, "_spark", lambda cfg: spark)
+    cfg = app.load_config(str(ini))
+    assert app.run_extract(cfg, year=2025, resolver=lambda ip: ("h", None)) == 0
+    assert (wd / "store").exists()
+
+    assert app.main(["--config", str(ini), "--reset"]) == 0
+    archive = capsys.readouterr().out.strip()
+    assert not (wd / "store").exists()
+    assert os.path.isdir(archive) and os.path.isdir(os.path.join(archive, "store"))
