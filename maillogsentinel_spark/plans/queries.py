@@ -61,10 +61,17 @@ def _t(
     spark: SparkSession, sf_dir: str, name: str, repartition: bool | None = None
 ) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long (see session.py); truncate to
-        # micros exactly as DuckDB does when casting ns → TIMESTAMP
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as long (see session.py); truncate to
+            # micros exactly as DuckDB does when casting ns → TIMESTAMP
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # micros-precision parquet reads as NTZ; session tz is pinned
+            # to UTC so this cast is the identity wall-clock→epoch map
+            # (and epoch-based exprs like unix_micros need LTZ)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     # The driver's testdata parquet files each hold ONE row group, so a
     # scan is a single task regardless of core count and every per-row
     # stage above it runs serially. Round-robin repartition restores
