@@ -3074,3 +3074,308 @@ def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-quality / anomaly / retention round-out (beyond-ref additions).
+# Training-data pipeline signals the reference lacks entirely; each is a
+# scan-shaped or two-pass DataFrame plan with an exact DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+# word bigrams over the token list `t` (1-indexed on both engines)
+_SQL_BIGRAMS = (
+    "CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), "
+    "i -> t[i] || ' ' || t[i+1]) ELSE [] END"
+)
+
+
+@query(
+    "doc_repetition_ratio",
+    oracle=f"""
+    WITH toks AS (SELECT source, {_SQL_TOKS} AS t FROM documents),
+    big AS (SELECT source, t, {_SQL_BIGRAMS} AS b FROM toks WHERE len(t) > 0),
+    per AS (
+      SELECT source,
+             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dr,
+             CASE WHEN len(b) > 0
+               THEN 1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b)
+               ELSE 0.0 END AS dbf
+      FROM big
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CAST(dr AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+             AS avg_distinct_ratio,
+           CAST(sum(CASE WHEN dbf > 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repetitive
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def q_doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: per-doc distinct-token
+    ratio and duplicate-bigram fraction, rolled up per source. Pure
+    scan-side array expressions (codegen, no UDF, no pre-agg shuffle) —
+    at 100 TB this is one map stage plus a tiny per-source agg. The
+    per-doc ratios are IEEE-exact (int/int divides), and the mean goes
+    through DECIMAL partials so agg order can't move bits."""
+    from ..operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents", repartition=True)
+    t = tokens(F.col("text"))
+    d = docs.select("source", t.alias("t")).filter(F.size("t") > 0)
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per = d.select(
+        "source",
+        (F.size(F.array_distinct("t")) / F.size("t")).alias("dr"),
+        bigrams.alias("b"),
+    ).select(
+        "source",
+        "dr",
+        F.when(
+            F.size("b") > 0,
+            F.lit(1.0) - F.size(F.array_distinct("b")) / F.size("b"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dbf"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("dr").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_distinct_ratio"),
+            F.sum(F.when(F.col("dbf") > 0.25, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )
+
+
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_PII_IP_RE = r"\d+\.\d+\.\d+\.\d+"
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    WITH lines AS (
+      SELECT 'srv' || (user_id % 5)::VARCHAR AS server, event_type,
+             strftime(ts, '%b') || ' ' || day(ts)::VARCHAR || ' '
+               || strftime(ts, '%H:%M:%S') || ' srv' || (user_id % 5)::VARCHAR
+               || ' ' ||
+             CASE WHEN event_type = 'click'
+               THEN 'postfix/qmgr[' || event_id::VARCHAR || ']: '
+                    || event_id::VARCHAR || ': removed'
+               ELSE 'postfix/smtps/smtpd[' || event_id::VARCHAR
+                    || ']: warning: unknown[<IP>]: SASL LOGIN authentication '
+                    || 'failed: (reason unavailable), sasl_username=<EMAIL>,'
+             END AS scrubbed
+      FROM events
+    )
+    SELECT server, count(*) AS n_lines,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_emails,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_ips,
+           min(md5(scrubbed)) AS scrub_checksum
+    FROM lines GROUP BY server ORDER BY server
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over raw log lines: emails → <EMAIL>, IPv4 → <IP>,
+    counted per server, with a min-md5 checksum of the scrubbed text so
+    the oracle pins the exact output bytes (the oracle *constructs* the
+    expected scrubbed line analytically — an independent derivation, not
+    the same regex). regexp_replace/extract_all are codegen'd JVM
+    expressions: one scan-side map stage at any scale, then a 5-group
+    agg. This is the anonymizer-adjacent op a training-data pipeline
+    applies corpus-wide before tokenization."""
+    lines = _mail_events(spark, sf_dir).select(
+        F.concat(F.lit("srv"), (F.col("user_id") % 5).cast("string")).alias("server"),
+        "value",
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("value"), F.lit(_PII_IP_RE), F.lit("<IP>")),
+        F.lit(_PII_EMAIL_RE),
+        F.lit("<EMAIL>"),
+    )
+    per = lines.select(
+        "server",
+        F.size(F.regexp_extract_all(F.col("value"), F.lit(_PII_EMAIL_RE), F.lit(0)))
+        .alias("ne"),
+        F.size(F.regexp_extract_all(F.col("value"), F.lit(_PII_IP_RE), F.lit(0)))
+        .alias("ni"),
+        scrubbed.alias("scrubbed"),
+    )
+    return (
+        per.groupBy("server")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("ne").cast("long").alias("n_emails"),
+            F.sum("ni").cast("long").alias("n_ips"),
+            F.min(F.md5("scrubbed")).alias("scrub_checksum"),
+        )
+        .orderBy("server")
+    )
+
+
+@query(
+    "events_zscore_outliers",
+    oracle="""
+    WITH ut AS (
+      SELECT event_type, user_id,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT))
+                  AS BIGINT) AS t
+      FROM events GROUP BY event_type, user_id
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n, CAST(sum(t) AS BIGINT) AS s1,
+             CAST(sum(t * t) AS BIGINT) AS s2
+      FROM ut GROUP BY event_type
+    )
+    SELECT ut.event_type, ut.user_id, ut.t AS total_cents,
+           (ut.t - s.s1::DOUBLE / s.n)
+             / sqrt(s.s2::DOUBLE / s.n
+                    - (s.s1::DOUBLE / s.n) * (s.s1::DOUBLE / s.n)) AS z
+    FROM ut JOIN s USING (event_type)
+    WHERE abs((ut.t - s.s1::DOUBLE / s.n)
+             / sqrt(s.s2::DOUBLE / s.n
+                    - (s.s1::DOUBLE / s.n) * (s.s1::DOUBLE / s.n))) > 2.0
+    ORDER BY event_type, user_id
+    """,
+)
+def q_events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: z-score of each user's per-type spend
+    against the type's population, flagging |z| > 2. Everything before
+    the final double math is integer-exact: values are 2-decimal, so
+    cents-scaled BIGINTs make sum and sum-of-squares order-independent
+    (per-user totals are scale-invariant — events/user doesn't grow with
+    corpus size — so s2 stays < 2^63 even at 100 TB). Two-pass shape:
+    one keyed agg to user totals, one tiny per-type stats agg broadcast
+    back — no second shuffle of the big side."""
+    ev = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,6)") * 100).cast("long")
+    ut = ev.groupBy("event_type", "user_id").agg(
+        F.sum(cents).cast("long").alias("t")
+    )
+    stats = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").cast("long").alias("s1"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("s2"),
+    )
+    j = ut.join(F.broadcast(stats), "event_type")
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    z = (F.col("t") - mean) / F.sqrt(var)
+    return (
+        j.select(
+            "event_type", "user_id", F.col("t").alias("total_cents"), z.alias("z")
+        )
+        .filter(F.abs("z") > 2.0)
+        .orderBy("event_type", "user_id")
+    )
+
+
+@query(
+    "events_daily_retention",
+    oracle="""
+    WITH du AS (SELECT DISTINCT ts::DATE AS d, user_id FROM events),
+    act AS (SELECT d, count(*) AS active FROM du GROUP BY d),
+    ret AS (
+      SELECT a.d, count(*) AS retained
+      FROM du a JOIN du b ON b.user_id = a.user_id AND b.d = a.d + 1
+      GROUP BY a.d
+    )
+    SELECT act.d AS day, act.active,
+           CAST(coalesce(ret.retained, 0) AS BIGINT) AS retained_next_day,
+           coalesce(ret.retained, 0)::DOUBLE / act.active AS retention
+    FROM act LEFT JOIN ret ON ret.d = act.d
+    ORDER BY day
+    """,
+)
+def q_events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day user retention: of the users active on day d, how
+    many return on d+1. Classic cohort op the reference can't express.
+    Shape: one distinct (d, user) projection reused three ways — the
+    self-join keys on (user_id, day) so it shuffles the *deduplicated*
+    activity table (tiny vs raw events), and the per-day rollups are
+    near-free afterwards. Counts are integer-exact; the ratio is one
+    double divide from identical ints."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    act = du.groupBy("d").agg(F.count(F.lit(1)).alias("active"))
+    nxt = du.select(F.date_sub("d", 1).alias("d"), "user_id")
+    ret = (
+        du.join(nxt, ["d", "user_id"], "inner")
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("retained"))
+    )
+    return (
+        act.join(ret, "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            "active",
+            F.coalesce("retained", F.lit(0)).cast("long").alias("retained_next_day"),
+            (
+                F.coalesce("retained", F.lit(0)).cast("double") / F.col("active")
+            ).alias("retention"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "docs_stratified_sample",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT lang, source, doc_id,
+             CASE WHEN {_sql_hash64("doc_id::VARCHAR", "strat")} % 1000 <
+               CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 250 ELSE 100 END
+             THEN 1 ELSE 0 END AS kept
+      FROM documents
+    )
+    SELECT lang, source, count(*) AS n_total,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           min(CASE WHEN kept = 1 THEN doc_id END) AS first_kept_id
+    FROM tagged GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling: per-language keep rates (en 50%,
+    zh 25%, rest 10%) applied via the salted portable hash — the
+    language-balancing downsample every multilingual training mix needs.
+    Like corpus_hash_sample this is reproducible across engines, runs
+    and cluster sizes, pure scan-side (no shuffle before the rollup),
+    and consistent under corpus growth: a doc's kept/dropped fate never
+    changes as data is appended."""
+    from ..functions.hashing import hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 500)
+        .when(F.col("lang") == "zh", 250)
+        .otherwise(100)
+    )
+    kept = F.when(
+        hash64(F.col("doc_id").cast("string"), salt="strat") % 1000 < rate, 1
+    ).otherwise(0)
+    tagged = docs.select("lang", "source", "doc_id", kept.alias("kept"))
+    return (
+        tagged.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.min(F.when(F.col("kept") == 1, F.col("doc_id"))).alias("first_kept_id"),
+        )
+        .orderBy("lang", "source")
+    )
