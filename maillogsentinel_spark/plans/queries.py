@@ -3379,3 +3379,105 @@ def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "basket_pair_counts",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT p1, p2, count(*) AS cnt
+    FROM pairs GROUP BY p1, p2
+    HAVING count(*) >= 2
+    ORDER BY cnt DESC, p1, p2 LIMIT 100
+    """,
+)
+def q_basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in ≥2
+    orders. The self-join keys on l_orderkey, so Spark plans ONE shuffle
+    shared by both sides (co-partitioned sort-merge join); the pair
+    explosion is bounded by max basket size (13 items → ≤78 pairs/order,
+    data-independent of corpus scale), then a keyed agg + top-k. The
+    top-100 is fully tie-broken (cnt desc, p1, p2) per the §2.4 caveat."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .orderBy(F.desc("cnt"), "p1", "p2")
+        .limit(100)
+    )
+
+
+@query(
+    "events_conversion_funnel",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, min(ts) AS s FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+      SELECT e.user_id, min(e.ts) AS p
+      FROM events e JOIN su ON su.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= su.s
+      GROUP BY e.user_id
+    )
+    SELECT su.s::DATE AS cohort_day,
+           count(*) AS n_signups,
+           CAST(sum(CASE WHEN pu.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           CAST(coalesce(sum(epoch_us(pu.p) - epoch_us(su.s)), 0) AS BIGINT)
+             AS total_convert_us
+    FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+    GROUP BY cohort_day ORDER BY cohort_day
+    """,
+)
+def q_events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup→purchase conversion funnel by signup cohort day:
+    first purchase AT OR AFTER first signup counts as converted, with
+    the summed time-to-convert in integer microseconds (exact on both
+    engines — no interval arithmetic). Shape: two keyed min-aggs over
+    the same shuffle key (user_id) + a user-level join — at scale the
+    join reuses the agg's hash partitioning, and the cohort rollup is
+    tiny."""
+    ev = _t(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    j = su.join(pu, "user_id", "left")
+    return (
+        j.groupBy(F.to_date("s").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum(F.when(F.col("p").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_converted"),
+            F.coalesce(
+                F.sum(F.unix_micros("p") - F.unix_micros("s")), F.lit(0)
+            )
+            .cast("long")
+            .alias("total_convert_us"),
+        )
+        .orderBy("cohort_day")
+    )

@@ -132,3 +132,35 @@ def test_stratified_sample_is_consistent_under_growth(spark, tmp_path):
 def test_new_queries_run_at_sf0001(spark, name):
     df = QUERIES[name](spark, "/root/testdata/sf0.001")
     assert df.count() >= 0
+
+
+def test_basket_pairs_tiny(spark, tmp_path):
+    rows = [
+        # order 1: parts 10, 20, 30 ; order 2: parts 10, 20 ; order 3: part 10 (+dup line)
+        (1, 10), (1, 20), (1, 30), (2, 10), (2, 20), (3, 10), (3, 10),
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = [(r.p1, r.p2, r.cnt) for r in
+           QUERIES["basket_pair_counts"](spark, str(tmp_path)).collect()]
+    # only (10,20) co-occurs twice; duplicate lineitem rows must not inflate
+    assert out == [(10, 20, 2)]
+
+
+def test_conversion_funnel_orders_steps(spark, tmp_path):
+    t = dt.datetime(2025, 8, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (0, t, 1, "signup", 0.0, "{}"),
+        (1, t + 2 * h, 1, "purchase", 5.0, "{}"),     # converts in 2h
+        (2, t, 2, "purchase", 5.0, "{}"),             # purchase BEFORE signup
+        (3, t + h, 2, "signup", 0.0, "{}"),           # → not converted
+        (4, t + h, 3, "signup", 0.0, "{}"),           # never purchases
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = QUERIES["events_conversion_funnel"](spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.cohort_day == dt.date(2025, 8, 1)
+    assert r.n_signups == 3 and r.n_converted == 1
+    assert r.total_convert_us == 2 * 3600 * 1_000_000
