@@ -164,3 +164,13 @@ def test_conversion_funnel_orders_steps(spark, tmp_path):
     assert r.cohort_day == dt.date(2025, 8, 1)
     assert r.n_signups == 3 and r.n_converted == 1
     assert r.total_convert_us == 2 * 3600 * 1_000_000
+
+
+def test_hll_daily_users_bound_and_exactness(spark, tmp_path):
+    t0 = dt.datetime(2025, 8, 1, 0, 0, 0)
+    rows = [(i, t0, i % 37, "view", 1.0, "{}") for i in range(200)]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = QUERIES["events_hll_daily_users"](spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.exact_users == 37 and bool(r.hll_within_5pct)
