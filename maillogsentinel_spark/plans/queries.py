@@ -3516,3 +3516,145 @@ def q_events_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         "day", "exact_users", within.alias("hll_within_5pct")
     ).orderBy("day")
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH toks AS (SELECT lang, {_SQL_TOKS} AS t FROM documents)
+    SELECT lang AS lang_true, {_sql_lang_case()} AS lang_pred,
+           count(*) AS cnt
+    FROM toks GROUP BY lang_true, lang_pred ORDER BY lang_true, lang_pred
+    """,
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the corpus's labeled
+    lang vs the n-gram/stopword classifier's prediction. Scan-side
+    classify (codegen CASE over array filters, no UDF) + a tiny
+    (langs × langs) agg — the eval loop a corpus pipeline runs after
+    every classifier tweak, at any scale one map stage."""
+    from ..operators.textstats import lang_id
+
+    docs = _t(spark, sf_dir, "documents", repartition=True)
+    return (
+        docs.select(
+            F.col("lang").alias("lang_true"),
+            lang_id(F.col("text")).alias("lang_pred"),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+@query(
+    "doc_length_histogram",
+    oracle="""
+    SELECT source, least(n_chars // 128, 15) AS bucket,
+           count(*) AS cnt,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source, bucket ORDER BY source, bucket
+    """,
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram: fixed 128-char buckets (capped at 15)
+    per source — the length-distribution profile used to set truncation
+    and packing budgets. Integer-exact bucketing, one partial-agg
+    shuffle of (source, bucket) pairs only."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.expr("n_chars div 128"), F.lit(15)).alias("bucket")
+    return (
+        docs.groupBy("source", bucket)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+@query(
+    "events_weekly_active_users",
+    oracle="""
+    WITH du AS (SELECT DISTINCT ts::DATE AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM du),
+    ex AS (
+      SELECT du.d + o.off::INTEGER AS td, du.user_id
+      FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off) o
+    )
+    SELECT td AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM ex JOIN days ON days.d = ex.td
+    GROUP BY td ORDER BY td
+    """,
+)
+def q_events_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day (WAU): each (day, user)
+    activity row is fanned out to the 7 report days it supports, then
+    distinct-counted. Sliding distinct windows can't be expressed as a
+    Spark window agg (distinct isn't decomposable over frames); the
+    explode-by-offset trick turns it into a plain keyed distinct-agg —
+    and crucially the ×7 fan-out happens on the *deduplicated* activity
+    table, not raw events, so at 100 TB the shuffle is 7× (days×users),
+    orders of magnitude under the raw scan."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct()
+    ex = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "d", "user_id"
+    ).select(F.date_add("d", F.col("off")).alias("td"), "user_id")
+    return (
+        ex.join(days.select(F.col("d").alias("td")), "td")
+        .groupBy("td")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+        .select(F.col("td").alias("day"), "wau")
+        .orderBy("day")
+    )
+
+
+@query(
+    "lineitem_approx_quantile_check",
+    oracle="""
+    WITH ps AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]::DOUBLE[]) AS p)
+    SELECT p, (SELECT count(*) FROM lineitem) AS n, TRUE AS rank_ok
+    FROM ps ORDER BY p
+    """,
+)
+def q_lineitem_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/GK-style approximate quantiles with a *verified* rank bound:
+    percentile_approx(accuracy=10000) guarantees rank error ≤
+    n/accuracy; the query recomputes each approx value's true rank span
+    [count(<v)+1, count(≤v)] in a second exact pass and asserts overlap
+    with target rank p·n ± (n/10000 + 1). The oracle pins the booleans —
+    a sketch outside its contract fails the hash. At scale this is the
+    pattern for percentile monitoring: one mergeable-sketch agg (tiny
+    map-side state) + one verification scan only when auditing."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    )
+    ps = [0.25, 0.5, 0.75, 0.95]
+    qs = li.agg(
+        F.percentile_approx(
+            "v", F.array(*[F.lit(p) for p in ps]), F.lit(10000)
+        ).alias("qs"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.posexplode("qs").alias("i", "a"), "n"
+    ).select(
+        F.element_at(F.array(*[F.lit(p) for p in ps]), F.col("i") + 1).alias("p"),
+        "a",
+        "n",
+    )
+    ranks = (
+        li.crossJoin(F.broadcast(qs))
+        .groupBy("p", "a", "n")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("a"), 1).otherwise(0)).alias("lt"),
+            F.sum(F.when(F.col("v") <= F.col("a"), 1).otherwise(0)).alias("le"),
+        )
+    )
+    target = F.col("p") * F.col("n")
+    delta = F.col("n") / 10000.0 + 1.0
+    ok = ((F.col("lt") + 1) <= target + delta) & (F.col("le") >= target - delta)
+    return ranks.select("p", "n", ok.alias("rank_ok")).orderBy("p")

@@ -174,3 +174,20 @@ def test_hll_daily_users_bound_and_exactness(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert r.exact_users == 37 and bool(r.hll_within_5pct)
+
+
+def test_wau_fanout_semantics(spark, tmp_path):
+    d = dt.datetime(2025, 8, 1, 12, 0, 0)
+    rows = [
+        (0, d, 1, "view", 1.0, "{}"),                       # day 1: user 1
+        (1, d + dt.timedelta(days=3), 2, "view", 1.0, "{}"),  # day 4: user 2
+        (2, d + dt.timedelta(days=9), 2, "view", 1.0, "{}"),  # day 10: user 2
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = {r.day: r.wau for r in
+           QUERIES["events_weekly_active_users"](spark, sf_dir).collect()}
+    # only days present in the data are reported
+    assert set(out) == {dt.date(2025, 8, 1), dt.date(2025, 8, 4), dt.date(2025, 8, 10)}
+    assert out[dt.date(2025, 8, 1)] == 1      # trailing window: just user 1
+    assert out[dt.date(2025, 8, 4)] == 2      # user 1 (day1 ≤ 6 back) + user 2
+    assert out[dt.date(2025, 8, 10)] == 1     # day-4 activity fell out of window
