@@ -3658,3 +3658,122 @@ def q_lineitem_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFr
     delta = F.col("n") / 10000.0 + 1.0
     ok = ((F.col("lt") + 1) <= target + delta) & (F.col("le") >= target - delta)
     return ranks.select("p", "n", ok.alias("rank_ok")).orderBy("p")
+
+
+@query(
+    "customer_rfm",
+    oracle="""
+    WITH maxd AS (SELECT max(o_orderdate) AS md FROM orders),
+    base AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', max(o_orderdate), (SELECT md FROM maxd))
+               AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, recency_days, frequency, monetary_cents,
+           ntile(4) OVER (ORDER BY recency_days, custkey) AS r_quartile,
+           ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_quartile,
+           ntile(4) OVER (ORDER BY monetary_cents DESC, custkey) AS m_quartile
+    FROM base ORDER BY custkey
+    """,
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last order),
+    frequency, monetary total (cents-exact), each cut into quartiles
+    with fully tie-broken ntile orderings so both engines assign
+    identical quartiles. One keyed agg then three global ntile windows:
+    locally single-partition — at cluster scale ntile over customers
+    would move to a two-pass approximated cut (percentile boundaries +
+    broadcast), the documented swap; the agg side is already the
+    scalable shape."""
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    maxd = o.agg(F.max("o_orderdate").alias("md"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(cents).cast("long").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "custkey",
+            F.datediff("md", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    wr = Window.orderBy("recency_days", "custkey")
+    wf = Window.orderBy(F.desc("frequency"), "custkey")
+    wm = Window.orderBy(F.desc("monetary_cents"), "custkey")
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    ).orderBy("custkey")
+
+
+@query(
+    "corpus_shard_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id, len({_SQL_TOKS}) AS ntok,
+             {_sql_hash64("doc_id::VARCHAR", "pack")} AS h
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, ntok,
+             (sum(ntok) OVER (PARTITION BY source ORDER BY h, doc_id) - ntok)
+               // 2000 AS shard
+      FROM toks
+    )
+    SELECT source, CAST(shard AS BIGINT) AS shard,
+           count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS first_doc
+    FROM packed GROUP BY source, shard ORDER BY source, shard
+    """,
+)
+def q_corpus_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget shard packing: docs are laid out in
+    salted-hash order (stable, engine-independent shuffle of the
+    corpus) and cut into ~2000-token shards via a cumulative-sum window
+    — `(cumsum - ntok) div budget` assigns each doc to the shard its
+    *start* offset lands in, the classic packing rule for training-data
+    files. Windows are partitioned per source, so parallelism is the
+    source count here; the 100 TB variant makes the partition key
+    (source, hash-bucket) and offsets each bucket by a first-pass
+    per-bucket total — same math, fully parallel."""
+    from ..functions.hashing import hash64
+    from ..operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents", repartition=True)
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("ntok"),
+        hash64(F.col("doc_id").cast("string"), salt="pack").alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    packed = t.select(
+        "source",
+        "doc_id",
+        "ntok",
+        F.expr("(sum(ntok) OVER (PARTITION BY source ORDER BY h, doc_id) - ntok) div 2000").alias("shard"),
+    )
+    return (
+        packed.groupBy("source", F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source", "shard")
+    )

@@ -191,3 +191,38 @@ def test_wau_fanout_semantics(spark, tmp_path):
     assert out[dt.date(2025, 8, 1)] == 1      # trailing window: just user 1
     assert out[dt.date(2025, 8, 4)] == 2      # user 1 (day1 ≤ 6 back) + user 2
     assert out[dt.date(2025, 8, 10)] == 1     # day-4 activity fell out of window
+
+
+def test_rfm_quartiles_tiny(spark, tmp_path):
+    t = dt.datetime(2025, 8, 1)
+    rows = []
+    # 4 customers with strictly increasing frequency/monetary and
+    # strictly decreasing recency → quartiles are forced
+    for c in range(1, 5):
+        for k in range(c):
+            rows.append((c * 100 + k, c, "O", 10.0 * c,
+                         t + dt.timedelta(days=c), "1-URGENT"))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r.custkey: r for r in QUERIES["customer_rfm"](spark, str(tmp_path)).collect()}
+    assert out[4].recency_days == 0 and out[1].recency_days == 3
+    assert out[4].frequency == 4 and out[4].monetary_cents == 4 * 4000
+    assert out[4].r_quartile == 1 and out[4].f_quartile == 1 and out[4].m_quartile == 1
+    assert out[1].r_quartile == 4 and out[1].f_quartile == 4 and out[1].m_quartile == 4
+
+
+def test_shard_packing_budget_and_determinism(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, "w " * 500, "en", "s0", 1000) for i in range(10)],  # 500 tokens each
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["corpus_shard_packing"](spark, str(tmp_path)).collect()
+    # 10 docs × 500 tok / 2000-budget → shards of 4 docs (start-offset rule)
+    assert [r.n_docs for r in out] == [4, 4, 2]
+    assert sum(r.shard_tokens for r in out) == 5000
+    out2 = QUERIES["corpus_shard_packing"](spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in out2]
