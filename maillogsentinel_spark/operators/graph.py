@@ -48,13 +48,25 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     jump_after: int = 2,
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """(id, comp) for every vertex of the undirected edge list; ``comp``
     is the minimum vertex id reachable from ``id`` (the canonical
     component label). Vertices with no edges are absent — callers that
     want singletons join the result back to their vertex table and
     ``coalesce(comp, id)``.
-    """
+
+    Like a broadcast-join threshold, a deduplicated edge list at or
+    under ``local_threshold`` (default 200k edges ≈ a few MB — far
+    below driver headroom) short-circuits to a driver-side union-find:
+    identical min-id labels, zero iterative rounds. Iterative CC costs
+    ~3 shuffles + a convergence probe PER ROUND no matter how small the
+    graph — pure fixed overhead in the common case where upstream LSH
+    already shrank candidates to thousands of pairs. Above the
+    threshold (the 100 TB regime) the distributed label-propagation +
+    pointer-jumping path below runs unchanged. Set
+    ``local_threshold=0`` to force the distributed path (the
+    cross-check tests do)."""
     e = edges.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
     )
@@ -63,6 +75,30 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if local_threshold and und.count() <= local_threshold:
+        rows = und.filter(F.col("s") <= F.col("d")).collect()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        verts: set[int] = set()
+        for r in rows:
+            verts.add(r.s)
+            verts.add(r.d)
+            ra, rb = find(r.s), find(r.d)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # larger root under smaller → root stays min id
+        out = sorted((v, find(v)) for v in verts)
+        und.unpersist()
+        return edges.sparkSession.createDataFrame(out, "id long, comp long")
     lab = (
         und.select(F.col("s").alias("id"))
         .distinct()

@@ -88,3 +88,15 @@ def test_random_graphs_match_union_find(spark):
 
         got = _cc(spark, edges)
         assert got == want, f"trial {trial}: {sorted(edges)}"
+
+
+def test_local_and_distributed_paths_agree(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(400)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {r.id: r.comp for r in connected_components(df).collect()}
+    dist = {r.id: r.comp
+            for r in connected_components(df, local_threshold=0).collect()}
+    assert local == dist and len(local) > 0
