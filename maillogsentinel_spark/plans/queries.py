@@ -3777,3 +3777,122 @@ def q_corpus_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "shard")
     )
+
+
+@query(
+    "doc_shingle_novelty",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, source, unnest(list_distinct({_SQL_SHINGLES3})) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+    per AS (
+      SELECT sh.doc_id, sh.source, count(*) AS n_sh,
+             sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM sh JOIN firsts f ON f.s = sh.s
+      GROUP BY sh.doc_id, sh.source
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_sh) AS BIGINT) AS total_shingles,
+           CAST(sum(n_novel) AS BIGINT) AS novel_shingles,
+           CAST(sum(CASE WHEN n_novel = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS fully_seen_docs
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def q_doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty scoring: a doc's 3-shingle is novel iff no lower-id doc
+    contains it (first-seen-wins, the deterministic stand-in for
+    arrival order). Per source: total vs novel shingles and docs whose
+    every shingle was already seen (pure-rehash docs — prime dedup
+    candidates). Shape: explode distinct shingles, one keyed min-agg
+    over the shingle space, join back, per-source rollup. The shingle
+    agg is THE big shuffle — keyed on high-cardinality strings, it
+    spreads evenly; at 100 TB you'd hash the shingles to int64 first
+    (same keys, 8-byte shuffle rows) exactly as signatures.py does."""
+    from ..operators.textstats import shingles, tokens
+
+    docs = _t(spark, sf_dir, "documents", repartition=True)
+    t = tokens(F.col("text"))
+    sh = (
+        docs.select("doc_id", "source", F.explode(
+            F.array_distinct(shingles(t, 3))
+        ).alias("s"))
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(firsts, "s")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sh").cast("long").alias("total_shingles"),
+            F.sum("n_novel").cast("long").alias("novel_shingles"),
+            F.sum(F.when(F.col("n_novel") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("fully_seen_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "corpus_contamination",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, source, unnest(list_distinct({_SQL_SHINGLES3})) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    test_sh AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+    flagged AS (
+      SELECT DISTINCT sh.doc_id, sh.source
+      FROM sh JOIN test_sh USING (s)
+      WHERE sh.source <> 'src0'
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated,
+           min(doc_id) AS first_doc
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+)
+def q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination sweep: treating source 'src0' as the
+    held-out set, flag every doc in any other source sharing at least
+    one 3-shingle with it. The benchmark-leakage check every serious
+    training pipeline runs. Shape: LEFT SEMI join on the shingle key —
+    Spark prunes the probe side to existence checks (no fan-out), and
+    the test-set shingle list (distinct, one source) broadcasts when
+    small; per-source rollup after a doc-level distinct."""
+    from ..operators.textstats import shingles, tokens
+
+    docs = _t(spark, sf_dir, "documents", repartition=True)
+    t = tokens(F.col("text"))
+    sh = docs.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(shingles(t, 3))).alias("s"),
+    )
+    test_sh = sh.filter(F.col("source") == "src0").select("s").distinct()
+    flagged = (
+        sh.filter(F.col("source") != "src0")
+        .join(test_sh, "s", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_contaminated"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )

@@ -226,3 +226,39 @@ def test_shard_packing_budget_and_determinism(spark, tmp_path):
     assert sum(r.shard_tokens for r in out) == 5000
     out2 = QUERIES["corpus_shard_packing"](spark, str(tmp_path)).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_shingle_novelty_first_seen_wins(spark, tmp_path):
+    sf_dir = _write_docs(spark, tmp_path, [
+        (0, "alpha beta gamma delta", "en", "sA", 22),   # 2 shingles, both novel
+        (1, "alpha beta gamma delta", "en", "sB", 22),   # same text → fully seen
+        (2, "epsilon zeta eta theta", "en", "sB", 22),   # all novel
+    ])
+    out = {r.source: r for r in
+           QUERIES["doc_shingle_novelty"](spark, sf_dir).collect()}
+    assert out["sA"].novel_shingles == 2 and out["sA"].fully_seen_docs == 0
+    assert out["sB"].total_shingles == 4 and out["sB"].novel_shingles == 2
+    assert out["sB"].fully_seen_docs == 1
+
+
+def test_contamination_flags_shared_shingles(spark, tmp_path):
+    sf_dir = _write_docs(spark, tmp_path, [
+        (0, "the quick brown fox jumps", "en", "src0", 25),  # held-out set
+        (1, "a quick brown fox appeared here", "en", "sX", 31),  # shares shingle
+        (2, "completely unrelated training text body", "en", "sX", 39),
+        (3, "the quick brown cat sat", "en", "sY", 23),  # shares "the quick brown"
+        (4, "nothing in common at all", "en", "sZ", 24),
+    ])
+    out = {r.source: r for r in
+           QUERIES["corpus_contamination"](spark, sf_dir).collect()}
+    # sX: only doc 1 (shares "quick brown fox"); doc 2 is clean
+    assert out["sX"].n_contaminated == 1 and out["sX"].first_doc == 1
+    assert out["sY"].n_contaminated == 1
+    assert "sZ" not in out
