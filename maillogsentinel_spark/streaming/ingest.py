@@ -71,3 +71,59 @@ def streaming_daily_user_counts(events_stream: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("day").start.alias("day"), "user", "cnt")
     )
+
+
+def start_sql_export(
+    spark: SparkSession,
+    store_path: str,
+    db_path: str,
+    table: str,
+    specs,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Reference S8+S9 as ONE exactly-once streaming sink.
+
+    The reference splits SQL delivery into an exporter (CSV byte offset
+    → .sql files, sql_exporter.py:314-646) and an importer (filename
+    log + fcntl lock + executescript, sql_importer.py:280-518), with a
+    documented at-least-once hole between them (the offset advances
+    past failed rows). Here the events store itself is the stream
+    source: new parquet files land → the checkpoint tracks them → each
+    micro-batch is mapping-cast (NOT-NULL violations quarantined, P7 +
+    P10) and appended to SQLite in one transaction-batched write. Both
+    reference state files and the lock disappear; a re-run after any
+    crash resumes from the checkpoint without duplicating rows. On a
+    cluster the foreachBatch body becomes ``df.write.jdbc`` against the
+    same DDL (sources/sqlio.sqlite_ddl documents the translation)."""
+    from pyspark.sql.types import DateType, StructField, StructType
+
+    from ..schemas import MAIL_EVENTS_SCHEMA
+    from ..sources.sqlio import cast_with_mapping, write_sqlite
+
+    schema = StructType(
+        list(MAIL_EVENTS_SCHEMA.fields) + [StructField("event_date", DateType())]
+    )
+    src = spark.readStream.schema(schema).parquet(store_path)
+    csv_shaped = src.select(
+        "server",
+        F.date_format("ts", "dd/MM/yyyy HH:mm").alias("date"),
+        "ip",
+        "user",
+        "hostname",
+        "reverse_dns_status",
+        "country_code",
+        "asn",
+        "aso",
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        good, _quarantine = cast_with_mapping(batch_df, specs)
+        write_sqlite(good, db_path, table, specs)
+
+    writer = csv_shaped.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -234,3 +234,45 @@ def test_incremental_rollup_and_compaction(spark, tmp_path):
         (r["user"], str(r["ts"])) for r in spark.read.parquet(store).collect()
     )
     assert data_after == data_before
+
+
+def test_streaming_sql_export_exactly_once(spark, tmp_path):
+    import sqlite3
+
+    from maillogsentinel_spark.plans.pipeline import build_events
+    from maillogsentinel_spark.sources.sqlio import load_mapping
+    from maillogsentinel_spark.sources.store import write_events
+    from maillogsentinel_spark.streaming.ingest import start_sql_export
+
+    mapping = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "maillogsentinel_spark", "config", "sql_column_mapping.json",
+    )
+    specs = load_mapping(mapping)
+    store = str(tmp_path / "store")
+    db = str(tmp_path / "export.db")
+    ckpt = str(tmp_path / "ckpt_sql")
+
+    lines1 = spark.createDataFrame([(LINE1.strip(),), (LINE2.strip(),)], ["value"])
+    write_events(build_events(lines1, 2025, _resolver), store)
+    q = start_sql_export(spark, store, db, "events", specs, ckpt)
+    q.awaitTermination(120)
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT count(*) FROM events").fetchone()[0] == 2
+
+    # new store file → only the delta is exported on the next run
+    lines2 = spark.createDataFrame([(LINE3.strip(),)], ["value"])
+    write_events(build_events(lines2, 2025, _resolver), store)
+    q2 = start_sql_export(spark, store, db, "events", specs, ckpt)
+    q2.awaitTermination(120)
+    rows = con.execute(
+        "SELECT username, event_time FROM events ORDER BY username"
+    ).fetchall()
+    assert [r[0] for r in rows] == ["alice", "bob", "carol"]
+    assert rows[0][1] == "2025-09-28 00:33:00"
+
+    # idempotent re-run: nothing new → no duplicates
+    q3 = start_sql_export(spark, store, db, "events", specs, ckpt)
+    q3.awaitTermination(120)
+    assert con.execute("SELECT count(*) FROM events").fetchone()[0] == 3
+    con.close()
