@@ -3896,3 +3896,88 @@ def q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "events_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS cnt
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+    """,
+)
+def q_events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence (lag window, fully tie-broken ordering) — the
+    sequence-mining primitive behind next-action models and
+    session-flow analysis. One window shuffle keyed on user_id (high
+    cardinality, spreads wide) then a 25-cell agg; integer-exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@query(
+    "events_full_outer_reconcile",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, count(*) AS n_signup FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, count(*) AS n_purchase FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT coalesce(s.user_id, p.user_id) AS user_id,
+           CAST(coalesce(s.n_signup, 0) AS BIGINT) AS n_signup,
+           CAST(coalesce(p.n_purchase, 0) AS BIGINT) AS n_purchase,
+           CASE WHEN s.user_id IS NULL THEN 'purchase_only'
+                WHEN p.user_id IS NULL THEN 'signup_only'
+                ELSE 'both' END AS presence
+    FROM s FULL OUTER JOIN p ON p.user_id = s.user_id
+    ORDER BY user_id
+    """,
+)
+def q_events_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of two per-user aggregates (signups vs
+    purchases) with a presence tag — the snapshot-diff shape used to
+    reconcile feeds. Both inputs share the user_id hash partitioning so
+    the outer join adds no extra exchange beyond the two aggs."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_signup"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchase"))
+    )
+    j = s.alias("s").join(
+        p.alias("p"), F.col("s.user_id") == F.col("p.user_id"), "full_outer"
+    )
+    presence = (
+        F.when(F.col("s.user_id").isNull(), "purchase_only")
+        .when(F.col("p.user_id").isNull(), "signup_only")
+        .otherwise("both")
+    )
+    return j.select(
+        F.coalesce("s.user_id", "p.user_id").alias("user_id"),
+        F.coalesce("s.n_signup", F.lit(0)).cast("long").alias("n_signup"),
+        F.coalesce("p.n_purchase", F.lit(0)).cast("long").alias("n_purchase"),
+        presence.alias("presence"),
+    ).orderBy("user_id")

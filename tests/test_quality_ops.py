@@ -262,3 +262,35 @@ def test_contamination_flags_shared_shingles(spark, tmp_path):
     assert out["sX"].n_contaminated == 1 and out["sX"].first_doc == 1
     assert out["sY"].n_contaminated == 1
     assert "sZ" not in out
+
+
+def test_type_transitions_sequence(spark, tmp_path):
+    t = dt.datetime(2025, 8, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (0, t, 1, "view", 1.0, "{}"),
+        (1, t + m, 1, "click", 1.0, "{}"),
+        (2, t + 2 * m, 1, "view", 1.0, "{}"),
+        (3, t, 2, "view", 1.0, "{}"),          # single event → no transition
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = {(r.prev_type, r.next_type): r.cnt for r in
+           QUERIES["events_type_transitions"](spark, sf_dir).collect()}
+    assert out == {("view", "click"): 1, ("click", "view"): 1}
+
+
+def test_full_outer_reconcile_presence(spark, tmp_path):
+    t = dt.datetime(2025, 8, 1)
+    rows = [
+        (0, t, 1, "signup", 0.0, "{}"),
+        (1, t, 1, "purchase", 1.0, "{}"),
+        (2, t, 2, "signup", 0.0, "{}"),
+        (3, t, 3, "purchase", 1.0, "{}"),
+        (4, t, 3, "purchase", 2.0, "{}"),
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = {r.user_id: r for r in
+           QUERIES["events_full_outer_reconcile"](spark, sf_dir).collect()}
+    assert out[1].presence == "both" and out[1].n_purchase == 1
+    assert out[2].presence == "signup_only" and out[2].n_purchase == 0
+    assert out[3].presence == "purchase_only" and out[3].n_purchase == 2
