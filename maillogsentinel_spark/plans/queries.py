@@ -3981,3 +3981,54 @@ def q_events_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame
         F.coalesce("p.n_purchase", F.lit(0)).cast("long").alias("n_purchase"),
         presence.alias("presence"),
     ).orderBy("user_id")
+
+
+@query(
+    "orders_open_backlog",
+    oracle="""
+    WITH closes AS (
+      SELECT l_orderkey, max(l_shipdate)::DATE AS close_d
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    spans AS (
+      SELECT o.o_orderdate::DATE AS open_d, c.close_d
+      FROM orders o JOIN closes c ON c.l_orderkey = o.o_orderkey
+    ),
+    deltas AS (
+      SELECT open_d AS d, 1 AS delta FROM spans
+      UNION ALL
+      SELECT close_d + 1 AS d, -1 AS delta FROM spans
+    ),
+    daily AS (SELECT d, sum(delta) AS net FROM deltas GROUP BY d)
+    SELECT d AS day,
+           CAST(sum(net) OVER (ORDER BY d) AS BIGINT) AS open_orders
+    FROM daily ORDER BY day
+    """,
+)
+def q_orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval counting: how many orders are open (placed, not yet
+    fully shipped) on each day — the classic sweep-line turned into
+    dataflow: every order contributes +1 at its open date and −1 the
+    day after its last lineitem ships; a prefix sum over the per-day
+    nets yields the backlog at every change point. The expensive part
+    (per-order close date) is one keyed agg over lineitem; the window
+    input is the per-DAY net table, bounded by calendar days (~2500
+    rows at ANY corpus scale), so the global cumulative window is a
+    deliberate single-partition step over a provably tiny input."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    closes = li.groupBy("l_orderkey").agg(
+        F.to_date(F.max("l_shipdate")).alias("close_d")
+    )
+    spans = o.join(
+        closes, o["o_orderkey"] == closes["l_orderkey"]
+    ).select(F.to_date("o_orderdate").alias("open_d"), "close_d")
+    deltas = spans.select(F.col("open_d").alias("d"), F.lit(1).alias("delta")).unionAll(
+        spans.select(F.date_add("close_d", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("d").alias("day"),
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    ).orderBy("day")

@@ -294,3 +294,29 @@ def test_full_outer_reconcile_presence(spark, tmp_path):
     assert out[1].presence == "both" and out[1].n_purchase == 1
     assert out[2].presence == "signup_only" and out[2].n_purchase == 0
     assert out[3].presence == "purchase_only" and out[3].n_purchase == 2
+
+
+def test_open_backlog_sweep_line(spark, tmp_path):
+    t = dt.datetime
+    orders = spark.createDataFrame(
+        [(1, 10, "O", 1.0, t(2025, 8, 1), "1"), (2, 11, "O", 1.0, t(2025, 8, 2), "1")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(1, 5, 5, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t(2025, 8, 3)),
+         (2, 6, 6, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t(2025, 8, 2))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    orders.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    li.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r.day: r.open_orders for r in
+           QUERIES["orders_open_backlog"](spark, str(tmp_path)).collect()}
+    # Aug1: order1 opens; Aug2: order2 opens AND ships (still open that day);
+    # Aug3: order2 closed, order1 ships; Aug4: empty
+    assert out[dt.date(2025, 8, 1)] == 1
+    assert out[dt.date(2025, 8, 2)] == 2
+    assert out[dt.date(2025, 8, 3)] == 1
+    assert out[dt.date(2025, 8, 4)] == 0
