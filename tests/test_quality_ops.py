@@ -320,3 +320,33 @@ def test_open_backlog_sweep_line(spark, tmp_path):
     assert out[dt.date(2025, 8, 2)] == 2
     assert out[dt.date(2025, 8, 3)] == 1
     assert out[dt.date(2025, 8, 4)] == 0
+
+
+def test_new_vs_returning_split(spark, tmp_path):
+    d1 = dt.datetime(2025, 8, 1); d2 = dt.datetime(2025, 8, 2)
+    rows = [
+        (0, d1, 1, "view", 1.0, "{}"),
+        (1, d2, 1, "view", 1.0, "{}"),   # returning on day 2
+        (2, d2, 2, "view", 1.0, "{}"),   # new on day 2
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = {r.day: r for r in
+           QUERIES["events_new_vs_returning"](spark, sf_dir).collect()}
+    assert out[dt.date(2025, 8, 1)].new_users == 1
+    assert out[dt.date(2025, 8, 2)].new_users == 1
+    assert out[dt.date(2025, 8, 2)].returning_users == 1
+
+
+def test_triangle_census_counts_each_once(spark, tmp_path):
+    # docs 0,1,2 pairwise share shingles (triangle); doc 3 links only to 0
+    base = "alpha beta gamma"
+    sf_dir = _write_docs(spark, tmp_path, [
+        (0, base + " one", "en", "s", 19),
+        (1, base + " two", "en", "s", 19),
+        (2, base + " three", "en", "s", 21),
+        (3, "alpha beta gamma", "en", "s", 16),  # shares with 0,1,2 too? yes: 'alpha beta gamma'
+        (4, "totally different words here now", "en", "s", 32),
+    ])
+    out = QUERIES["dedup_graph_triangles"](spark, sf_dir).collect()[0]
+    # vertices {0,1,2,3} form K4 on the shared shingle: C(4,2)=6 edges, C(4,3)=4 triangles
+    assert out.n_edges == 6 and out.n_triangles == 4
