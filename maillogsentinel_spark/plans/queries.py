@@ -4186,3 +4186,135 @@ def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_edges).cast("long").alias("n_edges"),
         F.count(F.lit(1)).cast("long").alias("n_triangles"),
     )
+
+
+@query(
+    "corpus_gopher_rules",
+    oracle=f"""
+    WITH toks AS (SELECT source, text, {_SQL_TOKS} AS t FROM documents),
+    per AS (
+      SELECT source,
+             len(t) BETWEEN 5 AND 100000 AS ok_nwords,
+             CASE WHEN len(t) > 0 THEN
+               (list_reduce(list_transform(t, x -> length(x)::BIGINT),
+                            (a, b) -> a + b)::DOUBLE / len(t)) BETWEEN 2.0 AND 12.0
+             ELSE FALSE END AS ok_wordlen,
+             CASE WHEN length(text) > 0 THEN
+               (length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+                / length(text)) <= 0.2
+             ELSE FALSE END AS ok_symbols,
+             len(list_filter(t, x -> x IN ('the','and','of','to','in',
+               'der','und','die','el','los','le','les'))) >= 1 AS ok_stopword
+      FROM toks
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(ok_nwords::INT) AS BIGINT) AS pass_nwords,
+           CAST(sum(ok_wordlen::INT) AS BIGINT) AS pass_wordlen,
+           CAST(sum(ok_symbols::INT) AS BIGINT) AS pass_symbols,
+           CAST(sum(ok_stopword::INT) AS BIGINT) AS pass_stopword,
+           CAST(sum((ok_nwords AND ok_wordlen AND ok_symbols AND ok_stopword)::INT)
+                AS BIGINT) AS pass_all
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def q_corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate: word-count range, mean
+    word length range, symbol ratio cap, stopword presence — reported
+    per rule AND as the conjunction, so the per-rule rejection budget
+    is visible (the knob tuning a real corpus filter needs). All
+    integer/boolean except two per-row divides (IEEE-identical);
+    scan-side expressions, per-source rollup."""
+    from ..operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents", repartition=True)
+    t = tokens(F.col("text"))
+    wordlen_sum = F.aggregate(
+        t, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    stop = F.size(
+        F.filter(
+            t,
+            lambda x: x.isin(
+                "the", "and", "of", "to", "in",
+                "der", "und", "die", "el", "los", "le", "les",
+            ),
+        )
+    )
+    per = docs.select(
+        "source",
+        F.size(t).between(5, 100000).alias("ok_nwords"),
+        F.when(
+            F.size(t) > 0,
+            (wordlen_sum.cast("double") / F.size(t)).between(2.0, 12.0),
+        ).otherwise(F.lit(False)).alias("ok_wordlen"),
+        F.when(
+            F.length("text") > 0,
+            (
+                F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")).cast("double")
+                / F.length("text")
+            )
+            <= 0.2,
+        ).otherwise(F.lit(False)).alias("ok_symbols"),
+        (stop >= 1).alias("ok_stopword"),
+    )
+    to_i = lambda c: F.sum(F.col(c).cast("int")).cast("long")  # noqa: E731
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            to_i("ok_nwords").alias("pass_nwords"),
+            to_i("ok_wordlen").alias("pass_wordlen"),
+            to_i("ok_symbols").alias("pass_symbols"),
+            to_i("ok_stopword").alias("pass_stopword"),
+            F.sum(
+                (
+                    F.col("ok_nwords")
+                    & F.col("ok_wordlen")
+                    & F.col("ok_symbols")
+                    & F.col("ok_stopword")
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "entity_resolution_usernames",
+    oracle=f"""
+    WITH users AS (SELECT DISTINCT {_SQL_USER} AS u FROM events),
+    blocked AS (SELECT u, length(u) AS len FROM users),
+    pairs AS (
+      SELECT a.u AS user_a, b.u AS user_b
+      FROM blocked a JOIN blocked b
+        ON a.len = b.len AND a.u < b.u
+      WHERE levenshtein(a.u, b.u) = 1
+    )
+    SELECT user_a, user_b FROM pairs ORDER BY user_a, user_b
+    """,
+)
+def q_entity_resolution_usernames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution: near-identical usernames (edit
+    distance exactly 1) found by equi-joining on a cheap blocking key
+    (string length) before the expensive pairwise levenshtein — the
+    standard blocking trick that turns O(n²) comparisons into
+    within-block pairs. Spark and DuckDB share one levenshtein
+    definition, so the oracle is exact. At corpus scale the blocking
+    key would widen to (length, first char) to cap block sizes; the
+    join shape is unchanged."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select(
+        F.concat(
+            F.lit("user"), F.col("user_id").cast("string"), F.lit("@example.com")
+        ).alias("u")
+    ).distinct()
+    blocked = users.select("u", F.length("u").alias("len"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.len") == F.col("b.len")) & (F.col("a.u") < F.col("b.u")))
+        .filter(F.levenshtein(F.col("a.u"), F.col("b.u")) == 1)
+        .select(F.col("a.u").alias("user_a"), F.col("b.u").alias("user_b"))
+    )
+    return pairs.orderBy("user_a", "user_b")

@@ -350,3 +350,31 @@ def test_triangle_census_counts_each_once(spark, tmp_path):
     out = QUERIES["dedup_graph_triangles"](spark, sf_dir).collect()[0]
     # vertices {0,1,2,3} form K4 on the shared shingle: C(4,2)=6 edges, C(4,3)=4 triangles
     assert out.n_edges == 6 and out.n_triangles == 4
+
+
+def test_gopher_rules_matrix(spark, tmp_path):
+    sf_dir = _write_docs(spark, tmp_path, [
+        (0, "the cat sat on a mat with food", "en", "s", 30),          # passes all
+        (1, "a b", "en", "s", 3),                                      # too few words
+        (2, "the !!! ### $$$ %%% ^^^ &&& *** ((( )))", "en", "s", 40),  # symbols
+    ])
+    out = QUERIES["corpus_gopher_rules"](spark, sf_dir).collect()[0]
+    assert out.n_docs == 3
+    assert out.pass_nwords == 2          # doc1 fails length
+    assert out.pass_symbols == 2         # doc2 fails symbol ratio
+    assert out.pass_all == 1             # only doc0
+
+
+def test_entity_resolution_edit_distance_one(spark, tmp_path):
+    t = dt.datetime(2025, 8, 1)
+    # user ids 100..109 and 200: user100@… vs user101@… differ by one char
+    rows = [(i, t, uid, "view", 1.0, "{}")
+            for i, uid in enumerate([100, 101, 110, 200])]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = {(r.user_a, r.user_b) for r in
+           QUERIES["entity_resolution_usernames"](spark, sf_dir).collect()}
+    assert ("user100@example.com", "user101@example.com") in out
+    assert ("user100@example.com", "user110@example.com") in out
+    # distance-2 pair must NOT appear
+    assert ("user101@example.com", "user110@example.com") not in out
+    assert all("user200" not in a and "user200" not in b for a, b in out)
