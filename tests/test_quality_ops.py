@@ -356,20 +356,21 @@ def test_gopher_rules_matrix(spark, tmp_path):
     sf_dir = _write_docs(spark, tmp_path, [
         (0, "the cat sat on a mat with food", "en", "s", 30),          # passes all
         (1, "a b", "en", "s", 3),                                      # too few words
-        (2, "the !!! ### $$$ %%% ^^^ &&& *** ((( )))", "en", "s", 40),  # symbols
+        # 5 words but >20% symbol characters
+        (2, "the cat sat on mat !!!!!!!!!!!!!!!!!!!!!!!!!!!!", "en", "s", 47),
     ])
     out = QUERIES["corpus_gopher_rules"](spark, sf_dir).collect()[0]
     assert out.n_docs == 3
-    assert out.pass_nwords == 2          # doc1 fails length
+    assert out.pass_nwords == 2          # doc1 fails length (doc2's 5 words pass)
     assert out.pass_symbols == 2         # doc2 fails symbol ratio
     assert out.pass_all == 1             # only doc0
 
 
 def test_entity_resolution_edit_distance_one(spark, tmp_path):
     t = dt.datetime(2025, 8, 1)
-    # user ids 100..109 and 200: user100@… vs user101@… differ by one char
+    # user100/user101/user110 are pairwise distance ≤2; user345 is far
     rows = [(i, t, uid, "view", 1.0, "{}")
-            for i, uid in enumerate([100, 101, 110, 200])]
+            for i, uid in enumerate([100, 101, 110, 345])]
     sf_dir = _write_events(spark, tmp_path, rows)
     out = {(r.user_a, r.user_b) for r in
            QUERIES["entity_resolution_usernames"](spark, sf_dir).collect()}
@@ -377,4 +378,4 @@ def test_entity_resolution_edit_distance_one(spark, tmp_path):
     assert ("user100@example.com", "user110@example.com") in out
     # distance-2 pair must NOT appear
     assert ("user101@example.com", "user110@example.com") not in out
-    assert all("user200" not in a and "user200" not in b for a, b in out)
+    assert all("user345" not in a and "user345" not in b for a, b in out)
