@@ -4318,3 +4318,57 @@ def q_entity_resolution_usernames(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("a.u").alias("user_a"), F.col("b.u").alias("user_b"))
     )
     return pairs.orderBy("user_a", "user_b")
+
+
+@query(
+    "events_cohort_retention_matrix",
+    oracle="""
+    WITH wu AS (
+      SELECT DISTINCT date_trunc('week', ts)::DATE AS w, user_id FROM events
+    ),
+    cohort AS (SELECT user_id, min(w) AS cw FROM wu GROUP BY user_id),
+    sizes AS (SELECT cw, count(*) AS cohort_size FROM cohort GROUP BY cw),
+    cells AS (
+      SELECT c.cw, date_diff('day', c.cw, wu.w) // 7 AS week_offset,
+             count(*) AS active
+      FROM wu JOIN cohort c ON c.user_id = wu.user_id
+      GROUP BY c.cw, week_offset
+    )
+    SELECT cells.cw AS cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(active AS BIGINT) AS active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           active::DOUBLE / s.cohort_size AS retention
+    FROM cells JOIN sizes s ON s.cw = cells.cw
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def q_events_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cohort-retention triangle: users grouped by first-active
+    ISO week, each later week's activity as a fraction of the cohort —
+    the canonical growth-analytics artifact (generalizes
+    events_daily_retention to all offsets at once). All joins and aggs
+    key on user_id or the tiny (cohort, offset) grid; the deduplicated
+    (week, user) relation is the only thing shuffled. Counts exact,
+    retention one double divide."""
+    ev = _t(spark, sf_dir, "events")
+    wu = ev.select(
+        F.to_date(F.date_trunc("week", "ts")).alias("w"), "user_id"
+    ).distinct()
+    cohort = wu.groupBy("user_id").agg(F.min("w").alias("cw"))
+    sizes = cohort.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_size"))
+    cells = (
+        wu.join(cohort, "user_id")
+        .groupBy("cw", F.expr("datediff(w, cw) div 7").alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("active"))
+    )
+    return (
+        cells.join(sizes, "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            F.col("active").cast("long").alias("active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            (F.col("active").cast("double") / F.col("cohort_size")).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -379,3 +379,23 @@ def test_entity_resolution_edit_distance_one(spark, tmp_path):
     # distance-2 pair must NOT appear
     assert ("user101@example.com", "user110@example.com") not in out
     assert all("user345" not in a and "user345" not in b for a, b in out)
+
+
+def test_cohort_matrix_triangle(spark, tmp_path):
+    # week1 (Mon 2025-08-04): users 1,2 ; week2: user 1 only ; user 3 starts week2
+    w1 = dt.datetime(2025, 8, 4, 10, 0, 0)
+    w2 = dt.datetime(2025, 8, 11, 10, 0, 0)
+    rows = [
+        (0, w1, 1, "view", 1.0, "{}"),
+        (1, w1, 2, "view", 1.0, "{}"),
+        (2, w2, 1, "view", 1.0, "{}"),
+        (3, w2, 3, "view", 1.0, "{}"),
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = {(r.cohort_week, r.week_offset): r for r in
+           QUERIES["events_cohort_retention_matrix"](spark, sf_dir).collect()}
+    c1 = dt.date(2025, 8, 4)
+    c2 = dt.date(2025, 8, 11)
+    assert out[(c1, 0)].active == 2 and out[(c1, 0)].cohort_size == 2
+    assert out[(c1, 1)].active == 1 and math.isclose(out[(c1, 1)].retention, 0.5)
+    assert out[(c2, 0)].active == 1 and out[(c2, 0)].cohort_size == 1
