@@ -338,18 +338,19 @@ def test_new_vs_returning_split(spark, tmp_path):
 
 
 def test_triangle_census_counts_each_once(spark, tmp_path):
-    # docs 0,1,2 pairwise share shingles (triangle); doc 3 links only to 0
-    base = "alpha beta gamma"
+    # docs 0,1,2 pairwise share TWO shingles (abg + bgd) → triangle;
+    # doc 3 shares only ONE shingle with them → below the ≥2-evidence
+    # bar, no edge; doc 4 unrelated
+    base = "alpha beta gamma delta"
     sf_dir = _write_docs(spark, tmp_path, [
-        (0, base + " one", "en", "s", 19),
-        (1, base + " two", "en", "s", 19),
-        (2, base + " three", "en", "s", 21),
-        (3, "alpha beta gamma", "en", "s", 16),  # shares with 0,1,2 too? yes: 'alpha beta gamma'
+        (0, base + " one", "en", "s", 26),
+        (1, base + " two", "en", "s", 26),
+        (2, base + " three", "en", "s", 28),
+        (3, "alpha beta gamma epsilon zeta", "en", "s", 29),
         (4, "totally different words here now", "en", "s", 32),
     ])
     out = QUERIES["dedup_graph_triangles"](spark, sf_dir).collect()[0]
-    # vertices {0,1,2,3} form K4 on the shared shingle: C(4,2)=6 edges, C(4,3)=4 triangles
-    assert out.n_edges == 6 and out.n_triangles == 4
+    assert out.n_edges == 3 and out.n_triangles == 1
 
 
 def test_gopher_rules_matrix(spark, tmp_path):
