@@ -4396,3 +4396,53 @@ def q_events_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "events_daily_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi FROM events
+      WHERE event_type = 'purchase'
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT ts::DATE AS day, count(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY day
+    )
+    SELECT spine.day, CAST(coalesce(daily.n, 0) AS BIGINT) AS n_purchases,
+           coalesce(daily.n, 0) = 0 AS is_gap
+    FROM spine LEFT JOIN daily ON daily.day = spine.day
+    ORDER BY spine.day
+    """,
+)
+def q_events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling: a dense calendar between the first and
+    last purchase with explicit zero rows for silent days — time-series
+    consumers (forecasts, anomaly alerts) need the gaps materialized,
+    not implied. The spine is generated from a 1-row bounds aggregate
+    (sequence + explode — rows bounded by calendar days at any corpus
+    scale) and left-joins the per-day agg; the big side is only
+    touched by the one keyed count."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_purchases"),
+            (F.coalesce("n", F.lit(0)) == 0).alias("is_gap"),
+        )
+        .orderBy("day")
+    )

@@ -400,3 +400,17 @@ def test_cohort_matrix_triangle(spark, tmp_path):
     assert out[(c1, 0)].active == 2 and out[(c1, 0)].cohort_size == 2
     assert out[(c1, 1)].active == 1 and math.isclose(out[(c1, 1)].retention, 0.5)
     assert out[(c2, 0)].active == 1 and out[(c2, 0)].cohort_size == 1
+
+
+def test_gapfill_materializes_silent_days(spark, tmp_path):
+    rows = [
+        (0, dt.datetime(2025, 8, 1), 1, "purchase", 1.0, "{}"),
+        (1, dt.datetime(2025, 8, 4), 1, "purchase", 1.0, "{}"),
+        (2, dt.datetime(2025, 8, 2), 1, "view", 1.0, "{}"),  # other type ignored
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = {r.day: r for r in
+           QUERIES["events_daily_gapfill"](spark, sf_dir).collect()}
+    assert len(out) == 4  # dense Aug 1-4
+    assert out[dt.date(2025, 8, 2)].n_purchases == 0 and out[dt.date(2025, 8, 2)].is_gap
+    assert out[dt.date(2025, 8, 4)].n_purchases == 1 and not out[dt.date(2025, 8, 4)].is_gap
