@@ -4446,3 +4446,64 @@ def q_events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "lineitem_weighted_median",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS flag,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_c,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS w
+      FROM lineitem
+    ),
+    grp AS (SELECT flag, price_c, sum(w) AS w FROM pts GROUP BY flag, price_c),
+    cum AS (
+      SELECT flag, price_c,
+             sum(w) OVER (PARTITION BY flag ORDER BY price_c) AS cw,
+             sum(w) OVER (PARTITION BY flag) AS total
+      FROM grp
+    )
+    SELECT flag, CAST(min(price_c) AS BIGINT) AS weighted_median_cents,
+           CAST(min(total) AS BIGINT) AS total_weight
+    FROM cum WHERE cw * 2 >= total
+    GROUP BY flag ORDER BY flag
+    """,
+)
+def q_lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median unit price per return flag, weighted by quantity
+    — the inventory-weighted price statistic plain medians misstate.
+    Cents/centi-scaled BIGINTs end to end (values are 2-decimal), so
+    cumulative weights and the threshold test are integer-exact. Shape:
+    pre-aggregate to distinct (flag, price) BEFORE the window — the
+    cumulative sum runs over the collapsed value domain, not raw rows,
+    and partitions by flag (no global window)."""
+    li = _t(spark, sf_dir, "lineitem")
+    price_c = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+    w_c = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("long")
+    grp = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            price_c.alias("price_c"),
+            w_c.alias("w"),
+        )
+        .groupBy("flag", "price_c")
+        .agg(F.sum("w").alias("w"))
+    )
+    wc = Window.partitionBy("flag").orderBy("price_c")
+    wt = Window.partitionBy("flag")
+    cum = grp.select(
+        "flag",
+        "price_c",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("total"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("total"))
+        .groupBy("flag")
+        .agg(
+            F.min("price_c").cast("long").alias("weighted_median_cents"),
+            F.min("total").cast("long").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )

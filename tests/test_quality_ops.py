@@ -414,3 +414,24 @@ def test_gapfill_materializes_silent_days(spark, tmp_path):
     assert len(out) == 4  # dense Aug 1-4
     assert out[dt.date(2025, 8, 2)].n_purchases == 0 and out[dt.date(2025, 8, 2)].is_gap
     assert out[dt.date(2025, 8, 4)].n_purchases == 1 and not out[dt.date(2025, 8, 4)].is_gap
+
+
+def test_weighted_median_pulls_toward_heavy_rows(spark, tmp_path):
+    t = dt.datetime
+    # flag A: prices 1.00 (weight 1) and 9.00 (weight 10) → weighted median 9.00
+    rows = [
+        (1, 1, 1, 1, 1.0, 1.00, 0.0, 0.0, "A", "O", t(2025, 8, 1)),
+        (2, 2, 2, 1, 10.0, 9.00, 0.0, 0.0, "A", "O", t(2025, 8, 1)),
+        # flag B: symmetric weights → lower weighted median 2.00
+        (3, 3, 3, 1, 5.0, 2.00, 0.0, 0.0, "B", "O", t(2025, 8, 1)),
+        (4, 4, 4, 1, 5.0, 4.00, 0.0, 0.0, "B", "O", t(2025, 8, 1)),
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+              "l_quantity double, l_extendedprice double, l_discount double, "
+              "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r.flag: r for r in
+           QUERIES["lineitem_weighted_median"](spark, str(tmp_path)).collect()}
+    assert out["A"].weighted_median_cents == 900 and out["A"].total_weight == 1100
+    assert out["B"].weighted_median_cents == 200
