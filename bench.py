@@ -27,6 +27,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
+    # The driver parses stdout as JSON, so stdout must be EXACTLY one line.
+    # The JVM / py4j / warning machinery can write to fd 1 directly (bypassing
+    # sys.stdout), so dup the real stdout away and point fd 1 at stderr for
+    # the whole run; the final JSON line goes to the saved fd.
+    real_stdout_fd = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     spark = get_spark(app_name="mls-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -57,13 +65,14 @@ def main() -> None:
         per_query[name] = round(dt, 3)
         total += dt if dt == dt else 0.0
 
-    print(json.dumps({
+    line = json.dumps({
         "metric": "total query wall-clock, all registered queries",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
-    }))
+    }) + "\n"
+    os.write(real_stdout_fd, line.encode())
 
 
 if __name__ == "__main__":

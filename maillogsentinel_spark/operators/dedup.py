@@ -86,13 +86,18 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.3,
     df_cap: int | None = None,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with k-shingle Jaccard ≥ threshold.
 
     jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct shingles. Exact:
     every qualifying pair shares ≥1 shingle, so the shingle equi-join
-    finds all of them; no candidate is missed (unlike LSH)."""
-    sh = _doc_shingles(docs, id_col, text_col, k, df_cap).cache()
+    finds all of them; no candidate is missed (unlike LSH).
+
+    ``shingle_rows``: optional pre-built (id, sh) distinct shingle table
+    (signatures.doc_shingle_rows output, ideally persisted) so callers
+    running several shingle consumers in one session build it once."""
+    sh = _doc_shingles(docs, id_col, text_col, k, df_cap, rows=shingle_rows).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -148,6 +153,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.3,
     df_cap: int | None = None,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash→LSH candidates → exact-Jaccard verification.
 
@@ -156,14 +162,19 @@ def minhash_lsh_pairs(
     Jaccard **for candidate pairs only** (the candidate set is small; a
     full-corpus Jaccard join would defeat the LSH), so output ⊆
     ngram_jaccard_pairs — approximation affects recall only, never
-    precision."""
+    precision.
+
+    ``shingle_rows``: optional pre-built persisted (id, sh) shingle
+    table shared across queries (see plans.queries shared caches)."""
     from .signatures import doc_shingle_rows, minhash_table
 
     rows = num_perm // bands
     # ONE persisted raw shingle table feeds the sig build AND the
     # verification branches (sa/sb/sizes) — the Python shingle stage is
     # the expensive one, and each unshared plan branch would re-run it.
-    raw_sh = doc_shingle_rows(docs, id_col, text_col, k, distinct=True).persist()
+    raw_sh = shingle_rows
+    if raw_sh is None:
+        raw_sh = doc_shingle_rows(docs, id_col, text_col, k, distinct=True).persist()
     with_sig = minhash_table(docs, id_col, text_col, k, num_perm, shingle_rows=raw_sh)
     banded = with_sig.select(
         "id",
@@ -185,6 +196,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
+    # both sides of the band self-join read this; unpersisted, each
+    # branch would redo the 16-permutation minhash transform
+    banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
@@ -320,10 +334,10 @@ def embedding_cosine_pairs(
     be pruned), then the sequential-fold dot recomputed per candidate —
     output values bit-identical to the DuckDB oracle at candidate-set
     cost instead of all-pairs cost.
-    method='gemm': numpy matrix product inside mapInPandas against a
-    broadcast normalized matrix; float sum order differs from the fold
-    in the last bits, so it is benched with a rows-level check rather
-    than a value-hash oracle."""
+    method='gemm': block-tiled distributed numpy matrix product (see
+    _cosine_pairs_gemm); float sum order differs from the fold in the
+    last bits, so it is benched with a rows-level check rather than a
+    value-hash oracle."""
     if method == "gemm":
         return _cosine_pairs_gemm(emb, id_col, vec_col, threshold)
     from ..functions.vectors import dot
@@ -346,27 +360,55 @@ def embedding_cosine_pairs(
 
 
 def _cosine_pairs_gemm(
-    emb: DataFrame, id_col: str, vec_col: str, threshold: float
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """Blocked GEMM all-pairs: each partition's block multiplies against
-    the broadcast full matrix; emits only (i < j, sim ≥ t) pairs. At
-    cluster scale replace the broadcast side with block tiling."""
-    from typing import Iterator
-
+    """Block-tiled distributed GEMM all-pairs: vectors are hashed into
+    ``num_blocks`` blocks; each unordered block pair (p ≤ q) becomes one
+    cogroup whose two sides are numpy-multiplied inside
+    ``applyInPandas``. Fully lazy and distributed — NO driver-side
+    collect or matrix broadcast, so the operator is bounded by executor
+    memory (one block pair ≈ 2·(n/num_blocks) vectors), not the driver.
+    Replication is num_blocks+1 copies of each row across block pairs;
+    at cluster scale raise num_blocks so a block pair fits one task.
+    """
     import numpy as np
     import pandas as pd
-    from pyspark.sql import SparkSession
     from pyspark.sql import types as T
 
-    spark = SparkSession.getActiveSession()
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    keep = norms > 0
-    ids, mat = ids[keep], mat[keep] / norms[keep, None]
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    spark = emb.sparkSession
+    nb = int(num_blocks)
+    v = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        to_double_array(F.col(vec_col)).alias("v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(nb)).cast("int").alias("bid"),
+    )
+    bp = (
+        spark.range(nb)
+        .select(F.col("id").cast("int").alias("p"))
+        .crossJoin(spark.range(nb).select(F.col("id").cast("int").alias("q")))
+        .filter(F.col("p") <= F.col("q"))
+    )
+    def side(tag: str, block_col: str) -> DataFrame:
+        return (
+            v.alias(f"v{tag}")
+            .join(
+                F.broadcast(bp.alias(f"bp{tag}")),
+                F.col(f"v{tag}.bid") == F.col(f"bp{tag}.{block_col}"),
+            )
+            .select(
+                F.col(f"bp{tag}.p").alias("p"),
+                F.col(f"bp{tag}.q").alias("q"),
+                F.col(f"v{tag}.id").alias("id"),
+                F.col(f"v{tag}.v").alias("v"),
+            )
+        )
+
+    left = side("l", "p")
+    right = side("r", "q")
 
     schema = T.StructType(
         [
@@ -375,27 +417,46 @@ def _cosine_pairs_gemm(
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+    empty = pd.DataFrame(
+        {
+            "id_a": np.array([], dtype=np.int64),
+            "id_b": np.array([], dtype=np.int64),
+            "cosine": np.array([], dtype=np.float64),
+        }
+    )
 
-    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat = b_ids.value, b_mat.value
-        order = {int(v): i for i, v in enumerate(all_ids)}
-        for pdf in batches:
-            idx = np.array([order[int(v)] for v in pdf[id_col] if int(v) in order])
-            if len(idx) == 0:
-                yield pd.DataFrame(columns=["id_a", "id_b", "cosine"])
-                continue
-            sims = np.round(all_mat[idx] @ all_mat.T, 6)  # (block, n)
-            bi, bj = np.nonzero(sims >= threshold)  # round-then-filter, like expr
-            gi = all_ids[idx[bi]]
-            gj = all_ids[bj]
-            mask = gi < gj
-            yield pd.DataFrame(
-                {
-                    "id_a": gi[mask],
-                    "id_b": gj[mask],
-                    "cosine": sims[bi, bj][mask],
-                }
-            )
+    def mult(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return empty
+        lids = lpdf["id"].to_numpy(dtype=np.int64)
+        rids = rpdf["id"].to_numpy(dtype=np.int64)
+        L = np.array(lpdf["v"].tolist(), dtype=np.float64)
+        R = np.array(rpdf["v"].tolist(), dtype=np.float64)
+        ln = np.linalg.norm(L, axis=1)
+        rn = np.linalg.norm(R, axis=1)
+        lids, L = lids[ln > 0], L[ln > 0] / ln[ln > 0, None]
+        rids, R = rids[rn > 0], R[rn > 0] / rn[rn > 0, None]
+        if len(lids) == 0 or len(rids) == 0:
+            return empty
+        sims = np.round(L @ R.T, 6)  # round-then-filter, like the expr path
+        bi, bj = np.nonzero(sims >= threshold)
+        gi, gj, sv = lids[bi], rids[bj], sims[bi, bj]
+        # p == q: both sides hold the same block — keep the upper
+        # triangle. p < q: blocks are disjoint (hash-partitioned), every
+        # cross pair is unique — just orient it.
+        mask = gi < gj if int(key[0]) == int(key[1]) else gi != gj
+        gi, gj, sv = gi[mask], gj[mask], sv[mask]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(gi, gj),
+                "id_b": np.maximum(gi, gj),
+                "cosine": sv,
+            }
+        )
 
-    out = emb.select(id_col).mapInPandas(block, schema)
+    out = (
+        left.groupBy("p", "q")
+        .cogroup(right.groupBy("p", "q"))
+        .applyInPandas(mult, schema)
+    )
     return out.orderBy("id_a", "id_b")

@@ -78,3 +78,46 @@ def test_embedding_pairs(spark):
              for r in embedding_cosine_pairs(emb, threshold=0.9).collect()}
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] > 0.999
+
+
+def test_gemm_is_lazy_and_distributed(spark):
+    """Building the GEMM plan must launch NO Spark jobs (the old design
+    collect()ed the whole embedding table to the driver at plan-build
+    time) and must execute as a cogrouped pandas op, not a broadcast of
+    a driver-side matrix."""
+    from maillogsentinel_spark.operators.dedup import _cosine_pairs_gemm
+
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(8)]
+        + [(100, [1.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    df = _cosine_pairs_gemm(emb, "vec_id", "embedding", threshold=0.9)
+    assert len(tracker.getJobIdsForGroup(None)) == before  # fully lazy
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    rows = {(r["id_a"], r["id_b"]): r["cosine"] for r in df.collect()}
+    # ids 0 and 100 are parallel unit vectors — must be found whether or
+    # not they hash to the same block
+    assert rows == {(0, 100): 1.0}
+
+
+def test_gemm_matches_expr_path(spark):
+    """Distributed block-tiled GEMM finds exactly the pairs of the exact
+    fold-based path (values equal to 1e-6 rounding)."""
+    import random
+
+    rnd = random.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        ["vec_id", "embedding"],
+    )
+    gemm = {(r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_cosine_pairs(emb, threshold=0.5, method="gemm").collect()}
+    expr = {(r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_cosine_pairs(emb, threshold=0.5, method="expr").collect()}
+    assert set(gemm) == set(expr)
+    for k in gemm:
+        assert abs(gemm[k] - expr[k]) <= 2e-6

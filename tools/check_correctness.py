@@ -64,9 +64,11 @@ def main():
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = []
+    attempted = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        attempted += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -105,7 +107,7 @@ def main():
             print(f"ok   {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
         else:
             failures.append(name)
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
+    print(f"\n{attempted - len(failures)}/{attempted} ok")
     sys.exit(1 if failures else 0)
 
 
