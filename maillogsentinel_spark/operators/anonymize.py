@@ -22,18 +22,30 @@ Spark-first, two phases sharing ONE claiming scan (SURVEY §2.10):
 
 1. **Global dictionary build** — an Arrow ``mapInPandas`` pass runs the
    per-line claim resolution (priority order, span overlap checks) and
-   emits only the *claimed* (kind, value, position) occurrences — so a
+   emits only the *claimed* (kind, value, span) occurrences — so a
    value swallowed by a higher-priority rule never enters a
    lower-priority dictionary, exactly like the reference's sequential
-   scan. Each kind's occurrences are then dictionary-encoded
-   distributed-ly: first-seen order = min (line_id, priority, match
-   position), ids via ``row_number``. One shuffle per kind on distinct
-   values.
-2. **Replacement** — the same claim resolution re-runs with the (small)
-   dictionaries broadcast, substituting tokens. Same-value→same-token
-   holds globally because the dictionaries are global — the property
-   the reference gets from its single-threaded scan, kept at any
-   parallelism.
+   scan. Occurrences are dictionary-encoded distributed-ly: first-seen
+   order = min (line_id, priority, match position), ids via a
+   size-gated rank — a per-kind ``row_number`` window below
+   ``local_threshold`` distinct values, and above it an exact
+   range-partitioned rank (per-partition ``row_number`` + driver-side
+   prefix-sum of the tiny per-partition counts), so no single task ever
+   sorts the whole dictionary.
+2. **Replacement** — fully join-based: the claimed (line, span)
+   occurrences equi-join the dictionary on (kind, original) — AQE
+   broadcasts the dict side when it is small, and falls back to a
+   shuffle join when it is not, so there is no driver-side collect or
+   broadcast variable anywhere on this path. Token splicing happens
+   JVM-side with a sorted-span ``aggregate`` over each line's matches.
+   Same-value→same-token holds globally because the dictionaries are
+   global — the property the reference gets from its single-threaded
+   scan, kept at any parallelism.
+
+Like the reference's two passes over the file, the corpus is scanned
+twice (once materialized for the dictionary build, once lazily for the
+replacement join); the only materialized intermediate is the dictionary
+itself (distinct values), localCheckpoint'ed on executors.
 
 Determinism requires a stable ``line_id`` (source order); callers
 without one can use monotonically_increasing_id accepting
@@ -47,9 +59,9 @@ from dataclasses import dataclass
 from typing import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 
 @dataclass(frozen=True)
@@ -131,29 +143,94 @@ def build_dictionary(
     pattern: str,
     line_id_col: str = "line_id",
     value_col: str = "value",
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(original, token) for ONE whole-match pattern, ids in global
     first-seen order — the single-pattern form used by the contract
     query; anonymize() builds multi-pattern claim-aware dictionaries."""
     occ = lines.select(
+        F.lit(kind).alias("kind"),
         F.col(line_id_col).alias("__lid"),
         F.lit(0).alias("__prio"),
         F.posexplode(
             F.regexp_extract_all(F.col(value_col), F.lit(pattern), 0)
         ).alias("__pos", "original"),
     )
-    return _encode(occ, kind)
+    return _encode(occ, local_threshold=local_threshold).drop("kind")
 
 
-def _encode(occ: DataFrame, kind: str) -> DataFrame:
-    first_seen = occ.groupBy("original").agg(
+def first_seen_rank(
+    first_seen: DataFrame,
+    order_cols: list[str],
+    partition_cols: list[str] | None = None,
+    local_threshold: int = 2_000_000,
+    rank_col: str = "__rank",
+) -> DataFrame:
+    """Exact 1-based rank of each row by ``order_cols`` within
+    ``partition_cols``, gated by size like graph.connected_components'
+    local_threshold: below it, a plain window (single-task sort per
+    partition key — fine for bounded dictionaries); above it, an exact
+    range-partitioned rank — repartitionByRange on the order key, a
+    per-range ``row_number``, and a driver-side prefix sum over the tiny
+    (range, partition_key) count table. No single task ever holds the
+    whole dictionary, so the rank survives 10⁸+ distinct values."""
+    pcols = partition_cols or []
+    n = first_seen.count()
+    if n <= local_threshold:
+        w = Window.partitionBy(*pcols).orderBy(*order_cols) if pcols else (
+            Window.orderBy(*order_cols)
+        )
+        return first_seen.withColumn(rank_col, F.row_number().over(w))
+
+    spark = first_seen.sparkSession
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 32)
+    ranged = first_seen.repartitionByRange(
+        nparts, *pcols, *order_cols
+    ).withColumn("__rpid", F.spark_partition_id())
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = ranged.groupBy("__rpid", *pcols).count().collect()
+    # Prefix-sum per partition key across ranges, in range order. The
+    # collect is bounded by (#ranges × #partition keys) — tiny.
+    counts.sort(key=lambda r: tuple(str(r[c]) for c in pcols) + (r["__rpid"],))
+    offsets, running, cur_key = [], 0, None
+    for r in counts:
+        key = tuple(r[c] for c in pcols)
+        if key != cur_key:
+            cur_key, running = key, 0
+        offsets.append(tuple(r[c] for c in pcols) + (r["__rpid"], running))
+        running += r["count"]
+    off_df = spark.createDataFrame(
+        offsets, list(pcols) + ["__rpid", "__offset"]
+    )
+    w = Window.partitionBy("__rpid", *pcols).orderBy(*order_cols)
+    out = (
+        ranged.withColumn("__local", F.row_number().over(w))
+        .join(F.broadcast(off_df), ["__rpid"] + list(pcols))
+        .withColumn(rank_col, (F.col("__offset") + F.col("__local")).cast("int"))
+        .drop("__rpid", "__local", "__offset")
+    )
+    out = out.localCheckpoint(eager=True)
+    ranged.unpersist()
+    return out
+
+
+def _encode(occ: DataFrame, local_threshold: int = 2_000_000) -> DataFrame:
+    """(kind, original) → token in exact global first-seen order."""
+    first_seen = occ.groupBy("kind", "original").agg(
         F.min(F.struct("__lid", "__prio", "__pos")).alias("__first")
     )
-    w = Window.orderBy("__first", "original")
-    return first_seen.select(
+    ranked = first_seen_rank(
+        first_seen,
+        order_cols=["__first", "original"],
+        partition_cols=["kind"],
+        local_threshold=local_threshold,
+    )
+    return ranked.select(
+        "kind",
         "original",
         F.concat(
-            F.lit(f"anon_{kind}_"), F.row_number().over(w).cast("string")
+            F.lit("anon_"), F.col("kind"), F.lit("_"),
+            F.col("__rank").cast("string"),
         ).alias("token"),
     )
 
@@ -161,44 +238,57 @@ def _encode(occ: DataFrame, kind: str) -> DataFrame:
 def _claimed_occurrences(
     lines: DataFrame, specs: list[PatternSpec], line_id_col: str, value_col: str
 ) -> DataFrame:
-    """(kind, original, __lid, __prio, __pos) of claim-surviving matches
-    only — one Arrow pass over the corpus for all patterns."""
+    """(kind, original, __lid, __prio, __pos, __rs, __re) of
+    claim-surviving matches only — one Arrow pass over the corpus for
+    all patterns. ``__rs``/``__re`` are the 0-based replacement span;
+    email_parts matches emit TWO rows (user local part, hostname
+    domain) with sub-spans so the '@' stays literal between tokens."""
     spec_list = list(specs)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         scan = _claim_scan(spec_list)
         for pdf in batches:
-            kinds, vals, lids, prios, poss = [], [], [], [], []
+            rows: list[tuple] = []
             for lid, line in zip(pdf[line_id_col], pdf[value_col]):
                 if line is None:
                     continue
-                for pos, (prio, spec, _, _, text) in enumerate(scan(line)):
+                for pos, (prio, spec, rs, re_, text) in enumerate(scan(line)):
                     if spec.email_parts and "@" in text:
                         local, _, domain = text.partition("@")
-                        for kind2, val in (("user", local), ("hostname", domain)):
-                            kinds.append(kind2)
-                            vals.append(val)
-                            lids.append(lid)
-                            prios.append(prio)
-                            poss.append(pos)
+                        rows.append(("user", local, lid, prio, pos, rs, rs + len(local)))
+                        rows.append(
+                            ("hostname", domain, lid, prio, pos, rs + len(local) + 1, re_)
+                        )
                     else:
-                        kinds.append(spec.kind)
-                        vals.append(text)
-                        lids.append(lid)
-                        prios.append(prio)
-                        poss.append(pos)
+                        rows.append((spec.kind, text, lid, prio, pos, rs, re_))
             yield pd.DataFrame(
-                {
-                    "kind": kinds,
-                    "original": vals,
-                    "__lid": lids,
-                    "__prio": prios,
-                    "__pos": poss,
-                }
+                rows,
+                columns=["kind", "original", "__lid", "__prio", "__pos", "__rs", "__re"],
             )
 
     return lines.select(line_id_col, value_col).mapInPandas(
-        gen, "kind string, original string, __lid long, __prio int, __pos int"
+        gen,
+        "kind string, original string, __lid long, __prio int, __pos int, "
+        "__rs int, __re int",
+    )
+
+
+def _splice_expr(line: Column, spans: Column) -> Column:
+    """JVM-side token splice: fold the sorted (rs, re, token) spans over
+    the line, copying the unclaimed gaps verbatim. Spans are
+    non-overlapping by construction (the claim scan enforces it)."""
+    return F.aggregate(
+        F.array_sort(spans),
+        F.struct(F.lit(0).alias("last"), F.lit("").alias("out")),
+        lambda acc, s: F.struct(
+            s["re"].alias("last"),
+            F.concat(
+                acc["out"],
+                line.substr(acc["last"] + 1, s["rs"] - acc["last"]),
+                s["token"],
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(acc["out"], line.substr(acc["last"] + 1, F.length(line))),
     )
 
 
@@ -207,53 +297,52 @@ def anonymize(
     patterns: list[PatternSpec] | list[LegacyPattern] | None = None,
     line_id_col: str = "line_id",
     value_col: str = "value",
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Replace every claim-surviving match with its consistent token;
     earlier patterns claim their spans (a claimed span is never touched
-    by a later pattern)."""
+    by a later pattern).
+
+    Fully distributed: the dictionary is built with a size-gated exact
+    rank (see first_seen_rank) and substitution is an equi-join of the
+    occurrence table against the dictionary — no driver-side dict
+    collect, no broadcast variable. AQE broadcasts the dictionary side
+    automatically when it is small and shuffle-joins when it is not."""
     specs = _as_specs(patterns) if patterns is not None else DEFAULT_SPECS
-    spark = SparkSession.getActiveSession()
 
-    occ = _claimed_occurrences(lines, specs, line_id_col, value_col).cache()
-    kinds = [r["kind"] for r in occ.select("kind").distinct().collect()]
-    dicts: dict[str, dict[str, str]] = {}
-    for kind in kinds:
-        d = _encode(occ.filter(F.col("kind") == kind), kind)
-        dicts[kind] = {r["original"]: r["token"] for r in d.collect()}
+    occ = _claimed_occurrences(lines, specs, line_id_col, value_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # Small table (one row per distinct value); checkpointing it lets us
+    # drop the occurrence cache from the final plan's lineage.
+    dict_df = _encode(occ, local_threshold=local_threshold).localCheckpoint(
+        eager=True
+    )
     occ.unpersist()
-    b_dicts = spark.sparkContext.broadcast(dicts)
-    spec_list = list(specs)
 
-    @F.pandas_udf(T.StringType())
-    def replace_all(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        scan = _claim_scan(spec_list)
-        mapping = b_dicts.value
-
-        def token_for(spec: PatternSpec, text: str) -> str | None:
-            if spec.email_parts and "@" in text:
-                local, _, domain = text.partition("@")
-                u = mapping.get("user", {}).get(local)
-                h = mapping.get("hostname", {}).get(domain)
-                return f"{u}@{h}" if u is not None and h is not None else None
-            return mapping.get(spec.kind, {}).get(text)
-
-        def one(line: str) -> str:
-            if line is None:
-                return None
-            repl = [
-                (rs, re_, token)
-                for _, spec, rs, re_, text in scan(line)
-                if (token := token_for(spec, text)) is not None
-            ]
-            out, last = [], 0
-            for rs, re_, token in sorted(repl):
-                out.append(line[last:rs])
-                out.append(token)
-                last = re_
-            out.append(line[last:])
-            return "".join(out)
-
-        for batch in batches:
-            yield batch.map(one)
-
-    return lines.withColumn(value_col, replace_all(F.col(value_col)))
+    # Replacement pass: re-derive spans lazily (second corpus scan, like
+    # the reference's replace pass) and join tokens in.
+    spans = (
+        _claimed_occurrences(lines, specs, line_id_col, value_col)
+        .join(dict_df, ["kind", "original"])
+        .groupBy("__lid")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("__rs").alias("rs"),
+                    F.col("__re").alias("re"),
+                    F.col("token").alias("token"),
+                )
+            ).alias("__spans")
+        )
+    )
+    joined = lines.join(
+        spans, lines[line_id_col] == spans["__lid"], "left"
+    ).drop("__lid")
+    line = F.col(value_col)
+    return joined.withColumn(
+        value_col,
+        F.when(
+            line.isNull() | F.col("__spans").isNull(), line
+        ).otherwise(_splice_expr(line, F.col("__spans"))),
+    ).drop("__spans")

@@ -1203,14 +1203,14 @@ def q_anonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed core of the reference's anonymizer maps
     (log_anonymizer.py:17-37; full regex operator in
     operators/anonymize.py)."""
+    from ..operators.anonymize import first_seen_rank
+
     ev = _t(spark, sf_dir, "events")
     first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-    w = Window.orderBy("first_ts", "user_id")
-    return first.select(
+    ranked = first_seen_rank(first, ["first_ts", "user_id"])
+    return ranked.select(
         "user_id",
-        F.concat(F.lit("anon_user_"), F.row_number().over(w).cast("string")).alias(
-            "token"
-        ),
+        F.concat(F.lit("anon_user_"), F.col("__rank").cast("string")).alias("token"),
     ).orderBy("user_id")
 
 

@@ -122,3 +122,30 @@ def test_shadowed_values_never_enter_lower_dictionaries(spark):
     assert "anon_server_1" in out
     assert "anon_hostname_1" in out  # other.example.net, the only hostname
     assert "anon_hostname_2" not in out
+
+
+def test_gate_forced_distributed_matches_exact(spark):
+    # local_threshold=0 forces the range-partitioned rank (the 100 TB
+    # path); output must be bit-identical to the exact-window path —
+    # the connected_components(local_threshold=0) gate pattern.
+    exact = {r["line_id"]: r["value"] for r in anonymize(_df(spark)).collect()}
+    dist = {
+        r["line_id"]: r["value"]
+        for r in anonymize(_df(spark), local_threshold=0).collect()
+    }
+    assert dist == exact
+
+
+def test_first_seen_rank_gate_both_ways(spark):
+    from maillogsentinel_spark.operators.anonymize import first_seen_rank
+
+    df = spark.createDataFrame(
+        [(k, v) for k in ("a", "b") for v in range(200)], ["kind", "v"]
+    )
+    lo = first_seen_rank(df, ["v"], ["kind"], local_threshold=10**9)
+    hi = first_seen_rank(df, ["v"], ["kind"], local_threshold=0)
+    key = lambda rows: sorted((r["kind"], r["v"], r["__rank"]) for r in rows)
+    assert key(lo.collect()) == key(hi.collect())
+    # ranks are dense 1..200 per kind in both paths
+    got = {(r["kind"], r["v"]): r["__rank"] for r in hi.collect()}
+    assert all(got[(k, v)] == v + 1 for k in ("a", "b") for v in range(200))
