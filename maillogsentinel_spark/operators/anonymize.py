@@ -165,6 +165,7 @@ def first_seen_rank(
     partition_cols: list[str] | None = None,
     local_threshold: int = 2_000_000,
     rank_col: str = "__rank",
+    total: int | None = None,
 ) -> DataFrame:
     """Exact 1-based rank of each row by ``order_cols`` within
     ``partition_cols``, gated by size like graph.connected_components'
@@ -175,7 +176,7 @@ def first_seen_rank(
     (range, partition_key) count table. No single task ever holds the
     whole dictionary, so the rank survives 10⁸+ distinct values."""
     pcols = partition_cols or []
-    n = first_seen.count()
+    n = total if total is not None else first_seen.count()
     if n <= local_threshold:
         w = Window.partitionBy(*pcols).orderBy(*order_cols) if pcols else (
             Window.orderBy(*order_cols)

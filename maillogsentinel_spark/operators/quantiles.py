@@ -251,3 +251,44 @@ def _quantiles_sort(
 
 
 __all__ = ["exact_quantiles"]
+
+
+def gated_ntile(
+    df: DataFrame,
+    n: int,
+    order_cols: list,
+    out_col: str,
+    local_threshold: int = 2_000_000,
+    total: int | None = None,
+) -> DataFrame:
+    """Exact global ``ntile(n)`` without an unpartitioned window at scale.
+
+    Below ``local_threshold`` rows: the plain window (single-task sort —
+    fine for bounded frames). Above: an exact range-partitioned rank
+    (anonymize.first_seen_rank) plus the closed-form ntile bucket — the
+    first ``total % n`` buckets take ``total // n + 1`` rows, the rest
+    ``total // n`` — so the result is bit-identical to the window at any
+    size, with no single task ever sorting the whole frame. The
+    orderings must be fully tie-broken for determinism (same requirement
+    the window path has).
+    """
+    if total is None:
+        total = df.count()
+    if total <= local_threshold:
+        return df.withColumn(out_col, F.ntile(n).over(Window.orderBy(*order_cols)))
+
+    from .anonymize import first_seen_rank
+
+    ranked = first_seen_rank(
+        df, order_cols, local_threshold=0, rank_col="__ntile_rank", total=total
+    )
+    q, extra = total // n, total % n
+    r = F.col("__ntile_rank")
+    if q == 0:
+        bucket = r
+    else:
+        big_span = extra * (q + 1)
+        bucket = F.when(
+            r <= big_span, F.floor((r + q) / (q + 1))
+        ).otherwise(F.lit(extra) + F.floor((r - big_span + q - 1) / q))
+    return ranked.withColumn(out_col, bucket.cast("int")).drop("__ntile_rank")

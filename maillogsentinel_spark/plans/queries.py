@@ -3777,11 +3777,11 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency (days since last order),
     frequency, monetary total (cents-exact), each cut into quartiles
     with fully tie-broken ntile orderings so both engines assign
-    identical quartiles. One keyed agg then three global ntile windows:
-    locally single-partition — at cluster scale ntile over customers
-    would move to a two-pass approximated cut (percentile boundaries +
-    broadcast), the documented swap; the agg side is already the
-    scalable shape."""
+    identical quartiles. One keyed agg, then three size-gated exact
+    ntiles (operators/quantiles.gated_ntile): a plain window below the
+    gate, and above it an exact range-partitioned rank + closed-form
+    bucket — bit-identical output with no unpartitioned window at
+    scale."""
     o = _t(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     maxd = o.agg(F.max("o_orderdate").alias("md"))
@@ -3800,17 +3800,21 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    wr = Window.orderBy("recency_days", "custkey")
-    wf = Window.orderBy(F.desc("frequency"), "custkey")
-    wm = Window.orderBy(F.desc("monetary_cents"), "custkey")
-    return base.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        "monetary_cents",
-        F.ntile(4).over(wr).alias("r_quartile"),
-        F.ntile(4).over(wf).alias("f_quartile"),
-        F.ntile(4).over(wm).alias("m_quartile"),
+    from ..operators.quantiles import gated_ntile
+
+    total = base.count()
+    out = gated_ntile(
+        base, 4, ["recency_days", "custkey"], "r_quartile", total=total
+    )
+    out = gated_ntile(
+        out, 4, [F.desc("frequency"), "custkey"], "f_quartile", total=total
+    )
+    out = gated_ntile(
+        out, 4, [F.desc("monetary_cents"), "custkey"], "m_quartile", total=total
+    )
+    return out.select(
+        "custkey", "recency_days", "frequency", "monetary_cents",
+        "r_quartile", "f_quartile", "m_quartile",
     ).orderBy("custkey")
 
 

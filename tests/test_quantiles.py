@@ -129,3 +129,20 @@ def test_select_matches_builtin_many_groups(spark):
     for g in theirs:
         assert ours[g]["p50"] == pytest.approx(theirs[g]["p50"], rel=1e-12)
         assert ours[g]["p99"] == pytest.approx(theirs[g]["p99"], rel=1e-12)
+
+
+def test_gated_ntile_both_ways(spark):
+    from pyspark.sql import functions as F
+
+    from maillogsentinel_spark.operators.quantiles import gated_ntile
+
+    df = spark.range(103).withColumn("v", (F.col("id") * 37) % 103)
+    lo = gated_ntile(df, 4, [F.desc("v"), "id"], "q", local_threshold=10**9)
+    hi = gated_ntile(df, 4, [F.desc("v"), "id"], "q", local_threshold=0)
+    a = {r["id"]: r["q"] for r in lo.collect()}
+    b = {r["id"]: r["q"] for r in hi.collect()}
+    assert a == b
+    from collections import Counter
+
+    sizes = Counter(a.values())
+    assert sizes == {1: 26, 2: 26, 3: 26, 4: 25}  # 103 = 26+26+26+25
