@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary +
 typed metadata, processed with Arrow-batched ``mapInPandas``.
 
-The decode step itself is STUBBED (no image/audio libs in this
-container): ``decode_image``/``decode_audio`` raise NotImplementedError,
-and ``fake_feature_extractor`` provides a deterministic stand-in so the
-Spark-side plumbing — schema, batch shape, partitioning — is fully real
-and tested. Swap the extractor for a real one (PIL / torchaudio) on a
-cluster with the libs installed; nothing else changes.
+Two REAL decode paths exist end-to-end — BMP (hand-parsed BITMAPINFO
+headers, 24/32 bpp uncompressed, row padding + bottom-up flip + BGR→RGB,
+pure numpy) and WAV (RIFF PCM via the stdlib ``wave`` module, 8/16-bit)
+— both public, library-free formats. ``decode_image``/``decode_audio``
+dispatch on magic bytes and raise NotImplementedError only for formats
+that genuinely need codec libs absent from this container (JPEG, PNG,
+MP3, ...); ``fake_feature_extractor`` remains as the deterministic
+stand-in for an embed step so the rest of the plumbing — schema, batch
+shape, partitioning — is testable regardless of format.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` modest for large blobs,
@@ -16,8 +19,12 @@ payloads are skewed.
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from typing import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -48,13 +55,94 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """Real image decode requires PIL/opencv — not in this container."""
-    raise NotImplementedError("image decode libs not available in this environment")
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bpp uncompressed BMP (BI_RGB): BGR byte
+    order on disk, rows bottom-up and padded to 4 bytes — the format as
+    published (Windows BITMAPFILEHEADER + BITMAPINFOHEADER)."""
+    h, w, _ = pixels.shape
+    row_raw = w * 3
+    pad = (-row_raw) % 4
+    img_size = (row_raw + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    body = bytearray()
+    bgr = pixels[:, :, ::-1]  # RGB → BGR
+    for r in range(h - 1, -1, -1):  # bottom-up
+        body += bgr[r].tobytes() + b"\x00" * pad
+    return header + info + bytes(body)
 
 
-def decode_audio(payload: bytes):  # pragma: no cover - stub by design
-    raise NotImplementedError("audio decode libs not available in this environment")
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP → (H, W, 3) uint8 RGB. Handles 24/32 bpp uncompressed,
+    bottom-up (positive height) and top-down (negative height) layouts,
+    and 4-byte row padding. Pure numpy — no image libraries."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression} unsupported")
+    top_down = h < 0
+    h = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = []
+    for r in range(h):
+        off = pix_off + r * stride
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * nch, offset=off)
+        rows.append(row.reshape(w, nch)[:, :3][:, ::-1])  # BGR(A) → RGB
+    img = np.stack(rows)
+    return img if top_down else img[::-1]
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM via the stdlib wave module."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM → (sample_rate, samples). 16-bit → int16; 8-bit WAV
+    is unsigned by spec → returned as-is (uint8). Multi-channel frames
+    come back shaped (n_frames, n_channels)."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        rate, nch, width = f.getframerate(), f.getnchannels(), f.getsampwidth()
+        raw = f.readframes(f.getnframes())
+    if width == 2:
+        arr = np.frombuffer(raw, dtype="<i2")
+    elif width == 1:
+        arr = np.frombuffer(raw, dtype=np.uint8)
+    else:
+        raise NotImplementedError(f"WAV sample width {width} unsupported")
+    return rate, arr.reshape(-1, nch) if nch > 1 else arr
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch: BMP decodes for real (decode_bmp); formats
+    needing codec libs absent from this container raise."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "only BMP decodes without image libs; JPEG/PNG need PIL/opencv"
+    )
+
+
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """Magic-byte dispatch: RIFF/WAVE decodes for real (decode_wav)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "only WAV decodes without audio libs; MP3/FLAC need codec libs"
+    )
 
 
 def fake_feature_extractor(payload: bytes) -> list[float]:
@@ -213,3 +301,86 @@ def sample_frames(
             )
 
     return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_mean", T.DoubleType()),
+        T.StructField("tl_r", T.IntegerType()),
+        T.StructField("row0_r_sum", T.LongType()),
+    ]
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL image decode → per-image stats. tl_r (top-left
+    red channel) and row0_r_sum are layout-sensitive on purpose: a
+    missed bottom-up flip or BGR swap changes them, so the DuckDB oracle
+    catches decoder bugs, not just byte counts."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                h, w, _ = img.shape
+                flat = img.astype(np.int64)
+                rows.append(
+                    (
+                        mid, w, h, int(flat.sum()),
+                        float(flat.sum()) / (h * w * 3),
+                        int(img[0, 0, 0]), int(flat[0, :, 0].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "px_sum", "px_mean",
+                    "tl_r", "row0_r_sum",
+                ],
+            )
+
+    return media.mapInPandas(run, IMAGE_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("amp_sum", T.LongType()),
+        T.StructField("first_sample", T.IntegerType()),
+        T.StructField("max_abs", T.IntegerType()),
+    ]
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL WAV decode → per-clip stats (signed int16
+    semantics exercise the PCM parse, not just the header)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples = decode_audio(bytes(payload))
+                s = samples.astype(np.int64)
+                rows.append(
+                    (
+                        mid, rate, len(s), int(s.sum()),
+                        int(s[0]) if len(s) else 0, int(np.abs(s).max()) if len(s) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "amp_sum",
+                    "first_sample", "max_abs",
+                ],
+            )
+
+    return media.mapInPandas(run, AUDIO_STATS_SCHEMA)

@@ -1185,6 +1185,91 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+@query(
+    "multimodal_bmp_decode",
+    oracle="""
+    WITH j AS (SELECT unnest(range(36)) AS j),
+    v AS (SELECT doc_id, j, (doc_id * 7 + j) % 256 AS val
+          FROM documents CROSS JOIN j)
+    SELECT doc_id AS media_id, 4 AS width, 3 AS height,
+           sum(val)::BIGINT AS px_sum,
+           sum(val) / 36.0 AS px_mean,
+           max(CASE WHEN j = 0 THEN val END)::INT AS tl_r,
+           sum(CASE WHEN j % 3 = 0 AND j < 12 THEN val END)::BIGINT AS row0_r_sum
+    FROM v GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: per doc, synthesize a 4×3 RGB
+    image with pixel channel j valued (doc_id*7+j)%256, encode it as an
+    actual on-disk BMP (bottom-up rows, BGR order, padding), then parse
+    it back with the pure-numpy decoder and emit layout-sensitive stats.
+    The oracle recomputes the stats from the pixel formula, so a missed
+    row flip / channel swap / stride bug in the decoder fails the hash —
+    this is the honest version of the reference-era decode stub."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_bmp, image_stats
+
+    W, H = 4, 3
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                j = np.arange(H * W * 3, dtype=np.int64)
+                px = ((int(did) * 7 + j) % 256).astype(np.uint8).reshape(H, W, 3)
+                ids.append(did)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return image_stats(media).orderBy("media_id")
+
+
+@query(
+    "multimodal_wav_decode",
+    oracle="""
+    WITH i AS (SELECT unnest(range(32)) AS i),
+    v AS (SELECT doc_id, i, (doc_id * 13 + i * 5) % 4001 - 2000 AS val
+          FROM documents CROSS JOIN i)
+    SELECT doc_id AS media_id, 8000 AS sample_rate, 32 AS n_samples,
+           sum(val)::BIGINT AS amp_sum,
+           max(CASE WHEN i = 0 THEN val END)::INT AS first_sample,
+           max(abs(val))::INT AS max_abs
+    FROM v GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: synthesize signed 16-bit PCM
+    samples (doc_id*13+i*5)%4001-2000, write an actual RIFF/WAVE payload
+    (stdlib wave), decode it back and emit amplitude stats the oracle
+    recomputes from the formula — signedness or endianness bugs in the
+    PCM parse fail the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import audio_stats, encode_wav
+
+    N = 32
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                i = np.arange(N, dtype=np.int64)
+                s = ((int(did) * 13 + i * 5) % 4001 - 2000).astype(np.int16)
+                ids.append(did)
+                payloads.append(encode_wav(s, 8000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return audio_stats(media).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # Anonymization + SQL-cast queries (§2.10, P7/P10)
 # ---------------------------------------------------------------------------

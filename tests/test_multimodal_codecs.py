@@ -1,0 +1,67 @@
+"""Real BMP/WAV codec correctness: round-trips, padding, layout flips,
+signedness — plus the magic-byte dispatch contract."""
+
+import numpy as np
+import pytest
+
+from maillogsentinel_spark.operators.multimodal import (
+    decode_audio,
+    decode_bmp,
+    decode_image,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+)
+
+
+def test_bmp_roundtrip_with_row_padding():
+    # W=3 → raw row 9 bytes → 3 bytes padding per row
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
+def test_bmp_roundtrip_no_padding():
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
+def test_bmp_layout_sensitivity():
+    # top row differs from bottom row; a missed bottom-up flip would
+    # swap them, a missed BGR swap would permute channels
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[0, 0] = [200, 10, 30]  # top-left: R=200
+    img[1, 1] = [5, 6, 7]
+    out = decode_bmp(encode_bmp(img))
+    assert out[0, 0].tolist() == [200, 10, 30]
+    assert out[1, 1].tolist() == [5, 6, 7]
+
+
+def test_bmp_top_down_negative_height():
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    payload = bytearray(encode_bmp(img[::-1]))  # stored rows = img order
+    # flip the height sign → top-down layout, same bytes
+    import struct
+
+    struct.pack_into("<i", payload, 22, -2)
+    assert (decode_bmp(bytes(payload)) == img).all()
+
+
+def test_wav_roundtrip_signed_16bit():
+    s = np.array([-2000, -1, 0, 1, 32767, -32768], dtype=np.int16)
+    rate, out = decode_wav(encode_wav(s, 44100))
+    assert rate == 44100
+    assert out.dtype == np.int16
+    assert (out == s).all()
+
+
+def test_dispatch_rejects_unknown_formats():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x03....")
+    # and accepts the real ones
+    img = np.ones((1, 1, 3), dtype=np.uint8)
+    assert decode_image(encode_bmp(img)).shape == (1, 1, 3)
+    rate, _ = decode_audio(encode_wav(np.array([1], dtype=np.int16)))
+    assert rate == 8000
