@@ -40,11 +40,17 @@ def load_config(path: str | None) -> dict:
         "mail_log": "/var/log/mail.log",
         "csv_filename": "maillogsentinel.csv",
         "email": None,
+        "subject_prefix": "[MailLogSentinel]",
+        "sender_override": None,
         "country_db_path": None,
         "asn_db_path": None,
         "db_path": "maillogsentinel.sqlite",
         "table_name": "maillogsentinel_events",
         "column_mapping_file": None,
+        "log_level": "INFO",
+        "dns_cache_enabled": True,
+        "dns_cache_size": 128,
+        "dns_cache_ttl_seconds": 3600,
     }
     if path:
         ini = configparser.ConfigParser()
@@ -55,22 +61,38 @@ def load_config(path: str | None) -> dict:
             ("paths", "mail_log", "mail_log"),
             ("paths", "csv_filename", "csv_filename"),
             ("report", "email", "email"),
+            ("report", "subject_prefix", "subject_prefix"),
+            ("report", "sender_override", "sender_override"),
             ("geolocation", "country_db_path", "country_db_path"),
             ("ASN_ASO", "asn_db_path", "asn_db_path"),
             ("sqlite_database", "db_path", "db_path"),
             ("sql_export_settings", "table_name", "table_name"),
             ("sql_export_settings", "column_mapping_file", "column_mapping_file"),
+            ("general", "log_level", "log_level"),
         ]:
             if ini.has_option(section, key):
                 v = g(section, key)
                 cfg[dest] = v if v != "" else cfg[dest]
+        # [dns_cache] — reference config.py:36-40 typed knobs
+        if ini.has_option("dns_cache", "enabled"):
+            cfg["dns_cache_enabled"] = ini.getboolean("dns_cache", "enabled")
+        if ini.has_option("dns_cache", "size"):
+            cfg["dns_cache_size"] = ini.getint("dns_cache", "size")
+        if ini.has_option("dns_cache", "ttl_seconds"):
+            cfg["dns_cache_ttl_seconds"] = ini.getint("dns_cache", "ttl_seconds")
     return cfg
 
 
 def _spark(cfg: dict):
     from .session import get_spark
 
-    return get_spark(app_name="maillogsentinel-spark-cli")
+    spark = get_spark(app_name="maillogsentinel-spark-cli")
+    # [general] log_level (reference config.py:31-34); Spark's JVM levels
+    # are a superset of logging's, pass through verbatim.
+    level = str(cfg.get("log_level") or "INFO").upper()
+    if level in {"DEBUG", "INFO", "WARN", "WARNING", "ERROR", "FATAL"}:
+        spark.sparkContext.setLogLevel("WARN" if level == "WARNING" else level)
+    return spark
 
 
 def run_extract(cfg: dict, year: int, resolver=None) -> int:
@@ -104,6 +126,10 @@ def run_extract(cfg: dict, year: int, resolver=None) -> int:
         resolver or default_socket_resolver,
         geo_country=geo_c,
         geo_asn=geo_a,
+        rdns_ttl_seconds=(
+            cfg["dns_cache_ttl_seconds"] if cfg["dns_cache_enabled"] else 0
+        ),
+        rdns_max_cache=cfg["dns_cache_size"],
     )
     q.awaitTermination(600)
     if os.path.isdir(store) and glob.glob(os.path.join(store, "**", "*.parquet"),
@@ -127,11 +153,14 @@ def run_report(cfg: dict, date_s: str, send: bool = False) -> int:
     if send and cfg["email"]:
         from .report.email_sink import build_report_email, send_email
 
+        # [report] sender_override + subject_prefix (reference
+        # config.py:117-119; report.py:273-276 prefers the override).
         msg = build_report_email(
             txt,
-            sender=f"maillogsentinel@{os.uname().nodename}",
+            sender=cfg["sender_override"]
+            or f"maillogsentinel@{os.uname().nodename}",
             recipient=cfg["email"],
-            subject=f"[MailLogSentinel] {date_s}",
+            subject=f"{cfg['subject_prefix']} {date_s}",
         )
         send_email(msg)
     return 0

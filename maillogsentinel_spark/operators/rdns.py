@@ -103,6 +103,7 @@ def enrich_rdns(
     ip_col: str = "ip",
     ttl_seconds: float = 3600.0,
     ip_source: DataFrame | None = None,
+    max_cache: int = 100_000,
 ) -> DataFrame:
     """Add (hostname, reverse_dns_status) to ``events``.
 
@@ -124,7 +125,7 @@ def enrich_rdns(
             if ip_source is not None
             else events.select(F.col(ip_col).alias("ip"))
         )
-        dim = resolve_distinct_ips(ips, resolver, ttl_seconds)
+        dim = resolve_distinct_ips(ips, resolver, ttl_seconds, max_cache)
     dim = dim.withColumnRenamed("ip", "__rdns_ip")
     joined = events.join(
         F.broadcast(dim), events[ip_col] == dim["__rdns_ip"], "left"

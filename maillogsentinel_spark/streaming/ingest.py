@@ -39,6 +39,8 @@ def start_ingest(
     geo_asn: DataFrame | None = None,
     available_now: bool = True,
     processing_time: str = "60 seconds",
+    rdns_ttl_seconds: float = 3600.0,
+    rdns_max_cache: int = 100_000,
 ):
     """Stream log files from ``log_dir`` into the events store.
 
@@ -48,7 +50,10 @@ def start_ingest(
     lines = spark.readStream.text(log_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        ev = build_events(batch_df, year, resolver, geo_country, geo_asn)
+        ev = build_events(
+            batch_df, year, resolver, geo_country, geo_asn,
+            rdns_ttl_seconds=rdns_ttl_seconds, rdns_max_cache=rdns_max_cache,
+        )
         write_events(ev, store_path, mode="append")
 
     writer = lines.writeStream.foreachBatch(process).option(

@@ -69,3 +69,67 @@ def test_cli_reset_archives_data(spark, tmp_path, capsys, monkeypatch):
     archive = capsys.readouterr().out.strip()
     assert not (wd / "store").exists()
     assert os.path.isdir(archive) and os.path.isdir(os.path.join(archive, "store"))
+
+
+def test_ini_operational_knobs(tmp_path):
+    # reference config.py:31-40 + :117-119 parity: [general] log_level,
+    # [dns_cache] enabled/size/ttl_seconds, [report] sender_override +
+    # subject_prefix all load with reference defaults when absent.
+    ini = tmp_path / "knobs.conf"
+    ini.write_text("""[general]
+log_level = DEBUG
+[dns_cache]
+enabled = false
+size = 9
+ttl_seconds = 60
+[report]
+email = ops@example.org
+sender_override = sentinel@mx.example.org
+subject_prefix = [SEC]
+""")
+    cfg = app.load_config(str(ini))
+    assert cfg["log_level"] == "DEBUG"
+    assert cfg["dns_cache_enabled"] is False
+    assert cfg["dns_cache_size"] == 9
+    assert cfg["dns_cache_ttl_seconds"] == 60
+    assert cfg["sender_override"] == "sentinel@mx.example.org"
+    assert cfg["subject_prefix"] == "[SEC]"
+
+    defaults = app.load_config(None)
+    assert defaults["dns_cache_enabled"] is True
+    assert defaults["dns_cache_size"] == 128
+    assert defaults["dns_cache_ttl_seconds"] == 3600
+    assert defaults["subject_prefix"] == "[MailLogSentinel]"
+    assert defaults["sender_override"] is None
+
+
+def test_report_send_uses_sender_override(spark, tmp_path, monkeypatch, capsys):
+    from maillogsentinel_spark.plans.pipeline import build_events
+    from maillogsentinel_spark.sources.store import write_events
+
+    wd = tmp_path / "work2"
+    lines = spark.createDataFrame(
+        [(LINE.format(s=1, o=1).strip(),)], ["value"]
+    )
+    write_events(
+        build_events(lines, 2025, lambda ip: ("h", None)), str(wd / "store")
+    )
+    ini = tmp_path / "send.conf"
+    ini.write_text(f"""[paths]
+working_dir = {wd}
+[report]
+email = ops@example.org
+sender_override = sentinel@mx.example.org
+subject_prefix = [SEC]
+""")
+    sent = {}
+    from maillogsentinel_spark.report import email_sink
+
+    monkeypatch.setattr(app, "_spark", lambda cfg: spark)
+    monkeypatch.setattr(
+        email_sink, "send_email", lambda msg, **kw: sent.update(msg=msg)
+    )
+    cfg = app.load_config(str(ini))
+    assert app.run_report(cfg, "12/08/2025", send=True) == 0
+    assert sent["msg"]["From"] == "sentinel@mx.example.org"
+    assert sent["msg"]["Subject"].startswith("[SEC] ")

@@ -1,0 +1,32 @@
+"""The driver grades a bounded prefix of queries() (round 1: first 50).
+Pin that the prefix stays exactly GRADED_PREFIX — every §2 row and every
+LLM-pipeline family represented — so a stray registration can't push a
+family out of the graded window."""
+
+from maillogsentinel_spark.plans.queries import GRADED_PREFIX, ORACLES, QUERIES
+
+
+def test_prefix_is_first_and_exactly_50():
+    assert len(GRADED_PREFIX) == 50
+    assert list(QUERIES)[:50] == GRADED_PREFIX
+
+
+def test_prefix_families_covered():
+    p = set(GRADED_PREFIX)
+    assert {"sasl_parse", "geo_range_join", "rdns_status_counts",
+            "anonymize_users", "sql_cast_normalize"} <= p      # §2 core
+    assert {"dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+            "dedup_clusters", "embedding_cosine_pairs"} <= p   # dedup
+    assert {"knn_bruteforce", "knn_lsh", "knn_ivf", "knn_ivf_kmeans"} <= p
+    assert {"text_lang_quality", "doc_tfidf_topk", "pii_scrub",
+            "corpus_gopher_rules"} <= p                        # text
+    assert {"multimodal_bmp_decode", "multimodal_wav_decode"} <= p
+    assert {"lineitem_percentiles", "events_median_by_type",
+            "events_hll_daily_users", "customer_rfm"} <= p
+
+
+def test_prefix_is_oracle_checked_except_gemm():
+    for name in GRADED_PREFIX:
+        if name == "embedding_cosine_pairs_gemm":
+            continue  # rows-only by declared design (float sum order)
+        assert name in ORACLES, name
