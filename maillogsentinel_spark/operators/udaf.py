@@ -52,4 +52,30 @@ def grouped_apply(grouped: GroupedData, fn, schema) -> DataFrame:
     return grouped.applyInPandas(fn, schema)
 
 
-__all__ = ["lower_median", "grouped_apply"]
+def register_bigram_udtf(spark, name: str = "bigrams"):
+    """Python UDTF (Spark's table-function extension point, the third
+    leg of the §2.10 surface next to GROUPED_AGG and applyInPandas):
+    one (doc_id, text) row fans out to (doc_id, pos, bigram) rows via a
+    SQL LATERAL join.
+
+    UDTFs run row-at-a-time Python — this is the API-surface form for
+    user extensions; the engine's own hot paths express the same
+    fan-out with codegen split+posexplode (see dedup_segments_corpus)
+    or Arrow mapInPandas. Returns the registered name for use as
+    ``... FROM t, LATERAL <name>(doc_id, text)``."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, bigram string")
+    class BigramUDTF:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield doc_id, i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register(name, BigramUDTF)
+    return name
+
+
+__all__ = ["lower_median", "grouped_apply", "register_bigram_udtf"]

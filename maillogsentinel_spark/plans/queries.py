@@ -4689,6 +4689,168 @@ def q_lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sasl_bruteforce_windows",
+    oracle=f"""
+    WITH sasl AS (
+      SELECT {_SQL_SERVER} AS server, ts, {_SQL_USER} AS u, {_SQL_IP} AS ip
+      FROM events WHERE event_type <> 'click'
+    ), w AS (
+      SELECT server, u, ip,
+             unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+      FROM sasl
+    )
+    SELECT server,
+           strftime(ws, '%d/%m/') || '{REF_YEAR} ' || strftime(ws, '%H:%M')
+             AS win_start,
+           count(*) AS cnt,
+           count(DISTINCT u) AS n_users,
+           count(DISTINCT ip) AS n_ips
+    FROM w GROUP BY server, ws HAVING count(*) >= 8
+    ORDER BY server, win_start
+    """,
+)
+def q_sasl_bruteforce_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force detector over the parsed mail pipeline: per server,
+    2-hour SLIDING windows (1-hour slide — each failure lands in two
+    windows) with failure count, distinct usernames and distinct source
+    IPs; windows at/above the burst threshold surface as incidents.
+    This is the batch form of the streaming alert (streaming/sessions);
+    sliding-window assignment is Spark's built-in window() expansion,
+    mirrored in the oracle by the two hour-aligned starts each event
+    belongs to. Scale: one shuffle on (server, window) after a codegen
+    parse — the same shape as any keyed agg."""
+    lines = _mail_events(spark, sf_dir).select("value")
+    parsed = parse_sasl_lines(lines, year=REF_YEAR)
+    win = F.window("ts", "2 hours", "1 hour")
+    return (
+        parsed.groupBy("server", win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("user").alias("n_users"),
+            F.countDistinct("ip").alias("n_ips"),
+        )
+        .filter(F.col("cnt") >= 8)
+        .select(
+            "server",
+            F.date_format("w.start", "dd/MM/yyyy HH:mm").alias("win_start"),
+            "cnt", "n_users", "n_ips",
+        )
+        .orderBy("server", "win_start")
+    )
+
+
+@query(
+    "dedup_segments_corpus",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    base AS (SELECT doc_id, CAST(ceil(len(toks) / 8.0) AS INT) AS n_segments
+             FROM t),
+    seg AS (SELECT doc_id, i::INT AS seg_idx,
+                   array_to_string(toks[i*8+1 : i*8+8], ' ') AS seg
+            FROM t, unnest(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS u(i)),
+    kept AS (SELECT doc_id, seg_idx, seg,
+                    row_number() OVER (PARTITION BY seg
+                                       ORDER BY doc_id, seg_idx) AS rn
+             FROM seg),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(seg, ' ' ORDER BY seg_idx) AS text_kept
+            FROM kept WHERE rn = 1 GROUP BY doc_id)
+    SELECT b.doc_id, b.n_segments,
+           coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+           coalesce(a.text_kept, '') AS text_kept
+    FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+    """,
+)
+def q_dedup_segments_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style segment-level dedup with document REASSEMBLY: split each
+    document into 8-token segments, keep only each segment's globally
+    first occurrence (min (doc_id, position) — the corpus-wide
+    survivorship rule), and rebuild every document from its surviving
+    segments in order. Unlike doc-level dedup this rewrites documents,
+    the form pretraining pipelines actually apply to boilerplate.
+
+    Scale: segment fan-out is codegen (sequence/slice/posexplode — no
+    Python), survivorship is one shuffle keyed on the segment text, and
+    reassembly is a keyed collect_list per doc (bounded by document
+    length, never corpus size). No window over the corpus, no driver
+    state."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    toks = F.split(F.col("text"), " ")
+    nseg = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    segd = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    first = segd.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("f")
+    )
+    kept = segd.join(first, "seg").filter(
+        (F.col("doc_id") == F.col("f.doc_id"))
+        & (F.col("seg_idx") == F.col("f.seg_idx"))
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("text_kept"),
+    )
+    base = docs.select("doc_id", nseg.alias("n_segments"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "udtf_bigrams_topk",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (SELECT toks[i+1] || ' ' || toks[i+2] AS bigram
+          FROM t, unnest(range(len(toks) - 1)) AS u(i))
+    SELECT bigram, count(*) AS cnt FROM b
+    GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 10
+    """,
+)
+def q_udtf_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 U6 third leg: a real Python UDTF fanning each document out
+    to its word bigrams through a SQL LATERAL join, then a keyed top-10.
+    The UDTF is the user-extension surface (row-at-a-time by contract);
+    the engine's own hot paths express the same fan-out with codegen
+    posexplode (see dedup_segments_corpus) — this query exists to prove
+    the extension point end-to-end against the oracle."""
+    from ..operators.udaf import register_bigram_udtf
+
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_udtf")
+    name = register_bigram_udtf(spark)
+    return spark.sql(
+        f"""
+        SELECT bigram, count(*) AS cnt
+        FROM __docs_udtf, LATERAL {name}(doc_id, text)
+        GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 10
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order for grading. The driver's correctness harness grades a
 # bounded PREFIX of the registered inventory (round 1: exactly the first 50
@@ -4718,12 +4880,13 @@ GRADED_PREFIX: list[str] = [
     # windows / custom operators — §2.5, §2.7, as-of
     "events_sessionize",
     "per_user_topk_event_types",
-    "events_running_value",
+    "sasl_bruteforce_windows",  # sliding windows over the parsed pipeline
     "events_asof_join",
     "events_set_ops",
     # quantiles / UDAF / sketches
     "lineitem_percentiles",
     "events_median_by_type",    # §2.10 U6 UDAF
+    "udtf_bigrams_topk",        # §2.10 U6 UDTF via LATERAL
     "events_hll_daily_users",
     # dedup family
     "dedup_exact",
@@ -4731,8 +4894,8 @@ GRADED_PREFIX: list[str] = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_segments_corpus",    # C4-style segment dedup + reassembly
     "embedding_cosine_pairs",
-    "embedding_cosine_pairs_gemm",
     # similarity + clustering
     "knn_bruteforce",
     "knn_lsh",
@@ -4761,12 +4924,14 @@ GRADED_PREFIX: list[str] = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
-    "tpch_q6",
 ]
 
 # After the prefix: remaining beyond-reference ops by family value, then the
 # TPC-H long tail.
 _NEXT = [
+    "embedding_cosine_pairs_gemm",  # rows-only scale twin of the exact query
+    "events_running_value",
+    "tpch_q6",
     "entity_resolution_usernames",
     "lineitem_approx_quantile_check",
     "token_counts_bpe",

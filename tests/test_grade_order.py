@@ -23,10 +23,10 @@ def test_prefix_families_covered():
     assert {"multimodal_bmp_decode", "multimodal_wav_decode"} <= p
     assert {"lineitem_percentiles", "events_median_by_type",
             "events_hll_daily_users", "customer_rfm"} <= p
+    assert {"udtf_bigrams_topk", "dedup_segments_corpus",
+            "sasl_bruteforce_windows"} <= p
 
 
-def test_prefix_is_oracle_checked_except_gemm():
+def test_prefix_is_fully_oracle_checked():
     for name in GRADED_PREFIX:
-        if name == "embedding_cosine_pairs_gemm":
-            continue  # rows-only by declared design (float sum order)
         assert name in ORACLES, name
