@@ -4821,6 +4821,42 @@ def q_dedup_segments_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_char_entropy",
+    oracle="""
+    WITH c AS (SELECT doc_id, substr(text, i + 1, 1) AS ch
+               FROM documents, unnest(range(len(text))) AS u(i)),
+    cnt AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY 1, 2),
+    t AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1)
+    SELECT cnt.doc_id, max(t.n)::BIGINT AS n_chars,
+           round(-sum((cnt.c / t.n) * log2(cnt.c / t.n)), 6) AS entropy
+    FROM cnt JOIN t ON cnt.doc_id = t.doc_id
+    GROUP BY cnt.doc_id ORDER BY cnt.doc_id
+    """,
+)
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal: per-document Shannon entropy of
+    the character distribution — low entropy flags repetitive/boiler-
+    plate text, the cheap first-line filter before model-based scoring.
+    All codegen (split/explode/two keyed aggs); entropy rounded to 6
+    decimals in both engines so the float fold order can't flip the
+    value hash. Scale: shuffles key on (doc_id[, char]) — never global."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_chars"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "udtf_bigrams_topk",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -4932,6 +4968,7 @@ _NEXT = [
     "embedding_cosine_pairs_gemm",  # rows-only scale twin of the exact query
     "events_running_value",
     "tpch_q6",
+    "doc_char_entropy",
     "entity_resolution_usernames",
     "lineitem_approx_quantile_check",
     "token_counts_bpe",
