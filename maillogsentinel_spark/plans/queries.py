@@ -4821,6 +4821,53 @@ def q_dedup_segments_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_cms_user_counts",
+    oracle="""
+    WITH cnt AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),
+    pos AS (SELECT user_id, r,
+            ((CASE r WHEN 0 THEN 981723 WHEN 1 THEN 1299721
+                     WHEN 2 THEN 7919 ELSE 104729 END * user_id
+              + CASE r WHEN 0 THEN 12345 WHEN 1 THEN 54321
+                       WHEN 2 THEN 2468 ELSE 13579 END) % 2147483647) % 256 AS c
+            FROM cnt, unnest(range(4)) AS u(r)),
+    cell AS (SELECT r, c, sum(exact_cnt) AS cell_cnt
+             FROM pos JOIN cnt USING (user_id) GROUP BY r, c),
+    est AS (SELECT p.user_id, min(cell.cell_cnt)::BIGINT AS cms_est
+            FROM pos p JOIN cell ON p.r = cell.r AND p.c = cell.c
+            GROUP BY p.user_id)
+    SELECT c.user_id, c.exact_cnt, e.cms_est,
+           (e.cms_est >= c.exact_cnt) AS overestimates
+    FROM cnt c JOIN est e USING (user_id)
+    ORDER BY exact_cnt DESC, user_id LIMIT 10
+    """,
+)
+def q_events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point estimates next to exact counts for the
+    top-10 users. The sketch is built as a pure DataFrame program —
+    explode into d (row, counter) cells, one keyed agg; map-side
+    partial aggregation IS the per-partition sketch and the shuffle IS
+    the merge (operators/sketches.py). The hash family is arithmetic on
+    purpose so the oracle re-derives the exact estimates including
+    collisions — the value hash pins the sketch arithmetic itself."""
+    from ..operators.sketches import cms_build, cms_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    sketch = cms_build(ev, F.col("user_id"))
+    est = cms_estimate(sketch, exact.select("user_id"), "user_id")
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id", "exact_cnt",
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("overestimates"),
+        )
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(10)
+    )
+
+
+@query(
     "doc_char_entropy",
     oracle="""
     WITH c AS (SELECT doc_id, substr(text, i + 1, 1) AS ch
@@ -4969,6 +5016,7 @@ _NEXT = [
     "events_running_value",
     "tpch_q6",
     "doc_char_entropy",
+    "events_cms_user_counts",
     "entity_resolution_usernames",
     "lineitem_approx_quantile_check",
     "token_counts_bpe",

@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) over the pure deterministic
+kernels — no Spark action per example, so thousands of cases stay
+cheap: codec round-trips, anonymizer claim-scan invariants, SQL-text
+escaping executed against a real SQLite."""
+
+import sqlite3
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from maillogsentinel_spark.operators.anonymize import (
+    DEFAULT_SPECS,
+    PatternSpec,
+    _claim_scan,
+)
+from maillogsentinel_spark.operators.multimodal import (
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_roundtrip_property(h, w, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=64),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    s = np.array(samples, dtype=np.int16)
+    r, out = decode_wav(encode_wav(s, rate))
+    assert r == rate
+    assert (out == s).all()
+
+
+@settings(max_examples=300, deadline=None)
+@given(line=st.text(min_size=0, max_size=200))
+def test_claim_scan_spans_never_overlap(line):
+    scan = _claim_scan(DEFAULT_SPECS)
+    claims = [(rs, re_) for _, spec, rs, re_, _ in scan(line)]
+    claims.sort()
+    for (s1, e1), (s2, e2) in zip(claims, claims[1:]):
+        assert e1 <= s2, f"overlapping claims in {line!r}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(line=st.text(alphabet="0123456789. aZ-", min_size=0, max_size=120))
+def test_claim_scan_priority_shadowing(line):
+    # a span claimed by a higher-priority pattern is never re-claimed:
+    # running the scan with ONLY the ip pattern yields a superset of the
+    # full table's ip claims (lower-priority rules can't free ip spans)
+    ip_only = _claim_scan([DEFAULT_SPECS[0]])
+    full = _claim_scan(DEFAULT_SPECS)
+    ips_full = {(rs, re_) for _, s, rs, re_, _ in full(line) if s.kind == "ip"}
+    ips_only = {(rs, re_) for _, _, rs, re_, _ in ip_only(line)}
+    assert ips_full <= ips_only
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    values=st.lists(
+        st.one_of(
+            st.none(),
+            st.integers(-(2**40), 2**40),
+            st.text(min_size=0, max_size=60),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_sql_escaping_roundtrips_through_sqlite(values):
+    # the reference's '→'' escaping (sql_exporter.py:187-199) must
+    # survive an actual executescript round-trip for ANY text value —
+    # quotes, newlines, unicode, semicolons
+    from maillogsentinel_spark.sources.sqlio import sql_literal as fmt
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (v)")
+    script = "BEGIN TRANSACTION;\n" + "\n".join(
+        f"INSERT INTO t (v) VALUES ({fmt(v)});" for v in values
+    ) + "\nCOMMIT;"
+    con.executescript(script)
+    got = [r[0] for r in con.execute("SELECT v FROM t").fetchall()]
+    want = [v if v is None or isinstance(v, int) else str(v) for v in values]
+    assert got == want
