@@ -137,3 +137,84 @@ def streaming_failure_streaks(
 
 
 __all__ = ["streaming_sessions", "streaming_failure_streaks"]
+
+
+_TWS_OUTPUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("total_failures", T.LongType()),
+        T.StructField("distinct_users", T.IntegerType()),
+    ]
+)
+
+
+def streaming_spray_alerts(
+    events: DataFrame,
+    key_col: str = "ip",
+    user_col: str = "user",
+    threshold: int = 3,
+    state_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Password-spray detector on the NEWEST stateful API
+    (``transformWithStateInPandas``, Spark 4): per source IP, keep the
+    exact set of distinct usernames tried plus a running failure count,
+    and emit an alert row whenever the batch pushes the distinct-user
+    count across the threshold. Three upgrades over
+    applyInPandasWithState (streaming_failure_streaks keeps that tier
+    for comparison): typed composable state handles (ListState for the
+    user set, ValueState for the counter) instead of one packed tuple,
+    TTL enforced declaratively per state (``ttlDurationMs``) instead of
+    hand-rolled timeout branches, and state schema evolution managed by
+    the store. State size is bounded by distinct users per IP × TTL.
+
+    Environment note: the API's state-server protocol imports
+    google.protobuf at stream start; in containers without it (this
+    one), use the applyInPandasWithState tier — the test is gated on
+    the import accordingly."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ttl = state_ttl_ms
+
+    class SprayProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._users = handle.getListState("users", "u string", ttl)
+            self._cnt = handle.getValueState("cnt", "c long", ttl)
+
+        def handleInputRows(self, key, rows, timerValues):
+            seen = {r[0] for r in self._users.get()}
+            before = len(seen)
+            cnt = self._cnt.get()[0] if self._cnt.exists() else 0
+            new_users = []
+            for pdf in rows:
+                cnt += len(pdf)
+                for u in pdf[user_col]:
+                    if u not in seen:
+                        seen.add(u)
+                        new_users.append((u,))
+            if new_users:
+                self._users.appendList(new_users)
+            self._cnt.update((cnt,))
+            if len(seen) >= threshold and before < threshold:
+                yield pd.DataFrame(
+                    {
+                        "key": [key[0]],
+                        "total_failures": [cnt],
+                        "distinct_users": [len(seen)],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.groupBy(F.col(key_col))
+        .transformWithStateInPandas(
+            statefulProcessor=SprayProcessor(),
+            outputStructType=_TWS_OUTPUT,
+            outputMode="Append",
+            timeMode="ProcessingTime",
+        )
+    )

@@ -1,6 +1,7 @@
 """Structured Streaming ingestion: exactly-once file tracking replaces
 the reference's byte-offset/rotation state machine."""
 
+import pytest
 import os
 
 from maillogsentinel_spark.streaming.ingest import (
@@ -357,3 +358,60 @@ def test_sql_export_quarantine_sink(spark, tmp_path):
     assert len(quar) == 1
     assert quar[0]["batch_id"] == 0
     assert "ip" in quar[0]["violations"]
+
+
+def test_streaming_spray_alerts_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas (the Spark-4 stateful API): an IP
+    trying many DISTINCT usernames alerts once when crossing the
+    threshold; a noisy single-user IP stays silent; state persists
+    across micro-batches via the checkpoint.
+
+    The API's state protocol needs google.protobuf, which this
+    container lacks — the operator is gated on it (the
+    applyInPandasWithState tier covers the same semantics without
+    the dependency)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from maillogsentinel_spark.operators.parse import parse_sasl_lines
+    from maillogsentinel_spark.streaming.sessions import streaming_spray_alerts
+
+    logs = tmp_path / "spraylogs"
+    logs.mkdir()
+    ckpt = str(tmp_path / "sprayckpt")
+    spray = "".join(
+        f"Sep 28 10:0{i}:00 s p[{i}]: warning: unknown[7.7.7.7]: SASL fail, sasl_username=u{i}\n"
+        for i in range(2)
+    )
+    noisy = "".join(
+        f"Sep 28 10:0{i}:00 s p[{i}]: warning: unknown[6.6.6.6]: SASL fail, sasl_username=same\n"
+        for i in range(5)
+    )
+    (logs / "mail.log").write_text(spray + noisy)
+
+    def run():
+        events = parse_sasl_lines(spark.readStream.text(str(logs)), year=2025)
+        alerts = streaming_spray_alerts(events, threshold=3)
+        q = (
+            alerts.writeStream.format("memory")
+            .queryName("spray_t")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # batch 1: 7.7.7.7 has only 2 distinct users -> silent; 6.6.6.6 has
+    # 1 distinct user across 5 failures -> silent
+    assert spark.sql("SELECT * FROM spray_t").count() == 0
+
+    # a later file pushes 7.7.7.7 to 3 distinct users -> one alert with
+    # the full running totals (state restored from the checkpoint)
+    (logs / "mail.log.2").write_text(
+        "Sep 28 10:09:00 s p[9]: warning: unknown[7.7.7.7]: SASL fail, sasl_username=u9\n"
+    )
+    run()
+    rows = spark.sql("SELECT * FROM spray_t").collect()
+    assert [(r["key"], r["total_failures"], r["distinct_users"]) for r in rows] == [
+        ("7.7.7.7", 3, 3)
+    ]
