@@ -48,6 +48,9 @@ def load_config(path: str | None) -> dict:
         "table_name": "maillogsentinel_events",
         "column_mapping_file": None,
         "log_level": "INFO",
+        "log_file": None,
+        "log_file_max_bytes": 1_000_000,
+        "log_file_backup_count": 5,
         "dns_cache_enabled": True,
         "dns_cache_size": 128,
         "dns_cache_ttl_seconds": 3600,
@@ -69,10 +72,17 @@ def load_config(path: str | None) -> dict:
             ("sql_export_settings", "table_name", "table_name"),
             ("sql_export_settings", "column_mapping_file", "column_mapping_file"),
             ("general", "log_level", "log_level"),
+            ("general", "log_file", "log_file"),
         ]:
             if ini.has_option(section, key):
                 v = g(section, key)
                 cfg[dest] = v if v != "" else cfg[dest]
+        for key, dest in [
+            ("log_file_max_bytes", "log_file_max_bytes"),
+            ("log_file_backup_count", "log_file_backup_count"),
+        ]:
+            if ini.has_option("general", key):
+                cfg[dest] = ini.getint("general", key)
         # [dns_cache] — reference config.py:36-40 typed knobs
         if ini.has_option("dns_cache", "enabled"):
             cfg["dns_cache_enabled"] = ini.getboolean("dns_cache", "enabled")
@@ -81,6 +91,29 @@ def load_config(path: str | None) -> dict:
         if ini.has_option("dns_cache", "ttl_seconds"):
             cfg["dns_cache_ttl_seconds"] = ini.getint("dns_cache", "ttl_seconds")
     return cfg
+
+
+def configure_logging(cfg: dict) -> None:
+    """[general] log_file + rotation knobs (reference config.py:31-34;
+    its RotatingFileHandler setup lives in utils.setup_logging): attach
+    a rotating handler for the package's own Python-side logging. Spark
+    JVM logs stay on log4j — _spark() maps log_level onto them."""
+    import logging
+    from logging.handlers import RotatingFileHandler
+
+    log = logging.getLogger("maillogsentinel_spark")
+    level = getattr(logging, str(cfg.get("log_level", "INFO")).upper(), logging.INFO)
+    log.setLevel(level)
+    if cfg.get("log_file"):
+        handler = RotatingFileHandler(
+            cfg["log_file"],
+            maxBytes=int(cfg["log_file_max_bytes"]),
+            backupCount=int(cfg["log_file_backup_count"]),
+        )
+        handler.setFormatter(
+            logging.Formatter("%(asctime)s %(levelname)s %(name)s: %(message)s")
+        )
+        log.addHandler(handler)
 
 
 def _spark(cfg: dict):
@@ -278,6 +311,7 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     cfg = load_config(args.config)
+    configure_logging(cfg)
     if args.report:
         date_s = args.date or _dt.date.today().strftime("%d/%m/%Y")
         return run_report(cfg, date_s, send=args.send)

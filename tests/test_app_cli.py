@@ -133,3 +133,32 @@ subject_prefix = [SEC]
     assert app.run_report(cfg, "12/08/2025", send=True) == 0
     assert sent["msg"]["From"] == "sentinel@mx.example.org"
     assert sent["msg"]["Subject"].startswith("[SEC] ")
+
+
+def test_log_file_rotation_knobs(tmp_path):
+    import logging
+
+    ini = tmp_path / "lg.conf"
+    logf = tmp_path / "mls.log"
+    ini.write_text(f"""[general]
+log_level = WARNING
+log_file = {logf}
+log_file_max_bytes = 2048
+log_file_backup_count = 3
+""")
+    cfg = app.load_config(str(ini))
+    assert cfg["log_file_max_bytes"] == 2048
+    assert cfg["log_file_backup_count"] == 3
+    app.configure_logging(cfg)
+    try:
+        log = logging.getLogger("maillogsentinel_spark")
+        assert log.level == logging.WARNING
+        h = [x for x in log.handlers if hasattr(x, "maxBytes")]
+        assert h and h[0].maxBytes == 2048 and h[0].backupCount == 3
+        log.warning("hello rotation")
+        for x in h:
+            x.flush()
+        assert "hello rotation" in logf.read_text()
+    finally:
+        for x in list(logging.getLogger("maillogsentinel_spark").handlers):
+            logging.getLogger("maillogsentinel_spark").removeHandler(x)
