@@ -4821,6 +4821,79 @@ def q_dedup_segments_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_bm25_search",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n, (SELECT avg(dl) FROM dl) AS avgdl
+              FROM documents),
+    q AS (SELECT unnest(['spark', 'window', 'customer']) AS term),
+    dfreq AS (SELECT tf.term, count(*) AS df FROM tf JOIN q USING (term)
+              GROUP BY 1)
+    SELECT tf.doc_id,
+           round(sum(
+             ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           ), 6) AS bm25,
+           count(*)::INT AS n_terms_hit
+    FROM tf JOIN q ON tf.term = q.term
+         JOIN dfreq ON tf.term = dfreq.term
+         JOIN dl ON tf.doc_id = dl.doc_id
+         CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id LIMIT 10
+    """,
+)
+def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus (Okapi, k1=1.2, b=0.75, Lucene's
+    non-negative idf): score every document against a fixed query and
+    return the top-10. The whole scorer is keyed joins + two broadcast
+    singletons (N, avgdl) — term-frequency and doc-length tables shuffle
+    on their natural keys, the query-term join prunes tf to |q| rows per
+    doc, and the final top-k is TakeOrdered. The score is rounded to 6
+    decimals in both engines (sum order). Scale: identical shape at any
+    corpus size; no all-pairs, no global window."""
+    docs = _t(spark, sf_dir, "documents")
+    qterms = ["spark", "window", "customer"]
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        F.broadcast(dl.agg(F.avg("dl").alias("avgdl")))
+    )
+    tfq = tf.filter(F.col("term").isin(qterms))
+    dfreq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tfq.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+                * F.col("tf") * F.lit(2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s"), 6).alias("bm25"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+@query(
     "events_cms_user_counts",
     oracle="""
     WITH cnt AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),
@@ -5017,6 +5090,7 @@ _NEXT = [
     "tpch_q6",
     "doc_char_entropy",
     "events_cms_user_counts",
+    "doc_bm25_search",
     "entity_resolution_usernames",
     "lineitem_approx_quantile_check",
     "token_counts_bpe",

@@ -415,3 +415,45 @@ def test_streaming_spray_alerts_transform_with_state(spark, tmp_path):
     assert [(r["key"], r["total_failures"], r["distinct_users"]) for r in rows] == [
         ("7.7.7.7", 3, 3)
     ]
+
+
+def test_stream_stream_watchlist_join(spark, tmp_path):
+    """Two live streams joined under event-time bounds: a failure
+    matches only watchlist entries added within the retention window
+    before it; stale entries produce no alert."""
+    from maillogsentinel_spark.operators.parse import parse_sasl_lines
+    from maillogsentinel_spark.streaming.joins import streaming_watchlist_join
+
+    logs = tmp_path / "wlogs"
+    logs.mkdir()
+    wdir = tmp_path / "wlist"
+    wdir.mkdir()
+    (logs / "mail.log").write_text(
+        # 10:30 failure from 5.5.5.5 (listed at 10:00 -> within 1h: alert)
+        "Sep 28 10:30:00 s p[1]: warning: unknown[5.5.5.5]: SASL fail, sasl_username=eve\n"
+        # 13:00 failure from 5.5.5.5 (listing now stale > 1h: no alert)
+        "Sep 28 13:00:00 s p[2]: warning: unknown[5.5.5.5]: SASL fail, sasl_username=eve\n"
+        # never-listed IP: no alert
+        "Sep 28 10:31:00 s p[3]: warning: unknown[4.4.4.4]: SASL fail, sasl_username=al\n"
+    )
+    (wdir / "w.csv").write_text("5.5.5.5,2025-09-28 10:00:00,bruteforce\n")
+
+    failures = parse_sasl_lines(spark.readStream.text(str(logs)), year=2025)
+    watchlist = (
+        spark.readStream.schema("ip string, added_ts timestamp, reason string")
+        .csv(str(wdir))
+    )
+    alerts = streaming_watchlist_join(failures, watchlist, retention="1 hour")
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("watch_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM watch_t").collect()
+    assert [(r["ip"], r["user"], r["reason"]) for r in rows] == [
+        ("5.5.5.5", "eve", "bruteforce")
+    ]
+    assert rows[0]["fail_ts"].hour == 10 and rows[0]["listed_ts"].hour == 10
