@@ -4821,6 +4821,55 @@ def q_dedup_segments_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY 1),
+    dev AS (SELECT e.event_type, e.event_id, e.value,
+                   abs(e.value - m.med) AS ad, m.med
+            FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev
+            GROUP BY 1)
+    SELECT d.event_id, d.event_type,
+           round((d.value - d.med) / (1.4826 * m.mad), 6) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE abs(d.value - d.med) > 6 * 1.4826 * m.mad
+    ORDER BY d.event_type, d.event_id
+    """,
+)
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: per-type median absolute deviation
+    (the outlier-resistant twin of events_zscore_outliers — one wild
+    value cannot drag the threshold the way it drags a mean/stddev).
+    Composes the distributed-selection exact-quantiles operator TWICE
+    (median of values, then median of absolute deviations) with
+    broadcast stats joins — no per-group value buffering anywhere, the
+    shape Spark's builtin percentile cannot give at 100 TB group sizes.
+    robust_z uses the 1.4826 normal-consistency constant; rounded in
+    both engines."""
+    from ..operators.quantiles import exact_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    med = exact_quantiles(ev, ["event_type"], "value", {"med": 0.5})
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = exact_quantiles(dev, ["event_type"], "ad", {"mad": 0.5})
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("ad") > 6 * 1.4826 * F.col("mad"))
+        .select(
+            "event_id", "event_type",
+            F.round(
+                (F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 6
+            ).alias("robust_z"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+@query(
     "doc_bm25_search",
     oracle="""
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -5091,6 +5140,7 @@ _NEXT = [
     "doc_char_entropy",
     "events_cms_user_counts",
     "doc_bm25_search",
+    "events_mad_outliers",
     "entity_resolution_usernames",
     "lineitem_approx_quantile_check",
     "token_counts_bpe",
