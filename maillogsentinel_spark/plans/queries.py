@@ -4693,17 +4693,19 @@ def q_lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sasl_bruteforce_windows",
     oracle=f"""
     WITH sasl AS (
-      SELECT {_SQL_SERVER} AS server, ts, {_SQL_USER} AS u, {_SQL_IP} AS ip
+      SELECT {_SQL_SERVER} AS server,
+             make_timestamp({REF_YEAR}, month(ts), day(ts),
+                            hour(ts), minute(ts), 0) AS tsp,
+             {_SQL_USER} AS u, {_SQL_IP} AS ip
       FROM events WHERE event_type <> 'click'
     ), w AS (
       SELECT server, u, ip,
-             unnest([date_trunc('hour', ts),
-                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+             unnest([date_trunc('hour', tsp),
+                     date_trunc('hour', tsp) - INTERVAL 1 HOUR]) AS ws
       FROM sasl
     )
     SELECT server,
-           strftime(ws, '%d/%m/') || '{REF_YEAR} ' || strftime(ws, '%H:%M')
-             AS win_start,
+           strftime(ws, '%d/%m/%Y %H:%M') AS win_start,
            count(*) AS cnt,
            count(DISTINCT u) AS n_users,
            count(DISTINCT ip) AS n_ips
@@ -4719,8 +4721,12 @@ def q_sasl_bruteforce_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the batch form of the streaming alert (streaming/sessions);
     sliding-window assignment is Spark's built-in window() expansion,
     mirrored in the oracle by the two hour-aligned starts each event
-    belongs to. Scale: one shuffle on (server, window) after a codegen
-    parse — the same shape as any keyed agg."""
+    belongs to — computed on the injected-year timestamp so a window
+    sliding across Jan 1 lands on Dec 31 of the PREVIOUS year exactly
+    like date_format does (the sf0.1 differential gate caught the
+    string-substitution shortcut getting that boundary wrong). Scale:
+    one shuffle on (server, window) after a codegen parse — the same
+    shape as any keyed agg."""
     lines = _mail_events(spark, sf_dir).select("value")
     parsed = parse_sasl_lines(lines, year=REF_YEAR)
     win = F.window("ts", "2 hours", "1 hour")
