@@ -5131,9 +5131,11 @@ GRADED_PREFIX: list[str] = [
     "multimodal_wav_decode",
     # behavioral + gated-ntile showcase
     "customer_rfm",
-    # TPC-H representatives (the other 18 run after the prefix)
-    "tpch_q1",
-    "tpch_q3",
+    # sketches-with-exact-oracle + IR retrieval (never driver-graded in
+    # round 1, unlike TPC-H which was fully graded then — front-load them)
+    "events_cms_user_counts",
+    "doc_bm25_search",
+    # TPC-H representative (all 22 were driver-graded green in round 1)
     "tpch_q5",
 ]
 
@@ -5141,12 +5143,12 @@ GRADED_PREFIX: list[str] = [
 # TPC-H long tail.
 _NEXT = [
     "embedding_cosine_pairs_gemm",  # rows-only scale twin of the exact query
+    "events_mad_outliers",
     "events_running_value",
+    "tpch_q1",
+    "tpch_q3",
     "tpch_q6",
     "doc_char_entropy",
-    "events_cms_user_counts",
-    "doc_bm25_search",
-    "events_mad_outliers",
     "entity_resolution_usernames",
     "lineitem_approx_quantile_check",
     "token_counts_bpe",

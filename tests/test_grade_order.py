@@ -24,7 +24,8 @@ def test_prefix_families_covered():
     assert {"lineitem_percentiles", "events_median_by_type",
             "events_hll_daily_users", "customer_rfm"} <= p
     assert {"udtf_bigrams_topk", "dedup_segments_corpus",
-            "sasl_bruteforce_windows"} <= p
+            "sasl_bruteforce_windows", "events_cms_user_counts",
+            "doc_bm25_search"} <= p
 
 
 def test_prefix_is_fully_oracle_checked():
