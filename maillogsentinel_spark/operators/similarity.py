@@ -85,10 +85,18 @@ def knn_lsh(
     query_id_col: str = "query_id",
     n_planes: int = 6,
     dims: int = 64,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing the query's
     hyperplane-sign bucket. Equi-join on the bucket id replaces the
-    cross join — the candidate set shrinks ~2^n_planes-fold."""
+    cross join — the candidate set shrinks ~2^n_planes-fold.
+
+    ``multiprobe`` > 0 additionally probes the buckets at Hamming
+    distance 1 on the first ``multiprobe`` planes (query side only —
+    the corpus keeps one bucket per vector, so probe cost scales with
+    |queries|, not corpus size). Near-boundary neighbors whose sign
+    flipped on one plane become reachable: recall rises at the price of
+    ~(multiprobe+1)× candidates — the standard multi-probe LSH trade."""
     from pyspark.sql import Window
 
     c = corpus.select(
@@ -101,6 +109,17 @@ def knn_lsh(
         to_double_array(F.col(vec_col)).alias("qv"),
         _bucket_expr(vec_col, n_planes, dims).alias("bucket"),
     )
+    if multiprobe > 0:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(min(multiprobe, n_planes))
+            ],
+        )
+        q = q.select(
+            "query_id", "qv", F.explode(probes).alias("bucket")
+        )
     scored = c.join(F.broadcast(q), "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     )

@@ -101,3 +101,27 @@ def test_knn_ivf_kmeans_shape_and_determinism(spark):
         assert [r for r, _ in ranks] == list(range(1, len(ranks) + 1))
         sims = [c for _, c in ranks]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_multiprobe_recall_dominates_single_bucket(spark):
+    """Hamming-1 probing can only ADD candidates, so multiprobe recall
+    vs the exact top-5 is >= single-bucket recall, strictly more
+    candidates scored."""
+    from maillogsentinel_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+    emb = _emb(spark)
+    q = emb.filter("vec_id < 5").withColumnRenamed("vec_id", "query_id")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(emb, q, k=5).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_lsh(emb, q, k=5, n_planes=6, dims=8).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_lsh(emb, q, k=5, n_planes=6, dims=8, multiprobe=3).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi) >= len(single)
