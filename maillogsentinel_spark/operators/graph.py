@@ -148,3 +148,53 @@ def dedup_cluster_assign(
     return cc.select(
         F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
+
+
+def pagerank(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    iters: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an undirected pair list (each pair contributes an
+    edge in both directions), started uniform at 1/N.
+
+    Per iteration: one join of the rank vector onto the edge list keyed
+    by source + one keyed sum per destination — the same two-shuffle
+    round shape as connected_components, with ``localCheckpoint`` after
+    each iteration so round k never replays rounds 1..k−1. Simplified
+    variant without dangling-mass redistribution (isolated nodes hold
+    the (1−d)/N floor) — stated because the oracle implements the
+    identical recurrence, unrolled. Scale: shuffles key on vertex ids;
+    rank and degree tables are |V| rows; nothing is ever all-pairs."""
+    edges = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionAll(
+        pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    n = nodes.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pr = nodes.select(F.col(id_col).alias("id"), F.lit(1.0 / n).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["id"])
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
+        )
+        pr = (
+            nodes.select(F.col(id_col).alias("id"))
+            .join(contrib, F.col("id") == F.col("dst"), "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select(F.col("id").alias(id_col), "pr")

@@ -900,6 +900,59 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_cluster_assign(pairs).orderBy("doc_id")
 
 
+@query(
+    "dedup_graph_pagerank",
+    oracle=f"""
+    WITH {_sql_minhash_pairs_ctes()},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nstat AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    deg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY 1),
+    pr0 AS (SELECT doc_id AS id, 1.0 / nstat.n AS pr
+            FROM documents CROSS JOIN nstat),
+    it1 AS (
+      SELECT d.doc_id AS id, 0.15 / nstat.n + 0.85 * coalesce(s.c, 0) AS pr
+      FROM documents d CROSS JOIN nstat
+      LEFT JOIN (SELECT e.dst, sum(p.pr / g.deg) AS c
+                 FROM edges e JOIN pr0 p ON e.src = p.id
+                      JOIN deg g ON e.src = g.src
+                 GROUP BY e.dst) s ON d.doc_id = s.dst
+    ),
+    it2 AS (
+      SELECT d.doc_id AS id, 0.15 / nstat.n + 0.85 * coalesce(s.c, 0) AS pr
+      FROM documents d CROSS JOIN nstat
+      LEFT JOIN (SELECT e.dst, sum(p.pr / g.deg) AS c
+                 FROM edges e JOIN it1 p ON e.src = p.id
+                      JOIN deg g ON e.src = g.src
+                 GROUP BY e.dst) s ON d.doc_id = s.dst
+    )
+    SELECT id AS doc_id, round(pr, 6) AS pagerank
+    FROM it2 ORDER BY pagerank DESC, doc_id LIMIT 20
+    """,
+)
+def q_dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 iterations, d=0.85) over the MinHash-LSH near-dup
+    graph: centrality separates the canonical representative inside a
+    near-dup cluster from its satellites — the dedup survivor policy
+    one step smarter than min-id. Iterative rank propagation with the
+    connected-components round shape (operators/graph.pagerank);
+    the oracle unrolls the identical recurrence twice. Reuses the
+    session-shared verified LSH pair list."""
+    from ..operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = _lsh_pairs_shared(spark, sf_dir)
+    pr = pagerank(docs, pairs, iters=2)
+    return (
+        pr.select("doc_id", F.round("pr", 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "doc_id")
+        .limit(20)
+    )
+
+
 _SQL_SIMHASH_CTES = f"""
     toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
     tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
@@ -5183,6 +5236,7 @@ _NEXT = [
     "embedding_cosine_pairs_gemm",  # rows-only scale twin of the exact query
     "events_mad_outliers",
     "knn_lsh_multiprobe",
+    "dedup_graph_pagerank",
     "events_running_value",
     "tpch_q1",
     "tpch_q3",
