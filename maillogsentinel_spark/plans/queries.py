@@ -5087,6 +5087,45 @@ def q_events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_weighted_sample",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             (((981723 * doc_id + 12345) % 2147483647) + 1)
+               / 2147483648.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           round(ln(u) / greatest(n_chars, 1), 9) AS es_key
+    FROM u ORDER BY es_key DESC, doc_id LIMIT 20
+    """,
+)
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis: each
+    doc gets key ln(u)/w (w = doc length; u a DETERMINISTIC arithmetic
+    pseudo-uniform so the sample is reproducible run-to-run and
+    oracle-checkable); the global top-k by key IS an exact w-weighted
+    sample. One scan + TakeOrdered — the sample never needs a shuffle
+    of the corpus, and at 100 TB the same top-k merges per-partition
+    heaps. Complements the unweighted hash/stratified samplers."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (((F.lit(981723) * F.col("doc_id") + 12345) % 2147483647) + 1) / F.lit(
+        2147483648.0
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.round(
+                F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)), 9
+            ).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
     "doc_char_entropy",
     oracle="""
     WITH c AS (SELECT doc_id, substr(text, i + 1, 1) AS ch
@@ -5237,6 +5276,7 @@ _NEXT = [
     "events_mad_outliers",
     "knn_lsh_multiprobe",
     "dedup_graph_pagerank",
+    "docs_weighted_sample",
     "events_running_value",
     "tpch_q1",
     "tpch_q3",
