@@ -55,7 +55,7 @@ def hyperplane(plane: int, dim: int) -> float:
     return ((plane * 73856093 + dim * 19349663) % 2000 - 1000) / 1000.0
 
 
-def _bucket_expr(vec_col: str, n_planes: int, dims: int):
+def _bucket_expr(vec_col: str, n_planes: int, dims: int, plane_offset: int = 0):
     """Sign-bit bucket id from n_planes deterministic hyperplanes.
 
     Shaped as per-plane zip_with/aggregate folds over *flat* array
@@ -66,7 +66,9 @@ def _bucket_expr(vec_col: str, n_planes: int, dims: int):
     v = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0)
     for p in range(n_planes):
-        plane = F.array(*[F.lit(hyperplane(p, d)) for d in range(dims)])
+        plane = F.array(
+            *[F.lit(hyperplane(plane_offset + p, d)) for d in range(dims)]
+        )
         dot = F.aggregate(
             F.zip_with(v, plane, lambda x, y: x * y),
             F.lit(0.0),
@@ -86,28 +88,38 @@ def knn_lsh(
     n_planes: int = 6,
     dims: int = 64,
     multiprobe: int = 0,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing the query's
     hyperplane-sign bucket. Equi-join on the bucket id replaces the
     cross join — the candidate set shrinks ~2^n_planes-fold.
 
-    ``multiprobe`` > 0 additionally probes the buckets at Hamming
-    distance 1 on the first ``multiprobe`` planes (query side only —
-    the corpus keeps one bucket per vector, so probe cost scales with
-    |queries|, not corpus size). Near-boundary neighbors whose sign
-    flipped on one plane become reachable: recall rises at the price of
-    ~(multiprobe+1)× candidates — the standard multi-probe LSH trade."""
+    Two standard recall levers, composable:
+    - ``multiprobe`` > 0 additionally probes the buckets at Hamming
+      distance 1 on the first ``multiprobe`` planes (query side only —
+      the corpus keeps one bucket row per table, so probe cost scales
+      with |queries|, not corpus size). Near-boundary neighbors whose
+      sign flipped on one plane become reachable.
+    - ``n_tables`` > 1 indexes the corpus in L independent hash tables
+      (disjoint plane sets); a pair is a candidate if ANY table
+      collides. Recall ≈ 1−(1−p)^L for per-table collision p, at the
+      classic L× index-size cost; candidates are deduped before
+      scoring so each pair is scored once."""
     from pyspark.sql import Window
 
+    tables = [
+        _bucket_expr(vec_col, n_planes, dims, plane_offset=t * n_planes)
+        for t in range(n_tables)
+    ]
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         to_double_array(F.col(vec_col)).alias("cv"),
-        _bucket_expr(vec_col, n_planes, dims).alias("bucket"),
+        F.posexplode(F.array(*tables)).alias("t", "bucket"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         to_double_array(F.col(vec_col)).alias("qv"),
-        _bucket_expr(vec_col, n_planes, dims).alias("bucket"),
+        F.posexplode(F.array(*tables)).alias("t", "bucket"),
     )
     if multiprobe > 0:
         probes = F.array(
@@ -117,17 +129,17 @@ def knn_lsh(
                 for i in range(min(multiprobe, n_planes))
             ],
         )
-        q = q.select(
-            "query_id", "qv", F.explode(probes).alias("bucket")
-        )
-    scored = c.join(F.broadcast(q), "bucket").filter(
+        q = q.select("query_id", "qv", "t", F.explode(probes).alias("bucket"))
+    cand = c.join(F.broadcast(q), ["t", "bucket"]).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     sim = F.round(cosine_similarity(F.col("cv"), F.col("qv")), 6)
+    scored = cand.select("query_id", "neighbor_id", sim.alias("cosine"))
+    if n_tables > 1:
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
-        scored.select("query_id", "neighbor_id", sim.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )

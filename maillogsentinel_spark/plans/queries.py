@@ -1063,12 +1063,12 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(emb, queries_df, k=5)
 
 
-def _sql_lsh_bucket(v: str, n_planes: int = 6) -> str:
+def _sql_lsh_bucket(v: str, n_planes: int = 6, plane_offset: int = 0) -> str:
     terms = []
     for p in range(n_planes):
         dot = (
             f"list_reduce(list_transform(range(1, len({v})+1), "
-            f"d -> {v}[d] * (((({p}::BIGINT * 73856093 + (d-1) * 19349663) % 2000) - 1000) / 1000.0)), "
+            f"d -> {v}[d] * (((({plane_offset + p}::BIGINT * 73856093 + (d-1) * 19349663) % 2000) - 1000) / 1000.0)), "
             "(x, y) -> x + y)"
         )
         terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
@@ -1142,6 +1142,47 @@ def q_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "query_id"
     )
     return knn_lsh(emb, queries_df, k=5, n_planes=6, dims=64, multiprobe=3)
+
+
+@query(
+    "knn_lsh_multitable",
+    oracle=f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT vec_id, v,
+                 unnest([{_sql_lsh_bucket('v', 6, 0)},
+                         {_sql_lsh_bucket('v', 6, 6)},
+                         {_sql_lsh_bucket('v', 6, 12)}]) AS bucket,
+                 unnest([0, 1, 2]) AS t
+          FROM e0),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket, t
+          FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id,
+             {_sql_cosine('e.v', 'q.qv')} AS cosine
+      FROM e JOIN q USING (t, bucket) WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q_knn_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L=3 independent LSH tables (disjoint hyperplane sets): a pair is
+    a candidate if ANY table collides — recall ≈ 1−(1−p)³ at 3× index
+    rows, the other classic LSH recall lever next to multiprobe
+    (measured at sf0.1: single-table 0.13 → multitable recall well
+    above; see tools/quality_report.py). Candidates dedup before
+    scoring so each pair is scored once; oracle replicates all three
+    tables' bucket arithmetic."""
+    from ..operators.similarity import knn_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return knn_lsh(emb, queries_df, k=5, n_planes=6, dims=64, n_tables=3)
 
 
 def _sql_lang_case() -> str:
@@ -5275,6 +5316,7 @@ _NEXT = [
     "embedding_cosine_pairs_gemm",  # rows-only scale twin of the exact query
     "events_mad_outliers",
     "knn_lsh_multiprobe",
+    "knn_lsh_multitable",
     "dedup_graph_pagerank",
     "docs_weighted_sample",
     "events_running_value",
