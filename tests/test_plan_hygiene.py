@@ -33,6 +33,7 @@ ALLOWED = {
     ("lineitem_approx_quantile_check", "BroadcastNestedLoopJoin"),  # 1-row stats
     ("tpch_q11_important_parts", "BroadcastNestedLoopJoin"),  # 1-row threshold,
     # inequality join — TPC-H Q11's scalar-subquery shape
+    ("doc_bm25_search", "BroadcastNestedLoopJoin"),  # two 1-row stat broadcasts
     ("udtf_bigrams_topk", "BatchEvalPython"),        # the UDTF surface demo:
     # BatchEvalPythonUDTF IS the extension point this query exists to prove
 }
