@@ -457,3 +457,49 @@ def test_stream_stream_watchlist_join(spark, tmp_path):
         ("5.5.5.5", "eve", "bruteforce")
     ]
     assert rows[0]["fail_ts"].hour == 10 and rows[0]["listed_ts"].hour == 10
+
+
+def test_stateful_streaming_on_rocksdb_state_store(spark, tmp_path):
+    """Production state backend: the same stateful streak operator runs
+    on RocksDBStateStoreProvider (bounded-memory, changelog-compacted
+    state — the 100 TB-of-state answer, vs the default in-memory
+    HDFS-backed provider) and produces identical alerts."""
+    from maillogsentinel_spark.operators.parse import parse_sasl_lines
+    from maillogsentinel_spark.streaming.sessions import (
+        streaming_failure_streaks,
+    )
+
+    logs = tmp_path / "rocklogs"
+    logs.mkdir()
+    (logs / "mail.log").write_text(
+        "".join(
+            f"Sep 28 10:0{i}:00 s p[{i}]: warning: unknown[3.3.3.3]: SASL fail, sasl_username=mallory\n"
+            for i in range(4)
+        )
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = parse_sasl_lines(spark.readStream.text(str(logs)), year=2025)
+        alerts = streaming_failure_streaks(events, key_col="ip", threshold=3)
+        q = (
+            alerts.writeStream.format("memory")
+            .queryName("rocks_t")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "rocksckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM rocks_t").collect()
+        assert [(r["key"], r["streak"]) for r in rows] == [("3.3.3.3", 4)]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
