@@ -5182,6 +5182,65 @@ def q_events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_bigram_logprob",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    uni AS (SELECT toks[i+1] AS w, count(*) AS c
+            FROM t, unnest(range(len(toks))) AS u(i) GROUP BY 1),
+    v AS (SELECT count(*) AS v FROM uni),
+    bi AS (SELECT toks[i+1] AS w1, toks[i+2] AS w2, count(*) AS c
+           FROM t, unnest(range(len(toks) - 1)) AS u(i) GROUP BY 1, 2),
+    db AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+           FROM t, unnest(range(len(toks) - 1)) AS u(i))
+    SELECT db.doc_id,
+           count(*)::BIGINT AS n_bigrams,
+           round(avg(log2((bi.c + 1.0) / (uni.c + v.v))), 6) AS avg_log2p
+    FROM db JOIN bi ON db.w1 = bi.w1 AND db.w2 = bi.w2
+         JOIN uni ON db.w1 = uni.w
+         CROSS JOIN v
+    GROUP BY db.doc_id ORDER BY db.doc_id
+    """,
+)
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality score against a corpus-trained bigram
+    model (add-1 smoothing): avg log2 P(w2|w1) per document — the
+    KenLM-filtering proxy pretraining pipelines use, expressible as
+    pure keyed joins (doc bigrams ⨝ corpus bigram counts ⨝ unigram
+    counts + a broadcast vocab size). Self-scoring on the training
+    corpus is the honest oracle-able baseline; swapping the count
+    tables for an external reference corpus changes nothing in the
+    plan. All shuffles key on n-gram text; rounded identically."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", toks.alias("t"))
+    uni = (
+        base.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    vsize = uni.agg(F.count(F.lit(1)).alias("v"))
+    db = base.select(
+        "doc_id",
+        F.posexplode(F.expr("slice(t, 1, size(t) - 1)")).alias("i", "w1"),
+        F.col("t"),
+    ).select("doc_id", "w1", F.expr("t[i + 1]").alias("w2"))
+    bi = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    return (
+        db.join(bi, ["w1", "w2"])
+        .join(uni, F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log2((F.col("bc") + 1.0) / (F.col("uc") + F.col("v")))), 6
+            ).alias("avg_log2p"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "docs_weighted_sample",
     oracle="""
     WITH u AS (
@@ -5374,6 +5433,7 @@ _NEXT = [
     "dedup_graph_pagerank",
     "docs_weighted_sample",
     "ip_risk_scores",
+    "doc_bigram_logprob",
     "events_running_value",
     "tpch_q1",
     "tpch_q3",
