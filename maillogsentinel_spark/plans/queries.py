@@ -5182,6 +5182,89 @@ def q_events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_train_val_split",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, source,
+             ((1299721 * doc_id + 54321) % 2147483647) % 100 AS b
+      FROM documents
+    ),
+    s AS (SELECT doc_id, source,
+                 CASE WHEN b < 80 THEN 'train'
+                      WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+          FROM a)
+    SELECT source, split, count(*) AS n_docs
+    FROM s GROUP BY source, split ORDER BY source, split
+    """,
+)
+def q_docs_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by arithmetic
+    hash bucket — the split is a pure function of doc_id, so it is
+    stable under reprocessing, resharding, and incremental appends
+    (no rand(), no global sort, no state). Output is the per-source
+    split census a pipeline uses to validate proportions. One keyed
+    agg; assignment itself is map-only at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    b = ((F.lit(1_299_721) * F.col("doc_id") + 54_321) % 2_147_483_647) % 100
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (SELECT doc_id, i::INT AS chunk_idx,
+                 toks[i*8+1 : i*8+12] AS chunk
+          FROM t, unnest(range(CAST(ceil(greatest(len(toks) - 4, 1) / 8.0)
+                                    AS BIGINT))) AS u(i))
+    SELECT doc_id, chunk_idx,
+           len(chunk)::INT AS n_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap: 12-token windows at stride
+    8 (4 tokens shared between neighbors) — the chunk shape RAG
+    indexing and long-doc pretraining use so no sentence is ever split
+    across a hard boundary without context. Codegen sequence/slice
+    fan-out, map-only; chunk count per doc is ceil((len-overlap)/stride)
+    mirrored exactly in the oracle."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(
+        F.greatest(F.size(toks) - 4, F.lit(1)) / F.lit(8.0)
+    ).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(toks, i * 8 + 1, 12),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").alias("n_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
     "doc_bigram_logprob",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -5434,6 +5517,8 @@ _NEXT = [
     "docs_weighted_sample",
     "ip_risk_scores",
     "doc_bigram_logprob",
+    "docs_train_val_split",
+    "doc_chunk_overlap",
     "events_running_value",
     "tpch_q1",
     "tpch_q3",
