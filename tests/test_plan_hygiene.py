@@ -34,6 +34,7 @@ ALLOWED = {
     ("tpch_q11_important_parts", "BroadcastNestedLoopJoin"),  # 1-row threshold,
     # inequality join — TPC-H Q11's scalar-subquery shape
     ("doc_bm25_search", "BroadcastNestedLoopJoin"),  # two 1-row stat broadcasts
+    ("doc_bigram_logprob", "BroadcastNestedLoopJoin"),  # 1-row vocab-size bcast
     ("udtf_bigrams_topk", "BatchEvalPython"),        # the UDTF surface demo:
     # BatchEvalPythonUDTF IS the extension point this query exists to prove
 }
