@@ -226,6 +226,176 @@ def knn_ivf(
     )
 
 
+def sqdist(a, b):
+    """Sequential-order squared L2 distance (matches the DuckDB
+    list_reduce fold bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def knn_pq_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    m_sub: int = 8,
+    sublen: int = 8,
+    ncodes: int = 16,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the memory-compressed scale path beside LSH/IVF: the corpus
+    is stored as ``m_sub`` small integer codes per vector (here 8 codes
+    ≈ 8 bytes vs 256 bytes of float32), and a query scores the whole
+    corpus through a tiny per-query lookup table without touching the
+    original vectors.
+
+    Deterministic codebooks (the ``ncodes`` lowest-id corpus vectors,
+    sliced per subspace — same seeding idea as knn_ivf's stride
+    quantizer) keep the whole index SQL-oracle-checkable; a trained
+    variant would swap in per-subspace k-means without changing any
+    join shape.
+
+    Scale shape: the codebook (m_sub × ncodes subvectors) broadcasts
+    everywhere; encoding is one corpus scan + a keyed (id, subspace)
+    min-by agg; the per-query LUT (queries × m_sub × ncodes rows)
+    broadcasts; search is a broadcast equi-join of the codes table on
+    (subspace, code) + one keyed sum — the corpus vectors themselves
+    are read exactly once, at index-build time.
+
+    Distance partials are quantized to DECIMAL(18,9) before the final
+    per-pair sum so the ADC total is bit-identical regardless of
+    partial-sum order (engine parity rule, see module docstring in
+    plans/queries.py)."""
+    from pyspark.sql import Window
+
+    e = corpus.select(
+        F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("v")
+    )
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(ncodes)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("code_id"),
+            "v",
+        )
+    )
+    sub_ix = F.explode(F.array(*[F.lit(m) for m in range(m_sub)])).alias("m")
+    codebook = seeds.select(
+        "code_id", "v", sub_ix
+    ).select(
+        "m", "code_id",
+        F.slice(F.col("v"), F.col("m") * sublen + 1, sublen).alias("c"),
+    )
+
+    # encode: nearest codebook entry per (vector, subspace); min over a
+    # (dist, code_id) struct = lexicographic argmin with code tie-break,
+    # no window needed
+    subs = e.select(
+        "vec_id", "v", sub_ix
+    ).select(
+        "vec_id", "m",
+        F.slice(F.col("v"), F.col("m") * sublen + 1, sublen).alias("s"),
+    )
+    d_enc = F.round(sqdist(F.col("s"), F.col("c")), 9)
+    codes = (
+        subs.join(F.broadcast(codebook), "m")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(d_enc.alias("d"), F.col("code_id"))).alias("best"))
+        .select("vec_id", "m", F.col("best.code_id").alias("code_id"))
+    )
+
+    # per-query LUT: distance from each query subvector to every
+    # codebook entry, quantized for order-independent summation
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("qv"),
+    )
+    qsubs = q.select(
+        "query_id", "qv", sub_ix
+    ).select(
+        "query_id", "m",
+        F.slice(F.col("qv"), F.col("m") * sublen + 1, sublen).alias("qs"),
+    )
+    d_lut = F.round(sqdist(F.col("qs"), F.col("c")), 9).cast("decimal(18,9)")
+    lut = qsubs.join(F.broadcast(codebook), "m").select(
+        "query_id", "m", "code_id", d_lut.alias("d")
+    )
+
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").cast("decimal(28,9)").alias("adc"))
+    )
+    wk = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("adc").cast("double").alias("adc_dist"), "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """k-NN majority-vote classification: each query's label is the
+    modal label among its k exact-cosine nearest corpus neighbors
+    (vote-count desc, smaller label as tie-break). Returns one row per
+    query with the true and predicted label plus the winning vote
+    count — the evaluation artifact a labeling/QA pipeline consumes.
+
+    Composition: knn_bruteforce (broadcast query side, corpus scanned
+    once) → broadcast label join → tiny keyed vote agg. Nothing beyond
+    the base knn shuffles the corpus."""
+    nn = knn_bruteforce(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nl")
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "nl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(F.col("votes"), (-F.col("nl")).alias("negl"))
+            ).alias("best")
+        )
+        .select(
+            "query_id",
+            (-F.col("best.negl")).cast("int").alias("pred_label"),
+            F.col("best.votes").cast("long").alias("votes"),
+        )
+    )
+    truth = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(label_col).cast("int").alias("true_label"),
+    )
+    return (
+        votes.join(truth, "query_id")
+        .select("query_id", "true_label", "pred_label", "votes")
+        .orderBy("query_id")
+    )
+
+
 def knn_ivf_kmeans(
     corpus: DataFrame,
     queries: DataFrame,

@@ -5429,6 +5429,241 @@ def q_udtf_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_PQ_SUB = "list_slice({v}, m * 8 + 1, m * 8 + 8)"
+
+
+@query(
+    "knn_pq_adc",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, v
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+    ),
+    cb AS (
+      SELECT m, code_id, {_SQL_PQ_SUB.format(v='v')} AS c
+      FROM seeds, unnest(range(8)) AS t(m)
+    ),
+    subs AS (
+      SELECT vec_id, m, {_SQL_PQ_SUB.format(v='v')} AS s
+      FROM e, unnest(range(8)) AS t(m)
+    ),
+    enc AS (
+      SELECT vec_id, subs.m, code_id,
+             round({_SQL_SQDIST.format(a='s', b='c')}, 9) AS d
+      FROM subs JOIN cb ON subs.m = cb.m
+    ),
+    codes AS (
+      SELECT vec_id, m, code_id FROM (
+        SELECT vec_id, m, code_id,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code_id)
+                 AS rn
+        FROM enc) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    qsubs AS (
+      SELECT query_id, m, {_SQL_PQ_SUB.format(v='qv')} AS qs
+      FROM q, unnest(range(8)) AS t(m)
+    ),
+    lut AS (
+      SELECT query_id, qsubs.m, code_id,
+             CAST(round({_SQL_SQDIST.format(a='qs', b='c')}, 9)
+                  AS DECIMAL(18,9)) AS d
+      FROM qsubs JOIN cb ON qsubs.m = cb.m
+    ),
+    adc AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             CAST(sum(d) AS DECIMAL(28,9)) AS adc
+      FROM codes JOIN lut ON codes.m = lut.m AND codes.code_id = lut.code_id
+      WHERE vec_id <> query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, CAST(adc AS DOUBLE) AS adc_dist, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY adc, neighbor_id) AS INT) AS rank
+      FROM adc) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation —
+    the memory-compressed third scale path beside LSH and IVF (corpus
+    stored as 8 small codes/vector; queries score it through a tiny
+    broadcast lookup table, never re-reading the vectors). Deterministic
+    codebooks make even the approximation exactly oracle-checkable; ADC
+    partials are decimal-quantized so the total is order-independent."""
+    from ..operators.similarity import knn_pq_adc
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return knn_pq_adc(emb, queries_df, k=5)
+
+
+@query(
+    "knn_label_classify",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv
+          FROM e WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS nid, e.label AS nl,
+             {_sql_cosine('e.v', 'q.qv')} AS cosine
+      FROM e, q WHERE e.vec_id <> q.query_id
+    ),
+    topk AS (
+      SELECT query_id, nl FROM (
+        SELECT query_id, nl, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, nid) AS rn
+        FROM scored) WHERE rn <= 5
+    ),
+    votes AS (SELECT query_id, nl, count(*) AS votes FROM topk GROUP BY 1, 2),
+    best AS (
+      SELECT query_id, nl AS pred_label, votes FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY votes DESC, nl) AS rn
+        FROM votes) WHERE rn = 1
+    )
+    SELECT b.query_id, CAST(q.true_label AS INT) AS true_label,
+           CAST(b.pred_label AS INT) AS pred_label,
+           CAST(b.votes AS BIGINT) AS votes
+    FROM best b JOIN q ON b.query_id = q.query_id
+    ORDER BY b.query_id
+    """,
+)
+def q_knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification over the embeddings' label
+    column: every 25th vector is held out and classified by its 5
+    nearest (exact cosine) neighbors — the standard embedding-quality /
+    auto-labeling evaluation. Vote tie-break = smaller label, mirrored
+    exactly in the oracle."""
+    from ..operators.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter((F.col("vec_id") % 25) == 0).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return knn_classify(emb, queries_df, k=5)
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH x AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings
+    ),
+    xi AS (
+      SELECT dim, x, CAST(round(x * 1000000, 0) AS BIGINT) AS i
+      FROM x
+    ),
+    s AS (
+      SELECT dim, count(*) AS n, CAST(sum(i) AS BIGINT) AS s1,
+             CAST(sum(CAST(i * i AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS s2,
+             min(x) AS mn, max(x) AS mx
+      FROM xi GROUP BY dim
+    )
+    SELECT CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n,
+           round(s1::DOUBLE / n / 1000000, 6) AS mean_v,
+           round(sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n))
+                 / 1000000, 6) AS std_v,
+           round(mn, 6) AS min_v, round(mx, 6) AS max_v
+    FROM s ORDER BY dim
+    """,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution stats of the embedding column (mean,
+    std, min, max) — the whitening/normalization diagnostic an embedding
+    pipeline runs before indexing. Values are quantized to integer
+    micro-units so sum and sum-of-squares are order-independent
+    (DECIMAL(28) squares: no BIGINT overflow even at 10^11 rows); one
+    explode + one keyed agg with map-side combine — 64 output rows
+    regardless of corpus size."""
+    from ..functions.vectors import to_double_array
+
+    emb = _t(spark, sf_dir, "embeddings", repartition=True)
+    x = emb.select(
+        F.posexplode(to_double_array(F.col("embedding"))).alias("dim", "x")
+    )
+    i = F.round(F.col("x") * 1000000, 0).cast("long")
+    s = x.select("dim", "x", i.alias("i")).groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("i").cast("long").alias("s1"),
+        F.sum((F.col("i") * F.col("i")).cast("decimal(28,0)"))
+        .cast("decimal(38,0)").alias("s2"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1").cast("double"), F.col("s2").cast("double")
+    return s.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("long").alias("n"),
+        F.round(s1 / n / 1000000, 6).alias("mean_v"),
+        F.round(F.sqrt(s2 / n - (s1 / n) * (s1 / n)) / 1000000, 6).alias("std_v"),
+        F.round("mn", 6).alias("min_v"),
+        F.round("mx", 6).alias("max_v"),
+    ).orderBy("dim")
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH {_sql_kmeans_ctes()},
+    d2 AS (
+      SELECT e.vec_id, c2.cid, {_SQL_SQDIST.format(a='e.v', b='c2.c')} AS dist
+      FROM e, c2
+    ),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+    ),
+    ec AS (SELECT e.vec_id, e.v, a2.cid FROM e JOIN a2 ON e.vec_id = a2.vec_id)
+    SELECT CAST(a.cid AS INT) AS cid, a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cosine('a.v', 'b.v')} AS cosine
+    FROM ec a JOIN ec b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {_sql_cosine('a.v', 'b.v')} >= 0.35
+    ORDER BY cid, id_a, id_b
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate detection: k-means
+    clusters the embedding space (deterministic 2-iter Lloyd), then
+    exact cosine pairs are computed only WITHIN each cluster — the
+    clustering turns an O(n²) all-pairs scan into per-cluster blocks,
+    which is the published SemDeDup scale story (pairs shuffle on the
+    cluster id, never the cross product). Threshold 0.35 (synthetic
+    embeddings are near-orthogonal; a real corpus uses ~0.85+); oracle
+    replays the identical clustering and block pair scan."""
+    from ..functions.vectors import cosine_similarity, to_double_array
+    from ..operators.clustering import _assign, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings", repartition=True)
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2)
+    e = emb.select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    ec = e.join(_assign(e, cents), "vec_id")
+    a = ec.select(
+        F.col("cid").alias("cid"), F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+    )
+    b = ec.select(
+        F.col("cid").alias("cid_b"), F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+    )
+    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, (F.col("cid") == F.col("cid_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("cid", "id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+        .orderBy("cid", "id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order for grading. The driver's correctness harness grades a
 # bounded PREFIX of the registered inventory (round 1: exactly the first 50
@@ -5515,6 +5750,10 @@ _NEXT = [
     "multimodal_wav_decode",        # real-codec twin of the in-window BMP rep
     "dedup_segments_corpus",        # C4-style segment dedup + reassembly
     "knn_ivf_kmeans",               # trained-quantizer twin of in-window knn_ivf
+    "knn_pq_adc",                   # product-quantization ADC (3rd ANN path)
+    "knn_label_classify",           # kNN majority-vote label evaluation
+    "dedup_semantic",               # SemDeDup: cluster-blocked cosine pairs
+    "embedding_dim_stats",          # per-dimension whitening diagnostic
     "tpch_q5",                      # TPC-H representative (all 22 green in r1)
     "embedding_cosine_pairs_gemm",  # rows-only scale twin of the exact query
     "events_mad_outliers",

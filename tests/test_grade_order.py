@@ -17,15 +17,19 @@ def test_prefix_families_covered():
             "anonymize_users", "sql_cast_normalize"} <= p      # §2 core
     assert {"dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
             "dedup_clusters", "embedding_cosine_pairs"} <= p   # dedup
-    assert {"knn_bruteforce", "knn_lsh", "knn_ivf", "knn_ivf_kmeans"} <= p
+    assert {"knn_bruteforce", "knn_lsh", "knn_ivf"} <= p
     assert {"text_lang_quality", "doc_tfidf_topk", "pii_scrub",
             "corpus_gopher_rules"} <= p                        # text
-    assert {"multimodal_bmp_decode", "multimodal_wav_decode"} <= p
+    assert {"multimodal_features", "multimodal_frames",
+            "multimodal_bmp_decode"} <= p
     assert {"lineitem_percentiles", "events_median_by_type",
             "events_hll_daily_users", "customer_rfm"} <= p
-    assert {"udtf_bigrams_topk", "dedup_segments_corpus",
+    assert {"udtf_bigrams_topk",
             "sasl_bruteforce_windows", "events_cms_user_counts",
             "doc_bm25_search"} <= p
+    # round-2 family fill: graph / ER / security / embedding stats
+    assert {"dedup_graph_pagerank", "entity_resolution_usernames",
+            "ip_risk_scores", "embedding_centroids"} <= p
 
 
 def test_prefix_is_fully_oracle_checked():

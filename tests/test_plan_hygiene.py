@@ -25,6 +25,8 @@ ALLOWED = {
     ("knn_ivf", "BroadcastNestedLoopJoin"),          # broadcast probe rows
     ("knn_ivf_kmeans", "BroadcastNestedLoopJoin"),   # broadcast probe rows
     ("kmeans_assign", "BroadcastNestedLoopJoin"),    # broadcast k centroids
+    ("knn_label_classify", "BroadcastNestedLoopJoin"),  # broadcast query side
+    ("dedup_semantic", "BroadcastNestedLoopJoin"),   # broadcast k centroids
     ("embedding_cosine_pairs", "BroadcastNestedLoopJoin"),  # block-pair grid
     ("embedding_cosine_pairs_gemm", "BroadcastNestedLoopJoin"),
     ("doc_tfidf_topk", "BroadcastNestedLoopJoin"),   # broadcast 1-row total

@@ -125,3 +125,53 @@ def test_multiprobe_recall_dominates_single_bucket(spark):
     }
     assert len(multi & exact) >= len(single & exact)
     assert len(multi) >= len(single)
+
+
+def test_knn_pq_adc_approximates_exact(spark):
+    """PQ-ADC ranking on a structured set: neighbors it returns must be
+    reasonably close to the exact top-k (ADC is a lossy but monotone-ish
+    distance), ranks contiguous, self excluded."""
+    from maillogsentinel_spark.operators.similarity import knn_bruteforce, knn_pq_adc
+
+    emb = _emb(spark, n=64, dims=16)
+    q = emb.filter("vec_id < 4").withColumnRenamed("vec_id", "query_id")
+    res = knn_pq_adc(emb, q, k=5, m_sub=4, sublen=4, ncodes=8).collect()
+    per_q = {}
+    for r in res:
+        assert r["neighbor_id"] != r["query_id"]
+        assert r["adc_dist"] >= 0.0
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["adc_dist"]))
+    for ranks in per_q.values():
+        assert [x for x, _ in ranks] == list(range(1, len(ranks) + 1))
+        dists = [d for _, d in ranks]
+        assert dists == sorted(dists)  # ascending distance
+    # ADC with 8 codes per 4-dim subspace on a ring: the exact nearest
+    # neighbor should appear within the ADC top-5 for most queries
+    exact1 = {r["query_id"]: r["neighbor_id"]
+              for r in knn_bruteforce(emb, q, k=1).collect()}
+    got = {r["query_id"]: {x["neighbor_id"] for x in res if x["query_id"] == r["query_id"]}
+           for r in res}
+    hits = sum(1 for qid, nid in exact1.items() if nid in got.get(qid, set()))
+    assert hits >= 2
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from maillogsentinel_spark.operators.similarity import knn_classify
+
+    # 3 tight clusters with labels 0/1/2; one query per cluster
+    rows = []
+    import math
+    for c in range(3):
+        base = [0.0] * 6
+        base[c * 2] = 1.0
+        for i in range(5):
+            v = list(base)
+            v[c * 2 + 1] = 0.01 * i
+            rows.append((c * 10 + i, c, v))
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    q = emb.filter(F.col("vec_id") % 10 == 0).withColumnRenamed("vec_id", "query_id")
+    out = knn_classify(emb, q, k=3).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["pred_label"] == r["true_label"]
+        assert r["votes"] >= 2
