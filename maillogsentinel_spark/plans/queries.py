@@ -138,6 +138,50 @@ def _lsh_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         _LSH_PAIRS_CACHE[key] = df
     return df
 
+
+_LM_SCORES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted per-document bigram-LM scores (doc_id, n_bigrams,
+    avg_log2p) — the corpus-trained add-1 model shared by
+    `doc_bigram_logprob` and `docs_ccnet_buckets` (same counts, same
+    smoothing, built once per (session, sf_dir))."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _LM_SCORES_CACHE.get(key)
+    if df is not None:
+        return df
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", toks.alias("t"))
+    uni = (
+        base.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    vsize = uni.agg(F.count(F.lit(1)).alias("v"))
+    db = base.select(
+        "doc_id",
+        F.posexplode(F.expr("slice(t, 1, size(t) - 1)")).alias("i", "w1"),
+        F.col("t"),
+    ).select("doc_id", "w1", F.expr("t[i + 1]").alias("w2"))
+    bi = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    df = (
+        db.join(bi, ["w1", "w2"])
+        .join(uni, F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log2((F.col("bc") + 1.0) / (F.col("uc") + F.col("v")))), 6
+            ).alias("avg_log2p"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _LM_SCORES_CACHE[key] = df
+    return df
+
 # Only tables whose downstream per-row work is heavy enough to repay a
 # pre-shuffle (measured A/B, warm best-of-2 at sf0.1): embeddings
 # (vector math per row) wins 1.6×; for events/lineitem/orders/documents
@@ -5292,35 +5336,10 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts + a broadcast vocab size). Self-scoring on the training
     corpus is the honest oracle-able baseline; swapping the count
     tables for an external reference corpus changes nothing in the
-    plan. All shuffles key on n-gram text; rounded identically."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    base = docs.select("doc_id", toks.alias("t"))
-    uni = (
-        base.select(F.explode("t").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("uc"))
-    )
-    vsize = uni.agg(F.count(F.lit(1)).alias("v"))
-    db = base.select(
-        "doc_id",
-        F.posexplode(F.expr("slice(t, 1, size(t) - 1)")).alias("i", "w1"),
-        F.col("t"),
-    ).select("doc_id", "w1", F.expr("t[i + 1]").alias("w2"))
-    bi = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
-    return (
-        db.join(bi, ["w1", "w2"])
-        .join(uni, F.col("w1") == F.col("w"))
-        .crossJoin(F.broadcast(vsize))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.avg(F.log2((F.col("bc") + 1.0) / (F.col("uc") + F.col("v")))), 6
-            ).alias("avg_log2p"),
-        )
-        .orderBy("doc_id")
-    )
+    plan. All shuffles key on n-gram text; rounded identically. The
+    scored table is built once per (session, sf_dir) and shared with
+    `docs_ccnet_buckets` (_doc_lm_scores)."""
+    return _doc_lm_scores(spark, sf_dir).orderBy("doc_id")
 
 
 @query(
@@ -5665,6 +5684,323 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-2 additions: hashed linear quality classifier, per-source token
+# budget packing, temperature source mixing, distributed Gram matrix,
+# CCNet-style per-language perplexity buckets.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_fasttext_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+             coalesce(list_sum(list_transform(toks,
+               x -> ({_sql_hash64('x', 'ftw')} % 2001) - 1000)), 0) AS milli
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE round(milli / (n_tokens * 1000.0), 6) END AS ft_score,
+           CASE WHEN (CASE WHEN n_tokens = 0 THEN 0.0
+                           ELSE round(milli / (n_tokens * 1000.0), 6) END) >= 0
+                THEN 'keep' ELSE 'drop' END AS ft_label
+    FROM s ORDER BY doc_id
+    """,
+)
+def q_quality_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-feature linear quality classifier: each
+    token hashes to a weight in [-1, 1] (millis of the portable 60-bit
+    hash — a stand-in for trained weights; swapping in a real weight
+    table changes nothing in the plan), the document score is the mean
+    token weight and the label a sign threshold. This is the quality-
+    classifier gate pretraining pipelines run corpus-wide (CCNet /
+    GPT-3-style "looks-like-reference-text" filtering). The entire
+    scorer is a per-row array fold (`F.aggregate` over the token array):
+    integer-exact sums, ZERO shuffles at any scale — an embarrassingly
+    parallel scan projection, the plan you want at 100 TB."""
+    from ..functions.hashing import hash64
+    from ..operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    milli = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + (hash64(x, "ftw") % 2001 - 1000),
+    )
+    s = docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        milli.alias("milli"),
+    )
+    score = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("milli") / (F.col("n_tokens") * 1000.0), 6)
+    )
+    return (
+        s.select(
+            "doc_id",
+            "n_tokens",
+            score.alias("ft_score"),
+            F.when(score >= 0, F.lit("keep")).otherwise(F.lit("drop")).alias(
+                "ft_label"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "docs_token_budget_pack",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tok,
+             {_sql_hash64('text', 'pack')} AS pri
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY pri, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d
+    )
+    SELECT source,
+           CAST(count(*) FILTER (WHERE cum <= 800) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(n_tok) FILTER (WHERE cum <= 800), 0) AS BIGINT)
+             AS tokens_kept,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def q_docs_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget selection: docs are ranked by a
+    deterministic hash priority (a reproducible shuffle — swap in a
+    quality score for curriculum ordering) and greedily kept while the
+    source's running token total stays within budget — how a data-mix
+    spec ("≤ N tokens from source X") is actually materialized. The
+    cumulative sum is a window partitioned BY SOURCE, so the work
+    distributes across sources and never forms a global window; all
+    arithmetic is integer-exact. At 100 TB a single giant source is the
+    skew risk — the mitigation (pre-agg per (source, pri-bucket), pack
+    buckets, then refine the boundary bucket) keeps the same semantics."""
+    from ..functions.hashing import hash64
+    from ..operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+        hash64(F.col("text"), "pack").alias("pri"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    kept = F.col("cum") <= 800
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "corpus_source_mixing",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(round(sqrt(count(*)), 6) AS DECIMAL(18,6)) AS w
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(w) AS DECIMAL(38,6)) AS tw,
+             CAST(sum(n_docs) AS BIGINT) AS tn
+      FROM s
+    )
+    SELECT source, n_docs, w::DOUBLE AS weight,
+           round(w::DOUBLE / tw::DOUBLE, 6) AS mix_share,
+           round(n_docs::DOUBLE / tn, 6) AS nat_share,
+           round((w::DOUBLE / tw::DOUBLE) / (n_docs::DOUBLE / tn), 6) AS boost
+    FROM s, tot ORDER BY source
+    """,
+)
+def q_corpus_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (α = 0.5): sampling weight
+    w_s ∝ n_s^α, the standard multi-source rebalancing rule (upweights
+    small sources, tempers dominant ones — the mT5/XLM-R recipe). One
+    keyed agg to per-source counts, then a broadcast single-row total;
+    the α-power is computed per SOURCE (dozens of rows), never per
+    document. Parity: weights are rounded to 6dp then summed as
+    DECIMAL — the total is order-independent and bit-identical in both
+    engines; only the final shares divide in double."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    s = s.select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs")), 6).cast("decimal(18,6)").alias("w"),
+    )
+    tot = s.agg(
+        F.sum("w").cast("decimal(38,6)").alias("tw"),
+        F.sum("n_docs").cast("long").alias("tn"),
+    )
+    wd, twd = F.col("w").cast("double"), F.col("tw").cast("double")
+    nat = F.col("n_docs").cast("double") / F.col("tn")
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            wd.alias("weight"),
+            F.round(wd / twd, 6).alias("mix_share"),
+            F.round(nat, 6).alias("nat_share"),
+            F.round((wd / twd) / nat, 6).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "embedding_gram_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, list_transform(embedding, x ->
+        CASE WHEN maxabs = 0 THEN 0
+             ELSE round(127 * x::DOUBLE / maxabs)::INT END) AS qv
+      FROM s
+    ),
+    e AS (
+      SELECT vec_id, generate_subscripts(qv, 1) - 1 AS i, unnest(qv) AS v
+      FROM q
+    )
+    SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+           CAST(sum(CAST(a.v AS BIGINT) * b.v) AS BIGINT) AS g
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2 ORDER BY i, j
+    """,
+)
+def q_embedding_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix QᵀQ over int8-quantized embeddings — the
+    n-independent d×d reduction behind PCA whitening / OPQ rotation
+    training (operators/gram.py): one numpy GEMM per Arrow batch, ONE
+    d²-sized partial per partition, one keyed merge. The oracle
+    re-derives every entry by unnesting pairs — integer-exact, so this
+    pins the map-side-reduction arithmetic bit-for-bit. Shuffle volume
+    is partitions × d² regardless of corpus size."""
+    from ..operators.gram import gram_upper_int
+
+    emb = _t(spark, sf_dir, "embeddings", repartition=True)
+    q = F.transform(
+        "embedding",
+        lambda x: F.when(F.col("maxabs") == 0, F.lit(0))
+        .otherwise(F.round(F.lit(127) * x.cast("double") / F.col("maxabs")))
+        .cast("int"),
+    )
+    qdf = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        ).alias("maxabs"),
+    ).select(q.alias("qv"))
+    return (
+        gram_upper_int(qdf, "qv", 64)
+        .select(F.col("i").cast("int"), F.col("j").cast("int"), "g")
+        .orderBy("i", "j")
+    )
+
+
+@query(
+    "docs_ccnet_buckets",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    uni AS (SELECT toks[i+1] AS w, count(*) AS c
+            FROM t, unnest(range(len(toks))) AS u(i) GROUP BY 1),
+    v AS (SELECT count(*) AS v FROM uni),
+    bi AS (SELECT toks[i+1] AS w1, toks[i+2] AS w2, count(*) AS c
+           FROM t, unnest(range(len(toks) - 1)) AS u(i) GROUP BY 1, 2),
+    db AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+           FROM t, unnest(range(len(toks) - 1)) AS u(i)),
+    scored AS (
+      SELECT db.doc_id,
+             round(avg(log2((bi.c + 1.0) / (uni.c + v.v))), 6) AS avg_log2p
+      FROM db JOIN bi ON db.w1 = bi.w1 AND db.w2 = bi.w2
+           JOIN uni ON db.w1 = uni.w
+           CROSS JOIN v
+      GROUP BY db.doc_id
+    ),
+    b AS (
+      SELECT d.lang, s.avg_log2p,
+             ntile(3) OVER (PARTITION BY d.lang
+               ORDER BY s.avg_log2p DESC, s.doc_id) AS tercile
+      FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    )
+    SELECT lang,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(avg_log2p), 6) AS mean_log2p,
+           round(min(avg_log2p), 6) AS min_log2p,
+           round(max(avg_log2p), 6) AS max_log2p
+    FROM b GROUP BY lang, tercile ORDER BY lang, bucket
+    """,
+)
+def q_docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: per LANGUAGE, documents are
+    split into head/middle/tail terciles of their corpus-LM score —
+    the published CCNet pipeline keeps 'head', audits 'middle', drops
+    'tail'. Reuses the shared bigram-LM scores (_doc_lm_scores — built
+    once per session, the KenLM stand-in), then an ntile window
+    PARTITIONED BY LANG (rank-based: no float-arithmetic parity risk,
+    distributes across languages; per-language volume is the skew axis
+    and a quantile-boundary + broadcast swap is the >10⁹-docs-per-lang
+    escape hatch, same gate as customer_rfm). Output is one row per
+    (lang, bucket) with exact counts."""
+    docs = _t(spark, sf_dir, "documents")
+    s = _doc_lm_scores(spark, sf_dir).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_log2p"), "doc_id")
+    b = s.select("lang", "avg_log2p", F.ntile(3).over(w).alias("tercile"))
+    bucket = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        b.groupBy("lang", "tercile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_log2p"), 6).alias("mean_log2p"),
+            F.round(F.min("avg_log2p"), 6).alias("min_log2p"),
+            F.round(F.max("avg_log2p"), 6).alias("max_log2p"),
+        )
+        .select(
+            "lang", bucket.alias("bucket"), "n_docs",
+            "mean_log2p", "min_log2p", "max_log2p",
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registration order for grading. The driver's correctness harness grades a
 # bounded PREFIX of the registered inventory (round 1: exactly the first 50
 # entries, in order). Definition order above groups queries thematically;
@@ -5781,6 +6117,12 @@ _NEXT = [
     "doc_repetition_ratio",
     "doc_length_histogram",
     "lang_id_confusion",
+    # round-2 additions (families already represented inside the prefix)
+    "quality_fasttext_score",       # hashed linear quality classifier
+    "docs_token_budget_pack",       # per-source token-budget materialization
+    "corpus_source_mixing",         # temperature (α=0.5) source rebalancing
+    "embedding_gram_int8",          # distributed GramᵀGram map-side reduction
+    "docs_ccnet_buckets",           # CCNet head/middle/tail perplexity split
 ]
 
 

@@ -186,3 +186,39 @@ def test_events_store_day_filter_prunes_partitions(spark, tmp_path):
         "PartitionFilters"
     )[1][:200]
     assert got.count() == 1
+
+
+def test_fasttext_scorer_is_scan_only(spark):
+    """The hashed linear classifier is a per-row array fold: no joins, no
+    aggregations — the only Exchange allowed is the final presentation
+    sort's range partitioning."""
+    from maillogsentinel_spark.plans.queries import QUERIES
+
+    df = QUERIES["quality_fasttext_score"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert plan.count("Exchange") <= 1  # rangepartitioning for orderBy only
+
+
+def test_token_budget_pack_window_is_per_source(spark):
+    """The greedy cumulative sum must be partitioned by source (never a
+    global single-task window)."""
+    from maillogsentinel_spark.plans.queries import QUERIES
+
+    df = QUERIES["docs_token_budget_pack"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(source" in plan
+
+
+def test_gram_query_shuffles_only_partials(spark):
+    """embedding_gram_int8's shuffle carries d² partials per partition,
+    never vectors: the Python node sits below the only aggregation."""
+    from maillogsentinel_spark.plans.queries import QUERIES
+
+    df = QUERIES["embedding_gram_int8"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    # map-side partial merge: partial_sum below the exchange
+    assert "partial_sum" in plan
