@@ -406,12 +406,14 @@ def knn_ivf_kmeans(
     nlist: int = 8,
     nprobe: int = 2,
     train_iters: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF with a TRAINED coarse quantizer: clustering.kmeans_fit
     learns the nlist centroids (deterministically), inverted lists are
     the Lloyd assignment, queries probe their nprobe nearest centroids
     (squared-L2, the training metric) and candidates are re-ranked by
-    exact cosine.
+    exact cosine. Pass ``centroids`` (cid, c array<double>) to reuse an
+    already-trained quantizer instead of refitting.
 
     Scale: identical roles to knn_ivf — centroids broadcast everywhere,
     corpus touched by one scan + one shuffle for list assignment, a
@@ -424,7 +426,11 @@ def knn_ivf_kmeans(
     from ..functions.vectors import dot
     from .clustering import _assign, kmeans_fit
 
-    cents = kmeans_fit(corpus, id_col, vec_col, k=nlist, iters=train_iters)
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_fit(corpus, id_col, vec_col, k=nlist, iters=train_iters)
+    )
     e = corpus.select(
         F.col(id_col).alias("vec_id"), to_double_array(F.col(vec_col)).alias("v")
     )
