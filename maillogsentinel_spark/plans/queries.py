@@ -6030,6 +6030,95 @@ def q_docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_interval_overlap_join",
+    oracle="""
+    WITH flag AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 1 DAY
+                  THEN 1 ELSE 0 END AS ns
+      FROM events WHERE event_type IN ('error', 'click')
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, sid, min(ts) AS s, max(ts) AS e
+      FROM (
+        SELECT user_id, event_type, ts,
+               sum(ns) OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS sid
+        FROM flag
+      ) GROUP BY user_id, event_type, sid
+    )
+    SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(sum(epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)))
+                AS BIGINT) AS overlap_us
+    FROM sess a JOIN sess b
+      ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
+    WHERE a.event_type = 'error' AND b.event_type = 'click'
+    GROUP BY a.user_id ORDER BY a.user_id
+    """,
+)
+def q_events_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (interval × interval, distinct from the
+    point-in-interval geo range join): error-burst sessions joined
+    against click sessions of the SAME user wherever the two time
+    windows intersect, with the exact overlap duration in integer
+    microseconds. The join is an EQUI join on user_id with the overlap
+    condition as a residual filter — per-user session counts are small
+    and bounded by the 1-day gap rule, so the theta part never sees a
+    cross product larger than (sessions/user)²; at 100 TB the equi key
+    distributes and a hot user is handled by the standard skew split
+    (AQE). Sessionization is the lag/running-sum gaps-and-islands
+    pattern, windows partitioned by (user, type)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("error", "click")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    ns = F.when(
+        lag_ts.isNull() | ((F.col("ts") - lag_ts) > F.expr("INTERVAL 1 DAY")),
+        1,
+    ).otherwise(0)
+    wsum = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        ev.select("user_id", "event_type", "ts", ns.alias("ns"))
+        .withColumn("sid", F.sum("ns").over(wsum))
+        .groupBy("user_id", "event_type", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    a = sess.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("s").alias("sa"), F.col("e").alias("ea")
+    )
+    b = sess.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+    )
+    joined = a.join(
+        b,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("sa") <= F.col("eb"))
+        & (F.col("sb") <= F.col("ea")),
+    )
+    overlap_us = F.unix_micros(F.least("ea", "eb")) - F.unix_micros(
+        F.greatest("sa", "sb")
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum(overlap_us).cast("long").alias("overlap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order for grading. The driver's correctness harness grades a
 # bounded PREFIX of the registered inventory (round 1: exactly the first 50
@@ -6153,6 +6242,7 @@ _NEXT = [
     "corpus_source_mixing",         # temperature (α=0.5) source rebalancing
     "embedding_gram_int8",          # distributed GramᵀGram map-side reduction
     "docs_ccnet_buckets",           # CCNet head/middle/tail perplexity split
+    "events_interval_overlap_join",  # interval×interval overlap join
 ]
 
 
