@@ -5726,16 +5726,18 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
     s AS (
       SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
-             coalesce(list_sum(list_transform(toks,
-               x -> ({_sql_hash64('x', 'ftw')} % 2001) - 1000)), 0) AS milli
+             CAST(coalesce(list_sum(list_transform(toks,
+               x -> ({_sql_hash64('x', 'ftw')} % 2001) - 1000)), 0) AS BIGINT)
+               AS milli
       FROM t
     )
     SELECT doc_id, n_tokens,
-           CASE WHEN n_tokens = 0 THEN 0.0
-                ELSE round(milli / (n_tokens * 1000.0), 6) END AS ft_score,
-           CASE WHEN (CASE WHEN n_tokens = 0 THEN 0.0
-                           ELSE round(milli / (n_tokens * 1000.0), 6) END) >= 0
-                THEN 'keep' ELSE 'drop' END AS ft_label
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE CASE WHEN milli < 0 THEN
+                       -((2 * (-milli) * 1000 + n_tokens) // (2 * n_tokens))
+                     ELSE (2 * milli * 1000 + n_tokens) // (2 * n_tokens) END
+                END AS BIGINT) AS score_ppm,
+           CASE WHEN milli >= 0 THEN 'keep' ELSE 'drop' END AS ft_label
     FROM s ORDER BY doc_id
     """,
 )
@@ -5749,7 +5751,10 @@ def q_quality_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     GPT-3-style "looks-like-reference-text" filtering). The entire
     scorer is a per-row array fold (`F.aggregate` over the token array):
     integer-exact sums, ZERO shuffles at any scale — an embarrassingly
-    parallel scan projection, the plan you want at 100 TB."""
+    parallel scan projection, the plan you want at 100 TB. The mean
+    score is emitted in integer parts-per-million with half-up rounding
+    done in pure integer arithmetic — no float rounding surface at all
+    (a round(x, 6) half-tie diverged between engines at sf0.1)."""
     from ..functions.hashing import hash64
     from ..operators.textstats import tokens
 
@@ -5765,15 +5770,19 @@ def q_quality_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("int").alias("n_tokens"),
         milli.alias("milli"),
     )
-    score = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
-        F.round(F.col("milli") / (F.col("n_tokens") * 1000.0), 6)
-    )
+    n, m = F.col("n_tokens"), F.col("milli")
+    # integer half-up: (2·|num| + den) div (2·den), positive operands so
+    # Spark's truncating `div` == DuckDB's flooring `//`
+    q = F.expr("(2 * abs(milli) * 1000L + n_tokens) div (2L * n_tokens)")
+    ppm = (
+        F.when(n == 0, F.lit(0)).otherwise(F.when(m < 0, -q).otherwise(q))
+    ).cast("long")
     return (
         s.select(
             "doc_id",
             "n_tokens",
-            score.alias("ft_score"),
-            F.when(score >= 0, F.lit("keep")).otherwise(F.lit("drop")).alias(
+            ppm.alias("score_ppm"),
+            F.when(m >= 0, F.lit("keep")).otherwise(F.lit("drop")).alias(
                 "ft_label"
             ),
         )
@@ -6030,6 +6039,133 @@ def q_docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_bpe_round(r: int) -> str:
+    """One unrolled BPE round for the DuckDB oracle: weighted pair
+    counts → deterministic argmax → textbook greedy left-to-right merge
+    replayed as a recursive scan over each word's symbol list."""
+    return f"""
+    pairs{r} AS (
+      SELECT syms[i+1] AS l, syms[i+2] AS r2, CAST(sum(cnt) AS BIGINT) AS c
+      FROM w{r}, unnest(range(len(syms) - 1)) AS u(i)
+      GROUP BY 1, 2
+    ),
+    best{r} AS (SELECT l, r2, c FROM pairs{r} ORDER BY c DESC, l, r2 LIMIT 1),
+    m{r} AS (
+      SELECT word, cnt, syms, b.l AS bl, b.r2 AS br, 1 AS pos,
+             [syms[1]] AS acc
+      FROM w{r}, best{r} b
+      UNION ALL
+      SELECT word, cnt, syms, bl, br, pos + 1,
+             CASE WHEN acc[len(acc)] = bl AND syms[pos+1] = br
+                  THEN list_append(list_slice(acc, 1, len(acc)-1), bl || br)
+                  ELSE list_append(acc, syms[pos+1]) END
+      FROM m{r} WHERE pos < len(syms)
+    ),
+    w{r+1} AS (SELECT word, cnt, acc AS syms FROM m{r} WHERE pos = len(syms))
+    """
+
+
+@query(
+    "bpe_train_merges",
+    oracle=f"""
+    WITH RECURSIVE wf AS (
+      SELECT t AS word, count(*) AS cnt FROM (
+        SELECT unnest({_SQL_TOKS}) AS t FROM documents)
+      GROUP BY 1
+    ),
+    w1 AS (
+      SELECT word, CAST(cnt AS BIGINT) AS cnt,
+             list_transform(range(length(word)),
+                            i -> substring(word, i+1, 1)) AS syms
+      FROM wf
+    ),
+    {_sql_bpe_round(1)}, {_sql_bpe_round(2)}, {_sql_bpe_round(3)}
+    SELECT 1 AS round, l AS lhs, r2 AS rhs, l || r2 AS merged, c AS pair_count
+    FROM best1
+    UNION ALL SELECT 2, l, r2, l || r2, c FROM best2
+    UNION ALL SELECT 3, l, r2, l || r2, c FROM best3
+    ORDER BY round
+    """,
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING — the first 3 merge rules
+    learned from the corpus (Sennrich et al.'s algorithm, the one every
+    modern tokenizer pipeline runs before a pretraining job). Scale
+    shape: the corpus collapses immediately into the word-frequency
+    table (vocab-sized — orders of magnitude smaller than 100 TB of
+    text, one keyed shuffle); each round is then (a) a weighted
+    adjacent-pair count — keyed agg with map-side combine, (b) a
+    global argmax — TakeOrdered(1) with a total tie-break
+    (count desc, pair asc), (c) the merge applied as a ROW-LOCAL array
+    fold (`F.aggregate`) under a broadcast of the single winning pair —
+    textbook greedy left-to-right, no shuffle. Per-round tables are
+    persisted so round r+1 does not replay round r. The oracle unrolls
+    all three rounds, replaying the greedy merge with a recursive
+    symbol-by-symbol scan — every rule AND its count must match
+    exactly."""
+    from ..operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    words = wf.select("word", "cnt", F.split("word", "").alias("syms"))
+
+    bests: list[DataFrame] = []
+    for _ in range(3):
+        seq = F.when(
+            F.size("syms") > 1, F.sequence(F.lit(1), F.size("syms") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = (
+            words.select("cnt", F.explode(seq).alias("i"), "syms")
+            .select(
+                F.element_at("syms", F.col("i")).alias("l"),
+                F.element_at("syms", F.col("i") + 1).alias("r2"),
+                "cnt",
+            )
+        )
+        best = (
+            pairs.groupBy("l", "r2")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "l", "r2")
+            .limit(1)
+            .localCheckpoint(eager=True)  # 1 row; keeps round lineage flat
+        )
+        bests.append(best)
+        fold = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("l"))
+                & (x == F.col("r2")),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.concat(F.col("l"), F.col("r2"))),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select("word", "cnt", fold.alias("syms"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    out: DataFrame | None = None
+    for i, b in enumerate(bests, 1):
+        sel = b.select(
+            F.lit(i).alias("round"),
+            F.col("l").alias("lhs"),
+            F.col("r2").alias("rhs"),
+            F.concat("l", "r2").alias("merged"),
+            F.col("c").cast("long").alias("pair_count"),
+        )
+        out = sel if out is None else out.unionAll(sel)
+    return out.orderBy("round")
+
+
 @query(
     "events_interval_overlap_join",
     oracle="""
@@ -6243,6 +6379,7 @@ _NEXT = [
     "embedding_gram_int8",          # distributed GramᵀGram map-side reduction
     "docs_ccnet_buckets",           # CCNet head/middle/tail perplexity split
     "events_interval_overlap_join",  # interval×interval overlap join
+    "bpe_train_merges",             # distributed BPE tokenizer training
 ]
 
 
