@@ -6,6 +6,14 @@ JSON line: {"metric", "value" (total sec), "unit", "queries" {name: sec},
 Each query is fully executed (collect) so the number includes the whole
 plan, not just planning. A warmup pass on sf0.001 triggers JVM/codegen
 warmup outside the timed region.
+
+Output-size contract: the driver keeps only the LAST ~2000 characters of
+stdout and parses that as JSON, so the single line must fit well under
+2000 bytes. With 130 registered queries a full per-query map is ~4 KB
+(that overflow is exactly why round 1's BENCH had "parsed": null), so the
+line carries the total plus as many headline per-query timings as fit a
+1900-byte budget; the complete map is written to BENCH_FULL.json next to
+this script for the perf-diff guard (tools/bench_diff.py).
 """
 
 from __future__ import annotations
@@ -16,10 +24,53 @@ import re
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 from maillogsentinel_spark.plans.queries import QUERIES  # noqa: E402
 from maillogsentinel_spark.session import get_spark  # noqa: E402
+
+# Headline queries, most-important first: one per SURVEY §2 / LLM-pipeline
+# family. Truncated (never reordered) to fit the byte budget.
+HEADLINE = [
+    "sasl_parse", "geo_range_join", "mail_report_top10_today",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
+    "dedup_ngram_jaccard", "embedding_cosine_pairs", "knn_bruteforce",
+    "knn_lsh", "knn_ivf", "kmeans_assign", "text_lang_quality",
+    "doc_tfidf_topk", "doc_fingerprint", "token_counts_by_source",
+    "multimodal_features", "multimodal_bmp_decode", "lineitem_percentiles",
+    "events_hll_daily_users", "events_sessionize", "events_asof_join",
+    "anonymize_users", "customer_rfm", "corpus_prepare_funnel",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9_profit",
+    "tpch_q18_large_orders", "tpch_q21_waiting_supp",
+    "doc_bm25_search", "bpe_train_merges", "entity_resolution_usernames",
+    "events_interval_overlap_join", "embedding_gram_int8",
+    "dedup_semantic", "sasl_bruteforce_windows",
+]
+
+LINE_BUDGET = 1900  # driver tail capture is ~2000 chars; stay under
+
+
+def compact_line(total: float, n: int, per_query: dict[str, float],
+                 sf: float) -> str:
+    """One JSON line ≤ LINE_BUDGET bytes: totals + headline subset."""
+    shown = [q for q in HEADLINE if q in per_query]
+    while True:
+        line = json.dumps(
+            {
+                "metric": f"total query wall-clock, all {n} registered queries"
+                          " (full per-query map: BENCH_FULL.json)",
+                "value": total,
+                "unit": "sec",
+                "queries": {q: per_query[q] for q in shown},
+                "sf": sf,
+                "n_queries": n,
+            },
+            separators=(",", ":"),
+        )
+        if len(line) <= LINE_BUDGET or not shown:
+            return line
+        shown.pop()
 
 
 def main() -> None:
@@ -65,14 +116,17 @@ def main() -> None:
         per_query[name] = round(dt, 3)
         total += dt if dt == dt else 0.0
 
-    line = json.dumps({
+    full = {
         "metric": "total query wall-clock, all registered queries",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
-    }) + "\n"
-    os.write(real_stdout_fd, line.encode())
+    }
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    line = compact_line(round(total, 3), len(per_query), per_query, sf)
+    os.write(real_stdout_fd, (line + "\n").encode())
 
 
 if __name__ == "__main__":

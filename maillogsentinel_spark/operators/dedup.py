@@ -365,6 +365,7 @@ def _cosine_pairs_gemm(
     vec_col: str,
     threshold: float,
     num_blocks: int = 8,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Block-tiled distributed GEMM all-pairs: vectors are hashed into
     ``num_blocks`` blocks; each unordered block pair (p ≤ q) becomes one
@@ -374,6 +375,13 @@ def _cosine_pairs_gemm(
     memory (one block pair ≈ 2·(n/num_blocks) vectors), not the driver.
     Replication is num_blocks+1 copies of each row across block pairs;
     at cluster scale raise num_blocks so a block pair fits one task.
+
+    ``group_col``: optional long-castable partition column (e.g. a
+    k-means cluster id). Pairs are then produced only WITHIN each group
+    — the cogroup key becomes (g, p, q) and the output gains a ``g``
+    column. This is the SemDeDup shape: work drops from O(n²/B) to
+    Σ_g O(n_g²/B) and every task stays bounded by its group's block
+    pair, never the corpus.
     """
     import numpy as np
     import pandas as pd
@@ -381,7 +389,11 @@ def _cosine_pairs_gemm(
 
     spark = emb.sparkSession
     nb = int(num_blocks)
+    gsel = (
+        [F.col(group_col).cast("long").alias("g")] if group_col else []
+    )
     v = emb.select(
+        *gsel,
         F.col(id_col).cast("long").alias("id"),
         to_double_array(F.col(vec_col)).alias("v"),
         F.pmod(F.hash(F.col(id_col)), F.lit(nb)).cast("int").alias("bid"),
@@ -392,6 +404,8 @@ def _cosine_pairs_gemm(
         .crossJoin(spark.range(nb).select(F.col("id").cast("int").alias("q")))
         .filter(F.col("p") <= F.col("q"))
     )
+    gcols = ["g"] if group_col else []
+
     def side(tag: str, block_col: str) -> DataFrame:
         return (
             v.alias(f"v{tag}")
@@ -400,6 +414,7 @@ def _cosine_pairs_gemm(
                 F.col(f"v{tag}.bid") == F.col(f"bp{tag}.{block_col}"),
             )
             .select(
+                *[F.col(f"v{tag}.{g}").alias(g) for g in gcols],
                 F.col(f"bp{tag}.p").alias("p"),
                 F.col(f"bp{tag}.q").alias("q"),
                 F.col(f"v{tag}.id").alias("id"),
@@ -410,15 +425,19 @@ def _cosine_pairs_gemm(
     left = side("l", "p")
     right = side("r", "q")
 
+    gfields = [T.StructField("g", T.LongType())] if group_col else []
     schema = T.StructType(
-        [
+        gfields
+        + [
             T.StructField("id_a", T.LongType()),
             T.StructField("id_b", T.LongType()),
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+    gempty = {"g": np.array([], dtype=np.int64)} if group_col else {}
     empty = pd.DataFrame(
         {
+            **gempty,
             "id_a": np.array([], dtype=np.int64),
             "id_b": np.array([], dtype=np.int64),
             "cosine": np.array([], dtype=np.float64),
@@ -443,20 +462,24 @@ def _cosine_pairs_gemm(
         gi, gj, sv = lids[bi], rids[bj], sims[bi, bj]
         # p == q: both sides hold the same block — keep the upper
         # triangle. p < q: blocks are disjoint (hash-partitioned), every
-        # cross pair is unique — just orient it.
-        mask = gi < gj if int(key[0]) == int(key[1]) else gi != gj
+        # cross pair is unique — just orient it. (p, q) are the LAST two
+        # key components; a group id, when present, leads.
+        mask = gi < gj if int(key[-2]) == int(key[-1]) else gi != gj
         gi, gj, sv = gi[mask], gj[mask], sv[mask]
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(gi, gj),
-                "id_b": np.maximum(gi, gj),
-                "cosine": sv,
-            }
-        )
+        out = {
+            "id_a": np.minimum(gi, gj),
+            "id_b": np.maximum(gi, gj),
+            "cosine": sv,
+        }
+        if group_col:
+            out = {"g": np.full(len(gi), int(key[0]), dtype=np.int64), **out}
+        return pd.DataFrame(out)
 
+    keys = gcols + ["p", "q"]
     out = (
-        left.groupBy("p", "q")
-        .cogroup(right.groupBy("p", "q"))
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
         .applyInPandas(mult, schema)
     )
-    return out.orderBy("id_a", "id_b")
+    order = (["g"] if group_col else []) + ["id_a", "id_b"]
+    return out.orderBy(*order)

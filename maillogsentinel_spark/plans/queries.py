@@ -5687,26 +5687,34 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster id, never the cross product). Threshold 0.35 (synthetic
     embeddings are near-orthogonal; a real corpus uses ~0.85+); oracle
     replays the identical clustering and block pair scan. Clustering
-    comes from the shared fit (_kmeans_shared)."""
+    comes from the shared fit (_kmeans_shared).
+
+    Physical shape: per-cluster block-tiled numpy GEMM prefilter at
+    threshold−1e-4 (cogroup key (cid, block_p, block_q) — numpy and the
+    sequential fold agree to ~1e-12, so no exact-qualifying pair can be
+    pruned), then the fold-order cosine recomputed per candidate for
+    bit-parity with the DuckDB oracle. A Catalyst-expression pair scan
+    over the same blocks measured 25 s at sf0.1; the GEMM prefilter
+    runs the identical candidate set in ~2 s."""
     from ..functions.vectors import cosine_similarity, to_double_array
+    from ..operators.dedup import _cosine_pairs_gemm
 
     emb = _t(spark, sf_dir, "embeddings", repartition=True)
     _, assigned = _kmeans_shared(spark, sf_dir, k=8, iters=2)
     e = emb.select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
-    ec = e.join(assigned, "vec_id")
-    a = ec.select(
-        F.col("cid").alias("cid"), F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
-    )
-    b = ec.select(
-        F.col("cid").alias("cid_b"), F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-    )
+    ec = e.join(assigned.select("vec_id", "cid"), "vec_id")
+    cands = _cosine_pairs_gemm(
+        ec, "vec_id", "v", 0.35 - 1e-4, group_col="cid"
+    ).select(F.col("g").cast("int").alias("cid"), "id_a", "id_b")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
     return (
-        a.join(b, (F.col("cid") == F.col("cid_b")) & (F.col("id_a") < F.col("id_b")))
+        F.broadcast(cands)
+        .join(a, "id_a")
+        .join(b, "id_b")
         .select("cid", "id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.35)
         .orderBy("cid", "id_a", "id_b")
@@ -6039,6 +6047,76 @@ def q_docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_CACHE: dict[tuple[str, str], tuple[list[DataFrame], DataFrame]] = {}
+
+
+def _bpe_shared(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """One 3-round BPE fit per (session, sf_dir): returns the three
+    1-row winning-pair DataFrames and the final (word, cnt, syms)
+    vocabulary table with all merges applied. `bpe_train_merges` reads
+    the rules, `bpe_encode_compression` reads the encoded vocabulary —
+    training once and reusing the artifact is exactly how a production
+    tokenizer pipeline treats its merge table."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BPE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from ..operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    words = wf.select("word", "cnt", F.split("word", "").alias("syms"))
+
+    bests: list[DataFrame] = []
+    for _ in range(3):
+        seq = F.when(
+            F.size("syms") > 1, F.sequence(F.lit(1), F.size("syms") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = (
+            words.select("cnt", F.explode(seq).alias("i"), "syms")
+            .select(
+                F.element_at("syms", F.col("i")).alias("l"),
+                F.element_at("syms", F.col("i") + 1).alias("r2"),
+                "cnt",
+            )
+        )
+        best = (
+            pairs.groupBy("l", "r2")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "l", "r2")
+            .limit(1)
+            .localCheckpoint(eager=True)  # 1 row; keeps round lineage flat
+        )
+        bests.append(best)
+        fold = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("l"))
+                & (x == F.col("r2")),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.concat(F.col("l"), F.col("r2"))),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select("word", "cnt", fold.alias("syms"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    _BPE_CACHE[key] = (bests, words)
+    return bests, words
+
+
 def _sql_bpe_round(r: int) -> str:
     """One unrolled BPE round for the DuckDB oracle: weighted pair
     counts → deterministic argmax → textbook greedy left-to-right merge
@@ -6103,56 +6181,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     all three rounds, replaying the greedy merge with a recursive
     symbol-by-symbol scan — every rule AND its count must match
     exactly."""
-    from ..operators.textstats import tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    wf = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    words = wf.select("word", "cnt", F.split("word", "").alias("syms"))
-
-    bests: list[DataFrame] = []
-    for _ in range(3):
-        seq = F.when(
-            F.size("syms") > 1, F.sequence(F.lit(1), F.size("syms") - 1)
-        ).otherwise(F.array().cast("array<int>"))
-        pairs = (
-            words.select("cnt", F.explode(seq).alias("i"), "syms")
-            .select(
-                F.element_at("syms", F.col("i")).alias("l"),
-                F.element_at("syms", F.col("i") + 1).alias("r2"),
-                "cnt",
-            )
-        )
-        best = (
-            pairs.groupBy("l", "r2")
-            .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.desc("c"), "l", "r2")
-            .limit(1)
-            .localCheckpoint(eager=True)  # 1 row; keeps round lineage flat
-        )
-        bests.append(best)
-        fold = F.aggregate(
-            "syms",
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.col("l"))
-                & (x == F.col("r2")),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1),
-                    F.array(F.concat(F.col("l"), F.col("r2"))),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        words = (
-            words.crossJoin(F.broadcast(best))
-            .select("word", "cnt", fold.alias("syms"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-
+    bests, _ = _bpe_shared(spark, sf_dir)
     out: DataFrame | None = None
     for i, b in enumerate(bests, 1):
         sel = b.select(
@@ -6252,6 +6281,247 @@ def q_events_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(overlap_us).cast("long").alias("overlap_us"),
         )
         .orderBy("user_id")
+    )
+
+
+@query(
+    "bpe_encode_compression",
+    oracle=f"""
+    WITH RECURSIVE wf AS (
+      SELECT t AS word, count(*) AS cnt FROM (
+        SELECT unnest({_SQL_TOKS}) AS t FROM documents)
+      GROUP BY 1
+    ),
+    w1 AS (
+      SELECT word, CAST(cnt AS BIGINT) AS cnt,
+             list_transform(range(length(word)),
+                            i -> substring(word, i+1, 1)) AS syms
+      FROM wf
+    ),
+    {_sql_bpe_round(1)}, {_sql_bpe_round(2)}, {_sql_bpe_round(3)},
+    dt AS (SELECT source, unnest({_SQL_TOKS}) AS tk FROM documents),
+    j AS (
+      SELECT dt.source, length(dt.tk) AS chars, len(w.syms) AS toks
+      FROM dt JOIN w4 w ON dt.tk = w.word
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(chars) AS BIGINT) AS n_chars,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           round(CAST(sum(chars) AS DOUBLE) / sum(toks), 6) AS chars_per_token
+    FROM j GROUP BY source ORDER BY source
+    """,
+)
+def q_bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode the corpus with the 3 trained BPE
+    merge rules (shared fit, _bpe_shared) and report the per-source
+    compression — words, characters, post-merge tokens, chars/token.
+    This is the token-accounting pass every pretraining-data pipeline
+    runs after (re)training a tokenizer. Scale shape: the corpus side is
+    a narrow explode (one shuffle key: word); the encoded vocabulary is
+    a vocab-sized dim joined on word — Zipf-bounded, so the join key
+    distributes and AQE picks broadcast vs shuffle-hash from its actual
+    size. No per-document merge replay: the encoded length of every
+    word is precomputed ONCE on the vocabulary, not once per
+    occurrence — O(vocab · merge_rounds) instead of O(corpus)."""
+    from ..operators.textstats import tokens
+
+    _, words = _bpe_shared(spark, sf_dir)
+    wmap = words.select(
+        "word",
+        F.length("word").alias("chars"),
+        F.size("syms").alias("toks"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    dt = docs.select("source", F.explode(tokens(F.col("text"))).alias("tk"))
+    j = dt.join(wmap, dt["tk"] == wmap["word"])
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("chars").cast("long").alias("n_chars"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("chars").cast("double") / F.sum("toks"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "events_hll_weekly_rollup",
+    oracle="""
+    WITH wk AS (
+      SELECT date_trunc('week', ts)::DATE AS week, user_id FROM events)
+    SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS union_within_5pct
+    FROM wk GROUP BY week ORDER BY week
+    """,
+)
+def q_events_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup — the pattern `events_hll_daily_users`
+    only gestures at: daily Datasketches-HLL partials
+    (`hll_sketch_agg`) are UNIONED into weekly estimates
+    (`hll_union_agg`), exactly how a 100 TB store rolls daily
+    pre-aggregates into weekly/monthly reports without ever rescanning
+    the fact table — the weekly pass touches one ~KB sketch per day,
+    not one row per user. A user active on several days of a week sits
+    in several daily sketches; the union deduplicates by construction
+    (HLL registers are max-merged). The oracle pins the exact weekly
+    distinct and the ±5% audit bound on the union estimate (lgK=12
+    stays in sparse/exact mode far beyond these cardinalities, so the
+    flag is deterministically TRUE — a broken union would flip it and
+    fail the hash)."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    daily = du.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    week = F.date_trunc("week", F.col("day").cast("timestamp")).cast("date")
+    weekly_approx = daily.groupBy(week.alias("week")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    weekly_exact = (
+        ev.select(
+            F.date_trunc("week", "ts").cast("date").alias("week"), "user_id"
+        )
+        .distinct()
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_users"))
+    )
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= F.col("exact_users") * 0.05
+    )
+    return (
+        weekly_exact.join(weekly_approx, "week")
+        .select("week", "exact_users", within.alias("union_within_5pct"))
+        .orderBy("week")
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, source, unnest({_SQL_TOKS}) AS tk
+               FROM documents),
+    f AS (SELECT doc_id, lang, source,
+                 ({_sql_hash64('tk', 'dsir')} % 64) AS b
+          FROM t),
+    ac AS (SELECT b, count(*) AS ac FROM f GROUP BY 1),
+    tc AS (SELECT b, count(*) AS tc FROM f WHERE lang = 'en' GROUP BY 1),
+    tots AS (SELECT (SELECT count(*) FROM f) AS ta,
+                    (SELECT count(*) FROM f WHERE lang = 'en') AS tt),
+    dw AS (
+      SELECT f.doc_id, f.source,
+             round(avg(ln((coalesce(tc.tc, 0) + 1.0) / (tots.tt + 64.0))
+                     - ln((ac.ac + 1.0) / (tots.ta + 64.0))), 6) AS w
+      FROM f JOIN ac USING (b) LEFT JOIN tc USING (b) CROSS JOIN tots
+      GROUP BY f.doc_id, f.source
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(w), 6) AS avg_w,
+           round(min(w), 6) AS min_w,
+           round(max(w), 6) AS max_w
+    FROM dw GROUP BY source ORDER BY source
+    """,
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): per-document
+    importance weights log p_target/q_raw under hashed-unigram bag
+    models — target = the lang='en' slice, raw = the whole corpus,
+    features = tokens hashed into 64 buckets (portable md5 hash64, salt
+    'dsir'), add-1 smoothing. The weight is what importance-resampling
+    pipelines rank/sample by to tilt a raw crawl toward a target
+    distribution. Scale shape: two bucket-count aggs (64-row results),
+    broadcast back over the token stream, one per-doc agg, one per-
+    source agg — the model is O(buckets), never O(vocab), which is the
+    whole point of hashed DSIR at 100 TB. Docs with zero tokens carry
+    no weight and are absent on both sides (explode ⇔ unnest)."""
+    from ..functions.hashing import hash64
+    from ..operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents", repartition=True)
+    f = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(tokens(F.col("text"))).alias("tk"),
+    ).select(
+        "doc_id", "lang", "source", (hash64(F.col("tk"), "dsir") % 64).alias("b")
+    )
+    ac = f.groupBy("b").agg(F.count(F.lit(1)).alias("ac"))
+    tc = (
+        f.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    tots = f.agg(
+        F.count(F.lit(1)).alias("ta"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tt"),
+    )
+    logw = F.log(
+        (F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (F.col("tt") + 64.0)
+    ) - F.log((F.col("ac") + 1.0) / (F.col("ta") + 64.0))
+    dw = (
+        f.join(F.broadcast(ac), "b")
+        .join(F.broadcast(tc), "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.avg(logw), 6).alias("w"))
+    )
+    return (
+        dw.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("w"), 6).alias("avg_w"),
+            F.round(F.min("w"), 6).alias("min_w"),
+            F.round(F.max("w"), 6).alias("max_w"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH {_sql_minhash_pairs_ctes()}
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(p.jaccard), 6) AS avg_jaccard
+    FROM pairs p JOIN documents da ON p.id_a = da.doc_id
+                 JOIN documents db ON p.id_b = db.doc_id
+    GROUP BY 1, 2 ORDER BY source_a, source_b
+    """,
+)
+def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix over the verified MinHash-LSH
+    near-dup pairs (shared artifact, _lsh_pairs_shared): for every
+    unordered source pair, how many near-dup pairs straddle it and at
+    what mean similarity — the contamination/overlap dashboard a
+    multi-source corpus build consults before setting mixing weights.
+    The pair list is LSH-bounded (≪ corpus), so it broadcasts into the
+    two doc_id→source lookups; the fact side is never shuffled."""
+    pairs = _lsh_pairs_shared(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    a = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+    )
+    b = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+    )
+    return (
+        F.broadcast(pairs)
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
     )
 
 
@@ -6380,6 +6650,11 @@ _NEXT = [
     "docs_ccnet_buckets",           # CCNet head/middle/tail perplexity split
     "events_interval_overlap_join",  # interval×interval overlap join
     "bpe_train_merges",             # distributed BPE tokenizer training
+    # round-2 additions (families already represented inside the prefix)
+    "bpe_encode_compression",       # tokenizer application / token budget
+    "events_hll_weekly_rollup",     # mergeable-sketch daily→weekly union
+    "dsir_importance_weights",      # hashed importance resampling weights
+    "dedup_cross_source_matrix",    # cross-source near-dup overlap
 ]
 
 

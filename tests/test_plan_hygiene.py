@@ -37,6 +37,12 @@ ALLOWED = {
     # inequality join — TPC-H Q11's scalar-subquery shape
     ("doc_bm25_search", "BroadcastNestedLoopJoin"),  # two 1-row stat broadcasts
     ("doc_bigram_logprob", "BroadcastNestedLoopJoin"),  # 1-row vocab-size bcast
+    ("bpe_encode_compression", "BroadcastNestedLoopJoin"),  # 1-row winning
+    # merge pair broadcast per BPE round (the _bpe_shared fold)
+    ("dsir_importance_weights", "BroadcastNestedLoopJoin"),  # 1-row totals
+    ("corpus_source_mixing", "BroadcastNestedLoopJoin"),  # 1-row weight total
+    ("docs_ccnet_buckets", "BroadcastNestedLoopJoin"),  # 1-row vocab size
+    # (the _doc_lm_scores bigram model shared with doc_bigram_logprob)
     ("udtf_bigrams_topk", "BatchEvalPython"),        # the UDTF surface demo:
     # BatchEvalPythonUDTF IS the extension point this query exists to prove
 }

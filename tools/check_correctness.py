@@ -78,9 +78,11 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
+        t_spark = time.time() - t0
         if name not in oracles:
-            print(f"weak {name}: rows={len(srows)} (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"weak {name}: rows={len(srows)} (no oracle) [{t_spark:.1f}s]")
             continue
+        t1 = time.time()
         try:
             orel = con.sql(oracles[name])
             ocols = [c for c in orel.columns]
@@ -89,6 +91,7 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
+        t_duck = time.time() - t1
         ok = True
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(ocols)}")
@@ -104,7 +107,10 @@ def main():
                 print(f"FAIL {name}: {len(bad)} rows differ; first:\n  spark  {s_n[i]}\n  duckdb {o_n[i]}")
                 ok = False
         if ok:
-            print(f"ok   {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
+            print(
+                f"ok   {name}: rows={len(srows)} "
+                f"[spark {t_spark:.1f}s, duckdb {t_duck:.1f}s]"
+            )
         else:
             failures.append(name)
     print(f"\n{attempted - len(failures)}/{attempted} ok")
