@@ -483,3 +483,79 @@ def _cosine_pairs_gemm(
     )
     order = (["g"] if group_col else []) + ["id_a", "id_b"]
     return out.orderBy(*order)
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 5,
+    min_run: int = 2,
+    df_cap: int = 20,
+) -> DataFrame:
+    """Exact-substring duplicate spans between document pairs — the
+    suffix-array dedup of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (2022), re-expressed as joins: two
+    documents share a duplicated span iff they share a RUN of
+    consecutive matching token w-grams (a run of r windows = an exact
+    common substring of r + w − 1 tokens).
+
+    Per pair: every matching (position_a, position_b) window lies on a
+    diagonal (pos_a − pos_b constant); consecutive positions on one
+    diagonal are one span. Runs are found with the gaps-and-islands
+    trick (pos − row_number per (pair, diagonal)) — no suffix array,
+    no per-executor state, every step a keyed shuffle.
+
+    Scale guards: windows join on their 64-bit content hash (narrow
+    shuffle key, not the w-token string); windows occurring more than
+    ``df_cap`` times (boilerplate) are dropped before the pair join —
+    the same explosion guard the shingle graph uses. Returns
+    (id_a, id_b, n_matches, max_run, span_tokens) for pairs whose
+    longest run ≥ ``min_run``.
+    """
+    t = tokens(F.col(text_col))
+    win = F.when(
+        F.size(t) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - w),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(win).alias("pos", "g")
+    ).select("id", "pos", hash64(F.col("g"), "xss").alias("gh"))
+    rare = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("gh")
+    )
+    g2 = grams.join(rare, "gh")
+    a, b = g2.alias("a"), g2.alias("b")
+    m = a.join(
+        b, (F.col("a.gh") == F.col("b.gh")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.pos").alias("ia"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    from pyspark.sql import Window as _W
+
+    rn = F.row_number().over(
+        _W.partitionBy("id_a", "id_b", "diag").orderBy("ia")
+    )
+    runs = (
+        m.select("id_a", "id_b", "diag", "ia", (F.col("ia") - rn).alias("grp"))
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            F.sum("run_len").cast("long").alias("n_matches"),
+            F.max("run_len").cast("int").alias("max_run"),
+            (F.max("run_len") + (w - 1)).cast("int").alias("span_tokens"),
+        )
+        .filter(F.col("max_run") >= min_run)
+    )

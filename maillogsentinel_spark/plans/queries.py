@@ -4554,13 +4554,11 @@ def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dense — 26 s); the guarded graph is 110k edges (~2 s warm). Edges
     are oriented low→high id, so each triangle is counted exactly once
     by the two-hop + closing-edge join; all joins key on vertex ids
-    (node-iterator ordering trick)."""
-    from ..operators.textstats import shingles, tokens
-
-    docs = _t(spark, sf_dir, "documents", repartition=True)
-    t = tokens(F.col("text"))
-    sh0 = docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles(t, 3))).alias("s")
+    (node-iterator ordering trick). Shingles come from the session-
+    shared persisted (id, sh) table (_doc_shingles_shared) — same rows
+    the LSH/ngram/novelty family reads, built once."""
+    sh0 = _doc_shingles_shared(spark, sf_dir, 3).select(
+        F.col("id").alias("doc_id"), F.col("sh").alias("s")
     )
     rare = sh0.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= 20
@@ -6481,6 +6479,55 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    g0 AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS g
+      FROM t, unnest(range(greatest(len(toks) - 4, 0))) AS u(i)
+    ),
+    g AS (SELECT doc_id, pos, {_sql_hash64('g', 'xss')} AS gh FROM g0),
+    rare AS (SELECT gh FROM (SELECT gh, count(*) AS df FROM g GROUP BY 1)
+             WHERE df <= 20),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS ia,
+             a.pos - b.pos AS diag
+      FROM g a JOIN rare USING (gh)
+           JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+    ),
+    r AS (
+      SELECT id_a, id_b, diag, ia,
+             ia - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                     ORDER BY ia) AS grp
+      FROM m
+    ),
+    runs AS (SELECT id_a, id_b, diag, grp, count(*) AS run_len
+             FROM r GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, CAST(sum(run_len) AS BIGINT) AS n_matches,
+           CAST(max(run_len) AS INT) AS max_run,
+           CAST(max(run_len) + 4 AS INT) AS span_tokens
+    FROM runs GROUP BY 1, 2 HAVING max(run_len) >= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, ExactSubstr) as joins:
+    document pairs sharing a run of ≥2 consecutive matching token
+    5-grams — i.e. an exact common substring of ≥6 tokens — found via
+    window-hash equi-join + gaps-and-islands run detection, never a
+    suffix array (operators/dedup.py:exact_substring_spans has the full
+    scale story: hash join keys, df-capped boilerplate windows, all
+    shuffles keyed)."""
+    from ..operators.dedup import exact_substring_spans
+
+    docs = _t(spark, sf_dir, "documents", repartition=True)
+    return exact_substring_spans(
+        docs, "doc_id", "text", w=5, min_run=2, df_cap=20
+    ).orderBy("id_a", "id_b")
+
+
+@query(
     "dedup_cross_source_matrix",
     oracle=f"""
     WITH {_sql_minhash_pairs_ctes()}
@@ -6655,6 +6702,7 @@ _NEXT = [
     "events_hll_weekly_rollup",     # mergeable-sketch daily→weekly union
     "dsir_importance_weights",      # hashed importance resampling weights
     "dedup_cross_source_matrix",    # cross-source near-dup overlap
+    "dedup_exact_substring",        # ExactSubstr spans via run detection
 ]
 
 

@@ -121,3 +121,60 @@ def test_gemm_matches_expr_path(spark):
     assert set(gemm) == set(expr)
     for k in gemm:
         assert abs(gemm[k] - expr[k]) <= 2e-6
+
+
+def test_exact_substring_spans(spark):
+    """Known construction: two docs share an exact 8-token substring →
+    one diagonal run of 4 matching 5-gram windows (span 8); unrelated
+    docs produce nothing."""
+    from maillogsentinel_spark.operators.dedup import exact_substring_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} closing remarks"),
+            (2, f"other opening {shared} different tail content"),
+            (3, "totally unrelated text about distributed joins"),
+            (4, "short"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = exact_substring_spans(docs, w=5, min_run=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["max_run"] == 4          # 8-token run = 4 windows of 5
+    assert r["span_tokens"] == 8
+    assert r["n_matches"] == 4
+
+
+def test_exact_substring_df_cap(spark):
+    """A window repeated in > df_cap docs is boilerplate and must not
+    create pairs on its own."""
+    from maillogsentinel_spark.operators.dedup import exact_substring_spans
+
+    boiler = "all rights reserved by the site owner"  # > 5 tokens
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} unique words {boiler}") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    # every boilerplate window occurs 10 > 3 times → dropped → no pairs
+    assert exact_substring_spans(docs, w=5, min_run=2, df_cap=3).count() == 0
+    # with the cap lifted the clique appears
+    assert exact_substring_spans(docs, w=5, min_run=2, df_cap=100).count() == 45
+
+
+def test_gemm_group_col_isolates_groups(spark):
+    """group_col: identical vectors in DIFFERENT groups must NOT pair;
+    identical vectors in the same group must."""
+    from maillogsentinel_spark.operators.dedup import _cosine_pairs_gemm
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(1, v, 0), (2, v, 0), (3, v, 1)],
+        ["vec_id", "embedding", "cid"],
+    )
+    rows = _cosine_pairs_gemm(
+        emb, "vec_id", "embedding", threshold=0.9, group_col="cid"
+    ).collect()
+    assert {(r["g"], r["id_a"], r["id_b"]) for r in rows} == {(0, 1, 2)}

@@ -435,3 +435,23 @@ def test_weighted_median_pulls_toward_heavy_rows(spark, tmp_path):
            QUERIES["lineitem_weighted_median"](spark, str(tmp_path)).collect()}
     assert out["A"].weighted_median_cents == 900 and out["A"].total_weight == 1100
     assert out["B"].weighted_median_cents == 200
+
+
+def test_hll_weekly_rollup_dedups_across_days(spark, tmp_path):
+    """A user active on two days of one week must count ONCE in the
+    weekly union (HLL registers max-merge), and the audit flag must
+    hold at exact-mode cardinalities."""
+    base = dt.datetime(2025, 3, 3)  # a Monday
+    rows = [
+        # user 1 on Mon + Tue (same week), user 2 on Mon, user 3 next week
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(days=1), 1, "click", 1.0, "{}"),
+        (3, base, 2, "view", 1.0, "{}"),
+        (4, base + dt.timedelta(days=7), 3, "view", 1.0, "{}"),
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = {
+        r["week"].isoformat(): (r["exact_users"], r["union_within_5pct"])
+        for r in QUERIES["events_hll_weekly_rollup"](spark, sf_dir).collect()
+    }
+    assert out == {"2025-03-03": (2, True), "2025-03-10": (1, True)}
