@@ -134,11 +134,15 @@ def minhash_signature(text: Column, k: int, num_perm: int) -> Column:
 
     sh = F.array_distinct(shingles(tokens(text), k))
     base = F.transform(sh, lambda s: hash64(s) % MINHASH_P)
+
+    def perm(a: int, b: int):
+        # proper closure: default-arg tricks (lambda h, a=a, b=b) make a
+        # 3-parameter function, which Spark rejects as a lambda arity
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(base, lambda h, a=a, b=b: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
-            )
+            F.array_min(F.transform(base, perm(a, b)))
             for a, b in minhash_perm_consts(num_perm)
         ]
     )

@@ -80,7 +80,7 @@ def streaming_failure_streaks(
     key_col: str = "ip",
     ts_col: str = "ts",
     threshold: int = 5,
-    state_ttl_ms: int = 3_600_000,
+    state_ttl_ms: int | None = 3_600_000,
 ) -> DataFrame:
     """Alert as soon as a key accumulates ``threshold`` consecutive
     failures (every input row is a failure event; interleave a reset
@@ -94,6 +94,10 @@ def streaming_failure_streaks(
     Emits one row per batch per key whose streak is ≥ threshold (with
     the current streak), so downstream sinks see the first crossing and
     subsequent growth.
+
+    ``state_ttl_ms=None`` → GroupStateTimeout.NoTimeout: required for
+    ``availableNow`` drain runs, whose pending processing-time timers
+    otherwise keep the query alive forever (see streaming.near_dup).
     """
 
     def update(key, pdf_iter, state: GroupState):
@@ -113,7 +117,8 @@ def streaming_failure_streaks(
                 max_epoch = max(max_epoch, float(e))
         streak += n_new
         state.update((streak, max_epoch))
-        state.setTimeoutDuration(state_ttl_ms)
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         if streak >= threshold and n_new > 0:
             yield pd.DataFrame(
                 {
@@ -131,7 +136,11 @@ def streaming_failure_streaks(
             outputStructType=_STREAK_OUTPUT,
             stateStructType=_STREAK_STATE,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if state_ttl_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )
 

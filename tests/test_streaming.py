@@ -129,7 +129,9 @@ def test_streaming_failure_streaks_alerts_mid_stream(spark, tmp_path):
     from maillogsentinel_spark.operators.parse import parse_sasl_lines
 
     events = parse_sasl_lines(spark.readStream.text(str(logs)), year=2025)
-    alerts = streaming_failure_streaks(events, key_col="ip", threshold=3)
+    alerts = streaming_failure_streaks(
+        events, key_col="ip", threshold=3, state_ttl_ms=None
+    )
     q = (
         alerts.writeStream.format("memory")
         .queryName("streaks_t")
@@ -484,7 +486,9 @@ def test_stateful_streaming_on_rocksdb_state_store(spark, tmp_path):
     )
     try:
         events = parse_sasl_lines(spark.readStream.text(str(logs)), year=2025)
-        alerts = streaming_failure_streaks(events, key_col="ip", threshold=3)
+        alerts = streaming_failure_streaks(
+            events, key_col="ip", threshold=3, state_ttl_ms=None
+        )
         q = (
             alerts.writeStream.format("memory")
             .queryName("rocks_t")
@@ -503,3 +507,67 @@ def test_stateful_streaming_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_streaming_near_dup_candidates(spark, tmp_path):
+    """Streaming LSH pre-filter: a near-duplicate arriving in a LATER
+    micro-batch is flagged against the first-batch claimant (state
+    restored from the checkpoint); an unrelated document stays silent.
+    Pairs flagged online must agree with the batch LSH candidates."""
+    import json
+
+    from maillogsentinel_spark.streaming.near_dup import (
+        streaming_near_dup_candidates,
+    )
+
+    src = tmp_path / "docsrc"
+    src.mkdir()
+    ckpt = str(tmp_path / "ndckpt")
+    a = "the quick brown fox jumps over the lazy dog tonight"
+    b = "the quick brown fox jumps over the lazy dog today"   # near dup of a
+    c = "completely different content about spark engines and shuffles"
+    schema = "doc_id long, text string"
+
+    def write_batch(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    collected: list = []
+
+    def run():
+        # foreachBatch (not the memory sink): the memory sink cannot
+        # resume from a checkpoint, and resuming is the point here
+        docs = spark.readStream.schema(schema).json(str(src))
+        cands = streaming_near_dup_candidates(docs, state_ttl_ms=None)
+        q = (
+            cands.writeStream.foreachBatch(
+                lambda df, bid: collected.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch("b1.json", [(1, a), (3, c)])
+    run()
+    assert collected == []
+
+    write_batch("b2.json", [(2, b)])
+    run()
+    pairs = {(r["first_id"], r["dup_id"]) for r in collected}
+    assert pairs == {(1, 2)}
+
+    # agreement with the batch path: (1, 2) is a batch LSH candidate too
+    from maillogsentinel_spark.operators.dedup import minhash_lsh_pairs
+
+    batch_docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], ["doc_id", "text"]
+    )
+    batch_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(batch_docs, threshold=0.3).collect()
+    }
+    assert (1, 2) in batch_pairs
