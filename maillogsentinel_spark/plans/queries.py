@@ -6572,6 +6572,125 @@ def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_zipf_slope",
+    oracle=f"""
+    WITH wc AS (
+      SELECT lang, tk AS w, count(*) AS c
+      FROM (SELECT lang, unnest({_SQL_TOKS}) AS tk FROM documents)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS r
+      FROM wc
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+           round(regr_slope(ln(c), ln(r)), 6) AS zipf_slope
+    FROM ranked GROUP BY lang ORDER BY lang
+    """,
+)
+def q_corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-exponent fit per language: OLS slope of ln(freq) vs
+    ln(rank) over the word-frequency table, via the BUILT-IN regression
+    aggregate (`regr_slope` — one pass, map-side partials, no driver
+    math). The corpus-health dashboard number that flags boilerplate-
+    heavy or template-generated slices (natural text ≈ −1). Scale
+    shape: the corpus collapses to the vocab-sized (lang, word) table
+    in one keyed shuffle; the rank window partitions by lang over a
+    Zipf-bounded vocabulary; the fit is a 2-moment aggregate."""
+    from ..operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents", repartition=True)
+    wc = (
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    r = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("c"), "w")
+    )
+    return (
+        wc.select("lang", "c", r.alias("r"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.round(F.regr_slope(F.log("c"), F.log("r")), 6).alias(
+                "zipf_slope"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "docs_dedup_survivorship",
+    oracle=f"""
+    WITH RECURSIVE {_sql_minhash_pairs_ctes()},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(id, reach) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    dropped AS (
+      SELECT id AS doc_id FROM walk GROUP BY id HAVING min(reach) <> id
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE dr.doc_id IS NULL) AS BIGINT)
+             AS n_kept,
+           CAST(coalesce(sum(d.n_chars) FILTER (WHERE dr.doc_id IS NULL), 0)
+                AS BIGINT) AS chars_kept,
+           round(count(*) FILTER (WHERE dr.doc_id IS NULL)
+                 / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+    FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def q_docs_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup CAPSTONE a corpus build actually materializes: per
+    source, how much survives near-dup removal. Clusters come from the
+    shared LSH pairs via connected components (cluster id = min doc id
+    = elected survivor; exact duplicates collide in every band, so they
+    are always clustered); every member that is not its cluster's
+    survivor is dropped. The drop list is pair-bounded (≪ corpus) and
+    joins the fact table once — at 100 TB this is one broadcast-able
+    anti-join over the store, which is exactly how the kept-corpus
+    manifest gets written."""
+    from ..operators.graph import dedup_cluster_assign
+
+    pairs = _lsh_pairs_shared(spark, sf_dir)
+    dropped = (
+        dedup_cluster_assign(pairs)
+        .filter(F.col("cluster_id") != F.col("doc_id"))
+        .select("doc_id", F.lit(True).alias("__dropped"))
+    )
+    docs = _t(spark, sf_dir, "documents")
+    j = docs.join(F.broadcast(dropped), "doc_id", "left")
+    kept = F.col("__dropped").isNull()
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("n_chars"))), F.lit(0)
+            ).cast("long").alias("chars_kept"),
+            F.round(
+                F.sum(F.when(kept, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order for grading. The driver's correctness harness grades a
 # bounded PREFIX of the registered inventory (round 1: exactly the first 50
@@ -6703,6 +6822,8 @@ _NEXT = [
     "dsir_importance_weights",      # hashed importance resampling weights
     "dedup_cross_source_matrix",    # cross-source near-dup overlap
     "dedup_exact_substring",        # ExactSubstr spans via run detection
+    "corpus_zipf_slope",            # regr_slope Zipf-exponent fit
+    "docs_dedup_survivorship",      # kept-corpus manifest per source
 ]
 
 
