@@ -6691,6 +6691,113 @@ def q_docs_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_signal_agreement",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             coalesce(list_sum(list_transform(t,
+               x -> ({_sql_hash64('x', 'ftw')} % 2001) - 1000)), 0) >= 0
+               AS ft_keep,
+             (len(t) BETWEEN 5 AND 100000)
+             AND (CASE WHEN len(t) > 0 THEN
+                    (list_reduce(list_transform(t, x -> length(x)::BIGINT),
+                                 (a, b) -> a + b)::DOUBLE / len(t))
+                      BETWEEN 2.0 AND 12.0
+                  ELSE FALSE END)
+             AND (CASE WHEN length(text) > 0 THEN
+                    (length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+                     / length(text)) <= 0.2
+                  ELSE FALSE END)
+             AND (len(list_filter(t, x -> x IN ('the','and','of','to','in',
+                  'der','und','die','el','los','le','les'))) >= 1)
+               AS gopher_pass
+      FROM (SELECT source, text, {_SQL_TOKS} AS t FROM documents)
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum((ft_keep AND gopher_pass)::INT) AS BIGINT) AS both_keep,
+           CAST(sum((ft_keep AND NOT gopher_pass)::INT) AS BIGINT) AS ft_only,
+           CAST(sum((NOT ft_keep AND gopher_pass)::INT) AS BIGINT)
+             AS gopher_only,
+           CAST(sum((NOT ft_keep AND NOT gopher_pass)::INT) AS BIGINT)
+             AS neither,
+           round(sum((ft_keep = gopher_pass)::INT) / CAST(count(*) AS DOUBLE),
+                 6) AS agree_rate
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def q_quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier CALIBRATION: 2×2 agreement between the two
+    corpus-wide quality signals this engine ships — the hashed linear
+    (fastText-style) classifier and the Gopher rule gate — per source.
+    Before a pipeline swaps its expensive gate for a cheap scorer it
+    measures exactly this matrix; disagreement cells are the review
+    queue. Both signals are scan-side expressions computed in ONE pass
+    over the corpus (no join between the signals — they share the
+    projection), so the whole diagnostic costs one scan + a per-source
+    rollup at any scale."""
+    from ..functions.hashing import hash64
+    from ..operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents", repartition=True)
+    t = tokens(F.col("text"))
+    milli = F.aggregate(
+        t, F.lit(0).cast("long"),
+        lambda acc, x: acc + (hash64(x, "ftw") % 2001 - 1000),
+    )
+    wordlen_sum = F.aggregate(
+        t, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    stop = F.size(
+        F.filter(
+            t,
+            lambda x: x.isin(
+                "the", "and", "of", "to", "in",
+                "der", "und", "die", "el", "los", "le", "les",
+            ),
+        )
+    )
+    gopher = (
+        F.size(t).between(5, 100000)
+        & F.when(
+            F.size(t) > 0,
+            (wordlen_sum.cast("double") / F.size(t)).between(2.0, 12.0),
+        ).otherwise(F.lit(False))
+        & F.when(
+            F.length("text") > 0,
+            (
+                F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")).cast(
+                    "double"
+                )
+                / F.length("text")
+            )
+            <= 0.2,
+        ).otherwise(F.lit(False))
+        & (stop >= 1)
+    )
+    per = docs.select(
+        "source", (milli >= 0).alias("ft_keep"), gopher.alias("gopher_pass")
+    )
+    ft, gp = F.col("ft_keep"), F.col("gopher_pass")
+    cnt = lambda c: F.sum(c.cast("int")).cast("long")  # noqa: E731
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            cnt(ft & gp).alias("both_keep"),
+            cnt(ft & ~gp).alias("ft_only"),
+            cnt(~ft & gp).alias("gopher_only"),
+            cnt(~ft & ~gp).alias("neither"),
+            F.round(
+                F.sum((ft == gp).cast("int"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("agree_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order for grading. The driver's correctness harness grades a
 # bounded PREFIX of the registered inventory (round 1: exactly the first 50
@@ -6824,6 +6931,7 @@ _NEXT = [
     "dedup_exact_substring",        # ExactSubstr spans via run detection
     "corpus_zipf_slope",            # regr_slope Zipf-exponent fit
     "docs_dedup_survivorship",      # kept-corpus manifest per source
+    "quality_signal_agreement",     # classifier-vs-rule-gate calibration
 ]
 
 

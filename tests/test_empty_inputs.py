@@ -76,3 +76,26 @@ def test_rdns_and_range_join_empty(spark):
         [(0, 10, "XX")], "range_start long, range_end long, country string"
     )
     assert range_join(pts, "ip_long", dim, start_col="range_start", end_col="range_end").count() == 0
+
+
+def test_exact_substring_empty_and_short(spark):
+    """Zero docs and all-shorter-than-window docs both yield empty
+    results (the w-gram window guard, not an exception)."""
+    from maillogsentinel_spark.operators.dedup import exact_substring_spans
+
+    assert exact_substring_spans(_empty_docs(spark)).count() == 0
+    short = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")], ["doc_id", "text"]
+    )
+    assert exact_substring_spans(short, w=5).count() == 0
+
+
+def test_gemm_grouped_empty(spark):
+    from maillogsentinel_spark.operators.dedup import _cosine_pairs_gemm
+
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, cid int"
+    )
+    assert _cosine_pairs_gemm(
+        emb, "vec_id", "embedding", 0.5, group_col="cid"
+    ).count() == 0
