@@ -455,3 +455,59 @@ def test_hll_weekly_rollup_dedups_across_days(spark, tmp_path):
         for r in QUERIES["events_hll_weekly_rollup"](spark, sf_dir).collect()
     }
     assert out == {"2025-03-03": (2, True), "2025-03-10": (1, True)}
+
+
+def test_dedup_survivorship_keeps_cluster_min(spark, tmp_path):
+    """Three near-identical docs collapse to one survivor (the min id);
+    a unique doc survives untouched; keep_rate reflects both."""
+    dup = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, dup, "en", "srcA", len(dup)),
+            (2, dup, "en", "srcA", len(dup)),
+            (3, dup + " extra", "en", "srcB", len(dup) + 6),
+            (4, "completely different content about spark shuffle plans",
+             "en", "srcB", 54),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.source: r
+        for r in QUERIES["docs_dedup_survivorship"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # cluster {1,2,3}: survivor is doc 1 (srcA); docs 2 (srcA) and 3
+    # (srcB) are dropped; doc 4 (srcB) is untouched
+    assert (out["srcA"].n_docs, out["srcA"].n_kept) == (2, 1)
+    assert (out["srcB"].n_docs, out["srcB"].n_kept) == (2, 1)
+    assert out["srcB"].chars_kept == 54
+    assert out["srcA"].keep_rate == 0.5
+
+
+def test_zipf_slope_uniform_vs_skewed(spark, tmp_path):
+    """A perfectly uniform vocabulary fits slope ~0; a geometric
+    frequency profile fits a clearly negative slope."""
+    uniform = " ".join(f"word{i}" for i in range(20))
+    skewed = " ".join(
+        w for i in range(8) for w in [f"tok{i}"] * (2 ** (8 - i))
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, uniform, "uu", "s", len(uniform)),
+            (2, skewed, "ss", "s", len(skewed)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.lang: r
+        for r in QUERIES["corpus_zipf_slope"](spark, str(tmp_path)).collect()
+    }
+    assert out["uu"].n_types == 20 and out["uu"].zipf_slope == 0.0
+    assert out["ss"].n_types == 8 and out["ss"].zipf_slope < -0.5
