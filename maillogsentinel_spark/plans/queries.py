@@ -5133,31 +5133,40 @@ def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_bm25_search",
-    oracle="""
-    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                  FROM documents),
+# BM25 CTE chain ending in bm(doc_id, bm25, n_terms_hit) — shared by the
+# plain retrieval oracle and the hybrid-RRF oracle.
+_SQL_BM25_CTES = """
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
     dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
     stats AS (SELECT count(*) AS n, (SELECT avg(dl) FROM dl) AS avgdl
               FROM documents),
     q AS (SELECT unnest(['spark', 'window', 'customer']) AS term),
     dfreq AS (SELECT tf.term, count(*) AS df FROM tf JOIN q USING (term)
-              GROUP BY 1)
-    SELECT tf.doc_id,
-           round(sum(
-             ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
-             * tf.tf * 2.2
-             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
-           ), 6) AS bm25,
-           count(*)::INT AS n_terms_hit
-    FROM tf JOIN q ON tf.term = q.term
-         JOIN dfreq ON tf.term = dfreq.term
-         JOIN dl ON tf.doc_id = dl.doc_id
-         CROSS JOIN stats
-    GROUP BY tf.doc_id
-    ORDER BY bm25 DESC, tf.doc_id LIMIT 10
+              GROUP BY 1),
+    bm AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+             ), 6) AS bm25,
+             count(*)::INT AS n_terms_hit
+      FROM tf JOIN q ON tf.term = q.term
+           JOIN dfreq ON tf.term = dfreq.term
+           JOIN dl ON tf.doc_id = dl.doc_id
+           CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )"""
+
+
+@query(
+    "doc_bm25_search",
+    oracle=f"""
+    WITH {_SQL_BM25_CTES}
+    SELECT doc_id, bm25, n_terms_hit FROM bm
+    ORDER BY bm25 DESC, doc_id LIMIT 10
     """,
 )
 def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5169,8 +5178,20 @@ def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, and the final top-k is TakeOrdered. The score is rounded to 6
     decimals in both engines (sum order). Scale: identical shape at any
     corpus size; no all-pairs, no global window."""
+    return (
+        _bm25_scores(spark, sf_dir, ["spark", "window", "customer"])
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+def _bm25_scores(
+    spark: SparkSession, sf_dir: str, qterms: list[str]
+) -> DataFrame:
+    """(doc_id, bm25, n_terms_hit) for every document hitting ≥1 query
+    term — the Okapi scorer shared by `doc_bm25_search` and the hybrid
+    RRF query."""
     docs = _t(spark, sf_dir, "documents")
-    qterms = ["spark", "window", "customer"]
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -5195,14 +5216,9 @@ def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.round(F.sum("s"), 6).alias("bm25"),
-            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
-        )
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(10)
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("s"), 6).alias("bm25"),
+        F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
     )
 
 
@@ -6798,6 +6814,168 @@ def q_quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_hybrid_rrf_search",
+    oracle=f"""
+    WITH {_SQL_BM25_CTES},
+    bmt AS (
+      SELECT doc_id, rb FROM (
+        SELECT doc_id, CAST(row_number() OVER (
+          ORDER BY bm25 DESC, doc_id) AS INT) AS rb FROM bm
+      ) WHERE rb <= 20
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+    kn AS (SELECT e.vec_id AS doc_id, {_sql_cosine('e.v', 'qv.qvec')} AS cos
+           FROM e, qv WHERE e.vec_id <> 0),
+    knr AS (
+      SELECT doc_id, rk FROM (
+        SELECT doc_id, CAST(row_number() OVER (
+          ORDER BY cos DESC, doc_id) AS INT) AS rk FROM kn
+      ) WHERE rk <= 20
+    )
+    SELECT coalesce(b.doc_id, k.doc_id) AS doc_id,
+           b.rb AS bm25_rank, k.rk AS knn_rank,
+           round(coalesce(1.0 / (60 + b.rb), 0)
+                 + coalesce(1.0 / (60 + k.rk), 0), 6) AS rrf_score
+    FROM bmt b FULL JOIN knr k ON b.doc_id = k.doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def q_doc_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — the RAG-stack shape: a lexical arm (BM25
+    top-20, shared scorer `_bm25_scores`) and a semantic arm (exact
+    cosine top-20 against a fixed query vector, embeddings row 0)
+    fused by Reciprocal Rank Fusion (k=60, the Cormack et al.
+    constant). Each arm ranks only its own candidate set (query-pruned
+    ≪ corpus for BM25; at real scale the semantic arm is the ANN index
+    — knn_lsh/ivf — this exact top-20 is the oracle-checkable stand-in
+    with identical fusion mechanics). The fusion itself is a full outer
+    join of two ≤k-row tables — driver-free, broadcast-trivial."""
+    from ..functions.vectors import cosine_similarity, to_double_array
+
+    bm = _bm25_scores(spark, sf_dir, ["spark", "window", "customer"])
+    rb = F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id"))
+    bmt = (
+        bm.select("doc_id", rb.cast("int").alias("rb"))
+        .filter(F.col("rb") <= 20)
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qvec"))
+    )
+    kn = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity(F.col("v"), F.col("qvec")), 6
+            ).alias("cos"),
+        )
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("cos"), "doc_id"))
+    knr = (
+        kn.select("doc_id", rk.cast("int").alias("rk"))
+        .filter(F.col("rk") <= 20)
+    )
+    b, k = bmt.alias("b"), knr.alias("k")
+    rrf = F.round(
+        F.coalesce(1.0 / (60 + F.col("b.rb")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("k.rk")), F.lit(0.0)),
+        6,
+    )
+    return (
+        b.join(k, F.col("b.doc_id") == F.col("k.doc_id"), "full")
+        .select(
+            F.coalesce(F.col("b.doc_id"), F.col("k.doc_id")).alias("doc_id"),
+            F.col("b.rb").alias("bm25_rank"),
+            F.col("k.rk").alias("knn_rank"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(10)
+    )
+
+
+@query(
+    "dedup_incremental_new_docs",
+    oracle=f"""
+    WITH {_sql_minhash_pairs_ctes()},
+    newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    oldd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+    ex AS (SELECT n.doc_id, min(o.doc_id) AS exact_dup_of
+           FROM newd n JOIN oldd o ON md5(n.text) = md5(o.text)
+           GROUP BY 1),
+    nr AS (
+      SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_near
+      FROM pairs WHERE (id_a % 5 = 0) <> (id_b % 5 = 0)
+      GROUP BY 1
+    )
+    SELECT n.doc_id, ex.exact_dup_of,
+           CAST(coalesce(nr.n_near, 0) AS BIGINT) AS n_near,
+           CASE WHEN ex.exact_dup_of IS NOT NULL THEN 'drop_exact'
+                WHEN coalesce(nr.n_near, 0) > 0 THEN 'drop_near'
+                ELSE 'keep' END AS verdict
+    FROM newd n LEFT JOIN ex ON n.doc_id = ex.doc_id
+                LEFT JOIN nr ON n.doc_id = nr.doc_id
+    ORDER BY n.doc_id
+    """,
+)
+def q_dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the shape a continuously-growing corpus
+    actually runs: an arriving batch (here the deterministic 20% slice
+    doc_id % 5 = 0) is checked against the standing corpus, never
+    corpus-vs-corpus. Exact layer: md5 equi-join new→old (at scale an
+    anti-join against the corpus hash index). Near layer: MinHash-LSH
+    collisions with exactly one endpoint in the new batch — in
+    production the banded signature table IS the persisted index and
+    the new batch band-joins against it; here the collisions are
+    filtered from the session-shared verified pair list, which is the
+    same candidate set by construction. Per new doc: its exact
+    survivor (if any), its cross-boundary near-dup count, and the
+    keep/drop verdict the ingest pipeline acts on."""
+    docs = _t(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    newd = docs.filter(is_new).select("doc_id", F.md5("text").alias("h"))
+    oldd = docs.filter(~is_new).select(
+        F.col("doc_id").alias("old_id"), F.md5("text").alias("h")
+    )
+    ex = (
+        newd.join(oldd, "h")
+        .groupBy("doc_id")
+        .agg(F.min("old_id").alias("exact_dup_of"))
+    )
+    pairs = _lsh_pairs_shared(spark, sf_dir)
+    a_new = F.col("id_a") % 5 == 0
+    b_new = F.col("id_b") % 5 == 0
+    nr = (
+        pairs.filter(a_new != b_new)
+        .select(F.when(a_new, F.col("id_a")).otherwise(F.col("id_b")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_near"))
+    )
+    verdict = (
+        F.when(F.col("exact_dup_of").isNotNull(), F.lit("drop_exact"))
+        .when(F.coalesce(F.col("n_near"), F.lit(0)) > 0, F.lit("drop_near"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        newd.select("doc_id")
+        .join(F.broadcast(ex), "doc_id", "left")
+        .join(F.broadcast(nr), "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup_of",
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+            verdict.alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order for grading. The driver's correctness harness grades a
 # bounded PREFIX of the registered inventory (round 1: exactly the first 50
@@ -6932,6 +7110,8 @@ _NEXT = [
     "corpus_zipf_slope",            # regr_slope Zipf-exponent fit
     "docs_dedup_survivorship",      # kept-corpus manifest per source
     "quality_signal_agreement",     # classifier-vs-rule-gate calibration
+    "doc_hybrid_rrf_search",        # BM25 + cosine RRF hybrid retrieval
+    "dedup_incremental_new_docs",   # new-batch-vs-corpus dedup verdicts
 ]
 
 

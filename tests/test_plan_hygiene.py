@@ -36,6 +36,8 @@ ALLOWED = {
     ("tpch_q11_important_parts", "BroadcastNestedLoopJoin"),  # 1-row threshold,
     # inequality join — TPC-H Q11's scalar-subquery shape
     ("doc_bm25_search", "BroadcastNestedLoopJoin"),  # two 1-row stat broadcasts
+    ("doc_hybrid_rrf_search", "BroadcastNestedLoopJoin"),  # same BM25 stats
+    # broadcasts + the 1-row query-vector broadcast of the semantic arm
     ("doc_bigram_logprob", "BroadcastNestedLoopJoin"),  # 1-row vocab-size bcast
     ("bpe_encode_compression", "BroadcastNestedLoopJoin"),  # 1-row winning
     # merge pair broadcast per BPE round (the _bpe_shared fold)
