@@ -563,3 +563,81 @@ def exact_substring_spans(
         )
         .filter(F.col("max_run") >= min_run)
     )
+
+
+def dup_window_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 5,
+    df_cap: int = 20,
+) -> DataFrame:
+    """Per-document duplicated-window coverage — the RefinedWeb-style
+    "fraction of tokens inside n-grams shared with another document"
+    statistic that decides whether a doc is trimmed or dropped.
+
+    A token position is COVERED when any w-gram window containing it
+    also occurs in a different document (df-capped, like
+    exact_substring_spans). Coverage = |union of covered positions| /
+    n_tokens. All joins are keyed on the 64-bit window hash; position
+    expansion is a bounded explode (w rows per matched window) followed
+    by a distinct on (doc, position) — never an all-pairs scan.
+
+    Returns (id, n_tokens, covered_tokens, coverage) for EVERY document
+    (coverage 0.0 when nothing matches).
+    """
+    t = tokens(F.col(text_col))
+    win = F.when(
+        F.size(t) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - w),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(t).cast("long").alias("n_tokens"),
+        win.alias("wins"),
+    )
+    grams = base.select(
+        "id", F.posexplode("wins").alias("pos", "g")
+    ).select("id", "pos", hash64(F.col("g"), "xss").alias("gh"))
+    rare = (
+        grams.groupBy("gh")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.countDistinct("id").alias("ndocs"),
+        )
+        .filter((F.col("df") <= df_cap) & (F.col("ndocs") >= 2))
+        .select("gh")
+    )
+    # a window is shared iff its hash occurs in >= 2 documents (and
+    # under the df cap); every occurrence of a shared window is covered
+    shared = grams.join(rare, "gh")
+    covered = (
+        shared.select(
+            "id", F.explode(F.sequence("pos", F.col("pos") + (w - 1))).alias("p")
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("covered_tokens"))
+    )
+    return (
+        base.select("id", "n_tokens")
+        .join(covered, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce("covered_tokens", F.lit(0))
+                    / F.col("n_tokens").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("coverage"),
+        )
+    )

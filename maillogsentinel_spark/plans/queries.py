@@ -6976,6 +6976,71 @@ def q_dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_dup_ngram_coverage",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents),
+    g0 AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS g
+      FROM t, unnest(range(greatest(len(toks) - 4, 0))) AS u(i)
+    ),
+    g AS (SELECT doc_id, pos, {_sql_hash64('g', 'xss')} AS gh FROM g0),
+    rare AS (SELECT gh FROM (
+               SELECT gh, count(*) AS df, count(DISTINCT doc_id) AS nd
+               FROM g GROUP BY 1)
+             WHERE df <= 20 AND nd >= 2),
+    cov AS (
+      SELECT doc_id, count(DISTINCT p) AS covered
+      FROM (SELECT g.doc_id, g.pos + r AS p
+            FROM g JOIN rare USING (gh), unnest(range(5)) AS u(r))
+      GROUP BY 1
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN coalesce(cov.covered, 0) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_dup,
+           CAST(sum(len(t.toks)) AS BIGINT) AS total_tokens,
+           CAST(coalesce(sum(cov.covered), 0) AS BIGINT) AS covered_tokens,
+           round(coalesce(sum(cov.covered), 0)
+                 / CAST(sum(len(t.toks)) AS DOUBLE), 6) AS coverage
+    FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+    GROUP BY t.source ORDER BY t.source
+    """,
+)
+def q_doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-n-gram coverage per source — the RefinedWeb/Gopher
+    repetition statistic at CORPUS level: what fraction of each
+    source's tokens sits inside 5-gram windows shared with another
+    document (operators/dedup.py:dup_window_coverage — hash-keyed
+    shared-window join, bounded position explode, distinct (doc, pos)).
+    This is the number that decides between trim-spans and drop-doc
+    policies before pretraining."""
+    from ..operators.dedup import dup_window_coverage
+
+    docs = _t(spark, sf_dir, "documents", repartition=True)
+    per = dup_window_coverage(docs, "doc_id", "text", w=5, df_cap=20)
+    src = docs.select(F.col("doc_id").alias("id"), "source")
+    j = per.join(src, "id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("covered_tokens") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_with_dup"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("covered_tokens").cast("long").alias("covered_tokens"),
+            F.round(
+                F.sum("covered_tokens")
+                / F.sum("n_tokens").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order for grading. The driver's correctness harness grades a
 # bounded PREFIX of the registered inventory (round 1: exactly the first 50
@@ -7112,6 +7177,7 @@ _NEXT = [
     "quality_signal_agreement",     # classifier-vs-rule-gate calibration
     "doc_hybrid_rrf_search",        # BM25 + cosine RRF hybrid retrieval
     "dedup_incremental_new_docs",   # new-batch-vs-corpus dedup verdicts
+    "doc_dup_ngram_coverage",       # RefinedWeb dup-n-gram fraction
 ]
 
 

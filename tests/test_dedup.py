@@ -178,3 +178,24 @@ def test_gemm_group_col_isolates_groups(spark):
         emb, "vec_id", "embedding", threshold=0.9, group_col="cid"
     ).collect()
     assert {(r["g"], r["id_a"], r["id_b"]) for r in rows} == {(0, 1, 2)}
+
+
+def test_dup_window_coverage_counts_positions(spark):
+    """Two docs sharing an 8-token substring: 4 shared 5-gram windows
+    cover exactly 8 positions in each; a unique doc has coverage 0."""
+    from maillogsentinel_spark.operators.dedup import dup_window_coverage
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} closing remarks"),   # 13 tokens
+            (2, f"other opening {shared} different tail words"), # 13 tokens
+            (3, "nothing here matches any other document text"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["id"]: r for r in dup_window_coverage(docs, w=5).collect()}
+    assert rows[1]["covered_tokens"] == 8
+    assert rows[2]["covered_tokens"] == 8
+    assert rows[3]["covered_tokens"] == 0 and rows[3]["coverage"] == 0.0
+    assert abs(rows[1]["coverage"] - 8 / 13) < 1e-6
