@@ -199,3 +199,61 @@ def test_dup_window_coverage_counts_positions(spark):
     assert rows[2]["covered_tokens"] == 8
     assert rows[3]["covered_tokens"] == 0 and rows[3]["coverage"] == 0.0
     assert abs(rows[1]["coverage"] - 8 / 13) < 1e-6
+
+
+def test_exact_substring_matches_bruteforce(spark):
+    """Randomized cross-check: the join/islands implementation agrees
+    with a direct Python brute force on a small random corpus (fixed
+    seed) — pairs, n_matches, and max_run all equal."""
+    import random
+    import re
+    from collections import Counter, defaultdict
+
+    from maillogsentinel_spark.operators.dedup import exact_substring_spans
+
+    rnd = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab -> real collisions
+    docs = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(3, 30))))
+        for i in range(18)
+    ]
+    W, CAP = 3, 25
+
+    tok = lambda s: [t for t in re.split(r"\W+", s.lower()) if t]  # noqa: E731
+    wins = {
+        i: [tuple(ts[p:p + W]) for p in range(len(ts) - W + 1)]
+        for i, ts in ((i, tok(t)) for i, t in docs)
+    }
+    df = Counter(g for ws in wins.values() for g in ws)
+    expected = {}
+    for a in wins:
+        for b in wins:
+            if a >= b:
+                continue
+            runs = defaultdict(list)
+            for ia, ga in enumerate(wins[a]):
+                if df[ga] > CAP:
+                    continue
+                for jb, gb in enumerate(wins[b]):
+                    if ga == gb:
+                        runs[ia - jb].append(ia)
+            n_matches, max_run = 0, 0
+            for ias in runs.values():
+                ias.sort()
+                run = 1
+                for prev, cur in zip(ias, ias[1:]):
+                    run = run + 1 if cur == prev + 1 else 1
+                    max_run = max(max_run, run)
+                max_run = max(max_run, 1)
+                n_matches += len(ias)
+            if max_run >= 2:
+                expected[(a, b)] = (n_matches, max_run)
+
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_matches"], r["max_run"])
+        for r in exact_substring_spans(
+            sdf, w=W, min_run=2, df_cap=CAP
+        ).collect()
+    }
+    assert got == expected
