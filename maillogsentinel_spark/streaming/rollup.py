@@ -59,10 +59,13 @@ def start_rollup_ingest(
     checkpoint_dir: str,
     year: int,
     resolver,
+    sketch_path: str | None = None,
 ):
     """Ingest + rollup maintenance in one foreachBatch: append the batch
     to the canonical store, then refresh the touched rollup days from
-    the store. Returns the started query (availableNow trigger)."""
+    the store (and, when ``sketch_path`` is given, the touched days'
+    HLL user-sketch partials). Returns the started query (availableNow
+    trigger)."""
     from ..operators.parse import parse_sasl_lines
     from ..sources.store import write_events
 
@@ -74,10 +77,66 @@ def start_rollup_ingest(
             return
         write_events(batch_df, store_path)
         update_daily_rollup(spark, store_path, rollup_path, batch_df)
+        if sketch_path is not None:
+            update_daily_sketches(spark, store_path, sketch_path, batch_df)
 
     return (
         events.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def update_daily_sketches(
+    spark: SparkSession, store_path: str, sketch_path: str, batch_df: DataFrame
+) -> None:
+    """Maintain per-day Datasketches-HLL user sketches (plus exact event
+    counts) for every day the batch touched — the 'partials at ingest'
+    half of the mergeable-sketch architecture (SCALE.md): coarser
+    grains (week/month/ad-hoc ranges) are then pure sketch unions over
+    these ~KB partials and never rescan the store. Same idempotent
+    recompute-touched-partitions shape as update_daily_rollup: a day's
+    sketch is always rebuilt from the store's current truth, so replays
+    cannot double-insert into a sketch."""
+    days = [
+        r["d"]
+        for r in batch_df.select(F.to_date("ts").alias("d")).distinct().collect()
+    ]
+    if not days:
+        return
+    store = spark.read.parquet(store_path)
+    day_col = F.to_date("ts")
+    agg = (
+        store.filter(day_col.isin(days))
+        .groupBy(day_col.alias("event_date"))
+        .agg(
+            F.hll_sketch_agg("user").alias("user_sketch"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    (
+        agg.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date")
+        .parquet(sketch_path)
+    )
+
+
+def weekly_users_from_sketches(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """(week, approx_users, n_events) from the daily sketch partials
+    alone — the rollup pass reads one sketch row per day, not one row
+    per event. approx_users is exact while the per-week cardinality
+    stays in HLL sparse mode (far beyond test sizes)."""
+    sk = spark.read.parquet(sketch_path)
+    week = F.date_trunc("week", F.col("event_date").cast("timestamp")).cast("date")
+    return (
+        sk.groupBy(week.alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias(
+                "approx_users"
+            ),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("week")
     )

@@ -571,3 +571,66 @@ def test_streaming_near_dup_candidates(spark, tmp_path):
         for r in minhash_lsh_pairs(batch_docs, threshold=0.3).collect()
     }
     assert (1, 2) in batch_pairs
+
+
+def test_incremental_sketch_partials(spark, tmp_path):
+    """Daily HLL sketch partials maintained at ingest: the weekly union
+    over the partials matches the exact weekly distinct from the store,
+    across two micro-batch runs (second run touches one existing day —
+    its partial is REBUILT, not double-inserted)."""
+    from maillogsentinel_spark.streaming.rollup import (
+        start_rollup_ingest,
+        weekly_users_from_sketches,
+    )
+
+    logs = tmp_path / "sklogs"
+    logs.mkdir()
+    store = str(tmp_path / "skstore")
+    rollup = str(tmp_path / "skrollup")
+    sketches = str(tmp_path / "sksketch")
+    ckpt = str(tmp_path / "skckpt")
+
+    def line(day, pid, ip, user):
+        return (f"Sep {day} 10:00:0{pid} s p[{pid}]: warning: unknown[{ip}]: "
+                f"SASL fail, sasl_username={user}\n")
+
+    def run():
+        q = start_rollup_ingest(
+            spark, str(logs), store, rollup, ckpt, 2025, None,
+            sketch_path=sketches,
+        )
+        q.awaitTermination(120)
+
+    # week of Mon Sep 22 2025: two users on the 22nd, one on the 23rd
+    (logs / "a.log").write_text(
+        line(22, 1, "1.1.1.1", "alice") + line(22, 2, "2.2.2.2", "bob")
+        + line(23, 3, "1.1.1.1", "alice")
+    )
+    run()
+    # second batch: same day 23 (alice again — must not double count)
+    # plus a new week (Mon Sep 29)
+    (logs / "b.log").write_text(
+        line(23, 4, "3.3.3.3", "carol") + line(29, 5, "4.4.4.4", "dave")
+    )
+    run()
+
+    got = {
+        r["week"].isoformat(): (r["approx_users"], r["n_events"])
+        for r in weekly_users_from_sketches(spark, sketches).collect()
+    }
+    # exact: week 22-28 has {alice, bob, carol} over 4 events; week 29
+    # has {dave} over 1
+    assert got == {"2025-09-22": (3, 4), "2025-09-29": (1, 1)}
+
+    # cross-check against the store's exact distinct
+    from pyspark.sql import functions as F
+    exact = {
+        r["w"].isoformat(): r["u"]
+        for r in spark.read.parquet(store)
+        .select(F.date_trunc("week", "ts").cast("date").alias("w"), "user")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("u"))
+        .collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == exact
