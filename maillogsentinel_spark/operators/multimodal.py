@@ -384,3 +384,43 @@ def audio_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_samples int, sum_sq long, zero_crossings int, "
+    "peak int"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched DSP features over REAL WAV decode: energy
+    (sum of squares — integer-exact, the RMS numerator), zero-crossing
+    count (sign boundary: negative vs non-negative, so silence at 0 is
+    unambiguous), and peak amplitude. These are the frame-level
+    features an audio-corpus pipeline gates on (silence/clipping
+    detection) before expensive model passes; all integer arithmetic,
+    so an oracle can pin them exactly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, samples = decode_audio(bytes(payload))
+                s = samples.astype(np.int64)
+                neg = s < 0
+                zc = int((neg[1:] != neg[:-1]).sum()) if len(s) > 1 else 0
+                rows.append(
+                    (
+                        mid, len(s), int((s * s).sum()), zc,
+                        int(np.abs(s).max()) if len(s) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "sum_sq", "zero_crossings",
+                    "peak",
+                ],
+            )
+
+    return media.mapInPandas(run, AUDIO_FEATURES_SCHEMA)

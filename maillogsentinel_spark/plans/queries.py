@@ -7041,6 +7041,58 @@ def q_doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH i AS (SELECT unnest(range(32)) AS i),
+    v AS (SELECT doc_id, i, (doc_id * 13 + i * 5) % 4001 - 2000 AS val
+          FROM documents CROSS JOIN i),
+    zc AS (
+      SELECT a.doc_id,
+             CAST(sum(CASE WHEN (a.val < 0) <> (b.val < 0)
+                           THEN 1 ELSE 0 END) AS INT) AS zc
+      FROM v a JOIN v b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      GROUP BY a.doc_id
+    )
+    SELECT v.doc_id AS media_id, 32 AS n_samples,
+           CAST(sum(val * val) AS BIGINT) AS sum_sq,
+           max(zc.zc) AS zero_crossings,
+           max(abs(val))::INT AS peak
+    FROM v JOIN zc ON v.doc_id = zc.doc_id
+    GROUP BY v.doc_id ORDER BY media_id
+    """,
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio DSP features through the REAL codec path: the same
+    deterministic PCM synthesis as `multimodal_wav_decode` (so the
+    oracle recomputes every value from the formula), round-tripped
+    through an actual RIFF/WAVE payload, then energy (integer sum of
+    squares), zero-crossing count and peak per clip — the
+    silence/clipping gate an audio-corpus pipeline runs before model
+    passes (operators/multimodal.py:audio_features, Arrow-batched,
+    map-only)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import audio_features, encode_wav
+
+    N = 32
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                i = np.arange(N, dtype=np.int64)
+                s = ((int(did) * 13 + i * 5) % 4001 - 2000).astype(np.int16)
+                ids.append(did)
+                payloads.append(encode_wav(s, 8000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return audio_features(media).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # Registration order for grading. The driver's correctness harness grades a
 # bounded PREFIX of the registered inventory (round 1: exactly the first 50
@@ -7178,6 +7230,7 @@ _NEXT = [
     "doc_hybrid_rrf_search",        # BM25 + cosine RRF hybrid retrieval
     "dedup_incremental_new_docs",   # new-batch-vs-corpus dedup verdicts
     "doc_dup_ngram_coverage",       # RefinedWeb dup-n-gram fraction
+    "multimodal_audio_features",    # real-codec DSP gate (energy/ZCR)
 ]
 
 

@@ -65,3 +65,25 @@ def test_dispatch_rejects_unknown_formats():
     assert decode_image(encode_bmp(img)).shape == (1, 1, 3)
     rate, _ = decode_audio(encode_wav(np.array([1], dtype=np.int16)))
     assert rate == 8000
+
+
+def test_audio_features_known_signal(spark):
+    """Alternating ±1 → 31 zero crossings over 32 samples, energy 32,
+    peak 1; a constant-zero clip has zero everything."""
+    import numpy as np
+
+    from maillogsentinel_spark.operators.multimodal import (
+        audio_features,
+        encode_wav,
+    )
+
+    alt = np.array([1, -1] * 16, dtype=np.int16)
+    zero = np.zeros(8, dtype=np.int16)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav(alt, 8000))),
+         (2, bytearray(encode_wav(zero, 8000)))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert (rows[1]["sum_sq"], rows[1]["zero_crossings"], rows[1]["peak"]) == (32, 31, 1)
+    assert (rows[2]["sum_sq"], rows[2]["zero_crossings"], rows[2]["peak"]) == (0, 0, 0)
