@@ -1,0 +1,41 @@
+"""bench.py output contract: the driver parses only the LAST ~2000
+characters of stdout, so the single JSON line must stay under the
+budget no matter how many queries are registered (round 1 shipped a
+~4 KB line and the driver recorded "parsed": null)."""
+
+import json
+import random
+import sys
+
+
+def _bench():
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    import bench
+
+    return bench
+
+
+def test_compact_line_fits_budget_at_any_inventory_size():
+    bench = _bench()
+    rnd = random.Random(7)
+    for n in (10, 150, 400, 1000):
+        pq = {f"some_quite_long_query_name_{i:04d}": round(rnd.uniform(0.1, 99.9), 3)
+              for i in range(n)}
+        for q in bench.HEADLINE:
+            pq.setdefault(q, 1.234)
+        line = bench.compact_line(1234.567, len(pq), pq, 0.1)
+        assert len(line) <= bench.LINE_BUDGET
+        d = json.loads(line)  # one valid JSON document
+        assert d["value"] == 1234.567 and d["unit"] == "sec"
+        assert d["n_queries"] == len(pq)
+        # headline entries appear most-important-first and are a subset
+        assert set(d["queries"]) <= set(pq)
+        assert list(d["queries"]) == [q for q in bench.HEADLINE if q in d["queries"]]
+
+
+def test_headline_names_are_registered():
+    bench = _bench()
+    from maillogsentinel_spark.plans.queries import QUERIES
+
+    missing = [q for q in bench.HEADLINE if q not in QUERIES]
+    assert missing == []
