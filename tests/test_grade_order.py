@@ -35,3 +35,12 @@ def test_prefix_families_covered():
 def test_prefix_is_fully_oracle_checked():
     for name in GRADED_PREFIX:
         assert name in ORACLES, name
+
+
+def test_every_oracle_key_is_a_registered_query():
+    """oracle_sql() keys must be a subset of queries() keys — a typo'd
+    oracle name would silently downgrade its query to rows-only."""
+    extra = set(ORACLES) - set(QUERIES)
+    assert extra == set()
+    # and the only intentionally rows-only query is the GEMM twin
+    assert set(QUERIES) - set(ORACLES) == {"embedding_cosine_pairs_gemm"}
