@@ -402,6 +402,12 @@ def _cosine_pairs_gemm(
         to_double_array(F.col(vec_col)).alias("v"),
         F.pmod(F.hash(F.col(id_col)), F.lit(nb)).cast("int").alias("bid"),
     )
+    if group_col:
+        # A NULL group id (e.g. an unmatched row from a join that
+        # produced the cluster assignment) would form its own cogroup
+        # key and int(key[0]) would raise inside the executor. No-group
+        # rows can pair with nothing anyway — drop them up front.
+        v = v.filter(F.col("g").isNotNull())
     bp = (
         spark.range(nb)
         .select(F.col("id").cast("int").alias("p"))
@@ -629,7 +635,15 @@ def dup_window_coverage(
         .distinct()
         .groupBy("id")
         .agg(F.count(F.lit(1)).cast("long").alias("covered_tokens"))
+        # materialize the tiny (id, covered_tokens) aggregate NOW so the
+        # gram table can be released immediately: a lazy return would pin
+        # the persisted grams for the session (bench runs each query 3x
+        # and the copies accumulate). localCheckpoint blocks are
+        # ContextCleaner-collected when this DataFrame is GC'd, unlike a
+        # CacheManager entry, so nothing leaks past the caller's use.
+        .localCheckpoint(eager=True)
     )
+    grams.unpersist()
     return (
         base.join(covered, "id", "left")
         .select(

@@ -60,7 +60,7 @@ def streaming_near_dup_candidates(
     k: int = 3,
     num_perm: int = 16,
     bands: int = 4,
-    state_ttl_ms: int | None = 3_600_000,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """(band, bucket, first_id, dup_id) candidate rows for a streaming
     document source. Deterministic within a batch: the smallest id in a
@@ -68,13 +68,14 @@ def streaming_near_dup_candidates(
     against the claimant. Parameters mirror the batch LSH defaults so a
     candidate here is a candidate there.
 
-    ``state_ttl_ms=None`` disables state eviction (GroupStateTimeout.
-    NoTimeout). Use that for drain-style runs (``availableNow``
-    backfills): with ProcessingTimeTimeout registered, the pending
-    timers keep the query alive past the drained data, so an
-    availableNow trigger NEVER terminates. A continuous production
-    stream keeps the TTL — unbounded buckets are the state-growth
-    hazard there."""
+    ``state_ttl_ms=None`` (the DEFAULT — safe for every trigger)
+    disables state eviction (GroupStateTimeout.NoTimeout). With
+    ProcessingTimeTimeout registered, pending timers keep the query
+    alive past the drained data, so an ``availableNow`` backfill NEVER
+    terminates — defaulting to a TTL made the hang the default. A
+    continuous production stream SHOULD pass a TTL (e.g. 3_600_000):
+    unbounded buckets are the state-growth hazard there, and a
+    continuous trigger is the one place the timers are harmless."""
     rows = num_perm // bands
     sig = minhash_signature(F.col(text_col), k, num_perm)
     banded = docs.select(

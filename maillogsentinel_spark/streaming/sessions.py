@@ -80,7 +80,7 @@ def streaming_failure_streaks(
     key_col: str = "ip",
     ts_col: str = "ts",
     threshold: int = 5,
-    state_ttl_ms: int | None = 3_600_000,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Alert as soon as a key accumulates ``threshold`` consecutive
     failures (every input row is a failure event; interleave a reset
@@ -95,9 +95,11 @@ def streaming_failure_streaks(
     the current streak), so downstream sinks see the first crossing and
     subsequent growth.
 
-    ``state_ttl_ms=None`` → GroupStateTimeout.NoTimeout: required for
-    ``availableNow`` drain runs, whose pending processing-time timers
-    otherwise keep the query alive forever (see streaming.near_dup).
+    ``state_ttl_ms=None`` (the DEFAULT) → GroupStateTimeout.NoTimeout:
+    required for ``availableNow`` drain runs, whose pending
+    processing-time timers otherwise keep the query alive forever (see
+    streaming.near_dup). Continuous production streams should pass a
+    TTL to bound per-key state.
     """
 
     def update(key, pdf_iter, state: GroupState):

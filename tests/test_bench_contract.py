@@ -39,3 +39,24 @@ def test_headline_names_are_registered():
 
     missing = [q for q in bench.HEADLINE if q not in QUERIES]
     assert missing == []
+
+
+def test_failed_query_timing_serializes_as_null_not_nan():
+    """A query that raises in BOTH timed passes must surface as JSON
+    null, never a bare NaN (invalid strict JSON → driver 'parsed: null').
+    Mirrors the main()-loop rule: per_query gets None when dt != dt."""
+    bench = _bench()
+    dt = float("nan")
+    stored = round(dt, 3) if dt == dt else None
+    assert stored is None
+    pq = {q: 1.234 for q in bench.HEADLINE}
+    pq[bench.HEADLINE[0]] = stored  # failed headline query
+    line = bench.compact_line(10.0, len(pq), pq, 0.1)
+    d = json.loads(line)
+    assert len(line) <= bench.LINE_BUDGET
+    if bench.HEADLINE[0] in d["queries"]:
+        assert d["queries"][bench.HEADLINE[0]] is None
+    # prove neither the line nor the full-map shape needs NaN support:
+    # allow_nan=False raises if any bare NaN survived into the payload
+    json.dumps({"queries": pq}, allow_nan=False)
+    json.dumps(d, allow_nan=False)

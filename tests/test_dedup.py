@@ -180,6 +180,31 @@ def test_gemm_group_col_isolates_groups(spark):
     assert {(r["g"], r["id_a"], r["id_b"]) for r in rows} == {(0, 1, 2)}
 
 
+def test_gemm_group_col_drops_null_groups(spark):
+    """A NULL group id (e.g. an unmatched join row) must be skipped, not
+    crash the executor with int(None) inside the cogroup fn."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    from maillogsentinel_spark.operators.dedup import _cosine_pairs_gemm
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+        StructField("cid", IntegerType()),
+    ])
+    emb = spark.createDataFrame(
+        [(1, v, 0), (2, v, 0), (3, v, None), (4, v, None)], schema
+    )
+    rows = _cosine_pairs_gemm(
+        emb, "vec_id", "embedding", threshold=0.9, group_col="cid"
+    ).collect()
+    # the null-group twins (3, 4) pair with nothing; the job completes
+    assert {(r["g"], r["id_a"], r["id_b"]) for r in rows} == {(0, 1, 2)}
+
+
 def test_dup_window_coverage_counts_positions(spark):
     """Two docs sharing an 8-token substring: 4 shared 5-gram windows
     cover exactly 8 positions in each; a unique doc has coverage 0."""
