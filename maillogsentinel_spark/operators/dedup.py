@@ -531,9 +531,16 @@ def exact_substring_spans(
             lambda i: F.concat_ws(" ", F.slice(t, i + 1, w)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = docs.select(
-        F.col(id_col).alias("id"), F.posexplode(win).alias("pos", "g")
-    ).select("id", "pos", hash64(F.col("g"), "xss").alias("gh"))
+    # The (tokenize → window → md5) projection is the expensive stage
+    # and feeds THREE consumers: the df-cap aggregate and both sides of
+    # the pair self-join. Persist it so the corpus is scanned/projected
+    # once — without this the executed plan reads `docs` four times
+    # (same hazard near_dup_pairs and dup_window_coverage guard against).
+    grams = (
+        docs.select(F.col(id_col).alias("id"), F.posexplode(win).alias("pos", "g"))
+        .select("id", "pos", hash64(F.col("g"), "xss").alias("gh"))
+        .persist()
+    )
     rare = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -560,7 +567,7 @@ def exact_substring_spans(
         .groupBy("id_a", "id_b", "diag", "grp")
         .agg(F.count(F.lit(1)).alias("run_len"))
     )
-    return (
+    out = (
         runs.groupBy("id_a", "id_b")
         .agg(
             F.sum("run_len").cast("long").alias("n_matches"),
@@ -568,7 +575,14 @@ def exact_substring_spans(
             (F.max("run_len") + (w - 1)).cast("int").alias("span_tokens"),
         )
         .filter(F.col("max_run") >= min_run)
+        # materialize the small pair-level result NOW so the persisted
+        # gram table can be released immediately (localCheckpoint blocks
+        # are ContextCleaner-collected when `out` is GC'd — see
+        # dup_window_coverage for the full rationale)
+        .localCheckpoint(eager=True)
     )
+    grams.unpersist()
+    return out
 
 
 def dup_window_coverage(

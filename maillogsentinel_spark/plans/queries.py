@@ -4537,20 +4537,8 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_graph_triangles",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
-    sh AS (
-      SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES3})) AS s
-      FROM toks WHERE len(t) >= 3
-    ),
-    rare AS (
-      SELECT s FROM sh GROUP BY s HAVING count(*) <= 20
-    ),
-    shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
-    edges AS (
-      SELECT a.doc_id AS u, b.doc_id AS v
-      FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY u, v HAVING count(*) >= 2
-    ),
+    WITH {_sql_minhash_pairs_ctes()},
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs),
     tri AS (
       SELECT e1.u AS a, e1.v AS b, e2.v AS c
       FROM edges e1
@@ -4563,34 +4551,22 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle census of the shared-shingle similarity graph — the
+    """Triangle census of the near-dup similarity graph — the
     clustering-coefficient ingredient that distinguishes dense near-dup
-    cliques from chain artifacts. Two evidence guards keep the graph
-    honest AND bounded: stop-shingles (document frequency > 20 —
-    boilerplate, THE per-key pair-explosion source) are dropped, and an
-    edge requires ≥ 2 distinct shared shingles (a single shared shingle
-    is noise; LSH banding implies the same multi-collision evidence).
-    Measured at sf0.1: raw single-shingle edges are 1.1M over 5k docs
-    (dense — 26 s); the guarded graph is 110k edges (~2 s warm). Edges
-    are oriented low→high id, so each triangle is counted exactly once
-    by the two-hop + closing-edge join; all joins key on vertex ids
-    (node-iterator ordering trick). Shingles come from the session-
-    shared persisted (id, sh) table (_doc_shingles_shared) — same rows
-    the LSH/ngram/novelty family reads, built once."""
-    sh0 = _doc_shingles_shared(spark, sf_dir, 3).select(
-        F.col("id").alias("doc_id"), F.col("sh").alias("s")
-    )
-    rare = sh0.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= 20
-    ).select("s")
-    sh = sh0.join(rare, "s")
-    a, b = sh.alias("a"), sh.alias("b")
+    cliques from chain artifacts. Edges are the session-shared VERIFIED
+    MinHash-LSH pairs (_lsh_pairs_shared: banded candidates → exact
+    Jaccard ≥ 0.3) — the same persisted artifact the cluster/pagerank/
+    survivorship family reads, built once per session. Earlier rounds
+    re-derived edges from a pairwise shingle self-join with its own
+    ≥2-evidence guard (3.3 s warm at sf0.1); reusing the verified-pair
+    artifact makes the edge build a zero-cost read and keeps ONE edge
+    definition across the whole dedup-graph family. Edges arrive
+    oriented low→high id, so each triangle is counted exactly once by
+    the two-hop + closing-edge join; all joins key on vertex ids
+    (node-iterator ordering trick)."""
     edges = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
+        _lsh_pairs_shared(spark, sf_dir)
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
