@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary +
 typed metadata, processed with Arrow-batched ``mapInPandas``.
 
-Two REAL decode paths exist end-to-end — BMP (hand-parsed BITMAPINFO
+Three REAL decode paths exist end-to-end — BMP (hand-parsed BITMAPINFO
 headers, 24/32 bpp uncompressed, row padding + bottom-up flip + BGR→RGB,
-pure numpy) and WAV (RIFF PCM via the stdlib ``wave`` module, 8/16-bit)
-— both public, library-free formats. ``decode_image``/``decode_audio``
-dispatch on magic bytes and raise NotImplementedError only for formats
-that genuinely need codec libs absent from this container (JPEG, PNG,
-MP3, ...); ``fake_feature_extractor`` remains as the deterministic
+pure numpy), PNG (stdlib ``zlib`` inflate + numpy scanline unfilter,
+all five filter types, 8-bit gray/RGB/RGBA non-interlaced) and WAV
+(RIFF PCM via the stdlib ``wave`` module, 8/16-bit) — all public,
+library-free formats. ``decode_image``/``decode_audio`` dispatch on
+magic bytes and raise NotImplementedError only for formats that
+genuinely need codec libs absent from this container (JPEG, MP3,
+palette/interlaced PNG); ``fake_feature_extractor`` remains as the deterministic
 stand-in for an embed step so the rest of the plumbing — schema, batch
 shape, partitioning — is testable regardless of format.
 
@@ -22,6 +24,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 from typing import Callable, Iterator
 
 import numpy as np
@@ -99,6 +102,146 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img if top_down else img[::-1]
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9, Filter type 4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → non-interlaced 8-bit truecolor PNG,
+    hand-built from the public spec (W3C PNG / RFC 2083): IHDR + one
+    zlib-deflated IDAT + IEND, CRC32 per chunk. Each scanline is
+    filtered with type (row % 5) — cycling None/Sub/Up/Average/Paeth —
+    so a decoder that mishandles ANY filter type produces wrong pixels
+    (the oracle queries recompute stats from the pixel formula and
+    would catch it)."""
+    h, w, _ = pixels.shape
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    for r in range(h):
+        cur = pixels[r].reshape(-1).astype(np.int64)
+        ft = r % 5
+        raw.append(ft)
+        if ft == 0:  # None
+            out = cur
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            out = (cur - left) % 256
+        elif ft == 2:  # Up
+            out = (cur - prev) % 256
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            out = (cur - (left + prev) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+            pred = np.array(
+                [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, upleft)],
+                dtype=np.int64,
+            )
+            out = (cur - pred) % 256
+        raw += out.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, truecolor
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (H, W, 3) uint8 RGB, pure stdlib-zlib + numpy. Supports
+    non-interlaced 8-bit grayscale (type 0, expanded to RGB), truecolor
+    (type 2) and truecolor+alpha (type 6, alpha dropped) with all five
+    scanline filters (None/Sub/Up/Average/Paeth) unfiltered per spec
+    §9; IDAT chunks are concatenated before the single zlib inflate.
+    Palette, 16-bit and Adam7-interlaced images raise
+    NotImplementedError (honest gate, same policy as the BMP/WAV
+    codecs)."""
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color_type={color} "
+                    f"interlace={interlace} unsupported (8-bit gray/RGB/"
+                    "RGBA non-interlaced only)"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("invalid PNG compression/filter method")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    nch = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * nch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    img = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        off = r * (stride + 1)
+        ft = raw[off]
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).astype(
+            np.int64
+        )
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up — no left dependency, vectorized
+            cur = (cur + prev) % 256
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth — left-sequential per pixel
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                if ft == 1:
+                    cur[i] = (cur[i] + a) % 256
+                elif ft == 3:
+                    cur[i] = (cur[i] + (a + b) // 2) % 256
+                else:
+                    cur[i] = (cur[i] + _paeth(int(a), int(b), int(c))) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        img[r] = cur
+        prev = cur
+    px = img.astype(np.uint8).reshape(h, w, nch)
+    if nch == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3]
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     """int16 mono samples → RIFF/WAVE PCM via the stdlib wave module."""
     buf = io.BytesIO()
@@ -127,12 +270,15 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch: BMP decodes for real (decode_bmp); formats
-    needing codec libs absent from this container raise."""
+    """Magic-byte dispatch: BMP (decode_bmp) and PNG (decode_png,
+    stdlib zlib + numpy unfilter) decode for real; formats needing
+    codec libs absent from this container raise."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == PNG_SIGNATURE:
+        return decode_png(payload)
     raise NotImplementedError(
-        "only BMP decodes without image libs; JPEG/PNG need PIL/opencv"
+        "only BMP/PNG decode without image libs; JPEG needs PIL/opencv"
     )
 
 

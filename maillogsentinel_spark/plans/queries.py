@@ -1451,6 +1451,54 @@ def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_png_decode",
+    oracle="""
+    WITH j AS (SELECT unnest(range(72)) AS j),
+    v AS (SELECT doc_id, j, (doc_id * 11 + j) % 256 AS val
+          FROM documents CROSS JOIN j)
+    SELECT doc_id AS media_id, 4 AS width, 6 AS height,
+           sum(val)::BIGINT AS px_sum,
+           sum(val) / 72.0 AS px_mean,
+           max(CASE WHEN j = 0 THEN val END)::INT AS tl_r,
+           sum(CASE WHEN j % 3 = 0 AND j < 12 THEN val END)::BIGINT AS row0_r_sum
+    FROM v GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end: per doc, synthesize a 4×6 RGB image
+    with channel j valued (doc_id*11+j)%256, encode it as an actual PNG
+    (stdlib zlib deflate; scanline filter type cycles row%5 so all five
+    PNG filters — None/Sub/Up/Average/Paeth — are present in every
+    payload), then parse it back with the pure zlib+numpy decoder
+    (operators/multimodal.py:decode_png) and emit layout-sensitive
+    stats. The oracle recomputes the stats from the pixel formula, so a
+    wrong unfilter, stride or channel order fails the hash — same
+    honesty contract as multimodal_bmp_decode/wav_decode. Height 6 > 5
+    guarantees every filter type is exercised, including a second
+    None row after a Paeth row (prev-row state carryover)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_png, image_stats
+
+    W, H = 4, 6
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                j = np.arange(H * W * 3, dtype=np.int64)
+                px = ((int(did) * 11 + j) % 256).astype(np.uint8).reshape(H, W, 3)
+                ids.append(did)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return image_stats(media).orderBy("media_id")
+
+
+@query(
     "multimodal_wav_decode",
     oracle="""
     WITH i AS (SELECT unnest(range(32)) AS i),

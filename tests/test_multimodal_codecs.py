@@ -1,5 +1,6 @@
-"""Real BMP/WAV codec correctness: round-trips, padding, layout flips,
-signedness — plus the magic-byte dispatch contract."""
+"""Real BMP/PNG/WAV codec correctness: round-trips, padding, layout
+flips, filter types, signedness — plus the magic-byte dispatch
+contract."""
 
 import numpy as np
 import pytest
@@ -8,8 +9,10 @@ from maillogsentinel_spark.operators.multimodal import (
     decode_audio,
     decode_bmp,
     decode_image,
+    decode_png,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_wav,
 )
 
@@ -55,14 +58,77 @@ def test_wav_roundtrip_signed_16bit():
     assert (out == s).all()
 
 
+def test_png_roundtrip_all_filter_types():
+    # height 7 > 5: the row%5 filter cycle covers None/Sub/Up/Average/
+    # Paeth plus a wrap back to None with non-zero prev-row state
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+def test_png_roundtrip_gradient():
+    # smooth gradients make Average/Paeth predictors non-trivial
+    img = (np.arange(10 * 8 * 3) % 256).astype(np.uint8).reshape(10, 8, 3)
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+def _png_raw(width, height, color_type, scanlines):
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_grayscale_expands_to_rgb():
+    out = decode_png(_png_raw(2, 2, 0, [0, 10, 20, 0, 30, 40]))
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0].tolist() == [10, 10, 10]
+    assert out[1, 1].tolist() == [40, 40, 40]
+
+
+def test_png_rgba_drops_alpha():
+    # filter 1 (Sub): second pixel = first + (10,10,10,0)
+    out = decode_png(_png_raw(2, 1, 6, [1, 5, 6, 7, 8, 10, 10, 10, 0]))
+    assert out.shape == (1, 2, 3)
+    assert out[0, 1].tolist() == [15, 16, 17]
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+
+    with pytest.raises(NotImplementedError):  # palette
+        decode_png(_png_raw(1, 1, 3, [0, 0]))
+    # 16-bit depth
+    bad = bytearray(_png_raw(1, 1, 2, [0, 1, 2, 3]))
+    struct.pack_into("B", bad, 8 + 8 + 8, 16)
+    # CRC no longer matches but IHDR parse happens first
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(bad))
+
+
 def test_dispatch_rejects_unknown_formats():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+        decode_image(b"\xff\xd8\xff\xe0....JFIF")  # JPEG magic
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x03....")
     # and accepts the real ones
     img = np.ones((1, 1, 3), dtype=np.uint8)
     assert decode_image(encode_bmp(img)).shape == (1, 1, 3)
+    assert decode_image(encode_png(img)).shape == (1, 1, 3)
     rate, _ = decode_audio(encode_wav(np.array([1], dtype=np.int16)))
     assert rate == 8000
 
