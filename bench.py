@@ -53,24 +53,43 @@ HEADLINE = [
 
 LINE_BUDGET = 1900  # driver tail capture is ~2000 chars; stay under
 
+# Load-calibration canary: a fixed CPU-bound job (md5 + distinct over
+# spark.range — no IO, no query code, saturates all cores) timed at bench
+# start and end. CANARY_REF_SEC is its warm time on an idle box; a bench
+# run whose canary ratio is well above 1.0 ran on a loaded box, so its
+# per-query numbers carry that load — tools/bench_diff.py downgrades >2x
+# regression flags when the canary says the box was busy (>1.5x), which
+# round 3 showed can otherwise cost a whole re-adjudication cycle.
+CANARY_REF_SEC = 0.85
+
+
+def run_canary(spark) -> float:
+    expr = "count(distinct substr(md5(cast(id as string)), 1, 4)) AS c"
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(8_000_000, numPartitions=32).selectExpr(expr).collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
 
 def compact_line(total: float, n: int, per_query: dict[str, float],
-                 sf: float) -> str:
+                 sf: float, canary: dict | None = None) -> str:
     """One JSON line ≤ LINE_BUDGET bytes: totals + headline subset."""
     shown = [q for q in HEADLINE if q in per_query]
     while True:
-        line = json.dumps(
-            {
-                "metric": f"total query wall-clock, all {n} registered queries"
-                          " (full per-query map: BENCH_FULL.json)",
-                "value": total,
-                "unit": "sec",
-                "queries": {q: per_query[q] for q in shown},
-                "sf": sf,
-                "n_queries": n,
-            },
-            separators=(",", ":"),
-        )
+        payload = {
+            "metric": f"total query wall-clock, all {n} registered queries"
+                      " (full per-query map: BENCH_FULL.json)",
+            "value": total,
+            "unit": "sec",
+            "queries": {q: per_query[q] for q in shown},
+            "sf": sf,
+            "n_queries": n,
+        }
+        if canary is not None:
+            payload["canary"] = canary
+        line = json.dumps(payload, separators=(",", ":"))
         if len(line) <= LINE_BUDGET or not shown:
             return line
         shown.pop()
@@ -109,6 +128,8 @@ def main() -> None:
     except Exception as e:
         print(f"# bench warmup prebuild error: {e}", file=sys.stderr)
 
+    canary_start = run_canary(spark)
+
     per_query: dict[str, float] = {}
     total = 0.0
     for name, fn in QUERIES.items():
@@ -130,16 +151,24 @@ def main() -> None:
         per_query[name] = round(dt, 3) if dt == dt else None
         total += dt if dt == dt else 0.0
 
+    canary_end = run_canary(spark)
+    canary = {
+        "sec": [round(canary_start, 3), round(canary_end, 3)],
+        "ref": CANARY_REF_SEC,
+        "ratio": round(max(canary_start, canary_end) / CANARY_REF_SEC, 2),
+    }
+
     full = {
         "metric": "total query wall-clock, all registered queries",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "canary": canary,
     }
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1)
-    line = compact_line(round(total, 3), len(per_query), per_query, sf)
+    line = compact_line(round(total, 3), len(per_query), per_query, sf, canary)
     os.write(real_stdout_fd, (line + "\n").encode())
 
 

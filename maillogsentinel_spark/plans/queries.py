@@ -1274,6 +1274,107 @@ def q_knn_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(emb, queries_df, k=5, n_planes=6, dims=64, n_tables=3)
 
 
+@query(
+    "knn_recall_ladder",
+    oracle=f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT vec_id, v, {_sql_lsh_bucket('v')} AS bucket FROM e0),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 10),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e0.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_sql_cosine('e0.v', 'q.qv')} DESC, e0.vec_id) AS rank
+        FROM e0, q WHERE e0.vec_id <> q.query_id
+      ) WHERE rank <= 5
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_sql_cosine('e.v', 'q.qv')} DESC, e.vec_id) AS rank
+        FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.query_id
+      ) WHERE rank <= 5
+    ),
+    qmp AS (SELECT vec_id AS query_id, v AS qv,
+                   unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                           xor(bucket, 4)]) AS bucket
+            FROM e WHERE vec_id < 10),
+    mp AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qmp.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qmp.query_id
+                 ORDER BY {_sql_cosine('e.v', 'qmp.qv')} DESC, e.vec_id) AS rank
+        FROM e JOIN qmp USING (bucket) WHERE e.vec_id <> qmp.query_id
+      ) WHERE rank <= 5
+    ),
+    ann AS (
+      SELECT DISTINCT 'lsh' AS variant, query_id, neighbor_id FROM lsh
+      UNION ALL
+      SELECT DISTINCT 'lsh_multiprobe', query_id, neighbor_id FROM mp
+    )
+    SELECT ann.variant,
+           CAST(count(bf.query_id) AS BIGINT) AS n_hits,
+           (SELECT count(*) FROM bf)::BIGINT AS n_exact,
+           round(count(bf.query_id)::DOUBLE / (SELECT count(*) FROM bf), 6)
+             AS recall
+    FROM ann LEFT JOIN bf USING (query_id, neighbor_id)
+    GROUP BY ann.variant ORDER BY ann.variant
+    """,
+)
+def q_knn_recall_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the ANN ladder, ORACLE-PINNED: for each approximate
+    variant (single-bucket LSH, 4-probe multiprobe LSH), how many of the
+    exact brute-force top-5 neighbors it returned, over the 10 standard
+    query vectors. This turns SCALE.md's measured recall-vs-cost ladder
+    into a driver-checkable scalar row — the deterministic hyperplanes
+    make even the approximation's RECALL exactly reproducible in DuckDB.
+    Multiprobe recall ≥ single-bucket recall by construction (its
+    candidate set is a superset).
+
+    Plan shape: the exact top-5 (50 rows) is eagerly checkpointed once
+    and reused for both the denominator scalar and the hit join — the
+    collect is a bounded scalar fetch, same pattern as the max-day
+    lookup in mail_report_top10_today."""
+    from ..operators.similarity import knn_bruteforce, knn_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    bf = (
+        knn_bruteforce(emb, queries_df, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    n_exact = bf.count()
+    variants = [
+        ("lsh", knn_lsh(emb, queries_df, k=5, n_planes=6, dims=64)),
+        (
+            "lsh_multiprobe",
+            knn_lsh(emb, queries_df, k=5, n_planes=6, dims=64, multiprobe=3),
+        ),
+    ]
+    ann = None
+    for name, df in variants:
+        part = df.select(
+            F.lit(name).alias("variant"), "query_id", "neighbor_id"
+        ).distinct()
+        ann = part if ann is None else ann.unionAll(part)
+    return (
+        ann.join(bf.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("variant")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"))
+        .select(
+            "variant",
+            "n_hits",
+            F.lit(n_exact).cast("long").alias("n_exact"),
+            F.round(F.col("n_hits") / F.lit(float(n_exact)), 6).alias("recall"),
+        )
+        .orderBy("variant")
+    )
+
+
 def _sql_lang_case() -> str:
     from ..operators.textstats import LANG_PRIORITY, LANG_STOPWORDS
 

@@ -38,6 +38,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .ttl import warn_if_unbounded
+
 from ..operators.dedup import minhash_signature
 
 _CAND_OUTPUT = T.StructType(
@@ -76,6 +78,7 @@ def streaming_near_dup_candidates(
     continuous production stream SHOULD pass a TTL (e.g. 3_600_000):
     unbounded buckets are the state-growth hazard there, and a
     continuous trigger is the one place the timers are harmless."""
+    warn_if_unbounded("streaming_near_dup_candidates", state_ttl_ms)
     rows = num_perm // bands
     sig = minhash_signature(F.col(text_col), k, num_perm)
     banded = docs.select(

@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .ttl import warn_if_unbounded
+
 
 def streaming_sessions(
     events: DataFrame,
@@ -102,6 +104,8 @@ def streaming_failure_streaks(
     TTL to bound per-key state.
     """
 
+    warn_if_unbounded("streaming_failure_streaks", state_ttl_ms)
+
     def update(key, pdf_iter, state: GroupState):
         if state.hasTimedOut:
             state.remove()
@@ -159,29 +163,66 @@ _TWS_OUTPUT = T.StructType(
 )
 
 
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas' state-server protocol is protobuf
+    over a local socket (pyspark/sql/streaming/proto/StateMessage_pb2);
+    without google.protobuf the Python state server crashes at stream
+    start with an opaque 'driver worker exited unexpectedly'. Probe the
+    dependency up front so callers get a plan-time error instead."""
+    import importlib.util
+
+    try:
+        # find_spec imports the parent package, so a missing `google`
+        # namespace package raises instead of returning None
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
 def streaming_spray_alerts(
     events: DataFrame,
     key_col: str = "ip",
     user_col: str = "user",
     threshold: int = 3,
-    state_ttl_ms: int = 3_600_000,
+    state_ttl_ms: int | None = None,
+    implementation: str = "auto",
 ) -> DataFrame:
-    """Password-spray detector on the NEWEST stateful API
-    (``transformWithStateInPandas``, Spark 4): per source IP, keep the
-    exact set of distinct usernames tried plus a running failure count,
-    and emit an alert row whenever the batch pushes the distinct-user
-    count across the threshold. Three upgrades over
-    applyInPandasWithState (streaming_failure_streaks keeps that tier
-    for comparison): typed composable state handles (ListState for the
-    user set, ValueState for the counter) instead of one packed tuple,
-    TTL enforced declaratively per state (``ttlDurationMs``) instead of
-    hand-rolled timeout branches, and state schema evolution managed by
-    the store. State size is bounded by distinct users per IP × TTL.
+    """Password-spray detector: per source IP, keep the exact set of
+    distinct usernames tried plus a running failure count, and emit an
+    alert row when (and only when) a batch pushes the distinct-user
+    count across the threshold.
 
-    Environment note: the API's state-server protocol imports
-    google.protobuf at stream start; in containers without it (this
-    one), use the applyInPandasWithState tier — the test is gated on
-    the import accordingly."""
+    Two interchangeable engines, selected by ``implementation``:
+
+    - ``"tws"`` — ``transformWithStateInPandas`` (the newest Spark-4
+      stateful API): typed composable state handles (ListState for the
+      user set, ValueState for the counter), declarative per-state TTL.
+      Its Python↔JVM state protocol REQUIRES google.protobuf; absent
+      that, this raises ModuleNotFoundError at plan-build time (not an
+      opaque stream crash at runtime).
+    - ``"apiws"`` — ``applyInPandasWithState``: identical semantics and
+      output schema, state packed as (array<string>, long), no extra
+      dependency. ``state_ttl_ms=None`` (default) → NoTimeout, required
+      for availableNow drains (pending processing-time timers otherwise
+      keep the query alive forever — see streaming.near_dup).
+    - ``"auto"`` (default) — "tws" when protobuf is importable, else
+      "apiws". Both paths are covered by the same assertions in
+      tests/test_streaming.py, so environments without protobuf still
+      verify the operator's semantics end-to-end.
+    """
+    if implementation not in ("auto", "tws", "apiws"):
+        raise ValueError(f"unknown implementation {implementation!r}")
+    if implementation == "auto":
+        implementation = "tws" if _has_protobuf() else "apiws"
+    if implementation == "apiws":
+        warn_if_unbounded("streaming_spray_alerts", state_ttl_ms)
+        return _spray_alerts_apiws(events, key_col, user_col, threshold, state_ttl_ms)
+    if not _has_protobuf():
+        raise ModuleNotFoundError(
+            "transformWithStateInPandas needs google.protobuf (its state "
+            "protocol is protobuf-serialized); install protobuf or use "
+            "implementation='apiws' — same semantics, no dependency"
+        )
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -227,5 +268,71 @@ def streaming_spray_alerts(
             outputStructType=_TWS_OUTPUT,
             outputMode="Append",
             timeMode="ProcessingTime",
+        )
+    )
+
+
+_SPRAY_STATE = T.StructType(
+    [
+        T.StructField("users", T.ArrayType(T.StringType())),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def _spray_alerts_apiws(
+    events: DataFrame,
+    key_col: str,
+    user_col: str,
+    threshold: int,
+    state_ttl_ms: int | None,
+) -> DataFrame:
+    """applyInPandasWithState engine for streaming_spray_alerts —
+    bit-identical semantics to the transformWithStateInPandas path
+    (same output schema, same crossing-only alert rule), state packed
+    as one (array<string>, long) tuple instead of typed handles."""
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            users, cnt = state.get
+            seen = set(users)
+        else:
+            seen, cnt = set(), 0
+        before = len(seen)
+        n_new = 0
+        for pdf in pdf_iter:
+            n_new += len(pdf)
+            cnt += len(pdf)
+            seen.update(pdf[user_col])
+        state.update((sorted(seen), cnt))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        if n_new and len(seen) >= threshold and before < threshold:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "total_failures": [cnt],
+                    "distinct_users": [len(seen)],
+                }
+            )
+
+    return (
+        events.select(
+            F.col(key_col).alias("key"), F.col(user_col).alias(user_col)
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_TWS_OUTPUT,
+            stateStructType=_SPRAY_STATE,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if state_ttl_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )

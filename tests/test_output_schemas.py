@@ -8,8 +8,11 @@ produce vectors must return the exploded per-element shape (e.g.
 ``(label, pos, m)``) or a deterministic serialization.
 
 Mirror of tests/test_grade_order.py: a registry-wide invariant, not a
-per-query behavior test. Schema is obtained from analysis only (no
-execution) so the whole inventory is one cheap pass.
+per-query behavior test. MOST schemas come from analysis alone, but
+constructing some queries executes real jobs at sf0.001 — kmeans_fit /
+dup_window_coverage / exact_substring_spans use eager localCheckpoint
+and _bpe_shared fits its merges — so this pass costs about a minute of
+Spark time, not milliseconds.
 """
 
 from pyspark.sql.types import ArrayType, MapType, StructType

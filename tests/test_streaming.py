@@ -110,6 +110,30 @@ def test_streaming_sessions_gap_close(spark, tmp_path):
     assert alice[1]["session_start"].hour == 12
 
 
+def test_unbounded_state_warns_at_plan_build(spark):
+    """state_ttl_ms=None must emit UnboundedStateWarning when the
+    stateful operator is BUILT (the continuous-trigger state-growth
+    hazard is announced, not buried in a docstring); passing a TTL
+    stays silent."""
+    import warnings
+
+    from maillogsentinel_spark.streaming.sessions import (
+        streaming_failure_streaks,
+    )
+    from maillogsentinel_spark.streaming.ttl import UnboundedStateWarning
+
+    from pyspark.sql import functions as F
+
+    events = spark.createDataFrame(
+        [("1.1.1.1",)], "ip string"
+    ).withColumn("ts", F.current_timestamp())
+    with pytest.warns(UnboundedStateWarning, match="availableNow"):
+        streaming_failure_streaks(events)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UnboundedStateWarning)
+        streaming_failure_streaks(events, state_ttl_ms=60_000)
+
+
 def test_streaming_failure_streaks_alerts_mid_stream(spark, tmp_path):
     """applyInPandasWithState: alert appears as soon as the streak
     crosses the threshold, within the batch that crosses it."""
@@ -362,17 +386,32 @@ def test_sql_export_quarantine_sink(spark, tmp_path):
     assert "ip" in quar[0]["violations"]
 
 
-def test_streaming_spray_alerts_transform_with_state(spark, tmp_path):
-    """transformWithStateInPandas (the Spark-4 stateful API): an IP
-    trying many DISTINCT usernames alerts once when crossing the
-    threshold; a noisy single-user IP stays silent; state persists
-    across micro-batches via the checkpoint.
+def test_spray_alerts_tws_gate_is_plan_time():
+    """Without google.protobuf, requesting the transformWithStateInPandas
+    engine must fail AT PLAN BUILD with a clear, actionable error — not
+    crash the state server mid-stream with 'driver worker exited
+    unexpectedly'. (With protobuf installed this test is vacuous and
+    the end-to-end test below exercises the tws path for real.)"""
+    from maillogsentinel_spark.streaming.sessions import (
+        _has_protobuf,
+        streaming_spray_alerts,
+    )
 
-    The API's state protocol needs google.protobuf, which this
-    container lacks — the operator is gated on it (the
-    applyInPandasWithState tier covers the same semantics without
-    the dependency)."""
-    pytest.importorskip("google.protobuf.descriptor")
+    if _has_protobuf():
+        return
+    with pytest.raises(ModuleNotFoundError, match="apiws"):
+        streaming_spray_alerts(None, implementation="tws")
+
+
+def test_streaming_spray_alerts_stateful(spark, tmp_path):
+    """Password-spray detector semantics, on whichever stateful engine
+    the environment supports (implementation='auto': the Spark-4
+    transformWithStateInPandas path when google.protobuf is importable,
+    the dependency-free applyInPandasWithState path otherwise — same
+    output schema, same crossing-only alert rule): an IP trying many
+    DISTINCT usernames alerts once when crossing the threshold; a noisy
+    single-user IP stays silent; state persists across micro-batches
+    via the checkpoint."""
     from maillogsentinel_spark.operators.parse import parse_sasl_lines
     from maillogsentinel_spark.streaming.sessions import streaming_spray_alerts
 
@@ -389,12 +428,17 @@ def test_streaming_spray_alerts_transform_with_state(spark, tmp_path):
     )
     (logs / "mail.log").write_text(spray + noisy)
 
+    got = []
+
     def run():
+        # foreachBatch, not the memory sink: this test RESUMES from the
+        # checkpoint on its second run, which the memory sink refuses
         events = parse_sasl_lines(spark.readStream.text(str(logs)), year=2025)
         alerts = streaming_spray_alerts(events, threshold=3)
         q = (
-            alerts.writeStream.format("memory")
-            .queryName("spray_t")
+            alerts.writeStream.foreachBatch(
+                lambda df, _bid: got.extend(df.collect())
+            )
             .outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -405,7 +449,7 @@ def test_streaming_spray_alerts_transform_with_state(spark, tmp_path):
     run()
     # batch 1: 7.7.7.7 has only 2 distinct users -> silent; 6.6.6.6 has
     # 1 distinct user across 5 failures -> silent
-    assert spark.sql("SELECT * FROM spray_t").count() == 0
+    assert got == []
 
     # a later file pushes 7.7.7.7 to 3 distinct users -> one alert with
     # the full running totals (state restored from the checkpoint)
@@ -413,8 +457,7 @@ def test_streaming_spray_alerts_transform_with_state(spark, tmp_path):
         "Sep 28 10:09:00 s p[9]: warning: unknown[7.7.7.7]: SASL fail, sasl_username=u9\n"
     )
     run()
-    rows = spark.sql("SELECT * FROM spray_t").collect()
-    assert [(r["key"], r["total_failures"], r["distinct_users"]) for r in rows] == [
+    assert [(r["key"], r["total_failures"], r["distinct_users"]) for r in got] == [
         ("7.7.7.7", 3, 3)
     ]
 
