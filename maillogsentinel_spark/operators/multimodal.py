@@ -1,14 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary +
 typed metadata, processed with Arrow-batched ``mapInPandas``.
 
-Three REAL decode paths exist end-to-end — BMP (hand-parsed BITMAPINFO
+Four REAL decode paths exist end-to-end — BMP (hand-parsed BITMAPINFO
 headers, 24/32 bpp uncompressed, row padding + bottom-up flip + BGR→RGB,
 pure numpy), PNG (stdlib ``zlib`` inflate + numpy scanline unfilter,
-all five filter types, 8-bit gray/RGB/RGBA non-interlaced) and WAV
-(RIFF PCM via the stdlib ``wave`` module, 8/16-bit) — all public,
-library-free formats. ``decode_image``/``decode_audio`` dispatch on
-magic bytes and raise NotImplementedError only for formats that
-genuinely need codec libs absent from this container (JPEG, MP3,
+all five filter types, 8-bit gray/RGB/RGBA non-interlaced), baseline
+JPEG (operators/jpeg.py: canonical huffman, zigzag, 8×8 DCT, restart
+markers — ITU-T T.81 re-implemented on numpy) and WAV (RIFF PCM via
+the stdlib ``wave`` module, 8/16-bit) — all public, library-free
+formats. ``decode_image``/``decode_audio`` dispatch on magic bytes and
+raise NotImplementedError only for variants that genuinely need codec
+libs absent from this container (MP3, progressive/subsampled JPEG,
 palette/interlaced PNG); ``fake_feature_extractor`` remains as the deterministic
 stand-in for an embed step so the rest of the plumbing — schema, batch
 shape, partitioning — is testable regardless of format.
@@ -270,15 +272,21 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch: BMP (decode_bmp) and PNG (decode_png,
-    stdlib zlib + numpy unfilter) decode for real; formats needing
-    codec libs absent from this container raise."""
+    """Magic-byte dispatch: BMP (decode_bmp), PNG (decode_png, stdlib
+    zlib + numpy unfilter) and baseline JPEG (operators/jpeg.py —
+    huffman + DCT from the public T.81 spec) decode for real; remaining
+    variants (progressive JPEG, palette PNG, ...) raise inside their
+    codec, and unknown formats raise here."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_SIGNATURE:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only BMP/PNG decode without image libs; JPEG needs PIL/opencv"
+        "unknown image magic; BMP/PNG/baseline-JPEG decode without libs"
     )
 
 

@@ -1600,6 +1600,54 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_decode",
+    oracle="""
+    WITH b AS (SELECT unnest(range(4)) AS b),
+    v AS (SELECT doc_id, b, (doc_id * 13 + 29 * b) % 256 AS val
+          FROM documents CROSS JOIN b)
+    SELECT doc_id AS media_id, 32 AS width, 8 AS height,
+           (192 * sum(val))::BIGINT AS px_sum,
+           192 * sum(val) / 768.0 AS px_mean,
+           max(CASE WHEN b = 0 THEN val END)::INT AS tl_r,
+           (8 * sum(val))::BIGINT AS row0_r_sum
+    FROM v GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode end-to-end: per doc, synthesize an
+    8×32 grayscale image of four CONSTANT 8×8 blocks (block b valued
+    (doc_id*13+29b)%256), encode it as an actual JPEG — huffman-coded
+    DCT blocks, restart marker every 2 MCUs — and parse it back with
+    the pure-numpy T.81 decoder (operators/jpeg.py). With the all-ones
+    quant table a constant block is DC-only and integer-exact through
+    the whole pipeline, so the DuckDB oracle recomputes the stats from
+    the block formula and a huffman/zigzag/IDCT/restart bug fails the
+    HASH, not a tolerance. (General lossy images are tolerance-tested
+    in tests/test_multimodal_codecs.py.)"""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import image_stats
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                vals = (int(did) * 13 + 29 * np.arange(4)) % 256
+                img = np.repeat(vals, 8)[None, :].repeat(8, axis=0).astype(
+                    np.uint8
+                )
+                ids.append(did)
+                payloads.append(encode_jpeg(img, restart_interval=2))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return image_stats(media).orderBy("media_id")
+
+
+@query(
     "multimodal_wav_decode",
     oracle="""
     WITH i AS (SELECT unnest(range(32)) AS i),

@@ -1,10 +1,11 @@
-"""Real BMP/PNG/WAV codec correctness: round-trips, padding, layout
-flips, filter types, signedness — plus the magic-byte dispatch
-contract."""
+"""Real BMP/PNG/JPEG/WAV codec correctness: round-trips, padding,
+layout flips, filter types, DCT exactness, signedness — plus the
+magic-byte dispatch contract."""
 
 import numpy as np
 import pytest
 
+from maillogsentinel_spark.operators.jpeg import decode_jpeg, encode_jpeg
 from maillogsentinel_spark.operators.multimodal import (
     decode_audio,
     decode_bmp,
@@ -120,15 +121,54 @@ def test_png_unsupported_variants_raise():
         decode_png(bytes(bad))
 
 
+def test_jpeg_constant_blocks_exact():
+    # all-ones quant table + constant 8x8 blocks -> DC-only, integer
+    # exact through FDCT/quant/huffman/IDCT (the oracle query's contract)
+    rng = np.random.default_rng(5)
+    blocks = rng.integers(0, 256, size=(2, 3))
+    img = np.kron(blocks, np.ones((8, 8), dtype=int)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert (out == np.repeat(img[:, :, None], 3, axis=2)).all()
+
+
+def test_jpeg_roundtrip_tolerance_and_odd_dims():
+    rng = np.random.default_rng(6)
+    gray = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(gray))
+    assert out.shape == (13, 21, 3)
+    assert np.abs(out[:, :, 0].astype(int) - gray.astype(int)).max() <= 3
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(rgb))
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 6
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(img))
+    with_rst = decode_jpeg(encode_jpeg(img, restart_interval=3))
+    assert (plain == with_rst).all()
+
+
+def test_jpeg_progressive_gate():
+    # flip SOF0 (0xC0) to SOF2 (0xC2) -> progressive, honestly refused
+    payload = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(payload))
+
+
 def test_dispatch_rejects_unknown_formats():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0....JFIF")  # JPEG magic
+        decode_image(b"GIF89a......")  # GIF magic, no codec
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x03....")
     # and accepts the real ones
     img = np.ones((1, 1, 3), dtype=np.uint8)
     assert decode_image(encode_bmp(img)).shape == (1, 1, 3)
     assert decode_image(encode_png(img)).shape == (1, 1, 3)
+    assert decode_image(encode_jpeg(img)).shape == (1, 1, 3)
     rate, _ = decode_audio(encode_wav(np.array([1], dtype=np.int16)))
     assert rate == 8000
 

@@ -338,15 +338,20 @@ def test_new_vs_returning_split(spark, tmp_path):
 
 
 def test_triangle_census_counts_each_once(spark, tmp_path):
-    # docs 0,1,2 pairwise share TWO shingles (abg + bgd) → triangle;
-    # doc 3 shares only ONE shingle with them → below the ≥2-evidence
-    # bar, no edge; doc 4 unrelated
-    base = "alpha beta gamma delta"
+    # Edges are the verified MinHash-LSH pairs (the session-shared
+    # artifact the whole dedup-graph family uses). Docs 0,1,2 have
+    # IDENTICAL text → identical signatures → all three pairs are
+    # candidates in every band and verify at jaccard 1.0, so the edge
+    # set is deterministic regardless of hash values; doc 3 overlaps a
+    # little (jaccard < 0.3 → verification kills it even if a band
+    # collides); doc 4 unrelated. One triangle, counted once by the
+    # two-hop + closing-edge join.
+    base = "alpha beta gamma delta epsilon zeta eta theta"
     sf_dir = _write_docs(spark, tmp_path, [
-        (0, base + " one", "en", "s", 26),
-        (1, base + " two", "en", "s", 26),
-        (2, base + " three", "en", "s", 28),
-        (3, "alpha beta gamma epsilon zeta", "en", "s", 29),
+        (0, base, "en", "s", len(base)),
+        (1, base, "en", "s", len(base)),
+        (2, base, "en", "s", len(base)),
+        (3, "alpha beta gamma unrelated tail words apart", "en", "s", 43),
         (4, "totally different words here now", "en", "s", 32),
     ])
     out = QUERIES["dedup_graph_triangles"](spark, sf_dir).collect()[0]
