@@ -1274,12 +1274,18 @@ def q_knn_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(emb, queries_df, k=5, n_planes=6, dims=64, n_tables=3)
 
 
-@query(
-    "knn_recall_ladder",
-    oracle=f"""
-    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    e AS (SELECT vec_id, v, {_sql_lsh_bucket('v')} AS bucket FROM e0),
-    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 10),
+def _sql_recall_ladder() -> str:
+    """Composes the LSH, multiprobe and IVF oracle CTE chains against
+    the exact brute-force top-5 into per-variant recall rows. The IVF
+    chain is _sql_knn_ivf's verbatim (normalized vectors, stride-23
+    centroids, nprobe 3); the LSH chains mirror knn_lsh/_multiprobe."""
+    ndot = f"round({_SQL_DOT.format(a='a.cv', b='p.qv')}, 6)"
+    cdot_e = f"round({_SQL_DOT.format(a='e.nv', b='cent.centv')}, 6)"
+    cdot_q = f"round({_SQL_DOT.format(a='q.nv', b='cent.centv')}, 6)"
+    return f"""
+    WITH {_SQL_NORMALIZED_E},
+    eb AS (SELECT vec_id, v, {_sql_lsh_bucket('v')} AS bucket FROM e0),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 10),
     bf AS (
       SELECT query_id, neighbor_id FROM (
         SELECT q.query_id, e0.vec_id AS neighbor_id,
@@ -1290,26 +1296,55 @@ def q_knn_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lsh AS (
       SELECT query_id, neighbor_id FROM (
-        SELECT q.query_id, e.vec_id AS neighbor_id,
+        SELECT q.query_id, eb.vec_id AS neighbor_id,
                row_number() OVER (PARTITION BY q.query_id
-                 ORDER BY {_sql_cosine('e.v', 'q.qv')} DESC, e.vec_id) AS rank
-        FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.query_id
+                 ORDER BY {_sql_cosine('eb.v', 'q.qv')} DESC, eb.vec_id) AS rank
+        FROM eb JOIN q USING (bucket) WHERE eb.vec_id <> q.query_id
       ) WHERE rank <= 5
     ),
     qmp AS (SELECT vec_id AS query_id, v AS qv,
                    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
                            xor(bucket, 4)]) AS bucket
-            FROM e WHERE vec_id < 10),
+            FROM eb WHERE vec_id < 10),
     mp AS (
       SELECT query_id, neighbor_id FROM (
-        SELECT qmp.query_id, e.vec_id AS neighbor_id,
+        SELECT qmp.query_id, eb.vec_id AS neighbor_id,
                row_number() OVER (PARTITION BY qmp.query_id
-                 ORDER BY {_sql_cosine('e.v', 'qmp.qv')} DESC, e.vec_id) AS rank
-        FROM e JOIN qmp USING (bucket) WHERE e.vec_id <> qmp.query_id
+                 ORDER BY {_sql_cosine('eb.v', 'qmp.qv')} DESC, eb.vec_id) AS rank
+        FROM eb JOIN qmp USING (bucket) WHERE eb.vec_id <> qmp.query_id
+      ) WHERE rank <= 5
+    ),
+    cent AS (SELECT vec_id AS centroid_id, nv AS centv FROM e
+             WHERE vec_id % 23 = 0),
+    assigned AS (
+      SELECT neighbor_id, cv, centroid_id FROM (
+        SELECT e.vec_id AS neighbor_id, e.nv AS cv, cent.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cdot_e} DESC, cent.centroid_id) AS r
+        FROM e CROSS JOIN cent
+      ) WHERE r = 1
+    ),
+    probed AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.vec_id AS query_id, q.nv AS qv, cent.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cdot_q} DESC, cent.centroid_id) AS r
+        FROM e q CROSS JOIN cent WHERE q.vec_id < 10
+      ) WHERE r <= 3
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY {ndot} DESC, a.neighbor_id) AS rank
+        FROM assigned a JOIN probed p USING (centroid_id)
+        WHERE a.neighbor_id <> p.query_id
       ) WHERE rank <= 5
     ),
     ann AS (
-      SELECT DISTINCT 'lsh' AS variant, query_id, neighbor_id FROM lsh
+      SELECT DISTINCT 'ivf' AS variant, query_id, neighbor_id FROM ivf
+      UNION ALL
+      SELECT DISTINCT 'lsh', query_id, neighbor_id FROM lsh
       UNION ALL
       SELECT DISTINCT 'lsh_multiprobe', query_id, neighbor_id FROM mp
     )
@@ -1320,23 +1355,26 @@ def q_knn_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS recall
     FROM ann LEFT JOIN bf USING (query_id, neighbor_id)
     GROUP BY ann.variant ORDER BY ann.variant
-    """,
-)
+    """
+
+
+@query("knn_recall_ladder", oracle=_sql_recall_ladder())
 def q_knn_recall_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the ANN ladder, ORACLE-PINNED: for each approximate
-    variant (single-bucket LSH, 4-probe multiprobe LSH), how many of the
-    exact brute-force top-5 neighbors it returned, over the 10 standard
-    query vectors. This turns SCALE.md's measured recall-vs-cost ladder
-    into a driver-checkable scalar row — the deterministic hyperplanes
-    make even the approximation's RECALL exactly reproducible in DuckDB.
-    Multiprobe recall ≥ single-bucket recall by construction (its
-    candidate set is a superset).
+    variant (IVF with stride centroids + nprobe 3, single-bucket LSH,
+    4-probe multiprobe LSH), how many of the exact brute-force top-5
+    neighbors it returned, over the 10 standard query vectors. This
+    turns SCALE.md's measured recall-vs-cost ladder into a
+    driver-checkable scalar row — deterministic hyperplanes and stride
+    centroids make even the approximations' RECALL exactly reproducible
+    in DuckDB. Multiprobe recall ≥ single-bucket recall by construction
+    (its candidate set is a superset).
 
     Plan shape: the exact top-5 (50 rows) is eagerly checkpointed once
     and reused for both the denominator scalar and the hit join — the
     collect is a bounded scalar fetch, same pattern as the max-day
     lookup in mail_report_top10_today."""
-    from ..operators.similarity import knn_bruteforce, knn_lsh
+    from ..operators.similarity import knn_bruteforce, knn_ivf, knn_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
@@ -1349,6 +1387,7 @@ def q_knn_recall_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_exact = bf.count()
     variants = [
+        ("ivf", knn_ivf(emb, queries_df, k=5, centroid_stride=23, nprobe=3)),
         ("lsh", knn_lsh(emb, queries_df, k=5, n_planes=6, dims=64)),
         (
             "lsh_multiprobe",
