@@ -26,6 +26,8 @@ ALLOWED = {
     ("knn_ivf_kmeans", "BroadcastNestedLoopJoin"),   # broadcast probe rows
     ("kmeans_assign", "BroadcastNestedLoopJoin"),    # broadcast k centroids
     ("knn_label_classify", "BroadcastNestedLoopJoin"),  # broadcast query side
+    ("knn_recall_ladder", "BroadcastNestedLoopJoin"),   # composes the knn_*
+    # variants above, inheriting their broadcast query/probe sides
     ("dedup_semantic", "BroadcastNestedLoopJoin"),   # broadcast k centroids
     ("embedding_cosine_pairs", "BroadcastNestedLoopJoin"),  # block-pair grid
     ("embedding_cosine_pairs_gemm", "BroadcastNestedLoopJoin"),
