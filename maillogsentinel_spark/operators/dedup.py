@@ -125,6 +125,48 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+    shingle_rows: DataFrame | None = None,
+) -> DataFrame:
+    """All pairs whose k-shingle CONTAINMENT max(|A∩B|/|A|, |A∩B|/|B|)
+    ≥ threshold — the asymmetric near-dup measure (Broder's containment)
+    that catches a short document quoted wholesale inside a much longer
+    one, which symmetric Jaccard dilutes below any usable threshold
+    (|A∩B|/(|A|+|B|−|A∩B|) → |A|/|B| for A ⊂ B).
+
+    Same exact shingle equi-join shape as ngram_jaccard_pairs (every
+    qualifying pair shares ≥1 shingle, so nothing is missed); only the
+    final ratio differs. Returns (id_a, id_b, containment) with
+    containment rounded to 6 places for oracle hash parity."""
+    sh = _doc_shingles(docs, id_col, text_col, k, df_cap, rows=shingle_rows).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    cont = common.join(sa, "id_a").join(sb, "id_b").withColumn(
+        "containment",
+        F.round(
+            F.col("common").cast("double") / F.least("na", "nb"), 6
+        ),
+    )
+    return (
+        cont.filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def minhash_signature(text: Column, k: int, num_perm: int) -> Column:
     """array<long> MinHash signature: per permutation, min over shingles
     of the universal-hash family (signatures.minhash_perm_consts — one

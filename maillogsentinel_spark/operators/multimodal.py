@@ -362,6 +362,28 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def resize_nn(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (H, W, C) image to (height,
+    width, C) — pixel-center mapping (src = floor((dst+0.5)·S/D)), the
+    standard NN convention, pure numpy fancy indexing. Exact for
+    integer upscales (each source pixel replicates), which is what the
+    oracle query pins; fractional mappings are pytest-pinned."""
+    h, w = pixels.shape[:2]
+    rows = np.minimum(((np.arange(height) + 0.5) * h / height).astype(int), h - 1)
+    cols = np.minimum(((np.arange(width) + 0.5) * w / width).astype(int), w - 1)
+    return pixels[rows][:, cols]
+
+
+def real_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """decode → nearest-neighbor resize → re-encode as PNG: the REAL
+    resize path for any format decode_image handles (BMP/PNG/baseline
+    JPEG). PNG on the way out because it is lossless — the resized
+    pixels survive the sink byte-exact. Swap for a PIL/opencv bilinear
+    on a cluster with the libs; the Spark plumbing (resize_media) is
+    identical to fake_resizer's."""
+    return encode_png(resize_nn(decode_image(payload), width, height))
+
+
 def fake_resizer(payload: bytes, width: int, height: int) -> bytes:
     """Deterministic stand-in for decode→resize→re-encode: truncates /
     zero-pads the payload to width*height bytes. Swap for a real

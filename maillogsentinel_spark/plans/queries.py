@@ -906,6 +906,33 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_SQL_JACCARD_CTES}
+    SELECT id_a, id_b,
+           round(c::DOUBLE / least(sa.n, sb.n), 6) AS containment
+    FROM common JOIN sizes sa ON id_a = sa.doc_id
+                JOIN sizes sb ON id_b = sb.doc_id
+    WHERE round(c::DOUBLE / least(sa.n, sb.n), 6) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT ≥ 0.8
+    (common/min(|A|,|B|), Broder): catches a short doc quoted wholesale
+    inside a long one, which Jaccard dilutes to |A|/|B| — invisible at
+    any usable symmetric threshold. Same exact shingle equi-join as
+    dedup_ngram_jaccard, same session-shared shingle artifact."""
+    from ..operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, k=3, threshold=0.8,
+        shingle_rows=_doc_shingles_shared(spark, sf_dir, 3),
+    )
+
+
 def _sql_minhash_sig(num_perm: int) -> str:
     from ..operators.signatures import MINHASH_P, minhash_perm_consts
 
@@ -1636,6 +1663,69 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
     return image_stats(media).orderBy("media_id")
+
+
+@query(
+    "multimodal_resize_decode",
+    oracle="""
+    WITH j AS (SELECT unnest(range(72)) AS j),
+    v AS (SELECT doc_id, j, (doc_id * 17 + j) % 256 AS val
+          FROM documents CROSS JOIN j)
+    SELECT doc_id AS media_id, 8 AS width, 12 AS height,
+           (4 * sum(val))::BIGINT AS px_sum,
+           4 * sum(val) / 288.0 AS px_mean,
+           max(CASE WHEN j = 0 THEN val END)::INT AS tl_r,
+           (2 * sum(CASE WHEN j % 3 = 0 AND j < 12 THEN val END))::BIGINT
+             AS row0_r_sum
+    FROM v GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def q_multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end: synthesize a 4×6 PNG from a pixel
+    formula, run it through resize_media with the REAL resizer
+    (decode → nearest-neighbor resample → lossless PNG re-encode,
+    operators/multimodal.py:real_resizer) to 8×12, decode the output
+    and emit stats. A 2× NN upscale replicates every pixel 2×2, so the
+    oracle recomputes the stats exactly from the source formula —
+    px_sum quadruples, the mean is unchanged, row-0 red doubles; a
+    wrong index mapping, metadata mix-up or lossy re-encode fails the
+    hash. Fractional mappings are pinned in
+    tests/test_multimodal_codecs.py."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        encode_png,
+        image_stats,
+        real_resizer,
+        resize_media,
+    )
+
+    W, H = 4, 6
+
+    def synth(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                j = np.arange(H * W * 3, dtype=np.int64)
+                px = ((int(did) * 17 + j) % 256).astype(np.uint8).reshape(H, W, 3)
+                payload = encode_png(px)
+                out.append(
+                    {
+                        "media_id": did,
+                        "payload": payload,
+                        "meta": {"mime": "image/png", "n_bytes": len(payload)},
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(
+        synth,
+        "media_id long, payload binary, meta struct<mime:string,n_bytes:long>",
+    )
+    resized = resize_media(media, width=8, height=12, resizer=real_resizer)
+    return image_stats(resized).orderBy("media_id")
 
 
 @query(

@@ -39,6 +39,28 @@ def test_ngram_jaccard(spark):
     assert not any(4 in p or 5 in p for p in pairs)
 
 
+def test_containment_catches_quote_inclusion(spark):
+    # doc 11 is doc 10's opening quoted wholesale inside a longer doc:
+    # containment = 1.0 (every shingle of 11 is in 10's superset doc)
+    # while jaccard is diluted below 0.3 — the asymmetric measure's
+    # whole reason to exist
+    from maillogsentinel_spark.operators.dedup import containment_pairs
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long = short + (
+        " and then continues with a very much longer tail of words"
+        " that keeps adding fresh material sentence after sentence"
+        " so the union grows while the intersection stays fixed"
+    )
+    docs = spark.createDataFrame([(10, long), (11, short)], ["doc_id", "text"])
+    cont = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in containment_pairs(docs, k=3, threshold=0.8).collect()}
+    assert cont[(10, 11)] == 1.0
+    jac = {(r["id_a"], r["id_b"]) for r in
+           ngram_jaccard_pairs(docs, k=3, threshold=0.3).collect()}
+    assert (10, 11) not in jac
+
+
 def test_minhash_lsh_subset_of_exact(spark):
     lsh = {(r["id_a"], r["id_b"]) for r in
            minhash_lsh_pairs(_docs(spark), k=3, threshold=0.3).collect()}

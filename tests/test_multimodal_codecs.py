@@ -159,6 +159,27 @@ def test_jpeg_progressive_gate():
         decode_jpeg(bytes(payload))
 
 
+def test_resize_nn_mappings():
+    from maillogsentinel_spark.operators.multimodal import (
+        real_resizer,
+        resize_nn,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    # integer 2x upscale replicates each pixel 2x2
+    up = resize_nn(img, 8, 12)
+    assert (up == img.repeat(2, axis=0).repeat(2, axis=1)).all()
+    # fractional downsize follows the pixel-center convention
+    dn = resize_nn(img, 3, 4)
+    rows = np.minimum(((np.arange(4) + 0.5) * 6 / 4).astype(int), 5)
+    cols = np.minimum(((np.arange(3) + 0.5) * 4 / 3).astype(int), 3)
+    assert (dn == img[rows][:, cols]).all()
+    # payload path: BMP in, resized lossless PNG out
+    out = decode_png(real_resizer(encode_bmp(img), 8, 12))
+    assert (out == up).all()
+
+
 def test_dispatch_rejects_unknown_formats():
     with pytest.raises(NotImplementedError):
         decode_image(b"GIF89a......")  # GIF magic, no codec
