@@ -1612,7 +1612,7 @@ def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_bmp(px))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
     return image_stats(media).orderBy("media_id")
 
@@ -1660,7 +1660,7 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_png(px))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
     return image_stats(media).orderBy("media_id")
 
@@ -1719,7 +1719,7 @@ def q_multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(
         synth,
         "media_id long, payload binary, meta struct<mime:string,n_bytes:long>",
@@ -1771,7 +1771,7 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_jpeg(img, restart_interval=2))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
     return image_stats(media).orderBy("media_id")
 
@@ -1812,7 +1812,7 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_wav(s, 8000))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
     return audio_stats(media).orderBy("media_id")
 
@@ -7410,7 +7410,7 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_wav(s, 8000))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
     return audio_features(media).orderBy("media_id")
 
