@@ -273,10 +273,11 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch: BMP (decode_bmp), PNG (decode_png, stdlib
-    zlib + numpy unfilter) and baseline JPEG (operators/jpeg.py —
-    huffman + DCT from the public T.81 spec) decode for real; remaining
-    variants (progressive JPEG, palette PNG, ...) raise inside their
-    codec, and unknown formats raise here."""
+    zlib + numpy unfilter), baseline JPEG (operators/jpeg.py — huffman
+    + DCT from the public T.81 spec) and GIF (operators/gif.py — real
+    variable-width LZW) decode for real; remaining variants
+    (progressive JPEG, palette PNG, interlaced GIF, ...) raise inside
+    their codec, and unknown formats raise here."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_SIGNATURE:
@@ -285,8 +286,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
-        "unknown image magic; BMP/PNG/baseline-JPEG decode without libs"
+        "unknown image magic; BMP/PNG/baseline-JPEG/GIF decode without libs"
     )
 
 

@@ -1777,6 +1777,52 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_gif_decode",
+    oracle="""
+    WITH j AS (SELECT unnest(range(72)) AS j),
+    v AS (SELECT doc_id, j, (doc_id * 19 + j) % 256 AS val
+          FROM documents CROSS JOIN j)
+    SELECT doc_id AS media_id, 4 AS width, 6 AS height,
+           sum(val)::BIGINT AS px_sum,
+           sum(val) / 72.0 AS px_mean,
+           max(CASE WHEN j = 0 THEN val END)::INT AS tl_r,
+           sum(CASE WHEN j % 3 = 0 AND j < 12 THEN val END)::BIGINT AS row0_r_sum
+    FROM v GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end: per doc, synthesize a 4×6 RGB image
+    with channel j valued (doc_id*19+j)%256 (≤24 distinct colors, so it
+    palettizes), encode it as an actual GIF89a — global color table +
+    genuine variable-width LZW (operators/gif.py) — then parse it back
+    with the pure-python decoder and emit layout-sensitive stats. The
+    oracle recomputes the stats from the pixel formula, so a palette
+    mix-up, LZW width desync or row-order bug fails the hash — same
+    honesty contract as the BMP/PNG/JPEG/WAV decode queries."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.gif import encode_gif
+    from ..operators.multimodal import image_stats
+
+    W, H = 4, 6
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                j = np.arange(H * W * 3, dtype=np.int64)
+                px = ((int(did) * 19 + j) % 256).astype(np.uint8).reshape(H, W, 3)
+                ids.append(did)
+                payloads.append(encode_gif(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return image_stats(media).orderBy("media_id")
+
+
+@query(
     "multimodal_wav_decode",
     oracle="""
     WITH i AS (SELECT unnest(range(32)) AS i),

@@ -180,9 +180,97 @@ def test_resize_nn_mappings():
     assert (out == up).all()
 
 
+def test_gif_roundtrip_shapes():
+    from maillogsentinel_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (3, 5), (6, 4), (16, 16)]:
+        # limited palette so distinct colors stay under 256
+        img = (rng.integers(0, 7, size=(h, w, 3)) * 36).astype(np.uint8)
+        assert (decode_gif(encode_gif(img)) == img).all(), (h, w)
+
+
+def test_gif_lzw_width_growth_and_table_freeze():
+    from maillogsentinel_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(12)
+    # 256 distinct colors (full 8-bit palette) and ~16k random pixels:
+    # the LZW table grows through every width 9..12 and freezes at 4096
+    grays = rng.integers(0, 256, size=(128, 128), dtype=np.uint8)
+    img = np.stack([grays, grays, grays], axis=2)
+    assert (decode_gif(encode_gif(img)) == img).all()
+
+
+def test_gif_palette_cap():
+    from maillogsentinel_spark.operators.gif import encode_gif
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        encode_gif(img)  # ~1024 distinct random colors
+
+
+def test_gif_interlace_gate_and_extension_skip():
+    from maillogsentinel_spark.operators.gif import decode_gif, encode_gif
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[0, 1] = 255
+    payload = bytearray(encode_gif(img))
+    # splice a graphic-control extension before the image descriptor
+    # (0x2C); the decoder must skip its sub-blocks
+    at = payload.index(0x2C, 13 + 2 * 3)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = bytes(payload[:at]) + gce + bytes(payload[at:])
+    assert (decode_gif(spliced) == img).all()
+    # flip the interlace bit in the image descriptor's packed byte
+    broken = bytearray(spliced)
+    broken[len(payload[:at]) + len(gce) + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        decode_gif(bytes(broken))
+
+
+def test_gif_handpacked_bitstream_vector():
+    """Decoder pinned against an INDEPENDENTLY hand-packed LZW stream
+    (min_code=2, the width-4 growth boundary included): 2×2 image,
+    palette {black, white}, indices 0,1,1,0 → codes CLEAR,0,1,1,0,EOI
+    with widths 3,3,3,3,4,4 per the lag-synchronized width rule."""
+    from maillogsentinel_spark.operators.gif import decode_gif
+
+    acc = nbits = 0
+    out = bytearray()
+    for code, w in [(4, 3), (0, 3), (1, 3), (1, 3), (0, 4), (5, 4)]:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    gif = (
+        b"GIF89a\x02\x00\x02\x00\x80\x00\x00"  # 2×2, GCT of 2 entries
+        + b"\x00\x00\x00\xff\xff\xff"  # palette: black, white
+        + b"\x2c\x00\x00\x00\x00\x02\x00\x02\x00\x00"  # descriptor
+        + b"\x02"  # LZW min code size
+        + bytes([len(out)]) + bytes(out) + b"\x00\x3b"
+    )
+    want = np.array(
+        [[[0, 0, 0], [255, 255, 255]], [[255, 255, 255], [0, 0, 0]]],
+        dtype=np.uint8,
+    )
+    assert (decode_gif(gif) == want).all()
+
+
+def test_gif_dispatch():
+    from maillogsentinel_spark.operators.gif import encode_gif
+
+    img = np.full((3, 3, 3), 17, dtype=np.uint8)
+    assert (decode_image(encode_gif(img)) == img).all()
+
+
 def test_dispatch_rejects_unknown_formats():
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a......")  # GIF magic, no codec
+        decode_image(b"II*\x00......")  # TIFF magic, no codec
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x03....")
     # and accepts the real ones
