@@ -255,19 +255,90 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
+def mulaw_expand(codes: np.ndarray) -> np.ndarray:
+    """G.711 μ-law bytes → int16 linear PCM, vectorized numpy transcription
+    of the published CCITT reference expansion (bias 0x84, 3-bit segment,
+    4-bit mantissa): t = ((~u & 0xF) << 3 | bias) << seg, sign from the
+    inverted code's top bit. Range ±32124; codes 0x7F/0xFF are ∓0."""
+    u = np.invert(np.asarray(codes, dtype=np.uint8))
+    t = (((u & 0x0F).astype(np.int32) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+_ULAW_SEG_ENDS = np.array(
+    [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF], dtype=np.int32
+)
+
+
+def mulaw_compress(samples: np.ndarray) -> np.ndarray:
+    """int16 linear PCM → G.711 μ-law bytes (the reference compressor:
+    bias, segment lookup, mantissa extract, complement). Inverse of
+    mulaw_expand up to the codec's quantization grid."""
+    x = np.asarray(samples, dtype=np.int32)
+    neg = x < 0
+    mag = np.minimum(np.where(neg, 0x84 - x, x + 0x84), 0x7FFF)
+    seg = np.searchsorted(_ULAW_SEG_ENDS, mag)
+    uval = (seg << 4) | ((mag >> (seg + 3)) & 0x0F)
+    return (uval ^ np.where(neg, 0x7F, 0xFF)).astype(np.uint8)
+
+
+def encode_wav_ulaw(codes: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """μ-law bytes → RIFF/WAVE with format tag 7 (WAVE_FORMAT_MULAW).
+    Hand-built RIFF: the stdlib wave module only writes PCM."""
+    data = np.asarray(codes, dtype=np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """RIFF/WAVE PCM → (sample_rate, samples). 16-bit → int16; 8-bit WAV
-    is unsigned by spec → returned as-is (uint8). Multi-channel frames
-    come back shaped (n_frames, n_channels)."""
-    with wave.open(io.BytesIO(payload), "rb") as f:
-        rate, nch, width = f.getframerate(), f.getnchannels(), f.getsampwidth()
-        raw = f.readframes(f.getnframes())
+    """RIFF/WAVE → (sample_rate, samples). PCM via the stdlib wave
+    module (16-bit → int16; 8-bit is unsigned by spec → uint8); μ-law
+    (format tag 7) via a minimal RIFF chunk walk + G.711 expansion to
+    int16. Multi-channel frames come back shaped (n_frames,
+    n_channels)."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as f:
+            rate, nch, width = (
+                f.getframerate(), f.getnchannels(), f.getsampwidth(),
+            )
+            raw = f.readframes(f.getnframes())
+    except wave.Error:
+        return _decode_wav_nonpcm(payload)
     if width == 2:
         arr = np.frombuffer(raw, dtype="<i2")
     elif width == 1:
         arr = np.frombuffer(raw, dtype=np.uint8)
     else:
         raise NotImplementedError(f"WAV sample width {width} unsupported")
+    return rate, arr.reshape(-1, nch) if nch > 1 else arr
+
+
+def _decode_wav_nonpcm(payload: bytes) -> tuple[int, np.ndarray]:
+    """Chunk-walking fallback for format tags the wave module rejects;
+    decodes μ-law (tag 7) for real, gates the rest honestly."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            fmt = payload[pos + 8 : pos + 8 + sz]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    tag, nch, rate = struct.unpack_from("<HHI", fmt, 0)
+    if tag != 7:
+        raise NotImplementedError(
+            f"WAV format tag {tag} unsupported (PCM and mu-law decode)"
+        )
+    arr = mulaw_expand(np.frombuffer(data, dtype=np.uint8))
     return rate, arr.reshape(-1, nch) if nch > 1 else arr
 
 

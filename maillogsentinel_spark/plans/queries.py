@@ -19,6 +19,7 @@ Parity rules that keep the hashes equal:
 
 from __future__ import annotations
 
+import itertools
 from typing import Callable
 
 from pyspark import StorageLevel
@@ -235,22 +236,30 @@ def prebuild_shared_artifacts(spark: SparkSession, sf_dir: str) -> None:
 _REPARTITION = {"embeddings"}
 
 
+def _norm_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP_LTZ regardless of
+    how the parquet physical type read back (shared by the batch loader
+    and the streaming source, which must agree bit-for-bit)."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # TIMESTAMP(NANOS) read as long (see session.py); truncate to
+        # micros exactly as DuckDB does when casting ns → TIMESTAMP
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        # micros-precision parquet reads as NTZ; session tz is pinned
+        # to UTC so this cast is the identity wall-clock→epoch map
+        # (and epoch-based exprs like unix_micros need LTZ)
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _t(
     spark: SparkSession, sf_dir: str, name: str, repartition: bool | None = None
 ) -> DataFrame:
     _tune(spark, sf_dir)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # TIMESTAMP(NANOS) read as long (see session.py); truncate to
-            # micros exactly as DuckDB does when casting ns → TIMESTAMP
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            # micros-precision parquet reads as NTZ; session tz is pinned
-            # to UTC so this cast is the identity wall-clock→epoch map
-            # (and epoch-based exprs like unix_micros need LTZ)
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = _norm_events_ts(df)
     # The driver's testdata parquet files each hold ONE row group, so a
     # scan is a single task regardless of core count and every per-row
     # stage above it runs serially. Round-robin repartition restores
@@ -1820,6 +1829,53 @@ def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
     return image_stats(media).orderBy("media_id")
+
+
+@query(
+    "multimodal_ulaw_decode",
+    oracle="""
+    WITH i AS (SELECT unnest(range(32)) AS i),
+    c AS (SELECT doc_id, i, 255 - (doc_id * 7 + i) % 256 AS u
+          FROM documents CROSS JOIN i),
+    v AS (SELECT doc_id, i,
+            CASE WHEN u >= 128 THEN 132 - t ELSE t - 132 END AS val
+          FROM (SELECT doc_id, i, u,
+                  ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) AS t
+                FROM c))
+    SELECT doc_id AS media_id, 8000 AS sample_rate, 32 AS n_samples,
+           sum(val)::BIGINT AS amp_sum,
+           max(CASE WHEN i = 0 THEN val END)::INT AS first_sample,
+           max(abs(val))::INT AS max_abs
+    FROM v GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 μ-law decode end-to-end: per doc, synthesize μ-law
+    code bytes (doc_id*7+i)%256, wrap them in an actual RIFF/WAVE with
+    format tag 7 (encode_wav_ulaw — the stdlib wave module only writes
+    PCM), decode through the chunk-walking fallback + vectorized G.711
+    expansion (multimodal.py:mulaw_expand) and emit amplitude stats.
+    The oracle re-derives the expansion IN SQL from the published
+    formula — invert, 4-bit mantissa ×8 + bias 132, shift by the 3-bit
+    segment, signed by the top bit — so a wrong bias, segment shift or
+    sign convention fails the hash on every row."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import audio_stats, encode_wav_ulaw
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                codes = ((int(did) * 7 + np.arange(32)) % 256).astype(np.uint8)
+                ids.append(did)
+                payloads.append(encode_wav_ulaw(codes))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return audio_stats(media).orderBy("media_id")
 
 
 @query(
@@ -7459,6 +7515,73 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
     return audio_features(media).orderBy("media_id")
+
+
+_STREAM_SEQ = itertools.count()
+
+
+@query(
+    "events_stream_tumbling_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS wstart, event_type,
+           count(*)::BIGINT AS n_events,
+           round((sum(value::DECIMAL(21,6)))::DOUBLE, 4) AS value_sum
+    FROM events GROUP BY 1, 2 ORDER BY wstart, event_type
+    """,
+)
+def q_events_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ORACLE-PINNED: the events table replayed
+    through a real stream — ``readStream.parquet`` file source →
+    1-hour tumbling ``window()`` aggregation → complete-mode memory
+    sink, drained with ``trigger(availableNow)`` — must produce
+    BIT-IDENTICAL results to the batch GROUP BY the DuckDB oracle runs.
+    This pins the engine's core streaming claim (stream ≡ batch on the
+    same data, the Dataflow-model equivalence) in the driver's
+    correctness gate rather than only in pytest. Complete output mode
+    because availableNow + append would hold final windows open behind
+    the watermark forever (watermark semantics are exercised separately
+    in tests/test_streaming.py); decimal value sums make the float
+    aggregation order-insensitive, same parity rule as the TPC-H
+    aggregates. At 100 TB the identical topology runs continuously with
+    a watermark + append sink; nothing here is availableNow-specific
+    except the drain trigger."""
+    import tempfile
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source requires a DIRECTORY; scope it to the one
+    # events file with a glob filter (at scale: the events/ partition dir)
+    src = _norm_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        src.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(21,6)")).alias("vsum"),
+        )
+    )
+    name = f"stream_tumbling_{next(_STREAM_SEQ)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_tumble_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.col("window.start").alias("wstart"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(F.col("vsum").cast("double"), 4).alias("value_sum"),
+        )
+        .orderBy("wstart", "event_type")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -180,6 +180,57 @@ def test_resize_nn_mappings():
     assert (out == up).all()
 
 
+def test_mulaw_known_g711_vectors():
+    from maillogsentinel_spark.operators.multimodal import mulaw_expand
+
+    codes = np.array([0x00, 0x80, 0xFF, 0x7F], dtype=np.uint8)
+    # published G.711 extremes: 0x00 → -32124, 0x80 → +32124; the two
+    # zero codes 0xFF (+0) and 0x7F (−0) both expand to 0
+    assert mulaw_expand(codes).tolist() == [-32124, 32124, 0, 0]
+
+
+def test_mulaw_quantization_idempotence():
+    from maillogsentinel_spark.operators.multimodal import (
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    level = mulaw_expand(codes)
+    # expand∘compress is the identity ON the quantization grid
+    assert (mulaw_expand(mulaw_compress(level)) == level).all()
+    # and compression error on arbitrary samples is bounded by the
+    # largest segment's step (2^(7+3) = 1024 → half-step 512 + bias)
+    rng = np.random.default_rng(21)
+    x = rng.integers(-30000, 30000, size=2048).astype(np.int16)
+    assert np.abs(mulaw_expand(mulaw_compress(x)).astype(int) - x).max() <= 1024
+
+
+def test_wav_ulaw_roundtrip_through_dispatch():
+    from maillogsentinel_spark.operators.multimodal import (
+        encode_wav_ulaw,
+        mulaw_expand,
+    )
+
+    codes = np.arange(32, dtype=np.uint8) * 7 % 256
+    rate, samples = decode_audio(encode_wav_ulaw(codes, 11025))
+    assert rate == 11025
+    assert (samples == mulaw_expand(codes)).all()
+    assert samples.dtype == np.int16
+
+
+def test_wav_unknown_format_tag_gate():
+    from maillogsentinel_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_ulaw,
+    )
+
+    payload = bytearray(encode_wav_ulaw(np.zeros(4, dtype=np.uint8)))
+    payload[20] = 2  # format tag 2 = ADPCM, no codec
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(payload))
+
+
 def test_gif_roundtrip_shapes():
     from maillogsentinel_spark.operators.gif import decode_gif, encode_gif
 
