@@ -7584,6 +7584,51 @@ def q_events_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "events_stream_distinct_users",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_events_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming dedup ORACLE-PINNED: count(DISTINCT) is
+    unsupported inside streaming aggregations, so the streaming idiom
+    is ``dropDuplicates`` state (one entry per (event_type, user_id))
+    feeding a downstream count — two chained stateful operators. The
+    events table replayed through a real availableNow stream must
+    reproduce the batch COUNT(DISTINCT) exactly; a dedup-state bug
+    (lost key, double emit across micro-batches) shifts a count and
+    fails the hash. At 100 TB the same topology runs with a watermark
+    on the dedup state (``dropDuplicatesWithinWatermark``) to bound it;
+    the unbounded variant here is exact over the finite replay."""
+    import tempfile
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        src.select("event_type", "user_id")
+        .dropDuplicates(["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    name = f"stream_distinct_{next(_STREAM_SEQ)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_dd_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("event_type", "n_users").orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Registration order for grading. The driver's correctness harness grades a
 # bounded PREFIX of the registered inventory (round 1: exactly the first 50
