@@ -20,8 +20,10 @@ def test_prefix_families_covered():
     assert {"knn_bruteforce", "knn_lsh", "knn_ivf"} <= p
     assert {"text_lang_quality", "doc_tfidf_topk", "pii_scrub",
             "corpus_gopher_rules"} <= p                        # text
-    assert {"multimodal_features", "multimodal_frames",
-            "multimodal_bmp_decode"} <= p
+    assert {"multimodal_features", "multimodal_bmp_decode"} <= p
+    # round-4 rotation: streaming + ANN recall evidence enter the window
+    assert {"events_stream_tumbling_counts", "events_stream_distinct_users",
+            "knn_recall_ladder"} <= p
     assert {"lineitem_percentiles", "events_median_by_type",
             "events_hll_daily_users", "customer_rfm"} <= p
     assert {"udtf_bigrams_topk",
