@@ -7629,6 +7629,65 @@ def q_events_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table(name).select("event_type", "n_users").orderBy("event_type")
 
 
+@query(
+    "events_stream_static_join",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           count(*)::BIGINT AS n_events,
+           round((sum(e.value::DECIMAL(21,6)))::DOUBLE, 4) AS value_sum
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1 ORDER BY nationkey
+    """,
+)
+def q_events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static JOIN oracle-pinned — the third core streaming
+    topology after windowed agg and stateful dedup: the events stream
+    enriched against the static customer dimension (broadcast — the
+    dim is re-read per micro-batch, so at 100 TB the broadcast hint is
+    what keeps it off the shuffle path) then aggregated per nation.
+    Must equal the batch join+GROUP BY bit-for-bit; decimal value sums
+    for order-insensitive float parity."""
+    import tempfile
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "value")
+    )
+    cust = F.broadcast(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    agg = (
+        src.join(cust, src["user_id"] == cust["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(21,6)")).alias("vsum"),
+        )
+    )
+    name = f"stream_static_{next(_STREAM_SEQ)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_sj_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(F.col("vsum").cast("double"), 4).alias("value_sum"),
+        )
+        .orderBy("nationkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order for grading. The driver's correctness harness grades a
 # bounded PREFIX of the registered inventory (round 1: exactly the first 50
