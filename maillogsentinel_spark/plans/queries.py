@@ -7688,6 +7688,76 @@ def q_events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_stream_session_windows",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM f
+    )
+    SELECT user_id, min(ts) AS session_start,
+           count(*)::BIGINT AS n_events
+    FROM s GROUP BY user_id, sess_id ORDER BY user_id, session_start
+    """,
+)
+def q_events_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``session_window`` ≡ batch gaps-and-islands,
+    ORACLE-PINNED — the hardest streaming-window equivalence: dynamic
+    merge-on-overlap session state in the stream must land on exactly
+    the sessions the lag/running-sum islands SQL derives. Boundary
+    convention matters and is encoded in the oracle: ``session_window``
+    merges an event into the session iff its gap is STRICTLY UNDER the
+    30-min timeout (window end = last_ts + 30 min, exclusive), so the
+    islands predicate is ``gap >= 30 MINUTE`` starts a new session —
+    one ``>`` instead of ``>=`` there and whole sessions split or fuse.
+    (The batch `events_sessionize` query deliberately uses the OTHER
+    convention; keeping both oracle-green pins each.) Complete output
+    mode for the finite replay; a continuous deployment runs the same
+    aggregation with a watermark in append mode and session state is
+    evicted once the watermark passes a session's close."""
+    import tempfile
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = _norm_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        src.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    name = f"stream_sessions_{next(_STREAM_SEQ)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_sw_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order for grading. The driver's correctness harness grades a
 # bounded PREFIX of the registered inventory (round 1: exactly the first 50
