@@ -7758,6 +7758,134 @@ def q_events_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "events_stream_watermark_append",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS wstart, event_type,
+           count(*)::BIGINT AS n_events
+    FROM events
+    GROUP BY 1, 2
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+           <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+    ORDER BY wstart, event_type
+    """,
+)
+def q_events_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK emission semantics ORACLE-PINNED: 1-hour tumbling
+    windows with a 2-hour watermark in APPEND mode emit exactly the
+    windows whose end has passed the final watermark — window.end ≤
+    max(event time) − 2 h — and withhold the still-open tail. The
+    DuckDB oracle states that contract directly (GROUP BY hour HAVING
+    end ≤ max(ts) − 2 h), so this pins the two things complete mode
+    can't: watermark advancement (max event time of processed batches
+    minus delay, applied on the NEXT batch — availableNow runs the
+    final no-new-data batch that flushes closed windows) and append
+    mode's emit-once-when-closed rule. An off-by-one in the window-
+    close comparison, a watermark computed from arrival time, or a
+    missing finalization batch each change the emitted row SET, not
+    just values — the row-count check alone would catch it."""
+    import tempfile
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = _norm_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    name = f"stream_wm_{next(_STREAM_SEQ)}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_wm_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(F.col("window.start").alias("wstart"), "event_type", "n_events")
+        .orderBy("wstart", "event_type")
+    )
+
+
+@query(
+    "events_stream_stream_join",
+    oracle="""
+    SELECT c.user_id AS user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
+def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join ORACLE-PINNED — the fifth streaming
+    topology: clicks and purchases read as two independent streams,
+    joined on user with a 30-minute event-time range condition and
+    watermarks on BOTH sides (what bounds the join state buffers at
+    100 TB — each side holds only rows inside the watermark horizon).
+    Inner stream-stream joins emit each match exactly once as both
+    sides arrive; over the finite availableNow replay the emitted pair
+    SET must equal the batch range join bit-for-bit. A dropped buffer
+    row, a watermark that evicts too early, or a boundary error in the
+    range condition changes the set."""
+    import tempfile
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def stream():
+        return _norm_events_ts(
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .selectExpr("user_id AS c_user", "event_id AS click_id", "ts AS c_ts")
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .selectExpr("user_id AS p_user", "event_id AS purchase_id", "ts AS p_ts")
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts"
+            " AND p_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    name = f"stream_ssj_{next(_STREAM_SEQ)}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ssj_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.col("c_user").alias("user_id"), "click_id", "purchase_id"
+        )
+        .orderBy("user_id", "click_id", "purchase_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order for grading. The driver's correctness harness grades a
 # bounded PREFIX of the registered inventory (round 1: exactly the first 50
