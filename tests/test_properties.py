@@ -46,6 +46,67 @@ def test_wav_roundtrip_property(samples, rate):
     assert (out == s).all()
 
 
+@settings(max_examples=150, deadline=None)
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    n_colors=st.sampled_from([1, 2, 3, 4, 5, 15, 16, 17, 255, 256]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, n_colors, seed):
+    from maillogsentinel_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, n_colors, size=(h, w))]
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    n_colors=st.sampled_from([1, 2, 3, 4, 5, 15, 16, 17, 255, 256]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(h, w, n_colors, seed):
+    """GIF LZW + palette round-trip across the boundary palette sizes
+    (1 color → min_code floor of 2; exactly 2^n and 2^n±1 entries →
+    GCT size-field and code-width edges) and degenerate shapes (1×1,
+    1×N single-row streams)."""
+    from maillogsentinel_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, n_colors, size=(h, w))]
+    assert (decode_gif(encode_gif(img)) == img).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    codes=st.lists(st.integers(0, 255), min_size=0, max_size=64),
+    rate=st.sampled_from([8000, 11025, 16000]),
+)
+def test_wav_ulaw_roundtrip_property(codes, rate):
+    """μ-law WAV round-trip: the format-tag-7 RIFF writer and the
+    chunk-walking decoder must reproduce the G.711 expansion of the
+    exact code bytes (incl. odd-length data chunks, which the RIFF
+    spec pads)."""
+    from maillogsentinel_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_ulaw,
+        mulaw_expand,
+    )
+
+    arr = np.array(codes, dtype=np.uint8)
+    r, out = decode_wav(encode_wav_ulaw(arr, rate))
+    assert r == rate
+    assert (out == mulaw_expand(arr)).all()
+
+
 @settings(max_examples=300, deadline=None)
 @given(line=st.text(min_size=0, max_size=200))
 def test_claim_scan_spans_never_overlap(line):
