@@ -7915,6 +7915,79 @@ def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_value_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', ts)::BIGINT AS x,
+             value::DECIMAL(21,6) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx,
+             sum(x * x)::BIGINT AS sxx,
+             sum(y) AS sy,
+             sum(x * y) AS sxy,
+             sum(y * y) AS syy
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope,
+           round((n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (sqrt(n * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * sqrt(n * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+             AS pearson_r
+    FROM s ORDER BY event_type
+    """,
+)
+def q_events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend (slope of value vs day index) and Pearson
+    correlation from EXACT sufficient statistics: the five sums (Σx,
+    Σx², Σy, Σxy, Σy²) accumulate as integers/decimals — one scan, one
+    keyed agg, order-insensitive by construction — and only the final
+    slope/r arithmetic drops to IEEE doubles, identically phrased on
+    both sides so round(6) is bit-stable. This is the
+    map-side-combinable formulation that survives 100 TB (Spark's
+    built-in ``corr``/``covar_samp`` accumulate in floats, whose
+    partial-aggregation order varies run to run); x is the day index
+    (small integers), so x·y products stay inside decimal(38,6)."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.col("value").cast("decimal(21,6)").alias("y"),
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, sxy, syy = (
+        F.col("sy").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return s.select(
+        "event_type",
+        "n",
+        F.round(cov_n / var_x, 6).alias("slope"),
+        F.round(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 6).alias("pearson_r"),
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Registration order for grading. The driver's correctness harness grades a
 # bounded PREFIX of the registered inventory (round 1: exactly the first 50
