@@ -97,6 +97,38 @@ def ngram_jaccard_pairs(
     ``shingle_rows``: optional pre-built (id, sh) distinct shingle table
     (signatures.doc_shingle_rows output, ideally persisted) so callers
     running several shingle consumers in one session build it once."""
+    jac = _pair_overlap_stats(docs, id_col, text_col, k, df_cap, shingle_rows).withColumn(
+        "jaccard",
+        F.round(
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")),
+            6,
+        ),
+    )
+    return (
+        jac.filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _pair_overlap_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    df_cap: int | None,
+    shingle_rows: DataFrame | None,
+) -> DataFrame:
+    """Shared scaffold of the exact set-overlap dedup measures:
+    (id_a, id_b, common, na, nb) for every pair sharing ≥1 k-shingle —
+    the shingle equi-join finds ALL such pairs, so any measure derived
+    from intersection+sizes (Jaccard, containment, overlap coefficient)
+    is exact on top of this. The shingle table feeds the sizes agg AND
+    both self-join sides, so it is cached against triple recomputation;
+    the registered queries pass the session-shared (already persisted)
+    ``shingle_rows`` artifact, which makes this cache a reference to the
+    shared copy rather than a second materialization."""
     sh = _doc_shingles(docs, id_col, text_col, k, df_cap, rows=shingle_rows).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -107,22 +139,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
-    jac = (
-        common.join(sa, "id_a").join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("common")),
-                6,
-            ),
-        )
-    )
-    return (
-        jac.filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
-    )
+    return common.join(sa, "id_a").join(sb, "id_b")
 
 
 def containment_pairs(
@@ -140,25 +157,13 @@ def containment_pairs(
     one, which symmetric Jaccard dilutes below any usable threshold
     (|A∩B|/(|A|+|B|−|A∩B|) → |A|/|B| for A ⊂ B).
 
-    Same exact shingle equi-join shape as ngram_jaccard_pairs (every
-    qualifying pair shares ≥1 shingle, so nothing is missed); only the
-    final ratio differs. Returns (id_a, id_b, containment) with
-    containment rounded to 6 places for oracle hash parity."""
-    sh = _doc_shingles(docs, id_col, text_col, k, df_cap, rows=shingle_rows).cache()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
-    cont = common.join(sa, "id_a").join(sb, "id_b").withColumn(
+    Same exact shingle equi-join shape as ngram_jaccard_pairs (shared
+    scaffold ``_pair_overlap_stats``); only the final ratio differs.
+    Returns (id_a, id_b, containment) rounded to 6 places for oracle
+    hash parity."""
+    cont = _pair_overlap_stats(docs, id_col, text_col, k, df_cap, shingle_rows).withColumn(
         "containment",
-        F.round(
-            F.col("common").cast("double") / F.least("na", "nb"), 6
-        ),
+        F.round(F.col("common").cast("double") / F.least("na", "nb"), 6),
     )
     return (
         cont.filter(F.col("containment") >= threshold)

@@ -162,9 +162,18 @@ def encode_gif(pixels: np.ndarray) -> bytes:
 
 def decode_gif(payload: bytes) -> np.ndarray:
     """GIF → (H, W, 3) uint8 RGB (first frame). Skips extension blocks,
-    honors a local color table over the global one, gates interlace."""
+    honors a local color table over the global one, gates interlace.
+    Truncated payloads raise ValueError (the codecs' honest-gate
+    contract), never a bare IndexError from mid-parse."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    try:
+        return _decode_gif_inner(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated GIF payload: {e}") from e
+
+
+def _decode_gif_inner(payload: bytes) -> np.ndarray:
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None

@@ -353,9 +353,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     channels — same convention as decode_png). Supports sequential
     baseline (SOF0), 8-bit, 4:4:4 or single-component, restart markers;
     raises NotImplementedError for progressive/arithmetic/12-bit/
-    subsampled streams."""
+    subsampled streams. Truncated payloads raise ValueError (the
+    codecs' honest-gate contract), never a bare IndexError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
+    try:
+        return _decode_jpeg_inner(payload)
+    except (IndexError, struct.error, EOFError) as e:
+        raise ValueError(f"truncated JPEG payload: {e}") from e
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     pos = 2
     quants: dict[int, np.ndarray] = {}
     dc_tables: dict[int, dict] = {}

@@ -7543,6 +7543,23 @@ def _stream_state_parts(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+@contextmanager
+def _stream_run(spark: SparkSession):
+    """One finite streaming replay: the state-partition scope plus a
+    throwaway checkpoint directory that is REMOVED on exit — every
+    bench run / three-scale gate / schema-contract pass otherwise
+    leaks six state directories into /tmp per cycle."""
+    import shutil
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="mls_stream_ckpt_")
+    try:
+        with _stream_state_parts(spark):
+            yield ckpt
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 @query(
     "events_stream_tumbling_counts",
     oracle="""
@@ -7568,7 +7585,6 @@ def q_events_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFra
     aggregates. At 100 TB the identical topology runs continuously with
     a watermark + append sink; nothing here is availableNow-specific
     except the drain trigger."""
-    import tempfile
 
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source requires a DIRECTORY; scope it to the one
@@ -7586,12 +7602,12 @@ def q_events_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     name = f"stream_tumbling_{next(_STREAM_SEQ)}"
-    with _stream_state_parts(spark):
+    with _stream_run(spark) as ckpt:
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
             .queryName(name)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_tumble_ckpt_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -7626,7 +7642,6 @@ def q_events_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
     fails the hash. At 100 TB the same topology runs with a watermark
     on the dedup state (``dropDuplicatesWithinWatermark``) to bound it;
     the unbounded variant here is exact over the finite replay."""
-    import tempfile
 
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = (
@@ -7641,12 +7656,12 @@ def q_events_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
     name = f"stream_distinct_{next(_STREAM_SEQ)}"
-    with _stream_state_parts(spark):
+    with _stream_run(spark) as ckpt:
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
             .queryName(name)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_dd_ckpt_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -7672,7 +7687,6 @@ def q_events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     what keeps it off the shuffle path) then aggregated per nation.
     Must equal the batch join+GROUP BY bit-for-bit; decimal value sums
     for order-insensitive float parity."""
-    import tempfile
 
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = (
@@ -7693,12 +7707,12 @@ def q_events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_static_{next(_STREAM_SEQ)}"
-    with _stream_state_parts(spark):
+    with _stream_run(spark) as ckpt:
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
             .queryName(name)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_sj_ckpt_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -7718,7 +7732,7 @@ def q_events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_stream_session_windows",
     oracle="""
     WITH f AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_sess
@@ -7727,7 +7741,7 @@ def q_events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, ts,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM f
     )
@@ -7751,7 +7765,6 @@ def q_events_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFra
     mode for the finite replay; a continuous deployment runs the same
     aggregation with a watermark in append mode and session state is
     evicted once the watermark passes a session's close."""
-    import tempfile
 
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = _norm_events_ts(
@@ -7764,12 +7777,12 @@ def q_events_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
     name = f"stream_sessions_{next(_STREAM_SEQ)}"
-    with _stream_state_parts(spark):
+    with _stream_run(spark) as ckpt:
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
             .queryName(name)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_sw_ckpt_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -7811,7 +7824,6 @@ def q_events_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFr
     close comparison, a watermark computed from arrival time, or a
     missing finalization batch each change the emitted row SET, not
     just values — the row-count check alone would catch it."""
-    import tempfile
 
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = _norm_events_ts(
@@ -7825,12 +7837,12 @@ def q_events_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
     name = f"stream_wm_{next(_STREAM_SEQ)}"
-    with _stream_state_parts(spark):
+    with _stream_run(spark) as ckpt:
         q = (
             agg.writeStream.outputMode("append")
             .format("memory")
             .queryName(name)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_wm_ckpt_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -7865,7 +7877,6 @@ def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SET must equal the batch range join bit-for-bit. A dropped buffer
     row, a watermark that evicts too early, or a boundary error in the
     range condition changes the set."""
-    import tempfile
 
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
@@ -7896,12 +7907,12 @@ def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     name = f"stream_ssj_{next(_STREAM_SEQ)}"
-    with _stream_state_parts(spark):
+    with _stream_run(spark) as ckpt:
         q = (
             joined.writeStream.outputMode("append")
             .format("memory")
             .queryName(name)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ssj_ckpt_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -7921,7 +7932,7 @@ def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT event_type,
              date_diff('day', DATE '2024-01-01', ts)::BIGINT AS x,
-             value::DECIMAL(21,6) AS y
+             value::DECIMAL(18,6) AS y
       FROM events
     ),
     s AS (
@@ -7953,22 +7964,27 @@ def q_events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides so round(6) is bit-stable. This is the
     map-side-combinable formulation that survives 100 TB (Spark's
     built-in ``corr``/``covar_samp`` accumulate in floats, whose
-    partial-aggregation order varies run to run); x is the day index
-    (small integers), so x·y products stay inside decimal(38,6)."""
+    partial-aggregation order varies run to run). Decimal widths are
+    load-bearing: y is decimal(18,6) so y·y is decimal(37,12) — within
+    Spark's 38-digit cap, hence EXACT (a (21,6) operand would make the
+    product (38,7)-lossy under allowPrecisionLoss and silently round
+    every y² to 7 places, diverging from DuckDB's exact sum) — and x
+    is a small day index cast to decimal(4,0) so x·y is an exact
+    (23,6), not a (39,6) overflow."""
     ev = _t(spark, sf_dir, "events")
     d = ev.select(
         "event_type",
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
         .cast("long")
         .alias("x"),
-        F.col("value").cast("decimal(21,6)").alias("y"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
     )
     s = d.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(4,0)") * F.col("y")).alias("sxy"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     n, sx, sxx = F.col("n"), F.col("sx").cast("double"), F.col("sxx").cast("double")

@@ -223,6 +223,9 @@ def streaming_spray_alerts(
             "protocol is protobuf-serialized); install protobuf or use "
             "implementation='apiws' — same semantics, no dependency"
         )
+    # the tws engine is subject to the same continuous-trigger
+    # state-growth hazard as the apiws tier — announce it identically
+    warn_if_unbounded("streaming_spray_alerts", state_ttl_ms)
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

@@ -516,3 +516,24 @@ def test_zipf_slope_uniform_vs_skewed(spark, tmp_path):
     }
     assert out["uu"].n_types == 20 and out["uu"].zipf_slope == 0.0
     assert out["ss"].n_types == 8 and out["ss"].zipf_slope < -0.5
+
+
+def test_trend_decimal_widths_are_exact(spark):
+    """events_value_trend's exactness contract rests on decimal widths:
+    (18,6)×(18,6) → (37,12) stays under Spark's 38-digit cap, so y² is
+    EXACT even with 6 fractional digits (a (21,6) operand would make
+    the product (38,7)-lossy and silently round). Pin it with a value
+    whose square needs all 12 places."""
+    from decimal import Decimal
+
+    y = Decimal("0.123457")
+    df = spark.createDataFrame([(y,)], "y decimal(18,6)")
+    [r] = df.select((F.col("y") * F.col("y")).alias("p")).collect()
+    assert r["p"] == y * y  # 0.015241630849 — all 12 places survive
+    # and the x·y product path: day-index cast decimal(4,0) keeps the
+    # product at (23,6), exact, instead of a lossy (39,6) from long×dec
+    df2 = spark.createDataFrame([(29, y)], "x long, y decimal(18,6)")
+    [r2] = df2.select(
+        (F.col("x").cast("decimal(4,0)") * F.col("y")).alias("p")
+    ).collect()
+    assert r2["p"] == 29 * y

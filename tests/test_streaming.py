@@ -398,7 +398,7 @@ def test_spray_alerts_tws_gate_is_plan_time():
     )
 
     if _has_protobuf():
-        return
+        pytest.skip("protobuf present — the plan-time gate is vacuous here")
     with pytest.raises(ModuleNotFoundError, match="apiws"):
         streaming_spray_alerts(None, implementation="tws")
 
