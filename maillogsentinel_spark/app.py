@@ -289,6 +289,107 @@ def run_reset(cfg: dict, purge: bool = False) -> int:
     return 0
 
 
+def run_validate(cfg: dict, config_path: str | None) -> int:
+    """--validate-config: non-interactive config doctor — the
+    validation kernel of the reference's interactive setup wizard
+    (`bin/maillogsentinel_setup.py`, whose systemd/prompt surface is a
+    declared non-goal, SURVEY §7). Checks every knob the pipeline will
+    trip over at run time and prints one OK/FAIL line each; exit 0 iff
+    all checks pass. Needs no Spark session.
+
+    The dim check is semantic, not just an existence test: the
+    reference parses IP bounds with `int(s)` (ipinfo.py:193-197), so a
+    dotted-quad bound is a silently-empty dim — the classic
+    misconfiguration this doctor exists to catch."""
+    checks: list[tuple[str, bool, str]] = []
+
+    def add(name: str, ok: bool, detail: str) -> None:
+        checks.append((name, ok, detail))
+
+    if config_path:
+        add("config file", os.path.isfile(config_path), config_path)
+    else:
+        add("config file", True, "defaults (no --config given)")
+
+    wd = cfg["working_dir"]
+    wd_parent = os.path.dirname(os.path.abspath(wd)) or "."
+    add(
+        "working_dir",
+        os.path.isdir(wd) or os.access(wd_parent, os.W_OK),
+        f"{wd} ({'exists' if os.path.isdir(wd) else 'creatable'})"
+        if os.path.isdir(wd) or os.access(wd_parent, os.W_OK)
+        else f"{wd}: parent not writable",
+    )
+    add(
+        "mail_log",
+        os.access(cfg["mail_log"], os.R_OK),
+        cfg["mail_log"],
+    )
+
+    email = cfg.get("email")
+    add(
+        "report email",
+        email is None or "@" in email,
+        email or "(unset — reports render to stdout only)",
+    )
+
+    for name, key in [("country dim", "country_db_path"), ("asn dim", "asn_db_path")]:
+        path = cfg.get(key)
+        if not path:
+            add(name, True, "(unset — geo columns will be N/A)")
+            continue
+        if not os.access(path, os.R_OK):
+            add(name, False, f"{path}: not readable")
+            continue
+        ok, detail = True, path
+        try:
+            import gzip
+
+            opener = gzip.open if path.endswith(".gz") else open
+            with opener(path, "rt", errors="replace") as fh:
+                first = fh.readline().strip()
+            parts = first.split(",")
+            if len(parts) < 3:
+                ok, detail = False, f"{path}: first row has {len(parts)} fields"
+            else:
+                int(parts[0]), int(parts[1])
+        except ValueError:
+            ok = False
+            detail = (
+                f"{path}: bounds are not numeric (dotted-quad bounds make "
+                "the dim silently empty — reference ipinfo.py does int(s))"
+            )
+        except OSError as e:
+            ok, detail = False, f"{path}: {e}"
+        add(name, ok, detail)
+
+    mapping = cfg.get("column_mapping_file") or _default_mapping()
+    try:
+        import json
+
+        with open(mapping) as fh:
+            doc = json.load(fh)
+        ok = isinstance(doc, dict) and bool(doc)
+        add("sql mapping", ok, mapping if ok else f"{mapping}: empty or not an object")
+    except (OSError, ValueError) as e:
+        add("sql mapping", False, f"{mapping}: {e}")
+
+    db_dir = os.path.dirname(os.path.abspath(os.path.join(wd, cfg["db_path"]))) or "."
+    add(
+        "sqlite db dir",
+        os.path.isdir(db_dir) or os.access(os.path.dirname(db_dir) or ".", os.W_OK),
+        db_dir,
+    )
+
+    width = max(len(n) for n, _, _ in checks)
+    all_ok = True
+    for name, ok, detail in checks:
+        all_ok &= ok
+        print(f"{'OK  ' if ok else 'FAIL'}  {name:<{width}}  {detail}")
+    print("config valid" if all_ok else "config INVALID")
+    return 0 if all_ok else 1
+
+
 def _default_mapping() -> str:
     return os.path.join(os.path.dirname(__file__), "config", "sql_column_mapping.json")
 
@@ -304,6 +405,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sql-export", action="store_true")
     p.add_argument("--sql-import", action="store_true")
     p.add_argument("--reset", action="store_true", help="archive data, start clean")
+    p.add_argument(
+        "--validate-config",
+        action="store_true",
+        help="check config/paths/dims/mapping and exit (no Spark)",
+    )
     p.add_argument("--purge", action="store_true", help="archive everything")
     p.add_argument("--date", default=None, help="report day dd/MM/yyyy (default: today)")
     p.add_argument("--year", type=int, default=None, help="log-line year (default: current)")
@@ -312,6 +418,8 @@ def main(argv: list[str] | None = None) -> int:
 
     cfg = load_config(args.config)
     configure_logging(cfg)
+    if args.validate_config:
+        return run_validate(cfg, args.config)
     if args.report:
         date_s = args.date or _dt.date.today().strftime("%d/%m/%Y")
         return run_report(cfg, date_s, send=args.send)

@@ -162,3 +162,41 @@ log_file_backup_count = 3
     finally:
         for x in list(logging.getLogger("maillogsentinel_spark").handlers):
             logging.getLogger("maillogsentinel_spark").removeHandler(x)
+
+
+def test_validate_config_doctor(tmp_path, capsys):
+    """--validate-config: OK on a healthy config, FAIL (exit 1) with a
+    named reason when a geo dim has dotted-quad bounds — the
+    silently-empty-dim misconfiguration the doctor exists to catch."""
+    logs = tmp_path / "mail.log"
+    logs.write_text("x\n")
+    good_dim = tmp_path / "geo.csv"
+    good_dim.write_text("754974720,771751935,US\n")
+    wd = tmp_path / "work"
+    ini = tmp_path / "mls.conf"
+    ini.write_text(f"""[paths]
+working_dir = {wd}
+mail_log = {logs}
+[report]
+email = sec@example.org
+[geolocation]
+country_db_path = {good_dim}
+[ASN_ASO]
+asn_db_path = {good_dim}
+""")
+    assert app.main(["--config", str(ini), "--validate-config"]) == 0
+    out = capsys.readouterr().out
+    assert "config valid" in out and "FAIL" not in out
+
+    # dotted-quad bounds: present + readable, but semantically empty
+    bad_dim = tmp_path / "geo_dotted.csv"
+    bad_dim.write_text("45.0.0.0,45.0.0.255,US\n")
+    ini.write_text(ini.read_text().replace(str(good_dim), str(bad_dim), 1))
+    assert app.main(["--config", str(ini), "--validate-config"]) == 1
+    out = capsys.readouterr().out
+    assert "config INVALID" in out
+    assert "bounds are not numeric" in out
+
+    # missing mail.log is a FAIL too
+    logs.unlink()
+    assert app.main(["--config", str(ini), "--validate-config"]) == 1
