@@ -40,6 +40,19 @@ def build_events(
     """
     from pyspark.sql import functions as F
 
+    # A mail deployment's input is typically ONE fat log (plus a few
+    # rotations) — 2-3 scan splits for a 100-200 MB plain file, exactly
+    # ONE for any .gz (gzip is never splittable) — so the per-line
+    # regex parse and the rDNS stage would run on 2-3 of N cores.
+    # Round-robin repartition restores parallelism, gated on the actual
+    # scan split count so a many-files ingest (the at-scale layout)
+    # skips the shuffle entirely; the shuffled payload is raw lines,
+    # which the parse immediately collapses to matched events.
+    sc = lines.sparkSession.sparkContext
+    cpus = sc.defaultParallelism
+    if lines.rdd.getNumPartitions() < max(2, cpus // 2):
+        lines = lines.repartition(cpus)
+
     ev = parse_sasl_lines(lines, year=year)
     ev = enrich_rdns(
         ev, resolver, ttl_seconds=rdns_ttl_seconds, max_cache=rdns_max_cache
