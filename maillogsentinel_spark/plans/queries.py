@@ -7279,12 +7279,32 @@ def q_doc_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     join of two ≤k-row tables — driver-free, broadcast-trivial."""
     from ..functions.vectors import cosine_similarity, to_double_array
 
+    def ranked_topk(df, score, rank_name):
+        # Top-k FIRST via orderBy().limit() — plans as a distributed
+        # TakeOrderedAndProject (the doc_bm25_search idiom) — then rank
+        # the ≤20 survivors with a global reduce (collect_list →
+        # sort_array → posexplode): no WindowExec at all, so nothing
+        # ever funnels the unbounded candidate set through one task.
+        top = df.orderBy(F.desc(score), "doc_id").limit(20)
+        arr = top.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col(score)).alias("neg_score"),
+                        F.col("doc_id").alias("doc_id"),
+                    )
+                )
+            ).alias("a")
+        )
+        return arr.select(
+            F.posexplode("a").alias("pos", "s")
+        ).select(
+            F.col("s.doc_id").alias("doc_id"),
+            (F.col("pos") + 1).cast("int").alias(rank_name),
+        )
+
     bm = _bm25_scores(spark, sf_dir, ["spark", "window", "customer"])
-    rb = F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id"))
-    bmt = (
-        bm.select("doc_id", rb.cast("int").alias("rb"))
-        .filter(F.col("rb") <= 20)
-    )
+    bmt = ranked_topk(bm.select("doc_id", "bm25"), "bm25", "rb")
     emb = _t(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
     qv = F.broadcast(
@@ -7300,11 +7320,9 @@ def q_doc_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
     )
-    rk = F.row_number().over(Window.orderBy(F.desc("cos"), "doc_id"))
-    knr = (
-        kn.select("doc_id", rk.cast("int").alias("rk"))
-        .filter(F.col("rk") <= 20)
-    )
+    # Same shape for the semantic arm: the whole-corpus cosine scores
+    # reduce through TakeOrderedAndProject; only ≤20 rows are ranked.
+    knr = ranked_topk(kn, "cos", "rk")
     b, k = bmt.alias("b"), knr.alias("k")
     rrf = F.round(
         F.coalesce(1.0 / (60 + F.col("b.rb")), F.lit(0.0))

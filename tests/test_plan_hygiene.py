@@ -5,7 +5,12 @@ scanned for scale anti-patterns —
 - BroadcastNestedLoopJoin, except where a deliberate broadcast
   crossJoin against a provably tiny side is the design (whitelist);
 - BatchEvalPython (row-at-a-time Python UDF; ArrowEvalPython and
-  mapInPandas/Arrow UDTF nodes are the sanctioned Python paths).
+  mapInPandas/Arrow UDTF nodes are the sanctioned Python paths);
+- unpartitioned WindowExec over unbounded input (an empty PARTITION BY
+  moves every row to ONE task — invisible at test SF, fatal at 100 TB).
+  A window whose subtree contains a Limit/TakeOrderedAndProject is
+  auto-allowed (its input is provably bounded); anything else needs a
+  documented whitelist entry below.
 
 Plans are built at sf0.001 (plan shape is SF-independent; a few queries
 materialize gates/counts eagerly, which stays cheap at that SF).
@@ -53,6 +58,80 @@ ALLOWED = {
 
 FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]
 
+# Queries whose unpartitioned windows run over input that is bounded by
+# CONSTRUCTION rather than by a Limit node the sweep can see; each entry
+# cites the bound (docstrings carry the full argument).
+UNPARTITIONED_WINDOW_ALLOWED = {
+    "orders_open_backlog",   # calendar-day spine: sequence() over the order
+    # date range, ~2,500 rows/decade — grows with TIME, not data volume
+    "anonymize_users",       # first_seen_rank: size-gated dense_rank over
+    # the DISTINCT-user dim (operators/anonymize.py — gate documented)
+    "lineitem_percentiles",  # exact ntile over the distinct value domain
+    # (operators/quantiles.py:278 — pre-aggregated before the window)
+    "customer_rfm",          # gated_ntile ×3 over the per-CUSTOMER agg:
+    # plain window below 2M rows, exact range-partitioned rank + the
+    # closed-form bucket above it (operators/quantiles.py:gated_ntile)
+}
+
+# Physical nodes that prove the window's input is bounded: an upstream
+# top-k/limit (TakeOrderedAndProject, Global/LocalLimit, CollectLimit)
+# or a rank-pushdown WindowGroupLimit(Partial) that caps rows per map
+# task before the single-partition final pass.
+_BOUNDING = ("Limit", "TakeOrdered", "WindowGroupLimit")
+
+
+def _iter_nodes(node):
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _iter_nodes(children.apply(i))
+
+
+def _unbounded_global_windows(df):
+    """Names of WindowExec nodes with an empty partitionSpec whose
+    subtree shows no bounding node (pre-AQE plan: a plain tree)."""
+    plan = df._jdf.queryExecution().sparkPlan()
+    bad = []
+    for n in _iter_nodes(plan):
+        if n.getClass().getSimpleName() != "WindowExec":
+            continue
+        if not n.partitionSpec().isEmpty():
+            continue
+        subtree = list(_iter_nodes(n))[1:]
+        if any(
+            any(tag in c.getClass().getSimpleName() for tag in _BOUNDING)
+            for c in subtree
+        ):
+            continue
+        bad.append(n.nodeName())
+    return bad
+
+
+def test_window_detector_flags_unbounded_and_accepts_bounded(spark):
+    """Self-test of the sweep: a global ntile (no rank-limit pushdown
+    possible) must be flagged; a row_number capped by a filter is
+    rewritten by LimitPushDownThroughWindow into TakeOrdered→Window and
+    must be accepted; an explicit orderBy().limit() rank likewise."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id")
+    unbounded = df.select(
+        "vec_id", F.ntile(4).over(Window.orderBy("vec_id")).alias("q")
+    )
+    assert _unbounded_global_windows(unbounded), (
+        "detector must flag a global ntile over unbounded input"
+    )
+    rn = F.row_number().over(Window.orderBy(F.desc("vec_id")))
+    pushed = df.select("vec_id", rn.alias("rk")).filter(F.col("rk") <= 20)
+    assert not _unbounded_global_windows(pushed)
+    explicit = (
+        df.orderBy(F.desc("vec_id"))
+        .limit(20)
+        .select("vec_id", rn.alias("rk"))
+    )
+    assert not _unbounded_global_windows(explicit)
+
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_scale_antipatterns(spark, name):
@@ -62,3 +141,10 @@ def test_no_scale_antipatterns(spark, name):
         if op in plan and (name, op) not in ALLOWED:
             lines = [ln for ln in plan.splitlines() if op in ln][:3]
             pytest.fail(f"{name}: {op} in physical plan:\n" + "\n".join(lines))
+    if name not in UNPARTITIONED_WINDOW_ALLOWED:
+        bad = _unbounded_global_windows(df)
+        if bad:
+            pytest.fail(
+                f"{name}: unpartitioned window over unbounded input "
+                f"(single-partition funnel at scale): {bad}"
+            )
