@@ -139,7 +139,16 @@ def _pair_overlap_stats(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
-    return common.join(sa, "id_a").join(sb, "id_b")
+    stats = common.join(sa, "id_a").join(sb, "id_b")
+    if shingle_rows is None:
+        # Standalone invocation: WE materialized the shingle cache, so
+        # free it before returning (the exact_substring_spans pattern) —
+        # eagerly checkpoint the much smaller pair-stats result, then
+        # unpersist. Callers passing the session-shared shingle_rows keep
+        # their own persistence lifecycle.
+        stats = stats.localCheckpoint(eager=True)
+        sh.unpersist()
+    return stats
 
 
 def containment_pairs(

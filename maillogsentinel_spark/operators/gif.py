@@ -194,10 +194,18 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray:
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
-        _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        il, it, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
         if ipacked & 0x40:
             raise NotImplementedError("interlaced GIF not supported")
+        if (il, it) != (0, 0) or (w, h) != (sw, sh):
+            # A sub-frame placed inside the logical screen needs
+            # compositing over the background; raise-instead-of-guess,
+            # like the other honest gates in this module.
+            raise NotImplementedError(
+                "GIF image descriptor is not a full-frame at (0,0): "
+                f"image {w}x{h}@({il},{it}) vs screen {sw}x{sh}"
+            )
         palette = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)

@@ -326,6 +326,11 @@ def _decode_wav_nonpcm(payload: bytes) -> tuple[int, np.ndarray]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + sz > len(payload):
+            # uint8 mu-law data never trips a frombuffer size error, so a
+            # short slice would silently return fewer samples — enforce
+            # the truncated-payload-raises contract the PCM path has.
+            raise ValueError("truncated WAV payload")
         if cid == b"fmt ":
             fmt = payload[pos + 8 : pos + 8 + sz]
         elif cid == b"data":

@@ -7823,8 +7823,13 @@ def q_events_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFra
            count(*)::BIGINT AS n_events
     FROM events
     GROUP BY 1, 2
+    -- Spark tracks event-time stats in MILLISECONDS (EventTimeStatsAccum),
+    -- so the watermark is floor-to-ms(max ts) - delay; mirror that
+    -- truncation here or a sub-ms max(ts) puts the boundary window on
+    -- the wrong side of the emit rule.
     HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
-           <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+           <= make_timestamp(epoch_ms((SELECT max(ts) FROM events)) * 1000)
+              - INTERVAL 2 HOUR
     ORDER BY wstart, event_type
     """,
 )
@@ -8070,8 +8075,8 @@ GRADED_PREFIX: list[str] = [
     # the approximation-quality evidence, not just the approximations)
     "knn_bruteforce",
     "knn_lsh",
-    "knn_ivf",
-    "knn_recall_ladder",
+    "knn_recall_ladder",        # composes IVF/LSH/multiprobe vs exact —
+    # carries knn_ivf's in-window evidence since the round-5 rotation
     "kmeans_assign",
     # graph / entity resolution / security / embeddings — one rep each so
     # EVERY family lands inside the graded window (round-1 gap: these four
@@ -8090,16 +8095,20 @@ GRADED_PREFIX: list[str] = [
     # corpus preparation (hash_sample follows just past the prefix)
     "corpus_contamination",
     "doc_shingle_novelty",
-    # multimodal (incl. REAL BMP decode; the PNG/JPEG/GIF/WAV/μ-law codec
-    # twins follow right after the prefix — same Arrow plumbing, one
-    # real-codec rep is enough in-window)
+    # multimodal — round-5 rotation: the COMPRESSED-codec decode (GIF89a
+    # variable-width LZW, the hardest single decode path) joins the BMP
+    # rep in-window; PNG/JPEG/WAV/μ-law twins follow right after the
+    # prefix on the same Arrow plumbing
     "multimodal_features",
     "multimodal_bmp_decode",
-    # structured streaming, ORACLE-PINNED (§2.9 was pytest-only through
-    # round 3): tumbling-window agg ≡ batch GROUP BY, and stateful
-    # dropDuplicates dedup ≡ batch COUNT(DISTINCT)
-    "events_stream_tumbling_counts",
-    "events_stream_distinct_users",
+    "multimodal_gif_decode",
+    # structured streaming, ORACLE-PINNED — round-5 rotation swaps the
+    # two easiest topologies (tumbling agg, stateful distinct — graded
+    # green in r4, now just past the prefix) for the two semantics a
+    # streaming engine most often gets wrong: append-mode watermark
+    # emission and the double-watermarked stream-stream range join
+    "events_stream_watermark_append",
+    "events_stream_stream_join",
     # behavioral + gated-ntile showcase
     "customer_rfm",
     # sketches-with-exact-oracle + IR retrieval (never driver-graded in
@@ -8111,6 +8120,11 @@ GRADED_PREFIX: list[str] = [
 # After the prefix: remaining beyond-reference ops by family value, then the
 # TPC-H long tail.
 _NEXT = [
+    # round-5 rotation: graded green in r4, swapped out for the harder
+    # streaming semantics + the compressed-codec decode
+    "events_stream_tumbling_counts",
+    "events_stream_distinct_users",
+    "knn_ivf",
     "token_counts_by_source",       # text rep rotated out for streaming
     "corpus_hash_sample",           # corpus rep rotated out for streaming
     "multimodal_frames",            # frame-sampling rep rotated out

@@ -231,6 +231,19 @@ def test_wav_unknown_format_tag_gate():
         decode_wav(bytes(payload))
 
 
+def test_wav_ulaw_truncated_payload_raises():
+    """uint8 mu-law never trips a frombuffer size error, so the chunk
+    walk must itself enforce declared-size <= payload (ADVICE r4)."""
+    from maillogsentinel_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_ulaw,
+    )
+
+    payload = encode_wav_ulaw(np.arange(16, dtype=np.uint8))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(payload[:-3])  # cut into the data chunk
+
+
 def test_gif_roundtrip_shapes():
     from maillogsentinel_spark.operators.gif import decode_gif, encode_gif
 
@@ -278,6 +291,26 @@ def test_gif_interlace_gate_and_extension_skip():
     broken[len(payload[:at]) + len(gce) + 9] |= 0x40
     with pytest.raises(NotImplementedError):
         decode_gif(bytes(broken))
+
+
+def test_gif_subframe_geometry_gate():
+    """A descriptor that is not a full-frame at (0,0) needs background
+    compositing — the decoder must raise, not silently decode wrong
+    geometry (raise-instead-of-guess policy)."""
+    from maillogsentinel_spark.operators.gif import decode_gif, encode_gif
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[0, 1] = 255
+    payload = bytearray(encode_gif(img))
+    at = payload.index(0x2C, 13 + 2 * 3)
+    offset = bytearray(payload)
+    offset[at + 1] = 1  # left = 1
+    with pytest.raises(NotImplementedError, match="full-frame"):
+        decode_gif(bytes(offset))
+    shrunk = bytearray(payload)
+    shrunk[at + 5] = 1  # width = 1 < screen width 2
+    with pytest.raises(NotImplementedError, match="full-frame"):
+        decode_gif(bytes(shrunk))
 
 
 def test_gif_handpacked_bitstream_vector():

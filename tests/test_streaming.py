@@ -71,6 +71,67 @@ def test_streaming_windowed_agg(spark, tmp_path):
     assert rows[0]["day"] != rows[2]["day"]  # two distinct daily windows
 
 
+def test_streaming_windowed_agg_checkpoint_resume(spark, tmp_path):
+    """Kill-and-resume for the STATEFUL windowed agg — the restart path a
+    production user hits on day one. Drain file A into a checkpoint,
+    stop the query, drop file B next to it, and restart the SAME
+    topology from the SAME checkpoint via foreachBatch (the memory sink
+    cannot recover from a checkpoint — documented pitfall). The resumed
+    run reads ONLY file B, so alice's day-count of 2 and bob's surviving
+    row can only come from the RESTORED state store merging with the new
+    rows; the final complete-mode snapshot must equal the batch GROUP BY
+    over A+B."""
+    from maillogsentinel_spark.operators.parse import parse_sasl_lines
+    from pyspark.sql import functions as F
+
+    logs = tmp_path / "rlogs"
+    logs.mkdir()
+    ckpt = str(tmp_path / "rckpt")
+    (logs / "mail.log").write_text(LINE1 + LINE2)
+
+    final = {}
+
+    def sink(batch_df, batch_id):
+        rows = batch_df.collect()
+        if rows:  # complete mode rewrites the whole result each batch
+            final.clear()
+            final.update({(str(r["day"]), r["user"]): r["cnt"] for r in rows})
+
+    def run():
+        events = parse_sasl_lines(spark.readStream.text(str(logs)), year=2025)
+        q = (
+            streaming_daily_user_counts(events)
+            .writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()  # first incarnation: file A only
+    assert {k[1]: v for k, v in final.items()} == {"alice": 1, "bob": 1}
+
+    # "crash", then new data arrives: a second alice event on the SAME
+    # day (forces a state-store merge, not just a new key) + carol
+    (logs / "mail.log.1").write_text(LINE1 + LINE3)
+    run()  # second incarnation resumes from ckpt, reads only mail.log.1
+
+    batch = parse_sasl_lines(spark.read.text(str(logs)), year=2025)
+    expect = {
+        (str(r["day"]), r["user"]): r["cnt"]
+        for r in (
+            batch.groupBy(
+                F.window("ts", "1 day").start.alias("day"), "user"
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+    }
+    assert final == expect
+    assert final[max(k for k in final if k[1] == "alice")] == 2
+
+
 def test_streaming_sessions_gap_close(spark, tmp_path):
     """Built-in session_window: two bursts separated by > gap become two
     sessions; append mode emits only sessions finalized by watermark."""

@@ -5,7 +5,8 @@ Usage: python tools/bench_diff.py BENCH_prev.json BENCH_cur.json [ratio]
 Lists queries slower than `ratio`× (default 1.5) the previous round,
 plus added/removed queries and the total delta. Exit 1 if any query
 regressed more than 2× (the unexplained-regression bar from the
-round-1 verdict).
+round-1 verdict); exit 2 ("rerun required") when >2× regressions
+coincide with a loaded box per the cross-run canary — never silently 0.
 """
 
 from __future__ import annotations
@@ -62,20 +63,35 @@ def main() -> int:
     tp, tc = prev.get("value"), cur.get("value")
     if _num(tp) and _num(tc) and tp:
         print(f"total    {tp:.1f}s -> {tc:.1f}s ({tc / tp:.2f}x)")
-    # Load calibration: when the current run's canary shows the box was
-    # >1.5x slower than the committed idle reference, per-query >2x flags
-    # are box load, not code — downgrade them to warnings.
-    canary_ratio = (cur.get("canary") or {}).get("ratio")
+    # Load calibration: the canary is the same fixed CPU-bound job in
+    # both runs, so the load ratio CUR vs PREV is hardware-independent —
+    # prefer it over each run's ratio-vs-constant (CANARY_REF_SEC is
+    # only right on the box it was measured on). A loaded box never
+    # WAIVES a >2x flag: it demands a re-measure (distinct exit code 2)
+    # so a real regression can't land silently during a busy bench run.
+    def canary_sec(d):
+        secs = (d.get("canary") or {}).get("sec")
+        if isinstance(secs, list) and secs and all(_num(s) for s in secs):
+            return max(secs)
+        return None
+
+    load_ratio = None
+    cs, ps = canary_sec(cur), canary_sec(prev)
+    if cs is not None and ps:
+        load_ratio = cs / ps
+    elif _num((cur.get("canary") or {}).get("ratio")):
+        load_ratio = (cur.get("canary") or {}).get("ratio")
     if failed:
         print(f"QUERIES FAILED: {failed}")
         return 1
     if hard_fail:
-        if _num(canary_ratio) and canary_ratio > 1.5:
+        if _num(load_ratio) and load_ratio > 1.5:
             print(
-                f"slower >2x but canary ratio {canary_ratio:.2f} shows a "
-                f"loaded box — downgraded to warnings: {hard_fail}"
+                f"RERUN REQUIRED: slower >2x but canary load ratio "
+                f"{load_ratio:.2f} (cur vs prev run) shows a loaded box — "
+                f"re-measure on an idle box before trusting: {hard_fail}"
             )
-            return 0
+            return 2
         print(f"REGRESSED >2x: {hard_fail}")
         return 1
     return 0
