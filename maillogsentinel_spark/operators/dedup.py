@@ -568,16 +568,23 @@ def exact_substring_spans(
 
     Per pair: every matching (position_a, position_b) window lies on a
     diagonal (pos_a − pos_b constant); consecutive positions on one
-    diagonal are one span. Runs are found with the gaps-and-islands
-    trick (pos − row_number per (pair, diagonal)) — no suffix array,
-    no per-executor state, every step a keyed shuffle.
+    diagonal are one span. Runs are found per pair over the sorted
+    (diag, pos) match list with a linear F.aggregate fold — ONE keyed
+    shuffle (groupBy pair) instead of the window + two-groupBy
+    gaps-and-islands chain this used through round 4; the per-pair
+    match list is bounded by document length (each side's window count),
+    the same bound the window variant's partitions had. No suffix
+    array, no per-executor state, every step a keyed shuffle.
 
-    Scale guards: windows join on their 64-bit content hash (narrow
-    shuffle key, not the w-token string); windows occurring more than
-    ``df_cap`` times (boilerplate) are dropped before the pair join —
-    the same explosion guard the shingle graph uses. Returns
-    (id_a, id_b, n_matches, max_run, span_tokens) for pairs whose
-    longest run ≥ ``min_run``.
+    Scale guards: windows join on xxhash64 of their content (narrow
+    8-byte shuffle key, JVM-codegen — the hash never reaches the output,
+    so the DuckDB oracle joins on the raw gram string instead); windows
+    occurring more than ``df_cap`` times (boilerplate) are dropped
+    before the pair join — the same explosion guard the shingle graph
+    uses, kept as a partial-aggregating groupBy + semi-join because a
+    count-over-window would put a hot gram's every occurrence in one
+    task. Returns (id_a, id_b, n_matches, max_run, span_tokens) for
+    pairs whose longest run ≥ ``min_run``.
     """
     t = tokens(F.col(text_col))
     win = F.when(
@@ -594,7 +601,7 @@ def exact_substring_spans(
     # (same hazard near_dup_pairs and dup_window_coverage guard against).
     grams = (
         docs.select(F.col(id_col).alias("id"), F.posexplode(win).alias("pos", "g"))
-        .select("id", "pos", hash64(F.col("g"), "xss").alias("gh"))
+        .select("id", "pos", F.xxhash64("g").alias("gh"))
         .persist()
     )
     rare = (
@@ -613,23 +620,38 @@ def exact_substring_spans(
         F.col("a.pos").alias("ia"),
         (F.col("a.pos") - F.col("b.pos")).alias("diag"),
     )
-    from pyspark.sql import Window as _W
+    # Runs per pair: sort the (diag, ia) matches — (diag, ia) is unique
+    # per pair, so the sort is total — and fold once: consecutive ia on
+    # the same diagonal extends the current run, anything else restarts
+    # it. One shuffle + a JVM HOF replaces window + groupBy + groupBy.
+    arr = F.sort_array(F.collect_list(F.struct(F.col("diag"), F.col("ia"))))
+    init = F.struct(
+        F.lit(0).alias("pd"), F.lit(-5).alias("pi"),
+        F.lit(0).alias("cur"), F.lit(0).alias("mx"),
+    )
 
-    rn = F.row_number().over(
-        _W.partitionBy("id_a", "id_b", "diag").orderBy("ia")
-    )
-    runs = (
-        m.select("id_a", "id_b", "diag", "ia", (F.col("ia") - rn).alias("grp"))
-        .groupBy("id_a", "id_b", "diag", "grp")
-        .agg(F.count(F.lit(1)).alias("run_len"))
-    )
-    out = (
-        runs.groupBy("id_a", "id_b")
-        .agg(
-            F.sum("run_len").cast("long").alias("n_matches"),
-            F.max("run_len").cast("int").alias("max_run"),
-            (F.max("run_len") + (w - 1)).cast("int").alias("span_tokens"),
+    def step(acc, x):
+        cur = F.when(
+            (x["diag"] == acc["pd"]) & (x["ia"] == acc["pi"] + 1),
+            acc["cur"] + 1,
+        ).otherwise(F.lit(1))
+        return F.struct(
+            x["diag"].alias("pd"), x["ia"].alias("pi"),
+            cur.alias("cur"), F.greatest(acc["mx"], cur).alias("mx"),
         )
+
+    out = (
+        m.groupBy("id_a", "id_b")
+        .agg(arr.alias("arr"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size("arr").cast("long").alias("n_matches"),
+            F.aggregate(F.col("arr"), init, step, lambda s: s["mx"])
+            .cast("int")
+            .alias("max_run"),
+        )
+        .withColumn("span_tokens", (F.col("max_run") + (w - 1)).cast("int"))
         .filter(F.col("max_run") >= min_run)
         # materialize the small pair-level result NOW so the persisted
         # gram table can be released immediately (localCheckpoint blocks
@@ -663,7 +685,7 @@ def dup_window_coverage(
     (coverage 0.0 when nothing matches).
 
     Plan hygiene: the window-string projection (concat_ws over slices +
-    md5) is by far the expensive stage, and the gram table feeds BOTH
+    xxhash64) is by far the expensive stage, and the gram table feeds BOTH
     the shared-window aggregate and the coverage join — it is persisted
     so the projection runs once, and the n_tokens side is derived from
     a cheap size(tokens) scan that never touches the window strings
@@ -683,7 +705,7 @@ def dup_window_coverage(
     )
     grams = (
         docs.select(F.col(id_col).alias("id"), F.posexplode(win).alias("pos", "g"))
-        .select("id", "pos", hash64(F.col("g"), "xss").alias("gh"))
+        .select("id", "pos", F.xxhash64("g").alias("gh"))
         .persist()
     )
     # two-level agg (per (gh, id) first) instead of count+countDistinct

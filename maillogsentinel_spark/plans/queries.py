@@ -6923,19 +6923,21 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_exact_substring",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-    g0 AS (
+    -- the engine keys these joins on xxhash64 of the gram purely as a
+    -- narrow shuffle key; the hash never reaches the output, so the
+    -- oracle keys on the raw gram STRING — identical semantics
+    g AS (
       SELECT doc_id, CAST(i AS INT) AS pos,
              array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS g
       FROM t, unnest(range(greatest(len(toks) - 4, 0))) AS u(i)
     ),
-    g AS (SELECT doc_id, pos, {_sql_hash64('g', 'xss')} AS gh FROM g0),
-    rare AS (SELECT gh FROM (SELECT gh, count(*) AS df FROM g GROUP BY 1)
+    rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM g GROUP BY 1)
              WHERE df <= 20),
     m AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS ia,
              a.pos - b.pos AS diag
-      FROM g a JOIN rare USING (gh)
-           JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+      FROM g a JOIN rare USING (g)
+           JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
     ),
     r AS (
       SELECT id_a, id_b, diag, ia,
@@ -7423,20 +7425,21 @@ def q_dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_dup_ngram_coverage",
     oracle=f"""
     WITH t AS (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents),
-    g0 AS (
+    -- the engine keys on xxhash64(g) purely as a narrow shuffle key;
+    -- the oracle keys on the raw gram string — identical semantics
+    g AS (
       SELECT doc_id, CAST(i AS INT) AS pos,
              array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS g
       FROM t, unnest(range(greatest(len(toks) - 4, 0))) AS u(i)
     ),
-    g AS (SELECT doc_id, pos, {_sql_hash64('g', 'xss')} AS gh FROM g0),
-    rare AS (SELECT gh FROM (
-               SELECT gh, count(*) AS df, count(DISTINCT doc_id) AS nd
+    rare AS (SELECT g FROM (
+               SELECT g, count(*) AS df, count(DISTINCT doc_id) AS nd
                FROM g GROUP BY 1)
              WHERE df <= 20 AND nd >= 2),
     cov AS (
       SELECT doc_id, count(DISTINCT p) AS covered
       FROM (SELECT g.doc_id, g.pos + r AS p
-            FROM g JOIN rare USING (gh), unnest(range(5)) AS u(r))
+            FROM g JOIN rare USING (g), unnest(range(5)) AS u(r))
       GROUP BY 1
     )
     SELECT t.source,
