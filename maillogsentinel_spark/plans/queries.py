@@ -1880,6 +1880,110 @@ def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_gate_registry",
+    oracle="""
+    WITH f AS (SELECT doc_id % 7 AS k, count(*) AS n
+               FROM documents GROUP BY 1)
+    SELECT CASE k WHEN 0 THEN 'bmp'            WHEN 1 THEN 'gif'
+                  WHEN 2 THEN 'gif_interlaced' WHEN 3 THEN 'gif_subframe'
+                  WHEN 4 THEN 'wav_truncated'  WHEN 5 THEN 'wav_adpcm'
+                  ELSE 'unknown_magic' END AS format,
+           CASE k WHEN 0 THEN 'ok'      WHEN 1 THEN 'ok'
+                  WHEN 2 THEN 'gated'   WHEN 3 THEN 'gated'
+                  WHEN 4 THEN 'invalid' WHEN 5 THEN 'gated'
+                  ELSE 'gated' END AS status,
+           CAST(n AS BIGINT) AS n_payloads
+    FROM f ORDER BY format
+    """,
+)
+def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The honest-gate POLICY itself as an oracle row: a mixed binary
+    column cycling (doc_id % 7) through decodable payloads (BMP, GIF),
+    lib-bound variants the codecs must REFUSE with NotImplementedError
+    (interlaced GIF, sub-frame GIF, ADPCM WAV, unknown magic) and a
+    corrupt payload that must fail loudly with ValueError (truncated
+    μ-law data chunk). The engine classifies each payload by actually
+    attempting the decode and mapping the outcome to ok / gated /
+    invalid; the oracle states the CONTRACT — which format must land in
+    which bucket. A gate that silently starts "succeeding" (decoding
+    garbage), a wrong exception type, or a decoder crash on the good
+    payloads all change the (format, status) counts and fail the hash.
+    Payload synthesis and decode run in ONE mapInPandas — payload bytes
+    never shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.gif import encode_gif
+    from ..operators.multimodal import (
+        decode_audio,
+        decode_image,
+        encode_bmp,
+        encode_wav_ulaw,
+    )
+
+    def gif_variant(mutate):
+        img = np.zeros((2, 2, 3), dtype=np.uint8)
+        img[0, 1] = 255
+        payload = bytearray(encode_gif(img))
+        at = payload.index(0x2C, 13 + 2 * 3)  # skip header+LSD+2-color GCT
+        mutate(payload, at)
+        return bytes(payload)
+
+    CASES = [
+        ("bmp", lambda d: encode_bmp(
+            ((d * 19 + np.arange(12)) % 256).astype(np.uint8).reshape(2, 2, 3)
+        )),
+        ("gif", lambda d: gif_variant(lambda p, at: None)),
+        ("gif_interlaced", lambda d: gif_variant(
+            lambda p, at: p.__setitem__(at + 9, p[at + 9] | 0x40)
+        )),
+        ("gif_subframe", lambda d: gif_variant(
+            lambda p, at: p.__setitem__(at + 1, 1)  # left offset = 1
+        )),
+        ("wav_truncated", lambda d: encode_wav_ulaw(
+            np.arange(16, dtype=np.uint8)
+        )[:-3]),
+        ("wav_adpcm", lambda d: _set_byte(
+            encode_wav_ulaw(np.arange(16, dtype=np.uint8)), 20, 2
+        )),
+        ("unknown_magic", lambda d: b"XXXX" + bytes(16)),
+    ]
+
+    def _set_byte(payload, pos, val):
+        b = bytearray(payload)
+        b[pos] = val
+        return bytes(b)
+
+    def classify(batches):
+        for pdf in batches:
+            fmts, stats = [], []
+            for did in pdf["doc_id"]:
+                fmt, make = CASES[int(did) % 7]
+                payload = make(int(did))
+                try:
+                    if payload[:4] == b"RIFF":
+                        decode_audio(payload)
+                    else:
+                        decode_image(payload)
+                    status = "ok"
+                except NotImplementedError:
+                    status = "gated"
+                except ValueError:
+                    status = "invalid"
+                fmts.append(fmt)
+                stats.append(status)
+            yield pd.DataFrame({"format": fmts, "status": stats})
+
+    docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
+    outcomes = docs.mapInPandas(classify, "format string, status string")
+    return (
+        outcomes.groupBy("format", "status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_payloads"))
+        .orderBy("format")
+    )
+
+
+@query(
     "multimodal_wav_decode",
     oracle="""
     WITH i AS (SELECT unnest(range(32)) AS i),
