@@ -17,13 +17,16 @@ def test_prefix_families_covered():
             "anonymize_users", "sql_cast_normalize"} <= p      # §2 core
     assert {"dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
             "dedup_clusters", "embedding_cosine_pairs"} <= p   # dedup
-    assert {"knn_bruteforce", "knn_lsh", "knn_ivf"} <= p
+    # knn_ivf rotated out round 5: knn_recall_ladder composes IVF/LSH
+    assert {"knn_bruteforce", "knn_lsh", "knn_recall_ladder"} <= p
     assert {"text_lang_quality", "doc_tfidf_topk", "pii_scrub",
             "corpus_gopher_rules"} <= p                        # text
-    assert {"multimodal_features", "multimodal_bmp_decode"} <= p
-    # round-4 rotation: streaming + ANN recall evidence enter the window
-    assert {"events_stream_tumbling_counts", "events_stream_distinct_users",
-            "knn_recall_ladder"} <= p
+    # round-5 rotation: the compressed-codec decode joins the BMP rep
+    assert {"multimodal_features", "multimodal_bmp_decode",
+            "multimodal_gif_decode"} <= p
+    # round-5 rotation: the two HARD streaming semantics are graded
+    # (tumbling/distinct, graded green in r4, moved just past the prefix)
+    assert {"events_stream_watermark_append", "events_stream_stream_join"} <= p
     assert {"lineitem_percentiles", "events_median_by_type",
             "events_hll_daily_users", "customer_rfm"} <= p
     assert {"udtf_bigrams_topk",
