@@ -84,18 +84,37 @@ def lang_id(text: Column) -> Column:
 
 
 def quality_score(text: Column) -> Column:
-    """0..1 heuristic: token volume, lexical diversity, alphabetic ratio.
-    Pure double arithmetic — identical in DuckDB."""
+    """0..1 heuristic: token volume, lexical diversity, alphabetic ratio
+    — emitted as an EXACT micro-rounded score. quality =
+    round_half_up(1e6·(0.4·min(1,n/100) + 0.3·d/n + 0.3·a/c)) / 1e6,
+    computed entirely in int64 over the common denominator n·c, with one
+    exact (remainder-subtracted) decimal division at the end. Both
+    engines evaluate the same integers, so the 6th digit can never
+    straddle a float-rounding boundary — the sf1 differential surfaced a
+    doc whose double-sum sat exactly on a half-ulp of the 6th digit and
+    Spark/DuckDB rounded it apart. int64-safe while n·c ≤ ~4.6e12 (a
+    single document of ~2M tokens × ~2M chars); ANSI mode makes any
+    overflow loud, never wrong."""
     toks = tokens(text)
-    n = F.size(toks).cast("double")
-    distinct_ratio = F.when(
-        n > 0, F.size(F.array_distinct(toks)).cast("double") / n
-    ).otherwise(F.lit(0.0))
-    total_chars = F.length(text).cast("double")
-    alpha_chars = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
-    alpha_ratio = F.when(total_chars > 0, alpha_chars / total_chars).otherwise(F.lit(0.0))
-    vol = F.least(F.lit(1.0), n / F.lit(100.0))
-    return F.round(vol * 0.4 + distinct_ratio * 0.3 + alpha_ratio * 0.3, 6)
+    one = F.lit(1).cast("long")
+    n = F.size(toks).cast("long")
+    d = F.size(F.array_distinct(toks)).cast("long")
+    c = F.length(text).cast("long")
+    a = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("long")
+    m = F.least(F.lit(100).cast("long"), n)
+    n1, c1 = F.greatest(n, one), F.greatest(c, one)
+    # micro-score numerator over den = n1*c1:
+    #   0.4*min(1,n/100) -> 4000*m, 0.3*d/n -> 300000*d/n1,
+    #   0.3*a/c -> 300000*a/c1   (d=0 when n=0, a=0 when c=0)
+    num = F.lit(4000) * m * n1 * c1 + F.lit(300_000) * (d * c1 + a * n1)
+    den = n1 * c1
+    total = F.lit(2) * num + den           # round-half-up: (2*num+den)
+    twod = F.lit(2) * den                  #                 div (2*den)
+    micro = (
+        (total - total % twod).cast("decimal(38,0)")
+        / twod.cast("decimal(38,0)")       # exactly divisible -> exact
+    ).cast("long")
+    return micro.cast("double") / F.lit(1_000_000.0)
 
 
 def simhash32(toks: Column) -> Column:

@@ -865,6 +865,25 @@ def _sql_hash64(expr: str, salt: str | None = None) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
+def _sql_quality(tok_expr: str, text_expr: str) -> str:
+    """DuckDB mirror of textstats.quality_score — the same int64
+    micro-score arithmetic (see its docstring: round-half-up of the
+    exact rational over denominator n1*c1), so both engines produce the
+    identical 6-digit score bit-for-bit."""
+    n = f"len({tok_expr})"
+    d = f"len(list_distinct({tok_expr}))"
+    c = f"length({text_expr})"
+    a = f"length(regexp_replace({text_expr}, '[^A-Za-z]', '', 'g'))"
+    n1 = f"greatest({n}, 1)"
+    c1 = f"greatest({c}, 1)"
+    num = (
+        f"(4000 * least(100, {n}) * {n1} * {c1}"
+        f" + 300000 * ({d} * {c1} + {a} * {n1}))"
+    )
+    den = f"({n1} * {c1})"
+    return f"(((2 * {num} + {den}) // (2 * {den}))::BIGINT / 1000000.0)"
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -1475,12 +1494,7 @@ def _sql_lang_case() -> str:
     SELECT doc_id, lang,
            {_sql_lang_case()} AS lang_guess,
            len(t) AS n_tokens,
-           round(least(1.0, len(t) / 100.0) * 0.4
-                 + (CASE WHEN len(t) > 0
-                         THEN len(list_distinct(t))::DOUBLE / len(t) ELSE 0 END) * 0.3
-                 + (CASE WHEN length(text) > 0
-                         THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
-                              / length(text) ELSE 0 END) * 0.3, 6) AS quality
+           {_sql_quality('t', 'text')} AS quality
     FROM toks ORDER BY doc_id
     """,
 )
@@ -3499,12 +3513,7 @@ def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
       SELECT source,
-             round(least(1.0, len(t) / 100.0) * 0.4
-                   + (CASE WHEN len(t) > 0
-                           THEN len(list_distinct(t))::DOUBLE / len(t) ELSE 0 END) * 0.3
-                   + (CASE WHEN length(text) > 0
-                           THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
-                                / length(text) ELSE 0 END) * 0.3, 6) AS quality
+             {_sql_quality('t', 'text')} AS quality
       FROM toks
     )
     SELECT source,
@@ -3780,12 +3789,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
              (e.doc_id IS NOT NULL) AS is_exact,
              (e.doc_id IS NOT NULL AND
               (c.cluster_id IS NULL OR d.doc_id = c.cluster_id)) AS is_keep,
-             round(least(1.0, len(t.t) / 100.0) * 0.4
-                   + (CASE WHEN len(t.t) > 0
-                           THEN len(list_distinct(t.t))::DOUBLE / len(t.t) ELSE 0 END) * 0.3
-                   + (CASE WHEN length(d.text) > 0
-                           THEN length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))::DOUBLE
-                                / length(d.text) ELSE 0 END) * 0.3, 6) AS quality,
+             {_sql_quality('t.t', 'd.text')} AS quality,
              len(t.t) AS ntok
       FROM documents d
       JOIN toks t ON t.doc_id = d.doc_id
