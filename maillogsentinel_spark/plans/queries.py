@@ -5229,35 +5229,49 @@ def q_corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_entity_resolution_usernames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked entity resolution: near-identical usernames (edit
-    distance exactly 1) found by equi-joining on a cheap blocking key
-    — (length, first id character) — before the expensive pairwise
-    levenshtein. The standard blocking trade: comparisons collapse
-    from O(n²) to within-block pairs (measured 7.4 s → ~1 s at sf0.1),
-    at the cost of recall on pairs that differ IN the blocking
-    character itself — the knob every production ER pipeline documents.
-    Spark and DuckDB share one levenshtein definition, so the oracle is
-    exact over the same candidate set."""
+    """Entity resolution for near-identical usernames (edit distance
+    exactly 1 within the blocking contract) via the DELETION-NEIGHBORHOOD
+    equi-join (FastSS): equal-length strings at levenshtein 1 differ in
+    exactly one substitution, so each username emits one (position,
+    prefix, suffix) key per character and matching keys ARE the pairs —
+    a pure equi-join with per-key groups bounded by the alphabet, never
+    a within-block all-pairs. This replaced a (length, 5th-char) block +
+    pairwise levenshtein whose biggest block grows O(n) and made ONE
+    task compute O(n²/b²) comparisons — 253 s at sf1 (15k users, 12.5M
+    pairs in the hot block) vs ~3 s for this shape, identical output.
+    The blocking recall knob is preserved: position 5 (the old blocking
+    character) is excluded, so pairs differing there stay unmatched —
+    and the DuckDB oracle still runs the ORIGINAL blocked+levenshtein
+    formulation, cross-checking the neighborhood algorithm against the
+    naive one rather than against itself."""
     ev = _t(spark, sf_dir, "events")
     users = ev.select(
         F.concat(
             F.lit("user"), F.col("user_id").cast("string"), F.lit("@example.com")
         ).alias("u")
     ).distinct()
-    blocked = users.select(
-        "u", F.length("u").alias("len"), F.substring("u", 5, 1).alias("b1")
+    L = F.length("u")
+    ks = F.transform(
+        F.sequence(F.lit(1), L),
+        lambda i: F.struct(
+            i.alias("i"),
+            F.substr(F.col("u"), F.lit(1), i - 1).alias("pre"),
+            F.substr(F.col("u"), i + 1, L).alias("suf"),
+        ),
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.len") == F.col("b.len"))
-            & (F.col("a.b1") == F.col("b.b1"))
-            & (F.col("a.u") < F.col("b.u")),
-        )
-        .filter(F.levenshtein(F.col("a.u"), F.col("b.u")) == 1)
-        .select(F.col("a.u").alias("user_a"), F.col("b.u").alias("user_b"))
+    keyed = (
+        users.select("u", F.explode(ks).alias("k"))
+        .select("u", "k.i", "k.pre", "k.suf")
+        .filter(F.col("i") != 5)  # the documented blocking-recall knob
     )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.i") == F.col("b.i"))
+        & (F.col("a.pre") == F.col("b.pre"))
+        & (F.col("a.suf") == F.col("b.suf"))
+        & (F.col("a.u") < F.col("b.u")),
+    ).select(F.col("a.u").alias("user_a"), F.col("b.u").alias("user_b"))
     return pairs.orderBy("user_a", "user_b")
 
 
