@@ -8152,6 +8152,171 @@ def q_events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@query(
+    "events_scd2_type_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered
+    ),
+    per AS (
+      SELECT user_id, event_type, run_id,
+             min(ts) AS valid_from, count(*)::BIGINT AS n_events
+      FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           n_events
+    FROM per ORDER BY user_id, valid_from
+    """,
+)
+def q_events_scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE-2 history build — the CDC-apply
+    primitive every warehouse/training-data pipeline needs: collapse a
+    per-key change log (events ordered by ts) into contiguous validity
+    intervals [valid_from, valid_to) per state, open-ended (NULL
+    valid_to) for the current state. Gaps-and-islands via lag → change
+    flag → running sum, all inside PARTITION BY user_id windows — the
+    shuffle key is the entity key, no global ordering anywhere, so the
+    plan is one hash exchange + sorted windows per partition and scales
+    linearly with keys. Ordering ties broken by event_id so both
+    engines see an identical change sequence."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        (~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")))
+        .cast("int")
+        .alias("chg")
+    )
+    runs = ev.select("user_id", "event_type", "ts", "event_id", chg).withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    return per.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+    ).orderBy("user_id", "valid_from")
+
+
+@query(
+    "events_stream_left_outer_join",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    -- global watermark = min over both inputs' (floor-to-ms(max ts) -
+    -- 1 h): Spark tracks per-source event-time stats in ms and takes
+    -- the MIN across watermarked inputs (multipleWatermarkPolicy=min)
+    wm AS (
+      SELECT least(
+               make_timestamp(epoch_ms((SELECT max(c_ts) FROM c)) * 1000),
+               make_timestamp(epoch_ms((SELECT max(p_ts) FROM p)) * 1000)
+             ) - INTERVAL 1 HOUR AS w
+    ),
+    matched AS (
+      SELECT c.user_id, c.click_id, p.purchase_id, c.c_ts
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id, click_id, purchase_id FROM matched
+    UNION ALL
+    SELECT c.user_id, c.click_id, NULL AS purchase_id
+    FROM c
+    WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+      -- null-padding emits when the left row's last possible match time
+      -- (c_ts + 30 min) falls strictly below the final watermark: state
+      -- eviction, not match, produces these rows
+      AND c.c_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
+def q_events_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join ORACLE-PINNED — the hardest
+    delivery semantics in Structured Streaming: matches emit eagerly
+    (inner semantics) but the null-padded rows for match-less clicks
+    can only emit when the click's state is EVICTED — once the global
+    watermark (min over both sides' per-source watermarks) passes the
+    click's last possible match time c_ts + 30 min. Rows above the
+    final watermark are withheld even if match-less: emitting them
+    would be premature (a matching purchase could still arrive). The
+    DuckDB oracle states the contract directly: inner range join ∪
+    (anti-join ∧ c_ts + 30 min < watermark). An engine that pads too
+    early, too late, or computes the watermark from one side instead
+    of the min across both changes the emitted row SET. availableNow's
+    final no-new-data batch performs the eviction pass that flushes
+    the null-padded rows."""
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def stream():
+        return _norm_events_ts(
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .selectExpr("user_id AS c_user", "event_id AS click_id", "ts AS c_ts")
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .selectExpr("user_id AS p_user", "event_id AS purchase_id", "ts AS p_ts")
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts"
+            " AND p_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+        "leftOuter",
+    )
+    name = f"stream_sslo_{next(_STREAM_SEQ)}"
+    with _stream_run(spark) as ckpt:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+        .orderBy("user_id", "click_id", "purchase_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order for grading. The driver's correctness harness grades a
 # bounded PREFIX of the registered inventory (round 1: exactly the first 50
