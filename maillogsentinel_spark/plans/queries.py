@@ -24,7 +24,7 @@ from contextlib import contextmanager
 from typing import Callable
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.ip import ip_to_long
@@ -882,6 +882,43 @@ def _sql_quality(tok_expr: str, text_expr: str) -> str:
     )
     den = f"({n1} * {c1})"
     return f"(((2 * {num} + {den}) // (2 * {den}))::BIGINT / 1000000.0)"
+
+
+def _mean6_micro(col_name: str) -> Column:
+    """Exact mean of round(·,6)-valued columns, as an aggregate
+    expression: sum in DECIMAL(18,6) (order-insensitive), scale to int64
+    micro-units, then round-half-away-from-zero via exact integer
+    arithmetic (remainder-subtracted decimal division — the
+    quality_score idiom). A decimal sum alone is NOT enough: the final
+    round(S/n, 6) on a DOUBLE still diverges when S/n lands exactly on a
+    6th-digit half (the sf1 differential hit S/n = 0.7894065 — Spark's
+    HALF_UP on the double's exact binary value rounded DOWN, DuckDB's
+    scaled-multiply round rounded UP). Here both engines evaluate the
+    same integers, so no boundary exists. Emits DOUBLE micro/1e6."""
+    sm = (F.sum(F.col(col_name).cast("decimal(18,6)")) * 1000000).cast(
+        "long"
+    )
+    n = F.count(F.lit(1))
+    sgn = F.when(sm < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    total = F.lit(2) * F.abs(sm) + n
+    twod = F.lit(2) * n
+    q = (
+        (total - total % twod).cast("decimal(38,0)")
+        / twod.cast("decimal(38,0)")
+    ).cast("long")
+    return (sgn * q).cast("double") / F.lit(1_000_000.0)
+
+
+def _sql_mean6(expr: str) -> str:
+    """DuckDB mirror of _mean6_micro — identical int64 micro-unit
+    arithmetic (// floors, operands made non-negative via abs, sign
+    reapplied), so both engines emit bit-identical DOUBLEs."""
+    sm = f"CAST(sum(CAST({expr} AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+    return (
+        f"((CASE WHEN {sm} < 0 THEN -1 ELSE 1 END)"
+        f" * ((2 * abs({sm}) + count(*)) // (2 * count(*))))"
+        f" / 1000000.0"
+    )
 
 
 @query(
@@ -6537,7 +6574,7 @@ def q_embedding_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "docs_ccnet_buckets",
-    oracle="""
+    oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     uni AS (SELECT toks[i+1] AS w, count(*) AS c
             FROM t, unnest(range(len(toks))) AS u(i) GROUP BY 1),
@@ -6564,7 +6601,9 @@ def q_embedding_gram_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                 ELSE 'tail' END AS bucket,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(avg(avg_log2p), 6) AS mean_log2p,
+           -- integer-exact micro-mean of the 6-place scores
+           -- (_sql_mean6; the sf1 half-boundary lesson)
+           {_sql_mean6('avg_log2p')} AS mean_log2p,
            round(min(avg_log2p), 6) AS min_log2p,
            round(max(avg_log2p), 6) AS max_log2p
     FROM b GROUP BY lang, tercile ORDER BY lang, bucket
@@ -6596,7 +6635,7 @@ def q_docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.groupBy("lang", "tercile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("avg_log2p"), 6).alias("mean_log2p"),
+            _mean6_micro("avg_log2p").alias("mean_log2p"),
             F.round(F.min("avg_log2p"), 6).alias("min_log2p"),
             F.round(F.max("avg_log2p"), 6).alias("max_log2p"),
         )
@@ -6979,7 +7018,9 @@ def q_events_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY f.doc_id, f.source
     )
     SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-           round(avg(w), 6) AS avg_w,
+           -- integer-exact micro-mean of the 6-place w values
+           -- (_sql_mean6; the sf1 half-boundary lesson)
+           {_sql_mean6('w')} AS avg_w,
            round(min(w), 6) AS min_w,
            round(max(w), 6) AS max_w
     FROM dw GROUP BY source ORDER BY source
@@ -7033,7 +7074,7 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         dw.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.round(F.avg("w"), 6).alias("avg_w"),
+            _mean6_micro("w").alias("avg_w"),
             F.round(F.min("w"), 6).alias("min_w"),
             F.round(F.max("w"), 6).alias("max_w"),
         )
@@ -7099,7 +7140,10 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT least(da.source, db.source) AS source_a,
            greatest(da.source, db.source) AS source_b,
            CAST(count(*) AS BIGINT) AS n_pairs,
-           round(avg(p.jaccard), 6) AS avg_jaccard
+           -- integer-exact micro-mean (_sql_mean6): sf1 hit S/n =
+           -- 0.7894065 exactly and the engines' round(DOUBLE, 6)
+           -- disagreed; int64 arithmetic has no such boundary
+           {_sql_mean6('p.jaccard')} AS avg_jaccard
     FROM pairs p JOIN documents da ON p.id_a = da.doc_id
                  JOIN documents db ON p.id_b = db.doc_id
     GROUP BY 1, 2 ORDER BY source_a, source_b
@@ -7131,7 +7175,9 @@ def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+            # integer-exact micro-mean — see _mean6_micro (sf1 hit an
+            # exact 6th-digit half and the engines rounded it apart)
+            _mean6_micro("jaccard").alias("avg_jaccard"),
         )
         .orderBy("source_a", "source_b")
     )

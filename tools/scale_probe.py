@@ -6,7 +6,10 @@ records null — so a handful of quadratic-density outliers (the
 shared-shingle pair family at a fixed 31-word vocab grows ~n² pairs)
 can't stall the whole sweep.
 
-Usage: python tools/scale_probe.py SF_DIR [budget_sec] [out.json]
+Usage: python tools/scale_probe.py SF_DIR [budget_sec] [out.json] [query ...]
+(query names, when given, restrict the probe to that subset — used for
+the Spark-side-only timings of queries whose DuckDB oracle cannot run
+at the target SF, e.g. the iterative graph CTEs at sf1)
 """
 
 from __future__ import annotations
@@ -23,6 +26,7 @@ def main() -> int:
     sf_dir = sys.argv[1]
     budget = float(sys.argv[2]) if len(sys.argv) > 2 else 300.0
     out_path = sys.argv[3] if len(sys.argv) > 3 else None
+    only = set(sys.argv[4:])
 
     from maillogsentinel_spark.plans.queries import QUERIES
     from maillogsentinel_spark.session import get_spark
@@ -41,6 +45,8 @@ def main() -> int:
 
     results: dict[str, float | None] = {}
     for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
         done = threading.Event()
 
         def watchdog():
