@@ -8220,7 +8220,11 @@ def q_events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM runs GROUP BY user_id, event_type, run_id
     )
     SELECT user_id, event_type, valid_from,
-           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           -- run_id tiebreak: two runs of one user can share valid_from
+           -- (state changes at the same ts), and lead() must see the
+           -- identical order in both engines
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, run_id)
              AS valid_to,
            n_events
     FROM per ORDER BY user_id, valid_from
@@ -8252,7 +8256,9 @@ def q_events_scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("valid_from"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
-    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    # run_id tiebreak mirrors the oracle: same-ts state changes make
+    # valid_from ties possible, and lead() must see one order
+    wv = Window.partitionBy("user_id").orderBy("valid_from", "run_id")
     return per.select(
         "user_id",
         "event_type",
