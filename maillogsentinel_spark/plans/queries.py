@@ -921,6 +921,30 @@ def _sql_mean6(expr: str) -> str:
     )
 
 
+def _ratio6_micro(num: Column, den: Column) -> Column:
+    """round-half-up(1e6·num/den)/1e6 over exact NON-NEGATIVE integer
+    Columns — the single-division sibling of _mean6_micro. A plain a/b
+    of the same exact ints IS the same double in both engines, but
+    round(DOUBLE, 6) of it is not engine-portable when the rational is
+    an exact 6th-digit half (101/128 = 0.7890625 ties at the 7th
+    digit); integer arithmetic has no such boundary."""
+    total = F.lit(2) * num * F.lit(1_000_000) + den
+    twod = F.lit(2) * den
+    q = (
+        (total - total % twod).cast("decimal(38,0)")
+        / twod.cast("decimal(38,0)")
+    ).cast("long")
+    return q.cast("double") / F.lit(1_000_000.0)
+
+
+def _sql_ratio6(num: str, den: str) -> str:
+    """DuckDB mirror of _ratio6_micro (same integers both sides)."""
+    return (
+        f"(((2 * {num} * 1000000 + {den}) // (2 * {den}))::BIGINT"
+        f" / 1000000.0)"
+    )
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -7180,6 +7204,59 @@ def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             _mean6_micro("jaccard").alias("avg_jaccard"),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+@query(
+    "dedup_soft_reweight",
+    oracle=f"""
+    WITH k AS (
+      SELECT md5(text) AS h, count(*) AS k FROM documents GROUP BY 1
+    ),
+    d AS (
+      SELECT doc.source, k.h, k.k
+      FROM documents doc JOIN k ON md5(doc.text) = k.h
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_texts,
+           {_sql_mean6('k')} AS dup_exposure,
+           {_sql_ratio6('count(DISTINCT h)', 'count(*)')} AS keep_frac
+    FROM d GROUP BY source ORDER BY source
+    """,
+)
+def q_dedup_soft_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-dedup reweighting profile (the SoftDeDup idea — downweight
+    common documents instead of hard-dropping them): per source, how
+    duplicated is the data a sampler would draw? dup_exposure is the
+    doc-weighted mean GLOBAL exact-dup cluster size (1.0 = no doc has a
+    twin anywhere; 2.0 = the average draw has one), keep_frac the
+    fraction a hard exact-dedup would retain. Shape: one shuffle on the
+    content hash (the dedup_exact shuffle) to size clusters, a
+    hash-keyed join back (AQE co-partitions the two sides of the same
+    key), then a map-side-partial per-source agg over ~|sources| rows —
+    every stage keyed, nothing all-pairs, so the plan is
+    scale-indifferent. Both ratio columns use the int64 micro-unit
+    arithmetic (_mean6_micro/_ratio6_micro): means and single divisions
+    of exact ints can land on exact 6th-digit halves where the engines'
+    double round() disagree (the sf1 lesson)."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    k = docs.groupBy(h.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    d = docs.select("source", h.alias("h")).join(k, "h")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct(F.col("h")).cast("long").alias("n_texts"),
+            _mean6_micro("k").alias("dup_exposure"),
+            _ratio6_micro(
+                F.count_distinct(F.col("h")), F.count(F.lit(1))
+            ).alias("keep_frac"),
+        )
+        .orderBy("source")
     )
 
 

@@ -132,6 +132,107 @@ def test_streaming_windowed_agg_checkpoint_resume(spark, tmp_path):
     assert final[max(k for k in final if k[1] == "alice")] == 2
 
 
+def test_stream_stream_join_checkpoint_resume(spark, tmp_path):
+    """Kill-and-resume for the STREAM-STREAM join — the heaviest state
+    restore path (four state stores per partition per side). Phase 1
+    drains a file whose left row for uid=2 has no partner yet; after a
+    stop, phase 2's file carries ONLY the matching right row. The
+    resumed incarnation reads only the new file, so the (102, 202)
+    match can emit ONLY if the left side's join state was restored from
+    the checkpoint. foreachBatch sink (memory sink cannot recover from
+    a checkpoint — documented pitfall); final row set must equal the
+    batch inner join over both files."""
+    from pyspark.sql import Row, functions as F
+
+    src = tmp_path / "jrows"
+    src.mkdir()
+    ckpt = str(tmp_path / "jckpt")
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "stage"))
+        import shutil, glob
+
+        part = glob.glob(str(tmp_path / "stage" / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / name))
+
+    def ts(minute):
+        import datetime
+
+        return datetime.datetime(2025, 3, 1, 10, minute)
+
+    write_file(
+        "a.parquet",
+        [
+            Row(side="l", uid=1, eid=101, ts=ts(0)),
+            Row(side="l", uid=2, eid=102, ts=ts(5)),
+            Row(side="r", uid=1, eid=201, ts=ts(10)),
+        ],
+    )
+
+    matches = set()
+
+    def sink(batch_df, batch_id):
+        matches.update(
+            (r["l_eid"], r["r_eid"]) for r in batch_df.collect()
+        )
+
+    schema = spark.read.parquet(str(src / "a.parquet")).schema
+
+    def run():
+        s = spark.readStream.schema(schema).parquet(str(src))
+        left = (
+            s.filter(F.col("side") == "l")
+            .selectExpr("uid AS l_uid", "eid AS l_eid", "ts AS l_ts")
+            .withWatermark("l_ts", "1 hour")
+        )
+        right = (
+            s.filter(F.col("side") == "r")
+            .selectExpr("uid AS r_uid", "eid AS r_eid", "ts AS r_ts")
+            .withWatermark("r_ts", "1 hour")
+        )
+        j = left.join(
+            right,
+            F.expr(
+                "l_uid = r_uid AND r_ts >= l_ts"
+                " AND r_ts <= l_ts + INTERVAL 30 MINUTES"
+            ),
+        )
+        q = (
+            j.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()  # first incarnation: only (101, 201) can match
+    assert matches == {(101, 201)}
+
+    # "crash"; the partner for uid=2 arrives in a NEW file
+    write_file("b.parquet", [Row(side="r", uid=2, eid=202, ts=ts(20))])
+    run()  # resumed incarnation reads only b.parquet
+
+    assert matches == {(101, 201), (102, 202)}
+
+    # oracle: batch inner join over everything both incarnations saw
+    b = spark.read.schema(schema).parquet(str(src))
+    bl = b.filter("side = 'l'").selectExpr("uid u", "eid le", "ts lt")
+    br = b.filter("side = 'r'").selectExpr("uid u", "eid re", "ts rt")
+    expect = {
+        (r["le"], r["re"])
+        for r in bl.join(
+            br,
+            (bl.u == br.u)
+            & (br.rt >= bl.lt)
+            & (br.rt <= bl.lt + F.expr("INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+    assert matches == expect
+
+
 def test_streaming_sessions_gap_close(spark, tmp_path):
     """Built-in session_window: two bursts separated by > gap become two
     sessions; append mode emits only sessions finalized by watermark."""
