@@ -5878,6 +5878,41 @@ def q_events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_heavy_hitters_exact",
+    oracle=f"""
+    WITH tot AS (SELECT count(*) AS n FROM events WHERE event_type IS NOT NULL),
+    c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+          FROM events WHERE event_type IS NOT NULL GROUP BY 1)
+    SELECT event_type, cnt, {_sql_ratio6('cnt', 'n')} AS share
+    FROM c, tot WHERE cnt * 5 > n
+    ORDER BY cnt DESC, event_type
+    """,
+)
+def q_events_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (count > N/(k+1), k=4) without shuffling the
+    key domain: per-partition capacity-k Misra-Gries summaries via
+    mapInPandas (mergeable add-then-subtract rule, <= k rows out per
+    partition — a guaranteed SUPERSET of the true heavy hitters by
+    pigeonhole), then a broadcast left-semi recount of the candidates
+    and the exact threshold filter, so the result is bit-identical to
+    the oracle's one-shuffle GROUP BY ... HAVING (operators/
+    heavy_hitters.py). At this SF the boundary is live: three of the
+    five event types clear N/5, the other two miss by <1% — an
+    off-by-one (>= for >) or a dropped true candidate flips rows. The
+    100 TB story is the point: the stream never shuffles, candidates
+    are <= k*P rows, and the recount aggregates <= k*P keys."""
+    from ..operators.heavy_hitters import heavy_hitters_exact
+
+    ev = _t(spark, sf_dir, "events", repartition=True)
+    hh, n = heavy_hitters_exact(ev.select("event_type"), "event_type", k=4)
+    return hh.select(
+        "event_type",
+        "cnt",
+        _ratio6_micro(F.col("cnt"), F.lit(n)).alias("share"),
+    ).orderBy(F.desc("cnt"), "event_type")
+
+
+@query(
     "docs_train_val_split",
     oracle="""
     WITH a AS (
