@@ -1,0 +1,68 @@
+"""Z-order (Morton) interleave for multi-dimensional data layout.
+
+At 100 TB the cheapest scan is the one that never happens: parquet
+row-group min/max stats prune a predicate only along the sort
+dimension, so a store sorted by day answers day filters and nothing
+else. Writing files in Z-VALUE order gives every file a tight
+min/max box in ALL interleaved dimensions at once — a predicate on
+either dimension (or both) skips most files. This module provides the
+deterministic integer kernel for that writer: normalize each dimension
+to a fixed bit budget over its observed [min, max], then interleave
+the bits. Everything is integer arithmetic expressible identically in
+Spark Column algebra and ANSI SQL, so the layout query's DuckDB oracle
+re-derives the exact z-values and bucket boundaries
+(plans/queries.events_zorder_layout pins all 2*bits interleave terms).
+
+The normalize-then-interleave shape is the standard one (Bayer's UB-
+tree lineage; Delta/Iceberg OPTIMIZE ZORDER does the same rank-or-
+range normalization before interleaving). Range normalization is used
+here because it needs only two scalars per dimension — rank
+normalization would need a per-dimension global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def z_normalize(col: Column, minv: int, maxv: int, bits: int = 16) -> Column:
+    """Map an integer column from [minv, maxv] onto [0, 2^bits - 1]
+    by exact integer scaling (floor division — no doubles anywhere)."""
+    top = (1 << bits) - 1
+    span = max(maxv - minv, 1)
+    scaled = (col.cast("long") - F.lit(minv)) * F.lit(top)
+    return ((scaled - scaled % F.lit(span)) / F.lit(span)).cast("long")
+
+
+def sql_z_normalize(expr: str, minv: int, maxv: int, bits: int = 16) -> str:
+    top = (1 << bits) - 1
+    span = max(maxv - minv, 1)
+    return f"((({expr}) - {minv}) * {top} // {span})"
+
+
+def z_interleave(u: Column, v: Column, bits: int = 16) -> Column:
+    """Morton code of two normalized ints: u's bit i lands at 2i+1,
+    v's at 2i. A flat sum of shift/mask terms — one codegen'd
+    expression, no UDF, no shuffle."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(u.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(v.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def sql_z_interleave(u: str, v: str, bits: int = 16) -> str:
+    """DuckDB mirror of z_interleave over the same normalized ints."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({u}) >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((({v}) >> {i}) & 1) << {2 * i})")
+    return "(" + " + ".join(terms) + ")"

@@ -5912,6 +5912,70 @@ def q_events_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("cnt"), "event_type")
 
 
+def _zorder_oracle() -> str:
+    from ..operators.zorder import sql_z_interleave
+
+    day = "date_diff('day', DATE '1970-01-01', ts::DATE)"
+    nu = "((u - umin) * 65535 // greatest(umax - umin, 1))"
+    nd = "((d - dmin) * 65535 // greatest(dmax - dmin, 1))"
+    return f"""
+    WITH pts AS (SELECT user_id AS u, {day} AS d FROM events),
+    b AS (SELECT min(u) umin, max(u) umax, min(d) dmin, max(d) dmax
+          FROM pts),
+    z AS (SELECT u, d, {sql_z_interleave(nu, nd)} AS z FROM pts, b)
+    SELECT (z >> 26) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(u) AS BIGINT) AS u_min, CAST(max(u) AS BIGINT) AS u_max,
+           CAST(min(d) AS BIGINT) AS d_min, CAST(max(d) AS BIGINT) AS d_max
+    FROM z GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("events_zorder_layout", oracle=_zorder_oracle())
+def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout profile over (user_id, day) — the
+    write-side answer to "which files can a 100 TB scan skip?": files
+    written in z-value order carry tight parquet min/max boxes in BOTH
+    dimensions, so predicates on either prune most of the store (the
+    Delta/Iceberg OPTIMIZE ZORDER shape). The kernel is range
+    normalization to 16 bits + a 64-term shift/mask interleave — one
+    codegen'd integer expression, no UDF (operators/zorder.py); the
+    oracle re-derives every interleave bit, so a single wrong shift
+    moves rows across bucket boundaries and fails the hash. Output =
+    per-64-bucket row count and the min/max box of each dimension (the
+    stats a writer would stamp on each file). Plan: two scalars per
+    dimension from a column-pruned agg, then a map-only z computation
+    and ONE keyed agg over 64 buckets."""
+    from ..operators.zorder import z_interleave, z_normalize
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("user_id").alias("u"),
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+        .cast("long")
+        .alias("d"),
+    )
+    umin, umax, dmin, dmax = pts.agg(
+        F.min("u"), F.max("u"), F.min("d"), F.max("d")
+    ).collect()[0]
+    z = z_interleave(
+        z_normalize(F.col("u"), int(umin), int(umax)),
+        z_normalize(F.col("d"), int(dmin), int(dmax)),
+    )
+    return (
+        pts.select("u", "d", F.shiftright(z, 26).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("u").cast("long").alias("u_min"),
+            F.max("u").cast("long").alias("u_max"),
+            F.min("d").cast("long").alias("d_min"),
+            F.max("d").cast("long").alias("d_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
 @query(
     "docs_train_val_split",
     oracle="""

@@ -1,0 +1,69 @@
+"""Z-order layout kernel (operators/zorder.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from maillogsentinel_spark.operators.zorder import z_interleave, z_normalize
+
+
+def _morton_py(u: int, v: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((u >> i) & 1) << (2 * i + 1)
+        z |= ((v >> i) & 1) << (2 * i)
+    return z
+
+
+def test_interleave_matches_python_reference(spark):
+    pairs = [(0, 0), (1, 0), (0, 1), (65535, 0), (0, 65535),
+             (12345, 54321), (65535, 65535)]
+    df = spark.createDataFrame(pairs, ["u", "v"])
+    got = {
+        (r["u"], r["v"]): r["z"]
+        for r in df.select(
+            "u", "v", z_interleave(F.col("u"), F.col("v")).alias("z")
+        ).collect()
+    }
+    for u, v in pairs:
+        assert got[(u, v)] == _morton_py(u, v), (u, v)
+
+
+def test_normalize_bounds_and_degenerate_span(spark):
+    df = spark.createDataFrame([(0,), (50,), (100,)], ["x"])
+    vals = [
+        r["n"]
+        for r in df.select(z_normalize(F.col("x"), 0, 100).alias("n"))
+        .orderBy("x")
+        .collect()
+    ]
+    assert vals[0] == 0 and vals[-1] == 65535 and 0 < vals[1] < 65535
+    # min == max must not divide by zero
+    one = spark.createDataFrame([(5,)], ["x"]).select(
+        z_normalize(F.col("x"), 5, 5).alias("n")
+    )
+    assert one.collect()[0]["n"] == 0
+
+
+def test_zorder_buckets_shrink_both_dims(spark):
+    # uniform grid: a z-bucket's box must be tight in BOTH dims, unlike
+    # a row-order layout which is tight in at most one.
+    pts = [(u, v) for u in range(32) for v in range(32)]
+    df = spark.createDataFrame(pts, ["u", "v"])
+    z = z_interleave(
+        z_normalize(F.col("u"), 0, 31), z_normalize(F.col("v"), 0, 31)
+    )
+    boxes = (
+        df.select("u", "v", F.shiftright(z, 26).alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("u") - F.min("u")).alias("us"),
+            (F.max("v") - F.min("v")).alias("vs"),
+        )
+        .collect()
+    )
+    assert sum(r["n"] for r in boxes) == 1024
+    assert len(boxes) == 64  # all top-6-bit buckets hit on a full grid
+    # every bucket's box spans <= 1/4 of each dimension's full range
+    assert all(r["us"] <= 8 and r["vs"] <= 8 for r in boxes)
