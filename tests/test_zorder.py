@@ -45,6 +45,43 @@ def test_normalize_bounds_and_degenerate_span(spark):
     assert one.collect()[0]["n"] == 0
 
 
+def test_zorder_write_prunes_both_dims(spark, tmp_path):
+    """Executed data-skipping evidence: write the same points as 16
+    z-ordered files vs 16 u-sorted files; a selective box predicate on
+    (u, v) must intersect the min/max stats of FEWER z-ordered files,
+    and a v-only predicate must prune z-ordered files at all (u-sorted
+    files can never prune on v)."""
+    import glob
+
+    pts = [(u, v) for u in range(64) for v in range(64)]
+    df = spark.createDataFrame(pts, ["u", "v"])
+    z = z_interleave(
+        z_normalize(F.col("u"), 0, 63), z_normalize(F.col("v"), 0, 63)
+    )
+
+    zdir, udir = str(tmp_path / "zord"), str(tmp_path / "uord")
+    df.withColumn("z", z).repartitionByRange(16, "z").drop("z") \
+        .write.parquet(zdir)
+    df.repartitionByRange(16, "u").write.parquet(udir)
+
+    def files_hit(d, lo_u, hi_u, lo_v, hi_v):
+        hit = 0
+        for f in glob.glob(d + "/part-*.parquet"):
+            stats = spark.read.parquet(f).agg(
+                F.min("u"), F.max("u"), F.min("v"), F.max("v")
+            ).collect()[0]
+            if stats[0] <= hi_u and stats[1] >= lo_u \
+                    and stats[2] <= hi_v and stats[3] >= lo_v:
+                hit += 1
+        return hit
+
+    # 1/16th box in both dims: z-layout touches a handful of files
+    assert files_hit(zdir, 0, 15, 0, 15) <= 4
+    # v-only predicate: u-sorted layout reads EVERY file, z-layout skips
+    assert files_hit(udir, 0, 63, 0, 15) == 16
+    assert files_hit(zdir, 0, 63, 0, 15) <= 8
+
+
 def test_zorder_buckets_shrink_both_dims(spark):
     # uniform grid: a z-bucket's box must be tight in BOTH dims, unlike
     # a row-order layout which is tight in at most one.
