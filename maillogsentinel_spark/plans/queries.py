@@ -8545,6 +8545,111 @@ def q_events_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "events_stream_full_outer_join",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least(
+               make_timestamp(epoch_ms((SELECT max(c_ts) FROM c)) * 1000),
+               make_timestamp(epoch_ms((SELECT max(p_ts) FROM p)) * 1000)
+             ) - INTERVAL 1 HOUR AS w
+    ),
+    matched AS (
+      SELECT c.user_id, c.click_id, p.purchase_id
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id, click_id, purchase_id FROM matched
+    UNION ALL
+    SELECT c.user_id, c.click_id, NULL AS purchase_id
+    FROM c
+    WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+      AND c.c_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+    UNION ALL
+    -- right-side eviction is symmetric THROUGH THE JOIN CONDITION, not
+    -- by swapping the delay: a purchase's latest matchable click time
+    -- is p_ts itself (c_ts <= p_ts), so its state evicts when the
+    -- watermark passes p_ts — no +30 min on this side
+    SELECT p.user_id, NULL AS click_id, p.purchase_id
+    FROM p
+    WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.purchase_id = p.purchase_id)
+      AND p.p_ts < (SELECT w FROM wm)
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
+def q_events_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join — completes the oracle-pinned join
+    -mode matrix (inner / left / full). Matches emit eagerly; each
+    side's null-padded rows emit only on state EVICTION under the
+    min-of-both-sides watermark, and the eviction boundary is
+    asymmetric because the range condition is: a click can still match
+    purchases up to c_ts + 30 min (evict when wm > c_ts + 30 min), but
+    a purchase's latest matchable click is at p_ts itself (evict when
+    wm > p_ts). An engine that mirrors the +30 min onto the right side
+    — the natural wrong guess — emits a different right-padded row set.
+    The oracle states the full contract: inner range join ∪ two
+    watermark-gated anti-joins with per-side boundaries."""
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def stream():
+        return _norm_events_ts(
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .selectExpr("user_id AS c_user", "event_id AS click_id", "ts AS c_ts")
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .selectExpr("user_id AS p_user", "event_id AS purchase_id", "ts AS p_ts")
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts"
+            " AND p_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+        "fullOuter",
+    )
+    name = f"stream_ssfo_{next(_STREAM_SEQ)}"
+    with _stream_run(spark) as ckpt:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.coalesce("c_user", "p_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+        )
+        .orderBy("user_id", "click_id", "purchase_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order for grading. The driver's correctness harness grades a
 # bounded PREFIX of the registered inventory (round 1: exactly the first 50
