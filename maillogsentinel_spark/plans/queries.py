@@ -5958,6 +5958,8 @@ def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     umin, umax, dmin, dmax = pts.agg(
         F.min("u"), F.max("u"), F.min("d"), F.max("d")
     ).collect()[0]
+    if umin is None:  # empty input: any constants give the empty result
+        umin = umax = dmin = dmax = 0
     z = z_interleave(
         z_normalize(F.col("u"), int(umin), int(umax)),
         z_normalize(F.col("d"), int(dmin), int(dmax)),

@@ -99,3 +99,24 @@ def test_gemm_grouped_empty(spark):
     assert _cosine_pairs_gemm(
         emb, "vec_id", "embedding", 0.5, group_col="cid"
     ).count() == 0
+
+
+def test_heavy_hitters_empty(spark):
+    from maillogsentinel_spark.operators.heavy_hitters import heavy_hitters_exact
+
+    df = spark.createDataFrame([], "k string")
+    hh, n = heavy_hitters_exact(df, "k", k=4)
+    assert n == 0 and hh.count() == 0
+
+
+def test_zorder_layout_empty(spark):
+    from maillogsentinel_spark.plans.queries import QUERIES
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        assert QUERIES["events_zorder_layout"](spark, d).count() == 0
