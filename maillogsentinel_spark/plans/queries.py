@@ -8693,15 +8693,13 @@ GRADED_PREFIX: list[str] = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_clusters",
     "embedding_cosine_pairs",
     # similarity + clustering (incl. the oracle-pinned recall ladder —
     # the approximation-quality evidence, not just the approximations)
     "knn_bruteforce",
-    "knn_lsh",
     "knn_recall_ladder",        # composes IVF/LSH/multiprobe vs exact —
-    # carries knn_ivf's in-window evidence since the round-5 rotation
+    # carries knn_ivf's AND knn_lsh's in-window evidence (r5 rotation)
     "kmeans_assign",
     # graph / entity resolution / security / embeddings — one rep each so
     # EVERY family lands inside the graded window (round-1 gap: these four
@@ -8734,11 +8732,18 @@ GRADED_PREFIX: list[str] = [
     # emission and the double-watermarked stream-stream range join
     "events_stream_watermark_append",
     "events_stream_stream_join",
+    # mid-round-5 additions, graded on arrival: the FULL OUTER join's
+    # asymmetric per-side eviction boundaries are the hardest delivery
+    # semantics in the matrix; Misra-Gries exact heavy hitters pin a
+    # live <1% threshold boundary; the z-order layout oracle pins all
+    # 64 interleave bits (dedup_simhash, knn_lsh, events_cms_user_counts
+    # rotated just past the window — each family keeps a graded rep)
+    "events_stream_full_outer_join",
+    "events_heavy_hitters_exact",
+    "events_zorder_layout",
     # behavioral + gated-ntile showcase
     "customer_rfm",
-    # sketches-with-exact-oracle + IR retrieval (never driver-graded in
-    # round 1, unlike TPC-H which was fully graded then — front-load them)
-    "events_cms_user_counts",
+    # IR retrieval (never driver-graded in round 1 — front-loaded)
     "doc_bm25_search",
 ]
 
@@ -8750,6 +8755,9 @@ _NEXT = [
     "events_stream_tumbling_counts",
     "events_stream_distinct_users",
     "knn_ivf",
+    "dedup_simhash",                # r5 mid-round swap-outs: graded green
+    "knn_lsh",                      # in r4, families keep in-window reps
+    "events_cms_user_counts",
     "token_counts_by_source",       # text rep rotated out for streaming
     "corpus_hash_sample",           # corpus rep rotated out for streaming
     "multimodal_frames",            # frame-sampling rep rotated out
