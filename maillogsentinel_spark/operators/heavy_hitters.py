@@ -82,19 +82,22 @@ def mg_candidates(keyed: DataFrame, key_col: str, k: int) -> DataFrame:
 
 
 def heavy_hitters_exact(
-    df: DataFrame, key_col: str, k: int
+    df: DataFrame, key_col: str, k: int, total: Optional[int] = None
 ) -> Tuple[DataFrame, int]:
     """(hh, N): every key with exact count*(k+1) > N, and N itself.
 
     N (the non-null key count) is one projected single-column scan —
     the price of the classic two-pass algorithm; it is a bounded scalar
-    (same posture as the report's max-day scalar). The candidate
-    ``distinct()`` shuffles <= k*P rows; the recount semi-join
-    broadcasts the candidates, so the fact stream is filtered map-side
-    and only candidate rows reach the final keyed agg.
+    (same posture as the report's max-day scalar). Pass ``total`` when
+    the caller can count more cheaply than ``df`` itself (e.g. ``df``
+    carries a repartition exchange the count doesn't need). The
+    candidate ``distinct()`` shuffles <= k*P rows; the recount
+    semi-join broadcasts the candidates, so the fact stream is
+    filtered map-side and only candidate rows reach the final keyed
+    agg.
     """
     keyed = df.select(key_col).where(F.col(key_col).isNotNull())
-    n = keyed.count()
+    n = keyed.count() if total is None else total
     cands = mg_candidates(keyed, key_col, k).distinct()
     hh = (
         keyed.join(F.broadcast(cands), key_col, "left_semi")

@@ -5903,8 +5903,17 @@ def q_events_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     are <= k*P rows, and the recount aggregates <= k*P keys."""
     from ..operators.heavy_hitters import heavy_hitters_exact
 
+    # N comes from the plain scan (column-pruned count, no exchange);
+    # only the MG/recount stream pays the scan-split-gated repartition
+    total = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull())
+        .count()
+    )
     ev = _t(spark, sf_dir, "events", repartition=True)
-    hh, n = heavy_hitters_exact(ev.select("event_type"), "event_type", k=4)
+    hh, n = heavy_hitters_exact(
+        ev.select("event_type"), "event_type", k=4, total=total
+    )
     return hh.select(
         "event_type",
         "cnt",
