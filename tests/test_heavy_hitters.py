@@ -89,3 +89,45 @@ def test_nulls_excluded_from_n_and_result(spark):
     hh, n = heavy_hitters_exact(df, "k", k=1)
     assert n == 10
     assert {(r["k"], r["cnt"]) for r in hh.collect()} == {("a", 8)}
+
+
+# --------------------------------------------------------------------------
+# Property: the MG candidate union NEVER loses a true heavy hitter, for ANY
+# key distribution, partitioning, batch size, and capacity. Pure pandas —
+# the invariant the Spark operator's correctness rests on.
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    data=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=300),
+    k=st.integers(min_value=1, max_value=6),
+    n_parts=st.integers(min_value=1, max_value=5),
+    batch=st.integers(min_value=1, max_value=17),
+    seed=st.integers(min_value=0, max_value=999),
+)
+def test_mg_candidates_never_lose_heavy_hitter(data, k, n_parts, batch, seed):
+    import random
+
+    rng = random.Random(seed)
+    parts = [[] for _ in range(n_parts)]
+    for x in data:
+        parts[rng.randrange(n_parts)].append(x)
+
+    cands = set()
+    for p in parts:
+        s = None
+        for i in range(0, len(p), batch):
+            chunk = pd.Series(p[i : i + batch]).value_counts()
+            s = _mg_merge(s, chunk, k)
+        if s is not None:
+            assert len(s) <= k  # capacity invariant per partition
+            cands |= set(s.index)
+
+    n = len(data)
+    counts = pd.Series(data).value_counts()
+    heavy = {key for key, c in counts.items() if c * (k + 1) > n}
+    assert heavy <= cands, (heavy - cands, k, n)
