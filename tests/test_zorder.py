@@ -45,6 +45,27 @@ def test_normalize_bounds_and_degenerate_span(spark):
     assert one.collect()[0]["n"] == 0
 
 
+def test_normalize_exact_at_huge_spans(spark):
+    """Long/long `/` in Spark evaluates in DOUBLE and goes off-by-one
+    past 2^53 — the normalize must floor-divide EXACTLY for spans like
+    epoch-micros or 64-bit ids (regression for the decimal-division
+    fix; e.g. v*65535 = 27519*420410398235 rounds to 27518 in double)."""
+    cases = [
+        (27519 * 420410398235 // 65535 + 1, 420410398235),
+        (10**12 - 1, 10**12),
+        (123456789012, 999999999999),
+    ]
+    df = spark.createDataFrame(cases, ["v", "mx"])
+    rows = df.collect()
+    for v, mx in [(r["v"], r["mx"]) for r in rows]:
+        got = (
+            spark.range(1)
+            .select(z_normalize(F.lit(v), 0, mx).alias("n"))
+            .collect()[0]["n"]
+        )
+        assert got == (v * 65535) // mx, (v, mx)
+
+
 def test_zorder_write_prunes_both_dims(spark, tmp_path):
     """Executed data-skipping evidence: write the same points as 16
     z-ordered files vs 16 u-sorted files; a selective box predicate on
