@@ -110,3 +110,87 @@ def compact_store(
         .parquet(path)
     )
     return n
+
+
+def upsert_events(
+    spark: SparkSession, path: str, updates: DataFrame, key: str = "event_id"
+) -> int:
+    """SCD-1 upsert (MERGE) into the day-partitioned store WITHOUT a
+    table format: rewrite ONLY the day partitions the update batch
+    touches, via Spark's dynamic partition overwrite.
+
+    Shape: (1) derive the touched day list from the update batch (a
+    bounded scalar collect — days, not rows); (2) read back just those
+    partitions (partition pruning — at 100 TB this reads the affected
+    days, never the store); (3) anti-join the old rows against the
+    update keys and union the updates; (4) write with
+    ``partitionOverwriteMode=dynamic`` so untouched days' files are
+    never rewritten or deleted. The update keys broadcast (an update
+    batch ≪ the store); the anti-join is the only join and it is
+    map-side. Returns the number of rewritten partitions.
+
+    This is the maintenance operation the reference cannot express at
+    all (its store is one append-only CSV; fixing a row means rewriting
+    the file, report.py:89-93 re-reads it every run regardless).
+    """
+    up = updates.withColumn("event_date", F.to_date("ts"))
+    days = [r["event_date"] for r in up.select("event_date").distinct().collect()]
+    if not days:
+        return 0
+    old = (
+        spark.read.parquet(path)
+        .where(F.col("event_date").isin(days))
+        .join(F.broadcast(up.select(key)), key, "left_anti")
+    )
+    merged = old.unionByName(up)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(days)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_files_per_day: int = 1,
+    predicate: str | None = None,
+) -> int:
+    """Small-file compaction for the streaming-ingest output: rewrite
+    each (optionally predicate-selected) day partition into
+    ``target_files_per_day`` files via dynamic partition overwrite.
+
+    Streaming file sinks produce one file per micro-batch per
+    partition; a year of minutely batches is ~500k tiny files whose
+    open/footer overhead dominates the scan. Compaction reads the
+    selected days (partition-pruned), repartitions WITHIN each day by
+    the partition column (so each output task owns whole days — no
+    cross-day shuffle skew), and overwrites only those days. Returns
+    the number of compacted partitions.
+    """
+    df = spark.read.parquet(path)
+    if predicate:
+        df = df.where(predicate)
+    days = [r["event_date"] for r in df.select("event_date").distinct().collect()]
+    if not days:
+        return 0
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(
+                max(len(days) * target_files_per_day, 1), "event_date"
+            )
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(days)

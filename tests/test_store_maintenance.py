@@ -1,0 +1,120 @@
+"""Store maintenance: partition-scoped upsert (MERGE) and small-file
+compaction over the day-partitioned events store (sources/store.py).
+
+The contract under test is the 100 TB one: only TOUCHED day partitions
+are rewritten — untouched days' files must survive byte-identical —
+and the merged data always round-trips exactly.
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+
+from pyspark.sql import Row, functions as F
+
+from maillogsentinel_spark.sources.store import (
+    compact_partitions,
+    upsert_events,
+    write_events,
+)
+
+
+def _ev(eid, day, user, val):
+    return Row(
+        event_id=eid,
+        ts=datetime.datetime(2025, 3, day, 10, 0),
+        user_id=user,
+        event_type="click",
+        value=float(val),
+    )
+
+
+def _store(spark, tmp_path):
+    path = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [_ev(1, 1, 10, 1.0), _ev(2, 1, 11, 2.0), _ev(3, 2, 10, 3.0),
+         _ev(4, 3, 12, 4.0)]
+    )
+    write_events(base, path, mode="overwrite")
+    return path
+
+
+def _files_for_day(path, day):
+    return sorted(
+        glob.glob(os.path.join(path, f"event_date=2025-03-0{day}", "*.parquet"))
+    )
+
+
+def test_upsert_rewrites_only_touched_days(spark, tmp_path):
+    path = _store(spark, tmp_path)
+    day3_before = [(f, os.path.getmtime(f), os.path.getsize(f))
+                   for f in _files_for_day(path, 3)]
+    assert day3_before
+
+    # update event 2 (day 1) and insert event 5 (new, day 2)
+    updates = spark.createDataFrame([_ev(2, 1, 11, 20.0), _ev(5, 2, 13, 5.0)])
+    n = upsert_events(spark, path, updates)
+    assert n == 2  # days 1 and 2 rewritten
+
+    got = {
+        (r["event_id"], r["value"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, 1.0), (2, 20.0), (3, 3.0), (4, 4.0), (5, 5.0)}
+
+    # day 3 untouched: same files, same mtimes, same sizes
+    day3_after = [(f, os.path.getmtime(f), os.path.getsize(f))
+                  for f in _files_for_day(path, 3)]
+    assert day3_after == day3_before
+
+
+def test_upsert_empty_batch_is_noop(spark, tmp_path):
+    path = _store(spark, tmp_path)
+    empty = spark.createDataFrame([], spark.read.parquet(path).drop(
+        "event_date").schema)
+    assert upsert_events(spark, path, empty) == 0
+    assert spark.read.parquet(path).count() == 4
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "store")
+    # simulate many micro-batch appends into one day
+    for i in range(5):
+        write_events(
+            spark.createDataFrame([_ev(100 + i, 1, 10, float(i))]), path
+        )
+    write_events(spark.createDataFrame([_ev(200, 2, 11, 9.0)]), path)
+    assert len(_files_for_day(path, 1)) >= 5
+    before = {
+        (r["event_id"], r["value"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+    n = compact_partitions(spark, path, target_files_per_day=1)
+    assert n == 2
+    assert len(_files_for_day(path, 1)) == 1
+    after = {
+        (r["event_id"], r["value"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert after == before
+
+
+def test_compaction_predicate_scopes_rewrite(spark, tmp_path):
+    path = str(tmp_path / "store")
+    for i in range(3):
+        write_events(
+            spark.createDataFrame([_ev(300 + i, 1, 10, float(i))]), path
+        )
+    write_events(spark.createDataFrame([_ev(400, 2, 11, 9.0)]), path)
+    day2_before = [(f, os.path.getmtime(f)) for f in _files_for_day(path, 2)]
+
+    n = compact_partitions(
+        spark, path, 1, predicate="event_date = DATE '2025-03-01'"
+    )
+    assert n == 1
+    assert len(_files_for_day(path, 1)) == 1
+    assert [(f, os.path.getmtime(f))
+            for f in _files_for_day(path, 2)] == day2_before
