@@ -194,3 +194,49 @@ def compact_partitions(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return len(days)
+
+
+def write_events_zordered(
+    events: DataFrame,
+    path: str,
+    dims: tuple[str, str] = ("user_id", "ts"),
+    mode: str = "overwrite",
+    bits: int = 16,
+) -> None:
+    """Day-partitioned store write with rows Z-ORDERED inside each day
+    partition, so every parquet ROW GROUP carries a tight min/max box
+    in BOTH layout dimensions — the stats a reader's predicate pushdown
+    prunes on (operators/zorder.py has the kernel and the math).
+
+    The sort is `sortWithinPartitions(event_date, z)` — a per-task
+    sort, NO global exchange beyond the day partitioning the store
+    already pays; at 100 TB the z computation is a map-only expression
+    and the sort is the write path's existing spill-aware task sort.
+    Dimension ranges are taken from the batch being written (two
+    scalars per dim), which is the right granularity: each ingest
+    batch's files are boxed against its own value domain.
+    """
+    from ..operators.zorder import z_interleave, z_normalize
+
+    d0, d1 = dims
+    pts = events.withColumn("event_date", F.to_date("ts"))
+    a = F.col(d0).cast("long")
+    b = F.unix_micros(F.col(d1)) if d1 == "ts" else F.col(d1).cast("long")
+    lo0, hi0, lo1, hi1 = pts.select(a.alias("a"), b.alias("b")).agg(
+        F.min("a"), F.max("a"), F.min("b"), F.max("b")
+    ).collect()[0]
+    if None in (lo0, hi0, lo1, hi1):
+        lo0 = hi0 = lo1 = hi1 = 0
+    z = z_interleave(
+        z_normalize(a, int(lo0), int(hi0), bits),
+        z_normalize(b, int(lo1), int(hi1), bits),
+        bits,
+    )
+    (
+        pts.withColumn("__z", z)
+        .sortWithinPartitions("event_date", "__z")
+        .drop("__z")
+        .write.mode(mode)
+        .partitionBy("event_date")
+        .parquet(path)
+    )

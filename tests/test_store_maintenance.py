@@ -118,3 +118,67 @@ def test_compaction_predicate_scopes_rewrite(spark, tmp_path):
     assert len(_files_for_day(path, 1)) == 1
     assert [(f, os.path.getmtime(f))
             for f in _files_for_day(path, 2)] == day2_before
+
+
+def test_zordered_write_tightens_rowgroup_stats(spark, tmp_path):
+    """Row-group-level evidence via pyarrow: the z-ordered write's
+    parquet row groups carry tight user_id min/max boxes, while the
+    arrival-order write's row groups each span ~the whole user domain
+    (arrival order is time order, so user_id is shuffled through every
+    row group). Tight boxes are what predicate pushdown prunes on."""
+    import pyarrow.parquet as pq
+
+    from maillogsentinel_spark.sources.store import write_events_zordered
+
+    rows = [
+        _ev(i, 1, i % 64, float(i)) for i in range(4096)
+    ]  # one day, user_id cycling 0..63 in arrival order
+    df = spark.createDataFrame(rows).coalesce(1)
+
+    zpath, apath = str(tmp_path / "z"), str(tmp_path / "a")
+    write_events_zordered(df, zpath)
+    write_events(df.withColumn("event_date", F.to_date("ts")).drop(
+        "event_date"), apath, mode="overwrite")
+
+    def rowgroup_spans(root, day="event_date=2025-03-01"):
+        spans = []
+        for f in glob.glob(os.path.join(root, day, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for c in range(g.num_columns):
+                    col = g.column(c)
+                    if col.path_in_schema == "user_id" and col.statistics:
+                        s = col.statistics
+                        spans.append(int(s.max) - int(s.min))
+        return spans
+
+    # Spark's default row groups are large, so 4096 rows may land in a
+    # single row group per file — the stats comparison only
+    # discriminates with >1 group; otherwise fall back to asserting the
+    # physical clustering directly.
+    zs, as_ = rowgroup_spans(zpath), rowgroup_spans(apath)
+    assert zs and as_
+    if len(zs) > 1 or len(as_) > 1:
+        assert sum(zs) / len(zs) < sum(as_) / len(as_)
+    else:
+        # single row group each: verify ordering instead — the z file's
+        # first/last pages follow z order (user_id clustered), i.e. the
+        # column is NOT in arrival order
+        import pyarrow.parquet as pq2
+
+        t = pq2.read_table(
+            glob.glob(os.path.join(zpath, "event_date=2025-03-01",
+                                   "*.parquet"))[0]
+        )
+        u = t.column("user_id").to_pylist()
+        arrival = [r.user_id for r in rows]
+        assert u != arrival
+        # clustered: average absolute step between neighbors is far
+        # smaller than the arrival-order cycling (which steps by 1 but
+        # wraps 63->0 every 64 rows; z order groups equal users)
+        runs = sum(1 for i in range(1, len(u)) if u[i] != u[i - 1])
+        runs_arrival = sum(
+            1 for i in range(1, len(arrival)) if arrival[i] != arrival[i - 1]
+        )
+        assert runs < runs_arrival / 10
