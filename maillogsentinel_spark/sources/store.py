@@ -129,6 +129,13 @@ def upsert_events(
     batch ≪ the store); the anti-join is the only join and it is
     map-side. Returns the number of rewritten partitions.
 
+    Atomicity caveat (stated, not hidden): dynamic partition overwrite
+    commits per partition directory — a crash mid-commit can leave a
+    touched day rewritten and another not. That is the inherent limit
+    of MERGE over a raw parquet layout; the transactional version of
+    this exact operation is what a table format (Delta/Iceberg MERGE
+    INTO) adds, and this function is the drop-in shape for it.
+
     This is the maintenance operation the reference cannot express at
     all (its store is one append-only CSV; fixing a row means rewriting
     the file, report.py:89-93 re-reads it every run regardless).
@@ -169,10 +176,11 @@ def compact_partitions(
     Streaming file sinks produce one file per micro-batch per
     partition; a year of minutely batches is ~500k tiny files whose
     open/footer overhead dominates the scan. Compaction reads the
-    selected days (partition-pruned), repartitions WITHIN each day by
-    the partition column (so each output task owns whole days — no
-    cross-day shuffle skew), and overwrites only those days. Returns
-    the number of compacted partitions.
+    selected days (partition-pruned), repartitions by (day, salt) where
+    salt = hash(event_id) % target — hashing on the day alone could
+    never split a day across more than one output file — and
+    overwrites only those days. Returns the number of compacted
+    partitions.
     """
     df = spark.read.parquet(path)
     if predicate:
@@ -180,13 +188,18 @@ def compact_partitions(
     days = [r["event_date"] for r in df.select("event_date").distinct().collect()]
     if not days:
         return 0
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(target_files_per_day))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            df.repartition(
-                max(len(days) * target_files_per_day, 1), "event_date"
+            df.withColumn("__salt", salt)
+            .repartitionByRange(
+                max(len(days) * target_files_per_day, 1),
+                "event_date",
+                "__salt",
             )
+            .drop("__salt")
             .write.mode("overwrite")
             .partitionBy("event_date")
             .parquet(path)

@@ -182,3 +182,19 @@ def test_zordered_write_tightens_rowgroup_stats(spark, tmp_path):
             1 for i in range(1, len(arrival)) if arrival[i] != arrival[i - 1]
         )
         assert runs < runs_arrival / 10
+
+
+def test_compaction_can_split_a_day(spark, tmp_path):
+    """target_files_per_day > 1 must be able to SPLIT a day — hashing
+    on the day column alone never could (regression for the salt)."""
+    path = str(tmp_path / "store")
+    write_events(
+        spark.createDataFrame([_ev(i, 1, i % 8, float(i)) for i in range(512)]),
+        path,
+        mode="overwrite",
+    )
+    n = compact_partitions(spark, path, target_files_per_day=4)
+    assert n == 1
+    files = _files_for_day(path, 1)
+    assert 2 <= len(files) <= 4
+    assert spark.read.parquet(path).count() == 512
