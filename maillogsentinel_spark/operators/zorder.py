@@ -28,22 +28,37 @@ from pyspark.sql import functions as F
 
 def z_normalize(col: Column, minv: int, maxv: int, bits: int = 16) -> Column:
     """Map an integer column from [minv, maxv] onto [0, 2^bits - 1]
-    by exact integer scaling. The division runs in DECIMAL(38,0) after
-    the remainder subtraction — long/long `/` in Spark evaluates in
-    DOUBLE, which goes off-by-one once the numerator passes 2^53
-    (spans above ~1.4e8 at 16 bits), silently diverging from the DuckDB
-    mirror's integer `//`."""
+    by exact integer scaling, entirely in DECIMAL(38,0).
+
+    Both arithmetic hazards of the long path are avoided: (1) long/long
+    `/` in Spark evaluates in DOUBLE, which goes off-by-one once the
+    numerator passes 2^53; (2) the `* (2^bits - 1)` multiply in int64
+    silently wraps (non-ANSI mode) once the dimension span exceeds
+    ~1.4e14 at 16 bits — e.g. epoch-micros spanning more than ~4.5
+    years, exactly the timestamp domains this module is for. So the
+    subtraction, multiply, remainder, and division all run in
+    decimal(38,0) (good to ~1e38 ≈ 2^126); the remainder subtraction
+    makes the division exact, matching the DuckDB mirror's integer
+    `//` bit-for-bit at any span."""
     top = (1 << bits) - 1
     span = max(maxv - minv, 1)
-    scaled = (col.cast("long") - F.lit(minv)) * F.lit(top)
-    exact = (scaled - scaled % F.lit(span)).cast("decimal(38,0)")
-    return (exact / F.lit(span).cast("decimal(38,0)")).cast("long")
+    span_d = F.lit(span).cast("decimal(38,0)")
+    diff = col.cast("decimal(38,0)") - F.lit(minv).cast("decimal(38,0)")
+    scaled = diff * F.lit(top).cast("decimal(38,0)")
+    exact = scaled - scaled % span_d
+    return (exact / span_d).cast("long")
 
 
 def sql_z_normalize(expr: str, minv: int, maxv: int, bits: int = 16) -> str:
+    """DuckDB mirror of z_normalize: the multiply runs in HUGEINT
+    (int128) so huge spans don't overflow DuckDB's checked int64
+    either; the result is ≤ 2^bits - 1 so the BIGINT cast is safe."""
     top = (1 << bits) - 1
     span = max(maxv - minv, 1)
-    return f"((({expr}) - {minv}) * {top} // {span})"
+    return (
+        f"CAST((CAST(({expr}) AS HUGEINT) - ({minv})) * {top} // {span}"
+        f" AS BIGINT)"
+    )
 
 
 def z_interleave(u: Column, v: Column, bits: int = 16) -> Column:

@@ -5948,8 +5948,10 @@ def _zorder_oracle() -> str:
     from ..operators.zorder import sql_z_interleave
 
     day = "date_diff('day', DATE '1970-01-01', ts::DATE)"
-    nu = "((u - umin) * 65535 // greatest(umax - umin, 1))"
-    nd = "((d - dmin) * 65535 // greatest(dmax - dmin, 1))"
+    # HUGEINT multiply mirrors z_normalize's decimal(38,0) path: neither
+    # side can wrap at spans past ~1.4e14 (the int64 * 65535 limit).
+    nu = "CAST((CAST(u AS HUGEINT) - umin) * 65535 // greatest(umax - umin, 1) AS BIGINT)"
+    nd = "CAST((CAST(d AS HUGEINT) - dmin) * 65535 // greatest(dmax - dmin, 1) AS BIGINT)"
     return f"""
     WITH pts AS (SELECT user_id AS u, {day} AS d FROM events),
     b AS (SELECT min(u) umin, max(u) umax, min(d) dmin, max(d) dmax

@@ -88,28 +88,19 @@ def compact_store(
     partition_col: str = "event_date",
     target_files_per_partition: int = 1,
 ) -> int:
-    """Rewrite each partition of a date-partitioned store into
-    ``target_files_per_partition`` files. Returns partitions compacted.
-
-    Streaming appends accrete one small file per micro-batch per day —
-    the classic small-files problem: at 100 TB the scan's task count
-    (and the namenode/listing load) grows with file count, not data
-    size. Compaction is maintenance, not ingestion: run it on cold
-    partitions (past days no new batch will touch) so it never races
-    the writer; each partition is rewritten via dynamic partition
-    overwrite, which commits per-partition atomically."""
-    df = spark.read.parquet(path)
-    parts = df.select(partition_col).distinct()
-    n = parts.count()
-    (
-        df.repartition(target_files_per_partition * max(n, 1), F.col(partition_col))
-        .sortWithinPartitions(partition_col)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(path)
+    """Back-compat alias: delegates to :func:`compact_partitions`, the
+    single compaction code path. The old standalone body hashed on the
+    partition column alone — ``repartition(n, col(day))`` puts a whole
+    day in one task, so ``target_files_per_partition > 1`` silently
+    still produced one file per day — and always rewrote every
+    partition. ``compact_partitions`` range-partitions by (day, salt)
+    and scopes the rewrite to the selected days."""
+    return compact_partitions(
+        spark,
+        path,
+        target_files_per_day=target_files_per_partition,
+        partition_col=partition_col,
     )
-    return n
 
 
 def upsert_events(
@@ -119,15 +110,22 @@ def upsert_events(
     table format: rewrite ONLY the day partitions the update batch
     touches, via Spark's dynamic partition overwrite.
 
-    Shape: (1) derive the touched day list from the update batch (a
-    bounded scalar collect — days, not rows); (2) read back just those
-    partitions (partition pruning — at 100 TB this reads the affected
-    days, never the store); (3) anti-join the old rows against the
-    update keys and union the updates; (4) write with
+    Shape: (1) dedupe the update batch on the key — MERGE's contract is
+    at most ONE source row per target key, so duplicate-key updates
+    collapse to a deterministic winner (max ``ts``, ties broken by the
+    remaining columns descending) instead of inserting N rows per key;
+    (2) derive the touched day list from the PRE-dedupe batch (a
+    bounded scalar collect — days, not rows; the superset matters: a
+    losing duplicate's day may hold the target's old row, which must
+    still be anti-joined away); (3) read back just those partitions
+    (partition pruning — at 100 TB this reads the affected days, never
+    the store); (4) anti-join the old rows against the update keys and
+    union the deduped winners; (5) write with
     ``partitionOverwriteMode=dynamic`` so untouched days' files are
     never rewritten or deleted. The update keys broadcast (an update
     batch ≪ the store); the anti-join is the only join and it is
-    map-side. Returns the number of rewritten partitions.
+    map-side; the dedupe window partitions by key over the (small)
+    batch only. Returns the number of rewritten partitions.
 
     Atomicity caveat (stated, not hidden): dynamic partition overwrite
     commits per partition directory — a crash mid-commit can leave a
@@ -140,16 +138,29 @@ def upsert_events(
     all (its store is one append-only CSV; fixing a row means rewriting
     the file, report.py:89-93 re-reads it every run regardless).
     """
-    up = updates.withColumn("event_date", F.to_date("ts"))
-    days = [r["event_date"] for r in up.select("event_date").distinct().collect()]
+    from pyspark.sql import Window
+
+    up0 = updates.withColumn("event_date", F.to_date("ts"))
+    days = [r["event_date"] for r in up0.select("event_date").distinct().collect()]
     if not days:
         return 0
+    tiebreak = [
+        F.col(c).desc_nulls_last()
+        for c in up0.columns
+        if c not in (key, "ts", "event_date")
+    ]
+    w = Window.partitionBy(key).orderBy(F.col("ts").desc_nulls_last(), *tiebreak)
+    up = (
+        up0.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     old = (
         spark.read.parquet(path)
         .where(F.col("event_date").isin(days))
         .join(F.broadcast(up.select(key)), key, "left_anti")
     )
-    merged = old.unionByName(up)
+    merged = old.unionByName(up).persist()
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -158,8 +169,25 @@ def upsert_events(
             .partitionBy("event_date")
             .parquet(path)
         )
+        # Dynamic overwrite only replaces partitions PRESENT in the
+        # written data: a touched day whose rows were all superseded
+        # (e.g. an update moved a key's only row to another day) would
+        # silently keep its stale files. Drop those emptied days
+        # explicitly — idempotent, so a crash-and-rerun converges.
+        present = {
+            r["event_date"]
+            for r in merged.select("event_date").distinct().collect()
+        }
+        emptied = [d for d in days if d not in present]
+        if emptied:
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            for d in emptied:
+                p = jvm.org.apache.hadoop.fs.Path(f"{path}/event_date={d}")
+                p.getFileSystem(hconf).delete(p, True)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        merged.unpersist()
     return len(days)
 
 
@@ -168,6 +196,7 @@ def compact_partitions(
     path: str,
     target_files_per_day: int = 1,
     predicate: str | None = None,
+    partition_col: str = "event_date",
 ) -> int:
     """Small-file compaction for the streaming-ingest output: rewrite
     each (optionally predicate-selected) day partition into
@@ -177,18 +206,31 @@ def compact_partitions(
     partition; a year of minutely batches is ~500k tiny files whose
     open/footer overhead dominates the scan. Compaction reads the
     selected days (partition-pruned), repartitions by (day, salt) where
-    salt = hash(event_id) % target — hashing on the day alone could
-    never split a day across more than one output file — and
-    overwrites only those days. Returns the number of compacted
-    partitions.
+    salt = hash(row) % target — hashing on the day alone could never
+    split a day across more than one output file — and overwrites only
+    those days. Returns the number of compacted partitions.
+
+    ``predicate`` SELECTS the days to compact; it never filters the
+    rows that get rewritten. A compaction must be a pure layout
+    operation — the earlier behavior (filter, then overwrite) silently
+    DELETED every non-matching row from each touched day whenever the
+    predicate referenced a non-partition column. So the predicate is
+    applied only to derive the distinct day list (a bounded scalar
+    collect), and the rewrite re-reads the FULL, unfiltered content of
+    those partitions.
     """
-    df = spark.read.parquet(path)
-    if predicate:
-        df = df.where(predicate)
-    days = [r["event_date"] for r in df.select("event_date").distinct().collect()]
+    store = spark.read.parquet(path)
+    sel = store.where(predicate) if predicate else store
+    days = [r[partition_col] for r in sel.select(partition_col).distinct().collect()]
     if not days:
         return 0
-    salt = F.pmod(F.xxhash64("event_id"), F.lit(target_files_per_day))
+    df = store.where(F.col(partition_col).isin(days))
+    salt_cols = (
+        ["event_id"]
+        if "event_id" in df.columns
+        else [c for c in df.columns if c != partition_col]
+    )
+    salt = F.pmod(F.xxhash64(*salt_cols), F.lit(target_files_per_day))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -196,12 +238,12 @@ def compact_partitions(
             df.withColumn("__salt", salt)
             .repartitionByRange(
                 max(len(days) * target_files_per_day, 1),
-                "event_date",
+                partition_col,
                 "__salt",
             )
             .drop("__salt")
             .write.mode("overwrite")
-            .partitionBy("event_date")
+            .partitionBy(partition_col)
             .parquet(path)
         )
     finally:

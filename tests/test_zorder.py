@@ -66,6 +66,55 @@ def test_normalize_exact_at_huge_spans(spark):
         assert got == (v * 65535) // mx, (v, mx)
 
 
+def test_normalize_no_overflow_past_int64_multiply(spark):
+    """The `(v - min) * 65535` multiply must not wrap in int64 once the
+    span exceeds ~1.4e14 (2^63 / 65535) — e.g. epoch-micros spanning a
+    DECADE, the module's own motivating domain (regression for the
+    round-5 ADVICE finding: the division was decimal but the multiply
+    still ran in long and silently wrapped in non-ANSI mode)."""
+    decade_us = 10 * 365 * 24 * 3600 * 1_000_000  # ≈ 3.15e14 > 2^48
+    base = 1_700_000_000_000_000  # a plausible epoch-micros origin
+    cases = [
+        (base, base, base + decade_us),
+        (base + decade_us // 3, base, base + decade_us),
+        (base + decade_us, base, base + decade_us),
+        # span just past the wrap threshold, value near the top
+        (2**48 - 1, 0, 2**48),
+        # negative min with a huge span
+        (5_000_000_000, -(2**47), 2**47),
+    ]
+    for v, lo, hi in cases:
+        got = (
+            spark.range(1)
+            .select(z_normalize(F.lit(v), lo, hi).alias("n"))
+            .collect()[0]["n"]
+        )
+        want = ((v - lo) * 65535) // (hi - lo)
+        assert got == want, (v, lo, hi, got, want)
+        assert 0 <= got <= 65535
+
+
+def test_sql_normalize_mirror_matches_spark_at_huge_spans():
+    """The DuckDB mirror (HUGEINT path) floor-divides identically to
+    z_normalize's decimal path on the same huge-span inputs."""
+    import duckdb
+
+    from maillogsentinel_spark.operators.zorder import sql_z_normalize
+
+    decade_us = 10 * 365 * 24 * 3600 * 1_000_000
+    base = 1_700_000_000_000_000
+    cases = [
+        (base + decade_us // 3, base, base + decade_us),
+        (2**48 - 1, 0, 2**48),
+        (5_000_000_000, -(2**47), 2**47),
+    ]
+    con = duckdb.connect()
+    for v, lo, hi in cases:
+        expr = sql_z_normalize(str(v), lo, hi)
+        got = con.execute(f"SELECT {expr}").fetchone()[0]
+        assert got == ((v - lo) * 65535) // (hi - lo), (v, lo, hi)
+
+
 def test_zorder_write_prunes_both_dims(spark, tmp_path):
     """Executed data-skipping evidence: write the same points as 16
     z-ordered files vs 16 u-sorted files; a selective box predicate on
