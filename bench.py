@@ -131,7 +131,6 @@ def main() -> None:
     canary_start = run_canary(spark)
 
     per_query: dict[str, float] = {}
-    total = 0.0
     for name, fn in QUERIES.items():
         # best-of-2: the first pass pays per-query codegen/JIT; the min
         # reflects steady-state plan cost rather than compiler noise
@@ -149,7 +148,10 @@ def main() -> None:
         # bare NaN otherwise, which is invalid strict JSON and would
         # reproduce the driver's "parsed: null" failure.
         per_query[name] = round(dt, 3) if dt == dt else None
-        total += dt if dt == dt else 0.0
+    # derive the total FROM the rounded per-query map so the two always
+    # agree exactly (they previously drifted a few ms apart because the
+    # total accumulated unrounded floats)
+    total = round(sum(v for v in per_query.values() if v is not None), 3)
 
     canary_end = run_canary(spark)
     canary = {
@@ -168,7 +170,8 @@ def main() -> None:
     }
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1)
-    line = compact_line(round(total, 3), len(per_query), per_query, sf, canary)
+        f.write("\n")
+    line = compact_line(total, len(per_query), per_query, sf, canary)
     os.write(real_stdout_fd, (line + "\n").encode())
 
 

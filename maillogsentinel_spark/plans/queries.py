@@ -6016,6 +6016,145 @@ def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STORE_RT_ORACLE = """
+WITH upd_base AS (SELECT * FROM events WHERE event_id % 10 = 0),
+updates AS (
+  SELECT event_id, ts, user_id, 'upd_lose' AS event_type,
+         value + 1000 AS value
+  FROM upd_base
+  UNION ALL
+  SELECT event_id, ts + INTERVAL 1 HOUR, user_id, 'upd_win', value + 2000
+  FROM upd_base
+  UNION ALL
+  SELECT event_id + 10000000, ts + INTERVAL 1 DAY, user_id, 'ins', value
+  FROM events WHERE event_id % 97 = 3
+),
+dedup AS (
+  SELECT event_id, ts, user_id, event_type, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) AS rn
+    FROM updates
+  ) WHERE rn = 1
+),
+final AS (
+  SELECT event_id, ts, user_id, event_type, value FROM events
+  WHERE event_id NOT IN (SELECT event_id FROM updates)
+  UNION ALL
+  SELECT * FROM dedup
+)
+SELECT ts::DATE AS event_date,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT event_id)::BIGINT AS n_keys,
+       sum(CASE WHEN event_type = 'upd_win' THEN 1 ELSE 0 END)::BIGINT AS n_upd,
+       sum(CASE WHEN event_type = 'upd_lose' THEN 1 ELSE 0 END)::BIGINT AS n_lose,
+       sum(event_id)::BIGINT AS sum_eid,
+       round((sum(value::DECIMAL(21,6)))::DOUBLE, 4) AS value_sum
+FROM final GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("store_maintenance_roundtrip", oracle=_STORE_RT_ORACLE)
+def q_store_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance surface (sources/store.py) driven END-TO-END and
+    ORACLE-PINNED: build a day-partitioned store from `events`, MERGE an
+    update batch that deliberately carries DUPLICATE keys (a losing row
+    at the original ts plus a winning row one hour later — MERGE must
+    collapse to the max-ts winner, one row per key) and brand-new keys
+    (the insert path), then run small-file compaction selected by a
+    NON-partition predicate (which must be layout-only — it chooses
+    which days to rewrite, never which rows survive). The DuckDB oracle
+    re-derives the same final store state relationally (anti-join +
+    deduped union), so a dup-key double-insert, a predicate that
+    filters rows, a lost partition, or a stale moved-day file each
+    flips a per-day count/sum and fails the hash — this is the graded
+    gate the round-5 maintenance defects would have tripped.
+
+    Scale shape: the store writes are day-partitioned dynamic
+    overwrites touching only update-batch days; the MERGE anti-join
+    broadcasts the update keys; compaction range-partitions by
+    (day, salt). The final per-day census is one keyed agg with exact
+    decimal value sums (the float-parity rule)."""
+    import shutil
+    import tempfile
+
+    from ..sources.store import compact_partitions, upsert_events, write_events
+
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="mls_store_rt_")
+    try:
+        # scope shuffle width to the state size (a few thousand rows per
+        # day): every maintenance write here is otherwise 32 tasks ×
+        # ~31 day directories of near-empty files — same knob and same
+        # reasoning as the streaming replays' _stream_state_parts
+        with _stream_state_parts(spark, 8):
+            return _store_roundtrip_body(spark, ev, f"{tmp}/store")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _store_roundtrip_body(spark: SparkSession, ev: DataFrame, path: str) -> DataFrame:
+    from ..sources.store import compact_partitions, upsert_events, write_events
+
+    # cluster by day before the partitioned write: without it every
+    # input split emits a file into every day directory (splits × days
+    # tiny files), and the whole roundtrip pays that file count three
+    # more times (upsert read, overwrite, compaction read)
+    write_events(ev.repartition(F.to_date("ts")), path, mode="overwrite")
+    upd_base = ev.where(F.col("event_id") % 10 == 0)
+    loser = upd_base.select(
+        "event_id",
+        "ts",  # original ts: the loser's day always covers the old row
+        "user_id",
+        F.lit("upd_lose").alias("event_type"),
+        (F.col("value") + 1000).alias("value"),
+    )
+    winner = upd_base.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        "user_id",
+        F.lit("upd_win").alias("event_type"),
+        (F.col("value") + 2000).alias("value"),
+    )
+    inserts = ev.where(F.col("event_id") % 97 == 3).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        "user_id",
+        F.lit("ins").alias("event_type"),
+        "value",
+    )
+    updates = loser.unionByName(winner).unionByName(inserts)
+    upsert_events(spark, path, updates)
+    compact_partitions(
+        spark, path, target_files_per_day=1,
+        predicate="event_type = 'upd_win'",
+    )
+    agg = (
+        spark.read.parquet(path)
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("event_id").alias("n_keys"),
+            F.sum(
+                F.when(F.col("event_type") == "upd_win", 1).otherwise(0)
+            ).cast("long").alias("n_upd"),
+            F.sum(
+                F.when(F.col("event_type") == "upd_lose", 1).otherwise(0)
+            ).cast("long").alias("n_lose"),
+            F.sum("event_id").cast("long").alias("sum_eid"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(21,6)")).cast("double"),
+                4,
+            ).alias("value_sum"),
+        )
+        .orderBy("event_date")
+    )
+    # materialize before the temp store is removed (the returned frame
+    # must not depend on the deleted path)
+    rows = agg.collect()
+    return spark.createDataFrame(rows, agg.schema)
+
+
 @query(
     "docs_train_val_split",
     oracle="""
@@ -8721,19 +8860,29 @@ def q_events_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
 # ---------------------------------------------------------------------------
 
 GRADED_PREFIX: list[str] = [
-    # reference mail surface — §2.1-2.6 (sources, parse, joins, aggs, sorts)
+    # reference mail surface — §2.1-2.6 (sources, parse, joins, aggs, sorts).
+    # Round-7 rotation (VERDICT r6 #6): five long-green report aggregates
+    # (report_daily_totals, top10_usernames, rev_dns_error_counts,
+    # top10_geo_breakdown, ip_point_lookup — every one graded green since
+    # round 1, all still in the full local gate) move just past the prefix
+    # to make room for the never-driver-graded flagships below.
     "sasl_parse",
     "geo_range_join",
     "rdns_status_counts",
     "mail_report_top10_today",
-    "report_daily_totals",
-    "top10_usernames",
-    "rev_dns_error_counts",
     "json_props_agg",
-    "top10_geo_breakdown",
-    "ip_point_lookup",
     "anonymize_users",          # §2.10 U5 (gated first-seen rank)
     "sql_cast_normalize",       # §2.2 P7/P10, §2.1 S8/S9 cast core
+    # round-7 rotation IN: the hardest never-graded paths — Lee et al.
+    # ExactSubstr (suffix-run dedup), the T.81 baseline-JPEG decode
+    # (huffman/zigzag/IDCT), SCD-2 windowed type history, PQ-ADC ANN —
+    # plus the NEW maintenance-surface gate (upsert dup-key MERGE +
+    # predicate-scoped compaction re-derived relationally by DuckDB)
+    "dedup_exact_substring",
+    "multimodal_jpeg_decode",
+    "events_scd2_type_history",
+    "knn_pq_adc",
+    "store_maintenance_roundtrip",
     # windows / custom operators — §2.5, §2.7, as-of
     "events_sessionize",
     "per_user_topk_event_types",
@@ -8806,6 +8955,13 @@ GRADED_PREFIX: list[str] = [
 # After the prefix: remaining beyond-reference ops by family value, then the
 # TPC-H long tail.
 _NEXT = [
+    # round-7 rotation OUT: the five report aggregates retired from the
+    # graded window (green since round 1; still in the full local gate)
+    "report_daily_totals",
+    "top10_usernames",
+    "rev_dns_error_counts",
+    "top10_geo_breakdown",
+    "ip_point_lookup",
     # round-5 rotation: graded green in r4, swapped out for the harder
     # streaming semantics + the compressed-codec decode
     "events_stream_tumbling_counts",
