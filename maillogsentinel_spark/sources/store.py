@@ -144,10 +144,15 @@ def upsert_events(
     days = [r["event_date"] for r in up0.select("event_date").distinct().collect()]
     if not days:
         return 0
+    from pyspark.sql.types import MapType
+
+    # deterministic tie-break across full-duplicate ts: every remaining
+    # orderable column, descending (maps are not orderable in Spark)
     tiebreak = [
-        F.col(c).desc_nulls_last()
-        for c in up0.columns
-        if c not in (key, "ts", "event_date")
+        F.col(f.name).desc_nulls_last()
+        for f in up0.schema.fields
+        if f.name not in (key, "ts", "event_date")
+        and not isinstance(f.dataType, MapType)
     ]
     w = Window.partitionBy(key).orderBy(F.col("ts").desc_nulls_last(), *tiebreak)
     up = (
