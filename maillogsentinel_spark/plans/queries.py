@@ -6017,7 +6017,8 @@ def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STORE_RT_ORACLE = """
-WITH upd_base AS (SELECT * FROM events WHERE event_id % 10 = 0),
+WITH upd_base AS (SELECT * FROM events
+                  WHERE event_id % 10 = 0 AND day(ts) <= 10),
 updates AS (
   SELECT event_id, ts, user_id, 'upd_lose' AS event_type,
          value + 1000 AS value
@@ -6027,7 +6028,7 @@ updates AS (
   FROM upd_base
   UNION ALL
   SELECT event_id + 10000000, ts + INTERVAL 1 DAY, user_id, 'ins', value
-  FROM events WHERE event_id % 97 = 3
+  FROM events WHERE event_id % 97 = 3 AND day(ts) <= 10
 ),
 dedup AS (
   SELECT event_id, ts, user_id, event_type, value FROM (
@@ -6101,7 +6102,14 @@ def _store_roundtrip_body(spark: SparkSession, ev: DataFrame, path: str) -> Data
     # tiny files), and the whole roundtrip pays that file count three
     # more times (upsert read, overwrite, compaction read)
     write_events(ev.repartition(F.to_date("ts")), path, mode="overwrite")
-    upd_base = ev.where(F.col("event_id") % 10 == 0)
+    # update batch scoped to the month's first 10 days: a partition-
+    # scoped MERGE is only evidenced when most days stay untouched (the
+    # final census still covers every day, so a wrongly-rewritten or
+    # dropped cold partition fails the hash) — and it keeps the
+    # per-write job fan-out to ~11 day directories instead of all ~31
+    upd_base = ev.where(
+        (F.col("event_id") % 10 == 0) & (F.dayofmonth("ts") <= 10)
+    )
     loser = upd_base.select(
         "event_id",
         "ts",  # original ts: the loser's day always covers the old row
@@ -6116,7 +6124,9 @@ def _store_roundtrip_body(spark: SparkSession, ev: DataFrame, path: str) -> Data
         F.lit("upd_win").alias("event_type"),
         (F.col("value") + 2000).alias("value"),
     )
-    inserts = ev.where(F.col("event_id") % 97 == 3).select(
+    inserts = ev.where(
+        (F.col("event_id") % 97 == 3) & (F.dayofmonth("ts") <= 10)
+    ).select(
         (F.col("event_id") + 10_000_000).alias("event_id"),
         (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
         "user_id",
