@@ -297,8 +297,8 @@ def encode_wav_ulaw(codes: np.ndarray, sample_rate: int = 8000) -> bytes:
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """RIFF/WAVE → (sample_rate, samples). PCM via the stdlib wave
     module (16-bit → int16; 8-bit is unsigned by spec → uint8); μ-law
-    (format tag 7) via a minimal RIFF chunk walk + G.711 expansion to
-    int16. Multi-channel frames come back shaped (n_frames,
+    (format tag 7) and IMA ADPCM (tag 0x11) via a minimal RIFF chunk
+    walk. Multi-channel frames come back shaped (n_frames,
     n_channels)."""
     try:
         with wave.open(io.BytesIO(payload), "rb") as f:
@@ -319,10 +319,11 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 def _decode_wav_nonpcm(payload: bytes) -> tuple[int, np.ndarray]:
     """Chunk-walking fallback for format tags the wave module rejects;
-    decodes μ-law (tag 7) for real, gates the rest honestly."""
+    decodes μ-law (tag 7) and IMA ADPCM (tag 0x11) for real, gates the
+    rest (e.g. MS ADPCM tag 2) honestly."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact_n = 12, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (sz,) = struct.unpack_from("<I", payload, pos + 4)
@@ -335,16 +336,172 @@ def _decode_wav_nonpcm(payload: bytes) -> tuple[int, np.ndarray]:
             fmt = payload[pos + 8 : pos + 8 + sz]
         elif cid == b"data":
             data = payload[pos + 8 : pos + 8 + sz]
+        elif cid == b"fact" and sz >= 4:
+            (fact_n,) = struct.unpack_from("<I", payload, pos + 8)
         pos += 8 + sz + (sz & 1)
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     tag, nch, rate = struct.unpack_from("<HHI", fmt, 0)
+    if tag == 0x11:
+        arr = _decode_wav_ima(fmt, data)
+        # the fact chunk carries the true sample count — a short final
+        # block is zero-padded to block_align at encode time, and the
+        # pad nibbles must not decode as trailing samples
+        return rate, arr[:fact_n] if fact_n is not None else arr
     if tag != 7:
         raise NotImplementedError(
-            f"WAV format tag {tag} unsupported (PCM and mu-law decode)"
+            f"WAV format tag {tag} unsupported (PCM, mu-law and IMA "
+            "ADPCM decode)"
         )
     arr = mulaw_expand(np.frombuffer(data, dtype=np.uint8))
     return rate, arr.reshape(-1, nch) if nch > 1 else arr
+
+
+# IMA/DVI ADPCM (WAVE format tag 0x11) — tables from the public IMA
+# "Recommended Practices for Enhancing Digital Audio Compatibility"
+# (rev 3.00, 1992; the same tables appear in RFC 3551 §4.5.1's DVI4
+# lineage). 4-bit nibbles, shift-accumulate dequantizer, 89-step table.
+IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_decode_nibbles(
+    nibbles: np.ndarray, predictor: int, index: int
+) -> np.ndarray:
+    """Core IMA recurrence: shift-accumulate dequantize, clamp predictor
+    to int16, clamp step index to [0, 88]. Sequential by nature (each
+    output feeds the next step size) — per-payload cost is O(samples),
+    and payloads are decoded batch-parallel inside mapInPandas."""
+    out = np.empty(len(nibbles), dtype=np.int16)
+    pred, idx = int(predictor), int(index)
+    st, it = IMA_STEP_TABLE, IMA_INDEX_TABLE
+    for i, n in enumerate(nibbles):
+        n = int(n)
+        step = int(st[idx])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(it[n & 7])))
+        out[i] = pred
+    return out
+
+
+def _ima_encode_nibbles(
+    samples: np.ndarray, predictor: int, index: int
+) -> np.ndarray:
+    """IMA quantizer (inverse of _ima_decode_nibbles' recurrence): pick
+    the nibble whose dequantized diff tracks the input, updating the
+    same predictor/step state the decoder will replay."""
+    out = np.empty(len(samples), dtype=np.uint8)
+    pred, idx = int(predictor), int(index)
+    st, it = IMA_STEP_TABLE, IMA_INDEX_TABLE
+    for i, x in enumerate(np.asarray(samples, dtype=np.int32)):
+        step = int(st[idx])
+        delta = int(x) - pred
+        n = 8 if delta < 0 else 0
+        if n:
+            delta = -delta
+        if delta >= step:
+            n |= 4
+            delta -= step
+        if delta >= step >> 1:
+            n |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            n |= 1
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(it[n & 7])))
+        out[i] = n
+    return out
+
+
+def encode_wav_ima(
+    samples: np.ndarray,
+    sample_rate: int = 8000,
+    block_align: int = 36,
+    initial_index: int = 0,
+) -> bytes:
+    """int16 mono samples → RIFF/WAVE with format tag 0x11 (IMA ADPCM).
+    Each block stores a 4-byte header (true first sample as the int16
+    predictor, step index, reserved) + 4-bit nibbles two-per-byte, low
+    nibble first — (block_align - 4) * 2 + 1 samples per block."""
+    samples = np.asarray(samples, dtype=np.int16)
+    spb = (block_align - 4) * 2 + 1
+    blocks = []
+    idx = int(initial_index)
+    for off in range(0, len(samples), spb):
+        chunk = samples[off : off + spb]
+        pred = int(chunk[0])
+        nib = _ima_encode_nibbles(chunk[1:], pred, idx)
+        if len(nib) % 2:
+            nib = np.append(nib, 0)
+        packed = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
+        body = struct.pack("<hBB", pred, idx, 0) + packed.tobytes()
+        blocks.append(body.ljust(block_align, b"\x00"))
+    data = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate,
+        sample_rate * block_align // spb, block_align, 4, 2, spb,
+    )
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, len(samples))
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav_ima(fmt: bytes, data: bytes) -> np.ndarray:
+    """WAV tag-0x11 block walk → int16 samples (mono; multi-channel IMA
+    interleaves nibble words per channel and stays honestly gated)."""
+    tag, nch, _rate = struct.unpack_from("<HHI", fmt, 0)
+    block_align = struct.unpack_from("<H", fmt, 12)[0]
+    if nch != 1:
+        raise NotImplementedError("multi-channel IMA ADPCM unsupported")
+    if len(fmt) >= 20:
+        spb = struct.unpack_from("<H", fmt, 18)[0]
+    else:
+        spb = (block_align - 4) * 2 + 1
+    if block_align < 5 or spb > (block_align - 4) * 2 + 1:
+        raise ValueError("inconsistent IMA ADPCM block geometry")
+    out = []
+    for off in range(0, len(data), block_align):
+        block = data[off : off + block_align]
+        if len(block) < 4:
+            raise ValueError("truncated IMA ADPCM block header")
+        pred, idx, _rsvd = struct.unpack_from("<hBB", block, 0)
+        if idx > 88:
+            raise ValueError("IMA ADPCM step index out of range")
+        want = min(spb, 1 + (len(block) - 4) * 2) - 1
+        packed = np.frombuffer(block[4 : 4 + (want + 1) // 2], dtype=np.uint8)
+        nib = np.empty(2 * len(packed), dtype=np.uint8)
+        nib[0::2] = packed & 0x0F
+        nib[1::2] = packed >> 4
+        out.append(np.int16(pred))
+        out.append(_ima_decode_nibbles(nib[:want], pred, idx))
+    return np.concatenate([np.atleast_1d(x) for x in out]).astype(np.int16)
 
 
 def decode_image(payload: bytes) -> np.ndarray:

@@ -1970,7 +1970,7 @@ def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents GROUP BY 1)
     SELECT CASE k WHEN 0 THEN 'bmp'            WHEN 1 THEN 'gif'
                   WHEN 2 THEN 'gif_interlaced' WHEN 3 THEN 'gif_subframe'
-                  WHEN 4 THEN 'wav_truncated'  WHEN 5 THEN 'wav_adpcm'
+                  WHEN 4 THEN 'wav_truncated'  WHEN 5 THEN 'wav_ms_adpcm'
                   ELSE 'unknown_magic' END AS format,
            CASE k WHEN 0 THEN 'ok'      WHEN 1 THEN 'ok'
                   WHEN 2 THEN 'gated'   WHEN 3 THEN 'gated'
@@ -1984,7 +1984,9 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The honest-gate POLICY itself as an oracle row: a mixed binary
     column cycling (doc_id % 7) through decodable payloads (BMP, GIF),
     lib-bound variants the codecs must REFUSE with NotImplementedError
-    (interlaced GIF, sub-frame GIF, ADPCM WAV, unknown magic) and a
+    (interlaced GIF, sub-frame GIF, MS-ADPCM WAV — tag 2; the IMA
+    variant, tag 0x11, decodes for real in multimodal_adpcm_decode —
+    and unknown magic) plus a
     corrupt payload that must fail loudly with ValueError (truncated
     μ-law data chunk). The engine classifies each payload by actually
     attempting the decode and mapping the outcome to ok / gated /
@@ -2027,7 +2029,7 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("wav_truncated", lambda d: encode_wav_ulaw(
             np.arange(16, dtype=np.uint8)
         )[:-3]),
-        ("wav_adpcm", lambda d: _set_byte(
+        ("wav_ms_adpcm", lambda d: _set_byte(
             encode_wav_ulaw(np.arange(16, dtype=np.uint8)), 20, 2
         )),
         ("unknown_magic", lambda d: b"XXXX" + bytes(16)),
@@ -2120,6 +2122,120 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
     return audio_stats(media).orderBy("media_id")
+
+
+_IMA_STEPS_SQL = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,"
+    "66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,"
+    "371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,"
+    "1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,"
+    "5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,"
+    "16818,18500,20350,22385,24623,27086,29794,32767]"
+)
+
+_ADPCM_ORACLE = f"""
+WITH RECURSIVE
+docs AS (SELECT doc_id,
+                (doc_id * 131) % 4001 - 2000 AS p0,
+                doc_id % 89 AS i0
+         FROM documents),
+dec AS (
+  SELECT doc_id, -1 AS i, p0 AS pred, i0 AS idx, CAST(p0 AS BIGINT) AS acc
+  FROM docs
+  UNION ALL
+  SELECT doc_id, i,
+         greatest(-32768, least(32767,
+             pred + CASE WHEN n >= 8 THEN -diff ELSE diff END)) AS pred,
+         greatest(0, least(88,
+             idx + [-1,-1,-1,-1,2,4,6,8][(n % 8) + 1])) AS idx,
+         acc + greatest(-32768, least(32767,
+             pred + CASE WHEN n >= 8 THEN -diff ELSE diff END)) AS acc
+  FROM (
+    SELECT *, step // 8
+         + CASE WHEN n % 2 = 1 THEN step // 4 ELSE 0 END
+         + CASE WHEN (n // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+         + CASE WHEN (n // 4) % 2 = 1 THEN step ELSE 0 END AS diff
+    FROM (
+      SELECT d.doc_id, d.i + 1 AS i, d.pred, d.idx, d.acc,
+             (d.doc_id * 7 + (d.i + 1) * 3) % 16 AS n,
+             {_IMA_STEPS_SQL}[d.idx + 1] AS step
+      FROM dec d WHERE d.i < 63
+    )
+  )
+)
+SELECT doc_id AS media_id,
+       8000 AS sample_rate,
+       65 AS n_samples,
+       max(CASE WHEN i = -1 THEN pred END)::INT AS first_sample,
+       max(CASE WHEN i = 63 THEN pred END)::INT AS last_sample,
+       sum(CASE WHEN i = 63 THEN acc END)::BIGINT AS amp_sum
+FROM dec GROUP BY doc_id ORDER BY media_id
+"""
+
+
+@query("multimodal_adpcm_decode", oracle=_ADPCM_ORACLE)
+def q_multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode, EXACTLY oracle-pinned: synthesize a
+    deterministic IMA/DVI ADPCM nibble stream per doc (predictor
+    (doc_id*131)%4001-2000, step index doc_id%89, nibble_i =
+    (doc_id*7+i*3)%16), wrap it as a genuine RIFF/WAVE format-tag-0x11
+    payload, decode it through the magic-byte dispatch
+    (operators/multimodal.py: 89-step table, shift-accumulate
+    dequantizer, int16/[0,88] clamps), and emit first/last sample and
+    the full decoded amplitude sum. The DuckDB oracle replays the SAME
+    recurrence as a recursive CTE over the step table — unlike the
+    lossless codecs (whose oracles only need the pre-encode values),
+    this pins every step of the adaptive dequantizer: one wrong table
+    entry, clamp bound, index delta, or nibble-packing order diverges
+    the predictor chain and fails the hash. Payloads never shuffle
+    (synth+decode in ONE mapInPandas); the oracle recursion is 64
+    lockstep iterations over n_docs rows."""
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import decode_audio
+
+    N = 64  # nibbles per payload → 65 samples with the header predictor
+
+    def synth_decode(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                p0 = (did * 131) % 4001 - 2000
+                i0 = did % 89
+                i = np.arange(N, dtype=np.int64)
+                nib = ((did * 7 + i * 3) % 16).astype(np.uint8)
+                packed = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
+                block = _struct.pack("<hBB", p0, i0, 0) + packed.tobytes()
+                fmt = _struct.pack(
+                    "<HHIIHHHH", 0x11, 1, 8000, 8000 * 36 // 65, 36, 4, 2, 65
+                )
+                body = (
+                    b"WAVEfmt " + _struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + _struct.pack("<I", len(block)) + block
+                )
+                payload = b"RIFF" + _struct.pack("<I", len(body)) + body
+                rate, dec = decode_audio(payload)
+                dec = dec.astype(np.int64)
+                rows.append(
+                    (did, rate, len(dec), int(dec[0]), int(dec[-1]),
+                     int(dec.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples",
+                         "first_sample", "last_sample", "amp_sum"],
+            )
+
+    docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
+    return docs.mapInPandas(
+        synth_decode,
+        "media_id long, sample_rate int, n_samples int, "
+        "first_sample int, last_sample int, amp_sum long",
+    ).orderBy("media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -8984,6 +9100,7 @@ _NEXT = [
     "corpus_hash_sample",           # corpus rep rotated out for streaming
     "multimodal_frames",            # frame-sampling rep rotated out
     "multimodal_wav_decode",        # real-codec twin of the in-window BMP rep
+    "multimodal_adpcm_decode",      # lossy-codec recurrence, CTE-exact oracle
     "dedup_segments_corpus",        # C4-style segment dedup + reassembly
     "knn_ivf_kmeans",               # trained-quantizer twin of in-window knn_ivf
     "knn_pq_adc",                   # product-quantization ADC (3rd ANN path)

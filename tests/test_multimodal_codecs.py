@@ -386,3 +386,64 @@ def test_audio_features_known_signal(spark):
     rows = {r["media_id"]: r for r in audio_features(media).collect()}
     assert (rows[1]["sum_sq"], rows[1]["zero_crossings"], rows[1]["peak"]) == (32, 31, 1)
     assert (rows[2]["sum_sq"], rows[2]["zero_crossings"], rows[2]["peak"]) == (0, 0, 0)
+
+
+# --- IMA/DVI ADPCM (WAV format tag 0x11) --------------------------------
+
+def test_ima_adpcm_hand_vector():
+    """First steps from zero state, worked by hand against the IMA
+    tables: nibble 4 at (pred=0, idx=0): step=7, diff=0+7 → pred 7,
+    idx 2; nibble 12 (sign|4) at idx 2: step=9, diff=1+9 → pred -3."""
+    from maillogsentinel_spark.operators.multimodal import _ima_decode_nibbles
+
+    out = _ima_decode_nibbles(np.array([4, 12], dtype=np.uint8), 0, 0)
+    assert out.tolist() == [7, -3]
+
+
+def test_ima_adpcm_roundtrip_tracks_signal():
+    from maillogsentinel_spark.operators.multimodal import encode_wav_ima
+
+    rng = np.random.default_rng(42)
+    sig = np.cumsum(rng.integers(-80, 80, 500)).astype(np.int16)
+    rate, dec = decode_audio(encode_wav_ima(sig, 8000, block_align=36))
+    assert rate == 8000
+    # fact chunk trims the zero-padded final block to the true count
+    assert len(dec) == 500
+    # every block's first sample is stored verbatim (spb = 65)
+    assert all(dec[i] == sig[i] for i in range(0, 500, 65))
+    # quantizer tracks a +-80-step random walk within a few step sizes
+    err = np.abs(dec.astype(np.int32) - sig.astype(np.int32))
+    assert err.max() <= 160
+
+
+def test_ima_adpcm_clamps_and_extremes():
+    from maillogsentinel_spark.operators.multimodal import encode_wav_ima
+
+    sig = np.array([0, 32767, -32768, 32767, 0, -32768], dtype=np.int16)
+    rate, dec = decode_audio(encode_wav_ima(sig, 8000, block_align=36))
+    assert len(dec) == 6
+    assert dec.dtype == np.int16  # predictor clamps inside int16
+    assert dec[0] == 0
+
+
+def test_ima_adpcm_truncated_and_bad_index_raise():
+    from maillogsentinel_spark.operators.multimodal import encode_wav_ima
+
+    wav = encode_wav_ima(np.arange(100, dtype=np.int16), 8000, 36)
+    with pytest.raises(ValueError):
+        decode_audio(wav[:-5])
+    # corrupt the first block's step index past 88
+    b = bytearray(wav)
+    data_at = b.index(b"data") + 8
+    b[data_at + 2] = 99
+    with pytest.raises(ValueError):
+        decode_audio(bytes(b))
+
+
+def test_ms_adpcm_still_gated():
+    from maillogsentinel_spark.operators.multimodal import encode_wav_ima
+
+    b = bytearray(encode_wav_ima(np.arange(65, dtype=np.int16), 8000, 36))
+    b[20] = 2  # format tag 2 = MS ADPCM: no codec, must gate honestly
+    with pytest.raises(NotImplementedError):
+        decode_audio(bytes(b))
