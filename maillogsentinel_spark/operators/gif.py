@@ -3,12 +3,13 @@ CompuServe GIF89a specification (logical screen descriptor, global/local
 color tables, sub-block framing, and the variable-code-width LZW scheme
 of its Appendix F). No image libraries.
 
-Supported for real: single-frame non-interlaced images with a global or
-local color table, any palette size up to 256, extensions (graphic
-control, comment, application) skipped per the sub-block framing rules,
-LZW code widths 3..12 with table freeze at 4096 entries.
+Supported for real: single-frame images — interlaced or not (the
+four-pass row order of Appendix E) — with a global or local color
+table, any palette size up to 256, extensions (graphic control,
+comment, application) skipped per the sub-block framing rules, LZW
+code widths 3..12 with table freeze at 4096 entries.
 
-Honest gates (raise instead of guessing): interlaced row order and a
+Honest gates (raise instead of guessing): sub-frame geometry and a
 missing color table raise NotImplementedError / ValueError.
 
 Width-synchronization note (the classic LZW off-by-one trap): the
@@ -133,10 +134,11 @@ def _lzw_decompress(data: bytes, min_code: int, n_pixels: int) -> bytes:
     return bytes(out[:n_pixels])
 
 
-def encode_gif(pixels: np.ndarray) -> bytes:
+def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
     """(H, W, 3) uint8 RGB with ≤256 distinct colors → single-frame
     GIF89a: global color table (lexicographically sorted for
-    determinism), non-interlaced, real LZW sub-blocks."""
+    determinism), real LZW sub-blocks; ``interlace`` writes the rows in
+    the spec's four-pass order with the descriptor flag set."""
     h, w, _ = pixels.shape
     flat = pixels.reshape(-1, 3)
     palette, indices = np.unique(flat, axis=0, return_inverse=True)
@@ -146,12 +148,17 @@ def encode_gif(pixels: np.ndarray) -> bytes:
     table = np.zeros((1 << gct_bits, 3), dtype=np.uint8)
     table[: len(palette)] = palette
     min_code = max(2, gct_bits)  # spec: LZW min code size >= 2
+    rows = indices.astype(np.uint8).reshape(h, w)
+    if interlace:
+        rows = rows[_interlace_order(h)]
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), 0, 0)
     out += table.tobytes()
-    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # no LCT, no interlace
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+    )  # no LCT
     out.append(min_code)
-    lzw = _lzw_compress(indices.astype(np.uint8).tobytes(), min_code)
+    lzw = _lzw_compress(rows.reshape(-1).tobytes(), min_code)
     for off in range(0, len(lzw), 255):
         chunk = lzw[off : off + 255]
         out.append(len(chunk))
@@ -196,8 +203,6 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         il, it, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
-        if ipacked & 0x40:
-            raise NotImplementedError("interlaced GIF not supported")
         if (il, it) != (0, 0) or (w, h) != (sw, sh):
             # A sub-frame placed inside the logical screen needs
             # compositing over the background; raise-instead-of-guess,
@@ -226,5 +231,22 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray:
         )
         if idx.max(initial=0) >= len(palette):
             raise ValueError("GIF pixel index outside color table")
-        return palette[idx].reshape(h, w, 3)
+        rows = idx.reshape(h, w)
+        if ipacked & 0x40:
+            # interlaced: the stream stores rows in the four-pass order
+            # of GIF89a Appendix E (every 8th from 0, every 8th from 4,
+            # every 4th from 2, every 2nd from 1) — scatter stored row
+            # j back to display row _interlace_order(h)[j]
+            out = np.empty_like(rows)
+            out[_interlace_order(h)] = rows
+            rows = out
+        return palette[rows.reshape(-1)].reshape(h, w, 3)
     raise ValueError("GIF contains no image block")
+
+
+def _interlace_order(h: int) -> np.ndarray:
+    """Display-row index for each stored row, in storage order."""
+    return np.concatenate([
+        np.arange(0, h, 8), np.arange(4, h, 8),
+        np.arange(2, h, 4), np.arange(1, h, 2),
+    ])

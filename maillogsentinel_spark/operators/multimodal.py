@@ -173,15 +173,16 @@ def encode_png(pixels: np.ndarray) -> bytes:
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG → (H, W, 3) uint8 RGB, pure stdlib-zlib + numpy. Supports
     non-interlaced 8-bit grayscale (type 0, expanded to RGB), truecolor
-    (type 2) and truecolor+alpha (type 6, alpha dropped) with all five
-    scanline filters (None/Sub/Up/Average/Paeth) unfiltered per spec
-    §9; IDAT chunks are concatenated before the single zlib inflate.
-    Palette, 16-bit and Adam7-interlaced images raise
+    (type 2), truecolor+alpha (type 6, alpha dropped) and indexed
+    (type 3, looked up through the PLTE chunk) with all five scanline
+    filters (None/Sub/Up/Average/Paeth) unfiltered per spec §9; IDAT
+    chunks are concatenated before the single zlib inflate. 16-bit,
+    sub-byte-depth palette and Adam7-interlaced images raise
     NotImplementedError (honest gate, same policy as the BMP/WAV
     codecs)."""
     if payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG payload")
-    pos, w = 8, None
+    pos, w, plte = 8, None, None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
@@ -192,21 +193,27 @@ def decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+            if depth != 8 or color not in (0, 2, 3, 6) or interlace != 0:
                 raise NotImplementedError(
                     f"PNG depth={depth} color_type={color} "
                     f"interlace={interlace} unsupported (8-bit gray/RGB/"
-                    "RGBA non-interlaced only)"
+                    "RGBA/palette non-interlaced only)"
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("invalid PNG compression/filter method")
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("invalid PNG PLTE length")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    nch = {0: 1, 2: 3, 6: 4}[color]
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    nch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     stride = w * nch
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (stride + 1):
@@ -239,6 +246,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         img[r] = cur
         prev = cur
     px = img.astype(np.uint8).reshape(h, w, nch)
+    if color == 3:
+        if int(px.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index outside PLTE")
+        return plte[px[:, :, 0]]
     if nch == 1:
         return np.repeat(px, 3, axis=2)
     return px[:, :, :3]

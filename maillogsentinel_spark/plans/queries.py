@@ -1973,7 +1973,7 @@ def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN 4 THEN 'wav_truncated'  WHEN 5 THEN 'wav_ms_adpcm'
                   ELSE 'unknown_magic' END AS format,
            CASE k WHEN 0 THEN 'ok'      WHEN 1 THEN 'ok'
-                  WHEN 2 THEN 'gated'   WHEN 3 THEN 'gated'
+                  WHEN 2 THEN 'ok'      WHEN 3 THEN 'gated'
                   WHEN 4 THEN 'invalid' WHEN 5 THEN 'gated'
                   ELSE 'gated' END AS status,
            CAST(n AS BIGINT) AS n_payloads
@@ -1982,9 +1982,10 @@ def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The honest-gate POLICY itself as an oracle row: a mixed binary
-    column cycling (doc_id % 7) through decodable payloads (BMP, GIF),
-    lib-bound variants the codecs must REFUSE with NotImplementedError
-    (interlaced GIF, sub-frame GIF, MS-ADPCM WAV — tag 2; the IMA
+    column cycling (doc_id % 7) through decodable payloads (BMP, GIF —
+    including interlaced GIF, whose Appendix-E row scatter decodes for
+    real since round 7), variants the codecs must REFUSE with
+    NotImplementedError (sub-frame GIF, MS-ADPCM WAV — tag 2; the IMA
     variant, tag 0x11, decodes for real in multimodal_adpcm_decode —
     and unknown magic) plus a
     corrupt payload that must fail loudly with ValueError (truncated

@@ -108,17 +108,50 @@ def test_png_rgba_drops_alpha():
     assert out[0, 1].tolist() == [15, 16, 17]
 
 
+def test_png_palette_decodes_via_plte():
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    # 2x2 indexed image over a 3-entry palette, filter-0 scanlines
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idat = zlib.compress(bytes([0, 0, 1, 0, 2, 1]))
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", plte) + chunk(b"IDAT", idat)
+           + chunk(b"IEND", b""))
+    out = decode_png(png)
+    assert out.tolist() == [[[255, 0, 0], [0, 255, 0]],
+                            [[0, 0, 255], [0, 255, 0]]]
+    # index past the palette must fail loudly, not wrap
+    bad_idat = zlib.compress(bytes([0, 0, 3, 0, 0, 0]))
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", plte) + chunk(b"IDAT", bad_idat)
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(bad)
+    # palette image without a PLTE chunk is malformed per spec
+    with pytest.raises(ValueError):
+        decode_png(_png_raw(1, 1, 3, [0, 0]))
+
+
 def test_png_unsupported_variants_raise():
     import struct
 
-    with pytest.raises(NotImplementedError):  # palette
-        decode_png(_png_raw(1, 1, 3, [0, 0]))
     # 16-bit depth
     bad = bytearray(_png_raw(1, 1, 2, [0, 1, 2, 3]))
     struct.pack_into("B", bad, 8 + 8 + 8, 16)
     # CRC no longer matches but IHDR parse happens first
     with pytest.raises(NotImplementedError):
         decode_png(bytes(bad))
+    # Adam7 interlace
+    bad2 = bytearray(_png_raw(1, 1, 2, [0, 1, 2, 3]))
+    struct.pack_into("B", bad2, 8 + 8 + 12, 1)
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(bad2))
 
 
 def test_jpeg_constant_blocks_exact():
@@ -274,7 +307,7 @@ def test_gif_palette_cap():
         encode_gif(img)  # ~1024 distinct random colors
 
 
-def test_gif_interlace_gate_and_extension_skip():
+def test_gif_extension_skip():
     from maillogsentinel_spark.operators.gif import decode_gif, encode_gif
 
     img = np.zeros((2, 2, 3), dtype=np.uint8)
@@ -286,11 +319,41 @@ def test_gif_interlace_gate_and_extension_skip():
     gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
     spliced = bytes(payload[:at]) + gce + bytes(payload[at:])
     assert (decode_gif(spliced) == img).all()
-    # flip the interlace bit in the image descriptor's packed byte
-    broken = bytearray(spliced)
-    broken[len(payload[:at]) + len(gce) + 9] |= 0x40
-    with pytest.raises(NotImplementedError):
-        decode_gif(bytes(broken))
+
+
+def test_gif_interlaced_roundtrip():
+    """Four-pass Appendix E row order: encode interlaced, decode back —
+    every display row must land where it started. 19 rows exercises all
+    four passes with uneven pass lengths (3+2+5+9)."""
+    from maillogsentinel_spark.operators.gif import (
+        _interlace_order,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 4, size=(19, 5, 1), dtype=np.uint8).repeat(3, axis=2)
+    assert (decode_gif(encode_gif(img, interlace=True)) == img).all()
+    # and the pass order itself matches the spec's worked example
+    assert _interlace_order(10).tolist() == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+
+
+def test_gif_interlace_flag_alone_permutes_rows():
+    """Setting the interlace flag on sequentially-stored rows must apply
+    the deinterlace scatter (a decoder that ignores the flag returns the
+    rows unchanged — wrong)."""
+    from maillogsentinel_spark.operators.gif import decode_gif, encode_gif
+
+    img = (np.arange(16, dtype=np.uint8).reshape(16, 1, 1)
+           .repeat(2, axis=1).repeat(3, axis=2))
+    flagged = bytearray(encode_gif(img))
+    at = flagged.index(0x2C, 13 + 2 * 16 * 3 // 2)  # after 16-color GCT
+    flagged[at + 9] |= 0x40
+    out = decode_gif(bytes(flagged))
+    assert out.shape == img.shape
+    assert (out != img).any()
+    # stored row j shows at display row order[j]: display rows 0,8,4,...
+    assert out[0, 0, 0] == 0 and out[8, 0, 0] == 1 and out[4, 0, 0] == 2
 
 
 def test_gif_subframe_geometry_gate():
