@@ -181,7 +181,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
 
 def _decode_gif_inner(payload: bytes) -> np.ndarray:
-    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if packed & 0x80:
@@ -203,12 +203,9 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         il, it, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
-        if (il, it) != (0, 0) or (w, h) != (sw, sh):
-            # A sub-frame placed inside the logical screen needs
-            # compositing over the background; raise-instead-of-guess,
-            # like the other honest gates in this module.
-            raise NotImplementedError(
-                "GIF image descriptor is not a full-frame at (0,0): "
+        if il + w > sw or it + h > sh:
+            raise ValueError(
+                "GIF image descriptor exceeds the logical screen: "
                 f"image {w}x{h}@({il},{it}) vs screen {sw}x{sh}"
             )
         palette = gct
@@ -240,7 +237,20 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray:
             out = np.empty_like(rows)
             out[_interlace_order(h)] = rows
             rows = out
-        return palette[rows.reshape(-1)].reshape(h, w, 3)
+        frame = palette[rows.reshape(-1)].reshape(h, w, 3)
+        if (il, it) != (0, 0) or (w, h) != (sw, sh):
+            # sub-frame inside the logical screen: composite over the
+            # background color (LSD byte 11 indexes the GLOBAL table;
+            # without a GCT the spec leaves the backdrop undefined, so
+            # refuse rather than guess a color)
+            if gct is None or bg >= len(gct):
+                raise NotImplementedError(
+                    "GIF sub-frame without a global background color"
+                )
+            screen = np.broadcast_to(gct[bg], (sh, sw, 3)).copy()
+            screen[it : it + h, il : il + w] = frame
+            return screen
+        return frame
     raise ValueError("GIF contains no image block")
 
 

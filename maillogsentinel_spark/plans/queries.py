@@ -1969,11 +1969,11 @@ def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH f AS (SELECT doc_id % 7 AS k, count(*) AS n
                FROM documents GROUP BY 1)
     SELECT CASE k WHEN 0 THEN 'bmp'            WHEN 1 THEN 'gif'
-                  WHEN 2 THEN 'gif_interlaced' WHEN 3 THEN 'gif_subframe'
+                  WHEN 2 THEN 'gif_interlaced' WHEN 3 THEN 'gif_oob_frame'
                   WHEN 4 THEN 'wav_truncated'  WHEN 5 THEN 'wav_ms_adpcm'
                   ELSE 'unknown_magic' END AS format,
            CASE k WHEN 0 THEN 'ok'      WHEN 1 THEN 'ok'
-                  WHEN 2 THEN 'ok'      WHEN 3 THEN 'gated'
+                  WHEN 2 THEN 'ok'      WHEN 3 THEN 'invalid'
                   WHEN 4 THEN 'invalid' WHEN 5 THEN 'gated'
                   ELSE 'gated' END AS status,
            CAST(n AS BIGINT) AS n_payloads
@@ -1984,12 +1984,14 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The honest-gate POLICY itself as an oracle row: a mixed binary
     column cycling (doc_id % 7) through decodable payloads (BMP, GIF —
     including interlaced GIF, whose Appendix-E row scatter decodes for
-    real since round 7), variants the codecs must REFUSE with
-    NotImplementedError (sub-frame GIF, MS-ADPCM WAV — tag 2; the IMA
-    variant, tag 0x11, decodes for real in multimodal_adpcm_decode —
-    and unknown magic) plus a
-    corrupt payload that must fail loudly with ValueError (truncated
-    μ-law data chunk). The engine classifies each payload by actually
+    real since round 7; in-bounds sub-frames now composite over the
+    background), variants the codecs must REFUSE with
+    NotImplementedError (MS-ADPCM WAV — tag 2; the IMA variant,
+    tag 0x11, decodes for real in multimodal_adpcm_decode — and
+    unknown magic) plus two corrupt payloads that must fail loudly
+    with ValueError (a truncated μ-law data chunk; a GIF frame
+    exceeding its logical screen). The engine classifies each payload
+    by actually
     attempting the decode and mapping the outcome to ok / gated /
     invalid; the oracle states the CONTRACT — which format must land in
     which bucket. A gate that silently starts "succeeding" (decoding
@@ -2024,8 +2026,8 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("gif_interlaced", lambda d: gif_variant(
             lambda p, at: p.__setitem__(at + 9, p[at + 9] | 0x40)
         )),
-        ("gif_subframe", lambda d: gif_variant(
-            lambda p, at: p.__setitem__(at + 1, 1)  # left offset = 1
+        ("gif_oob_frame", lambda d: gif_variant(
+            lambda p, at: p.__setitem__(at + 1, 1)  # left 1 + width 2 > 2
         )),
         ("wav_truncated", lambda d: encode_wav_ulaw(
             np.arange(16, dtype=np.uint8)

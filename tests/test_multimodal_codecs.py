@@ -356,24 +356,44 @@ def test_gif_interlace_flag_alone_permutes_rows():
     assert out[0, 0, 0] == 0 and out[8, 0, 0] == 1 and out[4, 0, 0] == 2
 
 
-def test_gif_subframe_geometry_gate():
-    """A descriptor that is not a full-frame at (0,0) needs background
-    compositing — the decoder must raise, not silently decode wrong
-    geometry (raise-instead-of-guess policy)."""
-    from maillogsentinel_spark.operators.gif import decode_gif, encode_gif
+def test_gif_subframe_composites_over_background():
+    """A sub-frame inside the logical screen composites over the LSD's
+    background color; a descriptor exceeding the screen fails loudly."""
+    import struct
 
+    from maillogsentinel_spark.operators.gif import (
+        _lzw_compress,
+        decode_gif,
+        encode_gif,
+    )
+
+    # hand-built: 4x4 screen, 4-color GCT, bg index 3, 2x2 frame @(1,1)
+    gct = bytes([10, 0, 0, 0, 20, 0, 0, 0, 30, 99, 99, 99])
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 4, 0x80 | 1, 3, 0)  # 2-bit GCT, bg=3
+    out += gct
+    out += struct.pack("<BHHHHB", 0x2C, 1, 1, 2, 2, 0)
+    out.append(2)  # LZW min code size
+    lzw = _lzw_compress(bytes([0, 1, 2, 0]), 2)
+    out.append(len(lzw))
+    out += lzw
+    out += b"\x00\x3b"
+    px = decode_gif(bytes(out))
+    assert px.shape == (4, 4, 3)
+    assert px[0, 0].tolist() == [99, 99, 99]  # background
+    assert px[1, 1].tolist() == [10, 0, 0]    # frame (0,0) = index 0
+    assert px[1, 2].tolist() == [0, 20, 0]
+    assert px[2, 2].tolist() == [10, 0, 0]
+    assert px[3, 3].tolist() == [99, 99, 99]
+
+    # descriptor past the screen edge: malformed, ValueError
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     img[0, 1] = 255
     payload = bytearray(encode_gif(img))
     at = payload.index(0x2C, 13 + 2 * 3)
-    offset = bytearray(payload)
-    offset[at + 1] = 1  # left = 1
-    with pytest.raises(NotImplementedError, match="full-frame"):
-        decode_gif(bytes(offset))
-    shrunk = bytearray(payload)
-    shrunk[at + 5] = 1  # width = 1 < screen width 2
-    with pytest.raises(NotImplementedError, match="full-frame"):
-        decode_gif(bytes(shrunk))
+    payload[at + 1] = 1  # left = 1 → 1 + 2 > screen width 2
+    with pytest.raises(ValueError, match="exceeds the logical screen"):
+        decode_gif(bytes(payload))
 
 
 def test_gif_handpacked_bitstream_vector():
