@@ -125,14 +125,10 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """(H, W, 3) uint8 RGB → non-interlaced 8-bit truecolor PNG,
-    hand-built from the public spec (W3C PNG / RFC 2083): IHDR + one
-    zlib-deflated IDAT + IEND, CRC32 per chunk. Each scanline is
-    filtered with type (row % 5) — cycling None/Sub/Up/Average/Paeth —
-    so a decoder that mishandles ANY filter type produces wrong pixels
-    (the oracle queries recompute stats from the pixel formula and
-    would catch it)."""
+def _png_filter_lines(pixels: np.ndarray) -> bytearray:
+    """Filter an (h, w, 3) block's scanlines with type (row % 5) —
+    cycling None/Sub/Up/Average/Paeth — so a decoder that mishandles
+    ANY filter type produces wrong pixels."""
     h, w, _ = pixels.shape
     bpp = 3
     raw = bytearray()
@@ -161,7 +157,25 @@ def encode_png(pixels: np.ndarray) -> bytes:
             out = (cur - pred) % 256
         raw += out.astype(np.uint8).tobytes()
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, truecolor
+    return raw
+
+
+def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """(H, W, 3) uint8 RGB → 8-bit truecolor PNG, hand-built from the
+    public spec (W3C PNG / RFC 2083): IHDR + one zlib-deflated IDAT +
+    IEND, CRC32 per chunk. ``interlace`` writes the seven Adam7 passes,
+    each filtered as its own sub-image per spec §8.2 (empty passes
+    contribute no bytes)."""
+    h, w, _ = pixels.shape
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            sub = pixels[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _png_filter_lines(sub)
+    else:
+        raw = _png_filter_lines(pixels)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         PNG_SIGNATURE
         + _png_chunk(b"IHDR", ihdr)
@@ -170,62 +184,28 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG → (H, W, 3) uint8 RGB, pure stdlib-zlib + numpy. Supports
-    non-interlaced 8-bit grayscale (type 0, expanded to RGB), truecolor
-    (type 2), truecolor+alpha (type 6, alpha dropped) and indexed
-    (type 3, looked up through the PLTE chunk) with all five scanline
-    filters (None/Sub/Up/Average/Paeth) unfiltered per spec §9; IDAT
-    chunks are concatenated before the single zlib inflate. 16-bit,
-    sub-byte-depth palette and Adam7-interlaced images raise
-    NotImplementedError (honest gate, same policy as the BMP/WAV
-    codecs)."""
-    if payload[:8] != PNG_SIGNATURE:
-        raise ValueError("not a PNG payload")
-    pos, w, plte = 8, None, None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if ctype == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8 or color not in (0, 2, 3, 6) or interlace != 0:
-                raise NotImplementedError(
-                    f"PNG depth={depth} color_type={color} "
-                    f"interlace={interlace} unsupported (8-bit gray/RGB/"
-                    "RGBA/palette non-interlaced only)"
-                )
-            if comp != 0 or filt != 0:
-                raise ValueError("invalid PNG compression/filter method")
-        elif ctype == b"PLTE":
-            if len(data) % 3 or not data:
-                raise ValueError("invalid PNG PLTE length")
-            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    if color == 3 and plte is None:
-        raise ValueError("palette PNG missing PLTE chunk")
-    nch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass, spec §8.2.
+ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, off: int, h: int, w: int, nch: int) -> tuple:
+    """Unfilter h scanlines of w pixels × nch bytes starting at ``off``
+    (each scanline prefixed by its filter byte, spec §9). Returns the
+    (h, w*nch) uint8 array and the offset past the consumed bytes."""
     stride = w * nch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
+    if off + h * (stride + 1) > len(raw):
         raise ValueError("PNG IDAT size mismatch")
     img = np.zeros((h, stride), dtype=np.int64)
     prev = np.zeros(stride, dtype=np.int64)
     for r in range(h):
-        off = r * (stride + 1)
         ft = raw[off]
-        cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).astype(
-            np.int64
-        )
+        cur = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off + 1
+        ).astype(np.int64)
+        off += stride + 1
         if ft == 0:
             pass
         elif ft == 2:  # Up — no left dependency, vectorized
@@ -245,7 +225,72 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"invalid PNG filter type {ft}")
         img[r] = cur
         prev = cur
-    px = img.astype(np.uint8).reshape(h, w, nch)
+    return img.astype(np.uint8), off
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (H, W, 3) uint8 RGB, pure stdlib-zlib + numpy. Supports
+    8-bit grayscale (type 0, expanded to RGB), truecolor (type 2),
+    truecolor+alpha (type 6, alpha dropped) and indexed (type 3,
+    looked up through the PLTE chunk), each either sequential or
+    Adam7-interlaced (the seven passes are independent sub-images,
+    unfiltered separately per spec §8.2 then scattered onto the pixel
+    grid), with all five scanline filters (None/Sub/Up/Average/Paeth)
+    unfiltered per spec §9; IDAT chunks are concatenated before the
+    single zlib inflate. 16-bit depth raises NotImplementedError
+    (honest gate, same policy as the BMP/WAV codecs)."""
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos, w, plte = 8, None, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (0, 2, 3, 6) or interlace > 1:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color_type={color} "
+                    f"interlace={interlace} unsupported (8-bit gray/RGB/"
+                    "RGBA/palette only)"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("invalid PNG compression/filter method")
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("invalid PNG PLTE length")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    nch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        flat, off = _png_unfilter(raw, 0, h, w, nch)
+        if off != len(raw):
+            raise ValueError("PNG IDAT size mismatch")
+        px = flat.reshape(h, w, nch)
+    else:
+        px = np.zeros((h, w, nch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no bytes at all
+            sub, off = _png_unfilter(raw, off, ph, pw, nch)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+        if off != len(raw):
+            raise ValueError("PNG IDAT size mismatch")
     if color == 3:
         if int(px.max(initial=0)) >= len(plte):
             raise ValueError("PNG palette index outside PLTE")

@@ -147,11 +147,36 @@ def test_png_unsupported_variants_raise():
     # CRC no longer matches but IHDR parse happens first
     with pytest.raises(NotImplementedError):
         decode_png(bytes(bad))
-    # Adam7 interlace
-    bad2 = bytearray(_png_raw(1, 1, 2, [0, 1, 2, 3]))
-    struct.pack_into("B", bad2, 8 + 8 + 12, 1)
-    with pytest.raises(NotImplementedError):
-        decode_png(bytes(bad2))
+
+
+def test_png_adam7_roundtrip():
+    """Adam7: seven independently-filtered sub-images scattered back
+    onto the grid. 13x11 exercises every pass with ragged pass sizes;
+    1x1 leaves six passes EMPTY (they must contribute zero bytes)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img, interlace=True)) == img).all()
+    tiny = np.array([[[9, 8, 7]]], dtype=np.uint8)
+    assert (decode_png(encode_png(tiny, interlace=True)) == tiny).all()
+
+
+def test_png_adam7_differs_from_sequential_bytes():
+    """The interlaced byte stream is a different row order — decoding
+    it as if sequential must NOT give the same image (guards against a
+    decoder that ignores the interlace flag)."""
+    import struct
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    inter = bytearray(encode_png(img, interlace=True))
+    # flipping the flag off makes the pass-ordered bytes parse as
+    # sequential scanlines: same total size, different geometry
+    struct.pack_into("B", inter, 8 + 8 + 12, 0)
+    try:
+        wrong = decode_png(bytes(inter))
+        assert (wrong != img).any()
+    except ValueError:
+        pass  # size mismatch is also an acceptable failure mode
 
 
 def test_jpeg_constant_blocks_exact():
