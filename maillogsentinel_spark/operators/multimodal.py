@@ -191,11 +191,17 @@ ADAM7_PASSES = (
 )
 
 
-def _png_unfilter(raw: bytes, off: int, h: int, w: int, nch: int) -> tuple:
-    """Unfilter h scanlines of w pixels × nch bytes starting at ``off``
-    (each scanline prefixed by its filter byte, spec §9). Returns the
-    (h, w*nch) uint8 array and the offset past the consumed bytes."""
-    stride = w * nch
+def _png_unfilter(
+    raw: bytes, off: int, h: int, w: int, nch: int, sample_bytes: int = 1
+) -> tuple:
+    """Unfilter h scanlines of w pixels × nch channels × sample_bytes
+    starting at ``off`` (each scanline prefixed by its filter byte,
+    spec §9 — filters operate on BYTES, with the left neighbor one
+    whole pixel = nch*sample_bytes bytes back regardless of depth).
+    Returns the (h, w*nch*sample_bytes) uint8 array and the offset past
+    the consumed bytes."""
+    bpp = nch * sample_bytes
+    stride = w * bpp
     if off + h * (stride + 1) > len(raw):
         raise ValueError("PNG IDAT size mismatch")
     img = np.zeros((h, stride), dtype=np.int64)
@@ -212,9 +218,9 @@ def _png_unfilter(raw: bytes, off: int, h: int, w: int, nch: int) -> tuple:
             cur = (cur + prev) % 256
         elif ft in (1, 3, 4):  # Sub/Average/Paeth — left-sequential per pixel
             for i in range(stride):
-                a = cur[i - nch] if i >= nch else 0
+                a = cur[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - nch] if i >= nch else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 if ft == 1:
                     cur[i] = (cur[i] + a) % 256
                 elif ft == 3:
@@ -237,8 +243,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     unfiltered separately per spec §8.2 then scattered onto the pixel
     grid), with all five scanline filters (None/Sub/Up/Average/Paeth)
     unfiltered per spec §9; IDAT chunks are concatenated before the
-    single zlib inflate. 16-bit depth raises NotImplementedError
-    (honest gate, same policy as the BMP/WAV codecs)."""
+    single zlib inflate. 16-bit samples (gray/RGB/RGBA) decode for
+    real and scale to the 8-bit output contract by taking the high
+    byte (the spec's sample-depth rescale for display); sub-byte
+    depths raise NotImplementedError (honest gate, same policy as the
+    BMP/WAV codecs)."""
     if payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG payload")
     pos, w, plte = 8, None, None
@@ -252,11 +261,14 @@ def decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or color not in (0, 2, 3, 6) or interlace > 1:
+            ok = (depth == 8 and color in (0, 2, 3, 6)) or (
+                depth == 16 and color in (0, 2, 6)  # palette is 8-bit max
+            )
+            if not ok or interlace > 1:
                 raise NotImplementedError(
                     f"PNG depth={depth} color_type={color} "
-                    f"interlace={interlace} unsupported (8-bit gray/RGB/"
-                    "RGBA/palette only)"
+                    f"interlace={interlace} unsupported (8/16-bit gray/"
+                    "RGB/RGBA + 8-bit palette only)"
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("invalid PNG compression/filter method")
@@ -273,24 +285,29 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     nch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    sb = depth // 8  # bytes per sample
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
-        flat, off = _png_unfilter(raw, 0, h, w, nch)
+        flat, off = _png_unfilter(raw, 0, h, w, nch, sb)
         if off != len(raw):
             raise ValueError("PNG IDAT size mismatch")
-        px = flat.reshape(h, w, nch)
+        px = flat.reshape(h, w, nch * sb)
     else:
-        px = np.zeros((h, w, nch), dtype=np.uint8)
+        px = np.zeros((h, w, nch * sb), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in ADAM7_PASSES:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass contributes no bytes at all
-            sub, off = _png_unfilter(raw, off, ph, pw, nch)
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+            sub, off = _png_unfilter(raw, off, ph, pw, nch, sb)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, nch * sb)
         if off != len(raw):
             raise ValueError("PNG IDAT size mismatch")
+    if sb == 2:
+        # 16-bit samples are big-endian (spec §7.1): the high byte IS
+        # the 8-bit rescale for display
+        px = px.reshape(h, w, nch, 2)[:, :, :, 0]
     if color == 3:
         if int(px.max(initial=0)) >= len(plte):
             raise ValueError("PNG palette index outside PLTE")
@@ -353,9 +370,9 @@ def encode_wav_ulaw(codes: np.ndarray, sample_rate: int = 8000) -> bytes:
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """RIFF/WAVE → (sample_rate, samples). PCM via the stdlib wave
     module (16-bit → int16; 8-bit is unsigned by spec → uint8); μ-law
-    (format tag 7) and IMA ADPCM (tag 0x11) via a minimal RIFF chunk
-    walk. Multi-channel frames come back shaped (n_frames,
-    n_channels)."""
+    (format tag 7), MS ADPCM (tag 2) and IMA ADPCM (tag 0x11) via a
+    minimal RIFF chunk walk. Multi-channel frames come back shaped
+    (n_frames, n_channels)."""
     try:
         with wave.open(io.BytesIO(payload), "rb") as f:
             rate, nch, width = (
@@ -375,8 +392,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 def _decode_wav_nonpcm(payload: bytes) -> tuple[int, np.ndarray]:
     """Chunk-walking fallback for format tags the wave module rejects;
-    decodes μ-law (tag 7) and IMA ADPCM (tag 0x11) for real, gates the
-    rest (e.g. MS ADPCM tag 2) honestly."""
+    decodes μ-law (tag 7), MS ADPCM (tag 2) and IMA ADPCM (tag 0x11)
+    for real, gates the rest (e.g. MPEG-in-WAV tag 0x50) honestly."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data, fact_n = 12, None, None, None
@@ -398,16 +415,17 @@ def _decode_wav_nonpcm(payload: bytes) -> tuple[int, np.ndarray]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     tag, nch, rate = struct.unpack_from("<HHI", fmt, 0)
-    if tag == 0x11:
-        arr = _decode_wav_ima(fmt, data)
+    if tag in (0x02, 0x11):
+        dec = _decode_wav_ms_adpcm if tag == 0x02 else _decode_wav_ima
+        arr = dec(fmt, data)
         # the fact chunk carries the true sample count — a short final
         # block is zero-padded to block_align at encode time, and the
         # pad nibbles must not decode as trailing samples
         return rate, arr[:fact_n] if fact_n is not None else arr
     if tag != 7:
         raise NotImplementedError(
-            f"WAV format tag {tag} unsupported (PCM, mu-law and IMA "
-            "ADPCM decode)"
+            f"WAV format tag {tag} unsupported (PCM, mu-law, IMA and "
+            "MS ADPCM decode)"
         )
     arr = mulaw_expand(np.frombuffer(data, dtype=np.uint8))
     return rate, arr.reshape(-1, nch) if nch > 1 else arr
@@ -491,6 +509,112 @@ def _ima_encode_nibbles(
         idx = max(0, min(88, idx + int(it[n & 7])))
         out[i] = n
     return out
+
+
+# MS ADPCM (WAVE format tag 0x02) — constants from the published
+# Microsoft "Multimedia Programming Interface and Data Specifications"
+# ADPCM algorithm (the same tables appear in every open decoder).
+MS_ADAPTATION = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614,
+     768, 614, 512, 409, 307, 230, 230, 230], dtype=np.int32
+)
+MS_COEFF1 = np.array([256, 512, 0, 192, 240, 460, 392], dtype=np.int32)
+MS_COEFF2 = np.array([0, -256, 0, 64, 0, -208, -232], dtype=np.int32)
+
+
+def _ms_decode_block(block: bytes) -> np.ndarray:
+    """One mono MS ADPCM block → int16 samples: 7-byte header
+    (predictor index, initial idelta, the two seed samples stored
+    newest-first) then 4-bit signed codes, HIGH nibble first."""
+    if len(block) < 7:
+        raise ValueError("truncated MS ADPCM block header")
+    bpred = block[0]
+    if bpred >= len(MS_COEFF1):
+        raise ValueError("MS ADPCM predictor index out of range")
+    idelta, s1, s2 = struct.unpack_from("<hhh", block, 1)
+    c1, c2 = int(MS_COEFF1[bpred]), int(MS_COEFF2[bpred])
+    packed = np.frombuffer(block[7:], dtype=np.uint8)
+    codes = np.empty(2 * len(packed), dtype=np.uint8)
+    codes[0::2] = packed >> 4
+    codes[1::2] = packed & 0x0F
+    out = [np.int16(s2), np.int16(s1)]  # seeds emit oldest-first
+    for c in codes:
+        c = int(c)
+        s = c - 16 if c >= 8 else c  # signed 4-bit code
+        pred = (s1 * c1 + s2 * c2) >> 8
+        new = max(-32768, min(32767, pred + idelta * s))
+        s2, s1 = s1, new
+        idelta = max(16, (int(MS_ADAPTATION[c]) * idelta) >> 8)
+        out.append(np.int16(new))
+    return np.array(out, dtype=np.int16)
+
+
+def _decode_wav_ms_adpcm(fmt: bytes, data: bytes) -> np.ndarray:
+    tag, nch, _rate = struct.unpack_from("<HHI", fmt, 0)
+    block_align = struct.unpack_from("<H", fmt, 12)[0]
+    if nch != 1:
+        raise NotImplementedError("multi-channel MS ADPCM unsupported")
+    if block_align < 8:
+        raise ValueError("inconsistent MS ADPCM block geometry")
+    spb = (block_align - 7) * 2 + 2
+    if len(fmt) >= 20:
+        declared = struct.unpack_from("<H", fmt, 18)[0]
+        if declared > spb:
+            raise ValueError("inconsistent MS ADPCM block geometry")
+    out = []
+    for off in range(0, len(data), block_align):
+        out.append(_ms_decode_block(data[off : off + block_align]))
+    return np.concatenate(out).astype(np.int16)
+
+
+def _ms_encode_nibbles(samples: np.ndarray, idelta: int) -> bytes:
+    """Quantize samples[2:] against the predictor-0 recurrence
+    (coeff 256/0: pred = previous sample), replaying the decoder's
+    state updates so both sides stay in lockstep."""
+    s2, s1 = int(samples[0]), int(samples[1])
+    codes = []
+    for x in np.asarray(samples[2:], dtype=np.int32):
+        pred = (s1 * 256 + s2 * 0) >> 8
+        s = max(-8, min(7, int(round((int(x) - pred) / idelta))))
+        c = s + 16 if s < 0 else s
+        new = max(-32768, min(32767, pred + idelta * s))
+        s2, s1 = s1, new
+        idelta = max(16, (int(MS_ADAPTATION[c]) * idelta) >> 8)
+        codes.append(c)
+    if len(codes) % 2:
+        codes.append(0)
+    return bytes((codes[i] << 4) | codes[i + 1] for i in range(0, len(codes), 2))
+
+
+def encode_wav_ms_adpcm(
+    samples: np.ndarray, sample_rate: int = 8000, block_align: int = 39
+) -> bytes:
+    """int16 mono samples → RIFF/WAVE with format tag 2 (MS ADPCM),
+    predictor 0, per-block initial idelta estimated from the block's
+    mean step. (block_align - 7) * 2 + 2 samples per block."""
+    samples = np.asarray(samples, dtype=np.int16)
+    spb = (block_align - 7) * 2 + 2
+    blocks = []
+    for off in range(0, len(samples), spb):
+        chunk = np.asarray(samples[off : off + spb], dtype=np.int32)
+        if len(chunk) < 2:
+            chunk = np.append(chunk, chunk[-1] if len(chunk) else 0)
+        steps = np.abs(np.diff(chunk)) if len(chunk) > 1 else np.array([16])
+        idelta = max(16, int(steps.mean()) // 4 or 16)
+        body = struct.pack("<Bhhh", 0, idelta, int(chunk[1]), int(chunk[0]))
+        body += _ms_encode_nibbles(chunk, idelta)
+        blocks.append(body.ljust(block_align, b"\x00"))
+    data = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH", 2, 1, sample_rate,
+        sample_rate * block_align // spb, block_align, 4, 2, spb,
+    )
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, len(samples))
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_wav_ima(

@@ -1970,7 +1970,7 @@ def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents GROUP BY 1)
     SELECT CASE k WHEN 0 THEN 'bmp'            WHEN 1 THEN 'gif'
                   WHEN 2 THEN 'gif_interlaced' WHEN 3 THEN 'gif_oob_frame'
-                  WHEN 4 THEN 'wav_truncated'  WHEN 5 THEN 'wav_ms_adpcm'
+                  WHEN 4 THEN 'wav_truncated'  WHEN 5 THEN 'mp3'
                   ELSE 'unknown_magic' END AS format,
            CASE k WHEN 0 THEN 'ok'      WHEN 1 THEN 'ok'
                   WHEN 2 THEN 'ok'      WHEN 3 THEN 'invalid'
@@ -1986,9 +1986,9 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     including interlaced GIF, whose Appendix-E row scatter decodes for
     real since round 7; in-bounds sub-frames now composite over the
     background), variants the codecs must REFUSE with
-    NotImplementedError (MS-ADPCM WAV — tag 2; the IMA variant,
-    tag 0x11, decodes for real in multimodal_adpcm_decode — and
-    unknown magic) plus two corrupt payloads that must fail loudly
+    NotImplementedError (an MP3 frame — genuinely lib-bound, unlike
+    the WAV family where PCM/μ-law/IMA/MS-ADPCM all decode for real —
+    and unknown magic) plus two corrupt payloads that must fail loudly
     with ValueError (a truncated μ-law data chunk; a GIF frame
     exceeding its logical screen). The engine classifies each payload
     by actually
@@ -2032,22 +2032,18 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("wav_truncated", lambda d: encode_wav_ulaw(
             np.arange(16, dtype=np.uint8)
         )[:-3]),
-        ("wav_ms_adpcm", lambda d: _set_byte(
-            encode_wav_ulaw(np.arange(16, dtype=np.uint8)), 20, 2
-        )),
+        # an MP3 frame header: genuinely lib-bound, the audio dispatch
+        # must gate it (WAV is the only containerless audio format here)
+        ("mp3", lambda d: b"ID3\x04\x00\x00\x00\x00\x00\x00\xff\xfb\x90"
+                          + bytes(16)),
         ("unknown_magic", lambda d: b"XXXX" + bytes(16)),
     ]
-
-    def _set_byte(payload, pos, val):
-        b = bytearray(payload)
-        b[pos] = val
-        return bytes(b)
 
     def outcome(did: int):
         fmt, make = CASES[did % 7]
         payload = make(did)
         try:
-            if payload[:4] == b"RIFF":
+            if payload[:4] == b"RIFF" or payload[:3] == b"ID3":
                 decode_audio(payload)
             else:
                 decode_image(payload)
@@ -2215,6 +2211,110 @@ def q_multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 block = _struct.pack("<hBB", p0, i0, 0) + packed.tobytes()
                 fmt = _struct.pack(
                     "<HHIIHHHH", 0x11, 1, 8000, 8000 * 36 // 65, 36, 4, 2, 65
+                )
+                body = (
+                    b"WAVEfmt " + _struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + _struct.pack("<I", len(block)) + block
+                )
+                payload = b"RIFF" + _struct.pack("<I", len(body)) + body
+                rate, dec = decode_audio(payload)
+                dec = dec.astype(np.int64)
+                rows.append(
+                    (did, rate, len(dec), int(dec[0]), int(dec[-1]),
+                     int(dec.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples",
+                         "first_sample", "last_sample", "amp_sum"],
+            )
+
+    docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
+    return docs.mapInPandas(
+        synth_decode,
+        "media_id long, sample_rate int, n_samples int, "
+        "first_sample int, last_sample int, amp_sum long",
+    ).orderBy("media_id")
+
+
+_MS_ADAPT_SQL = (
+    "[230,230,230,230,307,409,512,614,768,614,512,409,307,230,230,230]"
+)
+
+_MS_ADPCM_ORACLE = f"""
+WITH RECURSIVE
+docs AS (SELECT doc_id,
+                (doc_id * 37) % 2001 - 1000 AS s2,
+                (doc_id * 53) % 2001 - 1000 AS s1,
+                16 + (doc_id % 485) AS idelta
+         FROM documents),
+dec AS (
+  SELECT doc_id, -1 AS i, s1, s2, idelta, CAST(s2 + s1 AS BIGINT) AS acc
+  FROM docs
+  UNION ALL
+  SELECT doc_id, i,
+         greatest(-32768, least(32767, s1 + idelta * s)) AS s1,
+         s1 AS s2,
+         greatest(16, ({_MS_ADAPT_SQL}[c + 1] * idelta) // 256) AS idelta,
+         acc + greatest(-32768, least(32767, s1 + idelta * s)) AS acc
+  FROM (
+    SELECT d.doc_id, d.i + 1 AS i, d.s1, d.s2, d.idelta, d.acc,
+           (d.doc_id * 11 + (d.i + 1) * 5) % 16 AS c,
+           CASE WHEN (d.doc_id * 11 + (d.i + 1) * 5) % 16 >= 8
+                THEN (d.doc_id * 11 + (d.i + 1) * 5) % 16 - 16
+                ELSE (d.doc_id * 11 + (d.i + 1) * 5) % 16 END AS s
+    FROM dec d WHERE d.i < 63
+  )
+)
+SELECT doc_id AS media_id,
+       8000 AS sample_rate,
+       66 AS n_samples,
+       max(CASE WHEN i = -1 THEN s2 END)::INT AS first_sample,
+       max(CASE WHEN i = 63 THEN s1 END)::INT AS last_sample,
+       sum(CASE WHEN i = 63 THEN acc END)::BIGINT AS amp_sum
+FROM dec GROUP BY doc_id ORDER BY media_id
+"""
+
+
+@query("multimodal_ms_adpcm_decode", oracle=_MS_ADPCM_ORACLE)
+def q_multimodal_ms_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MS ADPCM (WAV format tag 2) decode, EXACTLY oracle-pinned — the
+    twin of multimodal_adpcm_decode for the OTHER published ADPCM
+    recurrence: per-doc deterministic seeds (s2, s1, initial idelta)
+    and code stream, wrapped as a genuine tag-2 RIFF payload
+    (predictor 0, high-nibble-first codes, newest-first seed samples),
+    decoded through the magic-byte dispatch, while the DuckDB oracle
+    replays the coefficient-predictor + idelta-adaptation recurrence
+    as a recursive CTE. One wrong adaptation entry, nibble sign, seed
+    order, or the idelta floor diverges the chain and fails the hash."""
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import decode_audio
+
+    N = 64  # codes per payload → 66 samples with the two seeds
+
+    def synth_decode(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s2 = (did * 37) % 2001 - 1000
+                s1 = (did * 53) % 2001 - 1000
+                idelta = 16 + (did % 485)
+                i = np.arange(N, dtype=np.int64)
+                codes = ((did * 11 + i * 5) % 16).astype(np.uint8)
+                packed = ((codes[0::2] << 4) | codes[1::2]).astype(np.uint8)
+                block = (
+                    _struct.pack("<Bhhh", 0, idelta, s1, s2)
+                    + packed.tobytes()
+                )
+                ba = len(block)
+                spb = (ba - 7) * 2 + 2
+                fmt = _struct.pack(
+                    "<HHIIHHHH", 2, 1, 8000, 8000 * ba // spb, ba, 4, 2, spb
                 )
                 body = (
                     b"WAVEfmt " + _struct.pack("<I", len(fmt)) + fmt
@@ -9104,6 +9204,7 @@ _NEXT = [
     "multimodal_frames",            # frame-sampling rep rotated out
     "multimodal_wav_decode",        # real-codec twin of the in-window BMP rep
     "multimodal_adpcm_decode",      # lossy-codec recurrence, CTE-exact oracle
+    "multimodal_ms_adpcm_decode",   # the MS-ADPCM twin, CTE-exact oracle
     "dedup_segments_corpus",        # C4-style segment dedup + reassembly
     "knn_ivf_kmeans",               # trained-quantizer twin of in-window knn_ivf
     "knn_pq_adc",                   # product-quantization ADC (3rd ANN path)

@@ -138,15 +138,45 @@ def test_png_palette_decodes_via_plte():
         decode_png(_png_raw(1, 1, 3, [0, 0]))
 
 
+def _png_raw16(width, height, color_type, scanlines):
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_16bit_decodes_high_byte():
+    # gray 16-bit 2x1, filter 0: samples 0x1234, 0xFF00 -> 0x12, 0xFF
+    out = decode_png(_png_raw16(2, 1, 0, [0, 0x12, 0x34, 0xFF, 0x00]))
+    assert out.tolist() == [[[0x12] * 3, [0xFF] * 3]]
+    # RGB 16-bit 2x1 with the Sub filter: the left neighbor must be one
+    # whole 6-byte pixel back (a bpp=3 decoder reconstructs garbage)
+    px0 = [0x01, 0x00, 0x02, 0x00, 0x03, 0x00]
+    delta = [0x10, 0x00, 0x20, 0x00, 0x30, 0x00]
+    out = decode_png(_png_raw16(2, 1, 2, [1] + px0 + delta))
+    assert out.tolist() == [[[0x01, 0x02, 0x03], [0x11, 0x22, 0x33]]]
+
+
 def test_png_unsupported_variants_raise():
     import struct
 
-    # 16-bit depth
-    bad = bytearray(_png_raw(1, 1, 2, [0, 1, 2, 3]))
-    struct.pack_into("B", bad, 8 + 8 + 8, 16)
-    # CRC no longer matches but IHDR parse happens first
+    # sub-byte depth (4-bit palette)
+    bad = bytearray(_png_raw(1, 1, 3, [0, 0]))
+    struct.pack_into("B", bad, 8 + 8 + 8, 4)
     with pytest.raises(NotImplementedError):
         decode_png(bytes(bad))
+    # 16-bit palette is invalid-per-spec and stays out
+    bad2 = bytearray(_png_raw(1, 1, 3, [0, 0]))
+    struct.pack_into("B", bad2, 8 + 8 + 8, 16)
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(bad2))
 
 
 def test_png_adam7_roundtrip():
@@ -284,9 +314,15 @@ def test_wav_unknown_format_tag_gate():
     )
 
     payload = bytearray(encode_wav_ulaw(np.zeros(4, dtype=np.uint8)))
-    payload[20] = 2  # format tag 2 = ADPCM, no codec
+    payload[20] = 0x50  # format tag 0x50 = MPEG-in-WAV, no codec
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(payload))
+    # tag 2 with μ-law block geometry (block_align = 1 < 7-byte header)
+    # is a malformed MS ADPCM file, not a gated format
+    bad = bytearray(encode_wav_ulaw(np.zeros(4, dtype=np.uint8)))
+    bad[20] = 2
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
 
 
 def test_wav_ulaw_truncated_payload_raises():
@@ -548,10 +584,47 @@ def test_ima_adpcm_truncated_and_bad_index_raise():
         decode_audio(bytes(b))
 
 
-def test_ms_adpcm_still_gated():
-    from maillogsentinel_spark.operators.multimodal import encode_wav_ima
+# --- MS ADPCM (WAV format tag 0x02) -------------------------------------
 
-    b = bytearray(encode_wav_ima(np.arange(65, dtype=np.int16), 8000, 36))
-    b[20] = 2  # format tag 2 = MS ADPCM: no codec, must gate honestly
-    with pytest.raises(NotImplementedError):
+def test_ms_adpcm_hand_vector():
+    """First code from the seed state, worked by hand: predictor 0
+    (coeffs 256/0 → pred = s1), seeds s2=100, s1=200, idelta=50,
+    code 3 → sample = 200 + 50*3 = 350, next idelta = (230*50)>>8 = 44;
+    code 12 (signed -4) → pred=350, sample = 350 + 44*(-4) = 174."""
+    import struct as _s
+
+    from maillogsentinel_spark.operators.multimodal import _ms_decode_block
+
+    block = _s.pack("<Bhhh", 0, 50, 200, 100) + bytes([(3 << 4) | 12])
+    out = _ms_decode_block(block)
+    assert out.tolist() == [100, 200, 350, 174]
+
+
+def test_ms_adpcm_roundtrip_tracks_signal():
+    from maillogsentinel_spark.operators.multimodal import encode_wav_ms_adpcm
+
+    rng = np.random.default_rng(7)
+    sig = np.cumsum(rng.integers(-60, 60, 400)).astype(np.int16)
+    rate, dec = decode_audio(encode_wav_ms_adpcm(sig, 8000, block_align=39))
+    assert rate == 8000
+    assert len(dec) == 400  # fact chunk trims the padded final block
+    spb = (39 - 7) * 2 + 2
+    # both seed samples of every block are stored verbatim
+    for off in range(0, 400, spb):
+        assert dec[off] == sig[off]
+        if off + 1 < 400:
+            assert dec[off + 1] == sig[off + 1]
+    err = np.abs(dec.astype(np.int32) - sig.astype(np.int32))
+    assert err.max() <= 200
+
+
+def test_ms_adpcm_bad_predictor_and_truncation_raise():
+    from maillogsentinel_spark.operators.multimodal import encode_wav_ms_adpcm
+
+    wav = encode_wav_ms_adpcm(np.arange(100, dtype=np.int16), 8000, 39)
+    with pytest.raises(ValueError):
+        decode_audio(wav[:-5])
+    b = bytearray(wav)
+    b[b.index(b"data") + 8] = 9  # predictor index 9 > 6
+    with pytest.raises(ValueError):
         decode_audio(bytes(b))
