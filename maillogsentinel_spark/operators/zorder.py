@@ -42,16 +42,23 @@ def z_normalize(col: Column, minv: int, maxv: int, bits: int = 16) -> Column:
     faster than the decimal path at sf1); for huge spans the multiply,
     remainder, and division run in decimal(38,0) (good to ~2^126).
     Both paths floor-divide exactly and match the DuckDB mirror's
-    integer `//` bit-for-bit at any span."""
+    integer `//` bit-for-bit at any span. Inputs below ``minv``
+    (out of contract) are clamped to the lower edge in BOTH kernels
+    and in the SQL mirror, so the long path's truncating `div` and the
+    floor-dividing decimal/DuckDB paths can never disagree on sign."""
     top = (1 << bits) - 1
     span = max(maxv - minv, 1)
     if span <= (2**63 - 1) // top:
-        scaled = (col.cast("long") - F.lit(minv)) * F.lit(top)
-        # IntegralDivide: exact long floor-division for the non-negative
-        # operands the [minv, maxv] contract guarantees
+        diff = F.greatest(col.cast("long") - F.lit(minv), F.lit(0))
+        scaled = diff * F.lit(top)
+        # IntegralDivide: exact long floor-division — operands are
+        # non-negative after the clamp, so div == floor-div
         return F.call_function("div", scaled, F.lit(span))
     span_d = F.lit(span).cast("decimal(38,0)")
-    diff = col.cast("decimal(38,0)") - F.lit(minv).cast("decimal(38,0)")
+    diff = F.greatest(
+        col.cast("decimal(38,0)") - F.lit(minv).cast("decimal(38,0)"),
+        F.lit(0).cast("decimal(38,0)"),
+    )
     scaled = diff * F.lit(top).cast("decimal(38,0)")
     exact = scaled - scaled % span_d
     return (exact / span_d).cast("long")
@@ -64,8 +71,8 @@ def sql_z_normalize(expr: str, minv: int, maxv: int, bits: int = 16) -> str:
     top = (1 << bits) - 1
     span = max(maxv - minv, 1)
     return (
-        f"CAST((CAST(({expr}) AS HUGEINT) - ({minv})) * {top} // {span}"
-        f" AS BIGINT)"
+        f"CAST(GREATEST(CAST(({expr}) AS HUGEINT) - ({minv}), 0)"
+        f" * {top} // {span} AS BIGINT)"
     )
 
 

@@ -19,6 +19,21 @@ from pyspark.sql import functions as F
 from ..schemas import MAIL_CSV_COLUMNS
 
 
+def _contains_map(dt) -> bool:
+    """True if the type is, or transitively contains, a MapType —
+    unorderable in Spark sorts and rejected by hash functions, even
+    when nested under array<...> or a struct field."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 def write_events(events: DataFrame, path: str, mode: str = "append") -> None:
     (
         events.withColumn("event_date", F.to_date("ts"))
@@ -144,15 +159,14 @@ def upsert_events(
     days = [r["event_date"] for r in up0.select("event_date").distinct().collect()]
     if not days:
         return 0
-    from pyspark.sql.types import MapType
-
     # deterministic tie-break across full-duplicate ts: every remaining
-    # orderable column, descending (maps are not orderable in Spark)
+    # orderable column, descending (maps are not orderable in Spark,
+    # including maps nested inside arrays/structs)
     tiebreak = [
         F.col(f.name).desc_nulls_last()
         for f in up0.schema.fields
         if f.name not in (key, "ts", "event_date")
-        and not isinstance(f.dataType, MapType)
+        and not _contains_map(f.dataType)
     ]
     w = Window.partitionBy(key).orderBy(F.col("ts").desc_nulls_last(), *tiebreak)
     up = (
@@ -230,11 +244,18 @@ def compact_partitions(
     if not days:
         return 0
     df = store.where(F.col(partition_col).isin(days))
-    salt_cols = (
-        ["event_id"]
-        if "event_id" in df.columns
-        else [c for c in df.columns if c != partition_col]
-    )
+    if "event_id" in df.columns:
+        salt_cols = [F.col("event_id")]
+    else:
+        # xxhash64 rejects MapType (even nested) — hash only the
+        # hashable columns; a degenerate all-map schema falls back to a
+        # row-id salt (layout-only, so determinism across retries is
+        # not required)
+        salt_cols = [
+            F.col(f.name)
+            for f in df.schema.fields
+            if f.name != partition_col and not _contains_map(f.dataType)
+        ] or [F.monotonically_increasing_id()]
     salt = F.pmod(F.xxhash64(*salt_cols), F.lit(target_files_per_day))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -325,3 +325,56 @@ def test_compaction_can_split_a_day(spark, tmp_path):
     files = _files_for_day(path, 1)
     assert 2 <= len(files) <= 4
     assert spark.read.parquet(path).count() == 512
+
+
+def _map_ev(eid, day, props):
+    return Row(
+        event_id=eid,
+        ts=datetime.datetime(2025, 3, day, 10, 0),
+        tags=[{"k": str(props)}],  # array<map<string,string>> — nested map
+    )
+
+
+def test_upsert_tolerates_nested_map_columns(spark, tmp_path):
+    """Nested maps (array<map>) are as unorderable as top-level maps —
+    the dedupe tie-break must skip them instead of throwing at analysis
+    time (regression for the round-7 ADVICE finding)."""
+    path = str(tmp_path / "store")
+    write_events(
+        spark.createDataFrame([_map_ev(1, 1, "a"), _map_ev(2, 2, "b")]),
+        path,
+        mode="overwrite",
+    )
+    # duplicate key in the batch exercises the tie-break window
+    n = upsert_events(
+        spark,
+        path,
+        spark.createDataFrame([_map_ev(1, 1, "x"), _map_ev(1, 1, "y")]),
+    )
+    assert n == 1
+    rows = spark.read.parquet(path).orderBy("event_id").collect()
+    assert [r.event_id for r in rows] == [1, 2]
+    assert rows[0].tags[0]["k"] in ("x", "y")
+
+
+def test_compaction_tolerates_map_only_schema(spark, tmp_path):
+    """A store with a map column and no event_id must still compact:
+    xxhash64 rejects MapType, so the salt must skip map columns (and
+    fall back to a row-id salt when nothing hashable remains)."""
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [
+            Row(
+                ts=datetime.datetime(2025, 3, 1, 10, i % 60),
+                props={"i": str(i)},
+            )
+            for i in range(64)
+        ]
+    ).withColumn("event_date", F.to_date("ts"))
+    for chunk in range(4):  # several small files to compact
+        df.where(F.minute("ts") % 4 == chunk).write.mode("append").partitionBy(
+            "event_date"
+        ).parquet(path)
+    assert compact_partitions(spark, path, target_files_per_day=1) == 1
+    assert len(_files_for_day(path, 1)) == 1
+    assert spark.read.parquet(path).count() == 64

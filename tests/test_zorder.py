@@ -174,3 +174,32 @@ def test_zorder_buckets_shrink_both_dims(spark):
     assert len(boxes) == 64  # all top-6-bit buckets hit on a full grid
     # every bucket's box spans <= 1/4 of each dimension's full range
     assert all(r["us"] <= 8 and r["vs"] <= 8 for r in boxes)
+
+
+def test_normalize_out_of_contract_inputs_clamp_consistently(spark):
+    """Inputs below minv are OUT of z_normalize's contract; both Spark
+    kernels and the DuckDB mirror must still agree (clamp to 0) rather
+    than silently diverge — the long path's truncating `div` rounds
+    toward zero while the decimal/HUGEINT paths floor (regression for
+    the round-7 ADVICE finding)."""
+    import duckdb
+
+    from maillogsentinel_spark.operators.zorder import sql_z_normalize
+
+    con = duckdb.connect()
+    cases = [
+        # (v, lo, hi): long kernel (small span) and decimal kernel (huge span)
+        (-100, 0, 1000),                     # long path, v < minv
+        (-1, 0, 2**48),                      # decimal path, v < minv
+        (0, 5, 1000),                        # long path, just below
+    ]
+    for v, lo, hi in cases:
+        got_spark = (
+            spark.range(1)
+            .select(z_normalize(F.lit(v), lo, hi).alias("n"))
+            .collect()[0]["n"]
+        )
+        got_duck = con.execute(
+            f"SELECT {sql_z_normalize(str(v), lo, hi)}"
+        ).fetchone()[0]
+        assert got_spark == got_duck == 0, (v, lo, hi, got_spark, got_duck)
