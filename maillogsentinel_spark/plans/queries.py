@@ -9123,17 +9123,19 @@ GRADED_PREFIX: list[str] = [
     "events_median_by_type",    # §2.10 U6 UDAF
     "udtf_bigrams_topk",        # §2.10 U6 UDTF via LATERAL
     "events_hll_daily_users",
-    # dedup family
-    "dedup_exact",
+    # dedup family (round-8 rotation: dedup_exact — graded green since
+    # round 1, the simplest member — retires just past the prefix; the
+    # exact-dedup evidence stays via dedup_clusters' survivor set)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "embedding_cosine_pairs",
-    # similarity + clustering (incl. the oracle-pinned recall ladder —
-    # the approximation-quality evidence, not just the approximations)
-    "knn_bruteforce",
+    # similarity + clustering (round-8 rotation: knn_bruteforce retires —
+    # knn_recall_ladder contains the exact top-5 as its own baseline arm,
+    # so the brute-force evidence stays in-window)
     "knn_recall_ladder",        # composes IVF/LSH/multiprobe vs exact —
-    # carries knn_ivf's AND knn_lsh's in-window evidence (r5 rotation)
+    # carries knn_ivf's AND knn_lsh's in-window evidence (r5 rotation);
+    # knn_pq_adc (r7 rotation) is graded above
     "kmeans_assign",
     # graph / entity resolution / security / embeddings — one rep each so
     # EVERY family lands inside the graded window (round-1 gap: these four
@@ -9144,9 +9146,10 @@ GRADED_PREFIX: list[str] = [
     "embedding_centroids",
     # text analysis (token_counts_by_source follows just past the prefix —
     # text_lang_quality already carries a token count in-window)
+    # (round-8 rotation: doc_tfidf_topk — green since round 1 — retires;
+    # the TF/weighting evidence stays via doc_bm25_search in-window)
     "text_lang_quality",
     "doc_fingerprint",
-    "doc_tfidf_topk",
     "pii_scrub",
     "corpus_gopher_rules",
     # corpus preparation (hash_sample follows just past the prefix)
@@ -9159,6 +9162,14 @@ GRADED_PREFIX: list[str] = [
     "multimodal_features",
     "multimodal_bmp_decode",
     "multimodal_gif_decode",
+    # round-8 rotation IN: the two lossy-codec recurrence oracles — the
+    # adaptive ADPCM predictor chains replayed value-exact by DuckDB
+    # recursive CTEs (one wrong step-table entry diverges the whole
+    # chain) — plus the honest-gate POLICY row, whose contract changed
+    # again this round as more formats became decodable
+    "multimodal_adpcm_decode",
+    "multimodal_ms_adpcm_decode",
+    "multimodal_gate_registry",
     # structured streaming, ORACLE-PINNED — round-5 rotation swaps the
     # two easiest topologies (tumbling agg, stateful distinct — graded
     # green in r4, now just past the prefix) for the two semantics a
@@ -9173,17 +9184,28 @@ GRADED_PREFIX: list[str] = [
     # 64 interleave bits (dedup_simhash, knn_lsh, events_cms_user_counts
     # rotated just past the window — each family keeps a graded rep)
     "events_stream_full_outer_join",
+    # round-8 rotation IN: the LEFT-outer join — the only row of the
+    # join-mode matrix never driver-graded (its null-padding eviction
+    # boundary is one-sided, unlike the graded full-outer's)
+    "events_stream_left_outer_join",
     "events_heavy_hitters_exact",
     "events_zorder_layout",
-    # behavioral + gated-ntile showcase
-    "customer_rfm",
-    # IR retrieval (never driver-graded in round 1 — front-loaded)
+    # IR retrieval (never driver-graded in round 1 — front-loaded);
+    # customer_rfm (behavioral showcase, green since r1) retired r8 —
+    # gated-ntile/window evidence stays via events_scd2_type_history
     "doc_bm25_search",
 ]
 
 # After the prefix: remaining beyond-reference ops by family value, then the
 # TPC-H long tail.
 _NEXT = [
+    # round-8 rotation OUT: four long-green rows (graded green since
+    # round 1) retired to make room for the never-graded flagships;
+    # their family evidence stays in-window (see GRADED_PREFIX notes)
+    "dedup_exact",
+    "knn_bruteforce",
+    "doc_tfidf_topk",
+    "customer_rfm",
     # round-7 rotation OUT: the five report aggregates retired from the
     # graded window (green since round 1; still in the full local gate)
     "report_daily_totals",
@@ -9203,11 +9225,8 @@ _NEXT = [
     "corpus_hash_sample",           # corpus rep rotated out for streaming
     "multimodal_frames",            # frame-sampling rep rotated out
     "multimodal_wav_decode",        # real-codec twin of the in-window BMP rep
-    "multimodal_adpcm_decode",      # lossy-codec recurrence, CTE-exact oracle
-    "multimodal_ms_adpcm_decode",   # the MS-ADPCM twin, CTE-exact oracle
     "dedup_segments_corpus",        # C4-style segment dedup + reassembly
     "knn_ivf_kmeans",               # trained-quantizer twin of in-window knn_ivf
-    "knn_pq_adc",                   # product-quantization ADC (3rd ANN path)
     "knn_label_classify",           # kNN majority-vote label evaluation
     "dedup_semantic",               # SemDeDup: cluster-blocked cosine pairs
     "embedding_dim_stats",          # per-dimension whitening diagnostic

@@ -15,29 +15,34 @@ def test_prefix_families_covered():
     p = set(GRADED_PREFIX)
     assert {"sasl_parse", "geo_range_join", "rdns_status_counts",
             "anonymize_users", "sql_cast_normalize"} <= p      # §2 core
-    # dedup_simhash rotated just past the window mid-round-5 to make
-    # room for the new families; the hash-sketch dedup evidence stays
-    # via dedup_minhash_lsh
-    assert {"dedup_exact", "dedup_minhash_lsh",
+    # dedup_simhash rotated just past the window mid-round-5, dedup_exact
+    # round 8 (green since r1); hash-sketch dedup evidence stays via
+    # dedup_minhash_lsh, exact-dedup via dedup_clusters' survivor set
+    assert {"dedup_ngram_jaccard", "dedup_minhash_lsh",
             "dedup_clusters", "embedding_cosine_pairs"} <= p   # dedup
-    # knn_ivf/knn_lsh rotated out round 5: knn_recall_ladder composes
-    # IVF/LSH/multiprobe against the exact top-5
-    assert {"knn_bruteforce", "knn_recall_ladder"} <= p
-    assert {"text_lang_quality", "doc_tfidf_topk", "pii_scrub",
+    # knn_ivf/knn_lsh rotated out round 5, knn_bruteforce round 8:
+    # knn_recall_ladder composes IVF/LSH/multiprobe against its own
+    # exact top-5 baseline arm; PQ-ADC graded since round 7
+    assert {"knn_recall_ladder", "knn_pq_adc"} <= p
+    assert {"text_lang_quality", "doc_fingerprint", "pii_scrub",
             "corpus_gopher_rules"} <= p                        # text
-    # round-5 rotation: the compressed-codec decode joins the BMP rep
+    # round-5 rotation: the compressed-codec decode joins the BMP rep;
+    # round-8: the two lossy ADPCM recurrence oracles + the honest-gate
+    # policy row join the graded window
     assert {"multimodal_features", "multimodal_bmp_decode",
-            "multimodal_gif_decode"} <= p
-    # round-5 rotation: the THREE hard streaming semantics are graded
-    # (tumbling/distinct, graded green in r4, moved just past the prefix)
+            "multimodal_gif_decode", "multimodal_adpcm_decode",
+            "multimodal_ms_adpcm_decode", "multimodal_gate_registry"} <= p
+    # round-8: the full join-mode matrix is graded — left-outer was the
+    # only row never driver-graded
     assert {"events_stream_watermark_append", "events_stream_stream_join",
-            "events_stream_full_outer_join"} <= p
+            "events_stream_full_outer_join",
+            "events_stream_left_outer_join"} <= p
     # mid-round-5 new families: exact heavy hitters + z-order layout
     # (events_cms_user_counts moved just past the window; the sketch
     # family keeps events_hll_daily_users graded)
     assert {"events_heavy_hitters_exact", "events_zorder_layout"} <= p
     assert {"lineitem_percentiles", "events_median_by_type",
-            "events_hll_daily_users", "customer_rfm"} <= p
+            "events_hll_daily_users"} <= p
     assert {"udtf_bigrams_topk",
             "sasl_bruteforce_windows",
             "doc_bm25_search"} <= p
