@@ -6292,7 +6292,11 @@ def q_store_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     overwrites touching only update-batch days; the MERGE anti-join
     broadcasts the update keys; compaction range-partitions by
     (day, salt). The final per-day census is one keyed agg with exact
-    decimal value sums (the float-parity rule)."""
+    decimal value sums (the float-parity rule). The temp store lives
+    under driver-local tmp here (correct in local mode and for the
+    oracle contract); on a real cluster the SAME operators take any
+    shared-storage (HCFS) path — the location is a parameter, not an
+    assumption."""
     import shutil
     import tempfile
 
@@ -6382,6 +6386,133 @@ def _store_roundtrip_body(spark: SparkSession, ev: DataFrame, path: str) -> Data
     # must not depend on the deleted path)
     rows = agg.collect()
     return spark.createDataFrame(rows, agg.schema)
+
+
+@query("store_tx_roundtrip", oracle=_STORE_RT_ORACLE)
+def q_store_tx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSACTIONAL store (sources/txstore.py) driven end-to-end
+    and oracle-pinned — the manifest-swap commit protocol under the
+    exact same MERGE/compaction contract as `store_maintenance_
+    roundtrip` (same oracle), plus the one thing the raw store cannot
+    promise: between the initial snapshot and the real MERGE, a POISON
+    transaction (every touched row's value shifted, event_type
+    'poison') is started and CRASHED at the pre-commit fault point.
+    Its data files are fully staged and published into the data layout
+    — only the manifest rename never happens. If readers resolved
+    state from directory listings (the raw store's failure mode) the
+    poison rows would flip every per-day count and the value hash; the
+    manifest-scoped read keeps the snapshot exact. A vacuum then
+    removes the orphans and the re-read must still hash identically.
+
+    Scale shape: upsert/compaction read ONLY touched days' files
+    straight from the manifest (file-list pruning, no directory
+    listing); the commit is ONE metadata rename regardless of how many
+    day partitions the MERGE touched. Store base path defaults to
+    driver-local tmp for the oracle contract; on a real cluster pass
+    shared storage (any HCFS URI) — the operators take arbitrary
+    paths."""
+    import shutil
+    import tempfile
+
+    from ..sources import txstore
+    from ..sources.txstore import (
+        tx_compact_partitions,
+        tx_current_version,
+        tx_read_events,
+        tx_upsert_events,
+        tx_vacuum,
+        tx_write_events,
+    )
+
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="mls_store_tx_")
+    path = f"{tmp}/store"
+    try:
+        with _stream_state_parts(spark, 8):
+            tx_write_events(spark, path, ev.repartition(F.to_date("ts")))
+            upd_base = ev.where(
+                (F.col("event_id") % 10 == 0) & (F.dayofmonth("ts") <= 10)
+            )
+            # aborted poison transaction: staged AND published, never
+            # committed — the crash-injection seam fires after the
+            # manifest temp write, before the atomic rename
+            poison = upd_base.select(
+                "event_id", "ts", "user_id",
+                F.lit("poison").alias("event_type"),
+                (F.col("value") + 9999).alias("value"),
+            )
+            orig_fault = txstore._fault
+
+            def _boom(point: str) -> None:
+                if point == "pre-commit":
+                    raise RuntimeError("injected crash")
+
+            txstore._fault = _boom
+            try:
+                tx_upsert_events(spark, path, poison)
+                raise AssertionError("poison transaction must not commit")
+            except RuntimeError:
+                pass
+            finally:
+                txstore._fault = orig_fault
+            assert tx_current_version(spark, path) == 1
+            # the real MERGE (same batch construction as the raw
+            # roundtrip so the shared oracle closes over it)
+            loser = upd_base.select(
+                "event_id", "ts", "user_id",
+                F.lit("upd_lose").alias("event_type"),
+                (F.col("value") + 1000).alias("value"),
+            )
+            winner = upd_base.select(
+                "event_id",
+                (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+                "user_id",
+                F.lit("upd_win").alias("event_type"),
+                (F.col("value") + 2000).alias("value"),
+            )
+            inserts = ev.where(
+                (F.col("event_id") % 97 == 3) & (F.dayofmonth("ts") <= 10)
+            ).select(
+                (F.col("event_id") + 10_000_000).alias("event_id"),
+                (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+                "user_id",
+                F.lit("ins").alias("event_type"),
+                "value",
+            )
+            tx_upsert_events(
+                spark, path, loser.unionByName(winner).unionByName(inserts)
+            )
+            tx_compact_partitions(
+                spark, path, target_files_per_day=1,
+                predicate="event_type = 'upd_win'",
+            )
+            tx_vacuum(spark, path, keep_versions=1)
+            agg = (
+                tx_read_events(spark, path)
+                .groupBy("event_date")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.countDistinct("event_id").alias("n_keys"),
+                    F.sum(
+                        F.when(F.col("event_type") == "upd_win", 1).otherwise(0)
+                    ).cast("long").alias("n_upd"),
+                    F.sum(
+                        F.when(F.col("event_type") == "upd_lose", 1).otherwise(0)
+                    ).cast("long").alias("n_lose"),
+                    F.sum("event_id").cast("long").alias("sum_eid"),
+                    F.round(
+                        F.sum(F.col("value").cast("decimal(21,6)")).cast("double"),
+                        4,
+                    ).alias("value_sum"),
+                )
+                .orderBy("event_date")
+            )
+            rows = agg.collect()
+            return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query(
@@ -9206,6 +9337,10 @@ _NEXT = [
     "knn_bruteforce",
     "doc_tfidf_topk",
     "customer_rfm",
+    # round-8 NEW: the transactional-store roundtrip — manifest-swap
+    # atomic commit with an aborted poison transaction injected; shares
+    # the maintenance oracle (graded rep: store_maintenance_roundtrip)
+    "store_tx_roundtrip",
     # round-7 rotation OUT: the five report aggregates retired from the
     # graded window (green since round 1; still in the full local gate)
     "report_daily_totals",

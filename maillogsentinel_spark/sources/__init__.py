@@ -6,3 +6,11 @@ from .store import (  # noqa: F401
     write_events,
     write_events_csv,
 )
+from .txstore import (  # noqa: F401
+    tx_append_events,
+    tx_compact_partitions,
+    tx_read_events,
+    tx_upsert_events,
+    tx_vacuum,
+    tx_write_events,
+)

@@ -1,0 +1,203 @@
+"""Transactional store (sources/txstore.py): the manifest-swap commit
+must make every multi-partition maintenance operation atomic — a crash
+at ANY point of an in-flight transaction leaves readers on the old
+snapshot, never a mixed store (the raw store's stated caveat,
+store.py — this module is the fix)."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from maillogsentinel_spark.sources import txstore
+from maillogsentinel_spark.sources.txstore import (
+    ConcurrentCommitError,
+    tx_append_events,
+    tx_compact_partitions,
+    tx_current_version,
+    tx_read_events,
+    tx_upsert_events,
+    tx_vacuum,
+    tx_write_events,
+)
+
+
+def _ev(eid, day, user, val):
+    return Row(
+        event_id=eid,
+        ts=datetime.datetime(2025, 3, day, 10, 0),
+        user_id=user,
+        event_type="click",
+        value=float(val),
+    )
+
+
+def _store(spark, tmp_path):
+    path = str(tmp_path / "txstore")
+    base = spark.createDataFrame(
+        [_ev(1, 1, 10, 1.0), _ev(2, 1, 11, 2.0), _ev(3, 2, 10, 3.0),
+         _ev(4, 3, 12, 4.0)]
+    )
+    tx_write_events(spark, path, base)
+    return path
+
+
+def _content(spark, path, version=None):
+    return sorted(
+        (r.event_id, str(r.ts), r.user_id, r.value)
+        for r in tx_read_events(spark, path, version).collect()
+    )
+
+
+def _crash_at(monkeypatch, point):
+    def boom(p):
+        if p == point:
+            raise RuntimeError(f"injected crash at {point}")
+
+    monkeypatch.setattr(txstore, "_fault", boom)
+
+
+def test_roundtrip_and_versioning(spark, tmp_path):
+    path = _store(spark, tmp_path)
+    assert tx_current_version(spark, path) == 1
+    assert [c[0] for c in _content(spark, path)] == [1, 2, 3, 4]
+    v = tx_append_events(spark, path, spark.createDataFrame([_ev(5, 2, 13, 5.0)]))
+    assert v == 2
+    assert [c[0] for c in _content(spark, path)] == [1, 2, 3, 4, 5]
+    # time travel: version 1 still reads the pre-append snapshot
+    assert [c[0] for c in _content(spark, path, version=1)] == [1, 2, 3, 4]
+
+
+def test_upsert_merges_and_drops_emptied_day(spark, tmp_path):
+    """An update that moves day 3's ONLY row (key 4) to day 4 — the old
+    day is touched via the losing duplicate, same contract as the raw
+    store — must leave day 3 with NO manifest entry: the emptied-
+    partition hazard of dynamic overwrite is impossible by
+    construction here."""
+    path = _store(spark, tmp_path)
+    up = spark.createDataFrame(
+        [_ev(4, 3, 12, 39.0),                      # losing dup on old day
+         _ev(4, 4, 12, 40.0),                      # winner: day 3 -> 4
+         _ev(2, 1, 11, 20.0), _ev(2, 1, 11, 21.0)]  # dup key in batch
+    )
+    tx_upsert_events(spark, path, up)
+    got = _content(spark, path)
+    assert [c[0] for c in got] == [1, 2, 3, 4]
+    by_id = {c[0]: c for c in got}
+    assert by_id[4][3] == 40.0 and by_id[4][1].startswith("2025-03-04")
+    assert by_id[2][3] == 21.0  # deterministic winner: max remaining col
+    snap = tx_read_events(spark, path)
+    assert snap.where(F.to_date("ts") == "2025-03-03").count() == 0
+    m = txstore._load_manifest(spark, path)
+    assert "2025-03-03" not in m["files"]
+    assert "2025-03-04" in m["files"]
+
+
+def test_upsert_leaves_untouched_day_files_alone(spark, tmp_path):
+    path = _store(spark, tmp_path)
+    before = set(glob.glob(os.path.join(path, "data", "event_date=2025-03-03",
+                                        "*.parquet")))
+    tx_upsert_events(spark, path, spark.createDataFrame([_ev(1, 1, 10, 9.0)]))
+    after = set(glob.glob(os.path.join(path, "data", "event_date=2025-03-03",
+                                       "*.parquet")))
+    assert before == after  # day 3 untouched: same physical files
+
+
+def test_compaction_is_layout_only_under_nonpartition_predicate(spark, tmp_path):
+    path = str(tmp_path / "txstore")
+    rows = [_ev(i, 1 + i % 2, i % 4, float(i)) for i in range(64)]
+    tx_write_events(spark, path, spark.createDataFrame(rows[:32]))
+    tx_append_events(spark, path, spark.createDataFrame(rows[32:]))
+    before = _content(spark, path)
+    m0 = txstore._load_manifest(spark, path)
+    # non-partition predicate: user_id = 0 only occurs on day 1 (i%4==0
+    # implies i even implies day 1) — selects THAT day, never filters
+    # rows; day 2 is untouched
+    v = tx_compact_partitions(spark, path, 1, predicate="user_id = 0")
+    assert v == 3
+    assert _content(spark, path) == before
+    m = txstore._load_manifest(spark, path)
+    assert len(m["files"]["2025-03-01"]) == 1          # compacted
+    assert m["files"]["2025-03-02"] == m0["files"]["2025-03-02"]  # untouched
+    # a predicate matching both days compacts both
+    tx_compact_partitions(spark, path, 1, predicate="value >= 0")
+    m = txstore._load_manifest(spark, path)
+    assert all(len(v) == 1 for v in m["files"].values())
+    assert _content(spark, path) == before
+
+
+@pytest.mark.parametrize("point", ["staged", "mid-publish", "pre-commit"])
+def test_crash_mid_upsert_never_exposes_mixed_state(spark, tmp_path,
+                                                    monkeypatch, point):
+    """THE atomicity contract: kill the transaction after staging, after
+    the first data-file publish rename, or after the manifest temp write
+    — in every case readers still see the old snapshot EXACTLY, the
+    version does not advance, a re-run converges, and vacuum removes
+    the orphans."""
+    path = _store(spark, tmp_path)
+    before = _content(spark, path)
+    up = spark.createDataFrame([_ev(1, 1, 10, 100.0), _ev(4, 3, 12, 40.0)])
+    _crash_at(monkeypatch, point)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        tx_upsert_events(spark, path, up)
+    assert tx_current_version(spark, path) == 1
+    assert _content(spark, path) == before  # old snapshot, byte-exact rows
+    # recovery: plain re-run commits; no residue of the dead transaction
+    monkeypatch.setattr(txstore, "_fault", lambda p: None)
+    assert tx_upsert_events(spark, path, up) == 2
+    by_id = {c[0]: c for c in _content(spark, path)}
+    assert by_id[1][3] == 100.0 and by_id[4][3] == 40.0
+    n = tx_vacuum(spark, path, keep_versions=2)
+    assert _content(spark, path) == sorted(by_id.values())
+    if point != "staged":  # post-staging crashes leave published orphans
+        assert n >= (1 if point == "mid-publish" else 0)
+
+
+def test_crash_mid_compaction_keeps_snapshot(spark, tmp_path, monkeypatch):
+    path = _store(spark, tmp_path)
+    before = _content(spark, path)
+    _crash_at(monkeypatch, "pre-commit")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        tx_compact_partitions(spark, path, 1)
+    assert tx_current_version(spark, path) == 1
+    assert _content(spark, path) == before
+
+
+def test_concurrent_commit_detected(spark, tmp_path):
+    """Two writers racing to the same version: the loser's manifest
+    rename fails (rename-no-overwrite) and raises instead of silently
+    clobbering the winner."""
+    path = _store(spark, tmp_path)
+    prev = txstore._load_manifest(spark, path)
+    winner = dict(prev, version=2, parent=1, txid="winner", operation="noop")
+    txstore._commit(spark, path, winner)
+    loser = dict(prev, version=2, parent=1, txid="loser", operation="noop")
+    with pytest.raises(ConcurrentCommitError):
+        txstore._commit(spark, path, loser)
+    assert txstore._load_manifest(spark, path)["txid"] == "winner"
+
+
+def test_vacuum_respects_retention_then_expires(spark, tmp_path):
+    path = _store(spark, tmp_path)
+    v1 = _content(spark, path)
+    tx_upsert_events(spark, path, spark.createDataFrame([_ev(1, 1, 10, 9.0)]))
+    tx_vacuum(spark, path, keep_versions=2)
+    assert _content(spark, path, version=1) == v1  # retained version reads
+    tx_vacuum(spark, path, keep_versions=1)
+    with pytest.raises(FileNotFoundError):
+        tx_read_events(spark, path, version=1)  # expired manifest is gone
+    assert tx_current_version(spark, path) == 2
+
+
+def test_empty_store_snapshot_keeps_schema(spark, tmp_path):
+    path = str(tmp_path / "txstore")
+    df = spark.createDataFrame([_ev(1, 1, 10, 1.0)])
+    tx_write_events(spark, path, df.where(F.lit(False)))
+    snap = tx_read_events(spark, path)
+    assert snap.count() == 0
+    assert {f.name for f in snap.schema.fields} >= {
+        "event_id", "ts", "user_id", "event_type", "value"}
