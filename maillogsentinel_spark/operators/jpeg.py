@@ -1,17 +1,23 @@
-"""Baseline JPEG codec — pure numpy + stdlib, no image libraries.
+"""JPEG codec — pure numpy + stdlib, no image libraries.
 
-Implements the sequential-baseline subset of the public JPEG spec
-(ITU-T T.81 / ISO 10918-1): huffman-coded 8×8 DCT blocks, 8-bit
-samples, grayscale or 4:4:4 YCbCr color, optional restart intervals.
-The encoder and decoder share every table-construction helper (zigzag,
-canonical huffman, DCT basis), so the bytes on the wire are real JPEG
-structure — SOI/DQT/SOF0/DHT/SOS/EOI segments a third-party decoder
-would accept — while the pair stays self-consistent by construction.
+Implements the huffman-coded subset of the public JPEG spec (ITU-T
+T.81 / ISO 10918-1): sequential baseline (SOF0/1) AND progressive
+(SOF2) — spectral selection, successive approximation, DC/AC first
+and refinement scans, EOB runs per Annex G — over 8×8 DCT blocks,
+8-bit samples, grayscale or 4:4:4 YCbCr color, optional restart
+intervals. The encoders and the decoder share every table-construction
+helper (zigzag, canonical huffman, DCT basis), so the bytes on the
+wire are real JPEG structure — SOI/DQT/SOF/DHT/SOS/EOI segments a
+third-party decoder would accept — while the pairs stay
+self-consistent by construction; `encode_jpeg_progressive` encodes the
+SAME quantized coefficients as `encode_jpeg`, so baseline and
+progressive decodes of one image are pixel-identical (the test
+contract).
 
 What is honestly NOT here (documented NotImplementedError gates, same
 policy as the BMP/PNG/WAV codecs in operators/multimodal.py):
-progressive (SOF2) and arithmetic-coded JPEGs, 12-bit precision, and
-chroma subsampling other than 4:4:4.
+arithmetic-coded, lossless, and hierarchical JPEGs, 12-bit precision,
+and chroma subsampling other than 4:4:4.
 
 Exactness contract used by the oracle query (multimodal_jpeg_decode):
 with the all-ones quantization table, an image whose every 8×8 block is
@@ -343,18 +349,255 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _quantized_planes(
+    pixels: np.ndarray, quant_value: int
+) -> tuple[list[np.ndarray], int, int, int, int]:
+    """Shared encoder front half: color transform, edge padding, FDCT,
+    quantization. Returns (per-comp [nby, nbx, 64] zigzag int arrays,
+    h, w, nby, nbx)."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if gray:
+        planes = [pixels.astype(np.float64)]
+    else:
+        rgb = pixels.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    nby, nbx = ph // 8, pw // 8
+    quant = np.full((8, 8), float(quant_value))
+    out = []
+    for p in planes:
+        padded = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        q = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                # bit-identical to _encode_block's quantization (same
+                # matmul order — an einsum variant rounds differently
+                # at exact .5 boundaries)
+                coef = np.round(
+                    _fdct(padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                          - 128.0) / quant
+                ).astype(np.int64)
+                q[by, bx] = [coef[i, j] for i, j in _ZIGZAG]
+        out.append(q)
+    return out, h, w, nby, nbx
+
+
+def _emit_eobrun(bw: _BitWriter, eobrun: int, ac_codes: dict) -> None:
+    if eobrun:
+        rb = eobrun.bit_length() - 1
+        c, ln = ac_codes[rb << 4]
+        bw.write(c, ln)
+        if rb:
+            bw.write(eobrun - (1 << rb), rb)
+
+
+def _emit_ac_first_scan(
+    bw: _BitWriter, blocks: list, k1: int, k2: int, al: int, ac_codes: dict
+) -> None:
+    """AC first scan of a band (G.1.2.2): values point-transformed by
+    integer divide toward zero; blocks ending in zeros join EOB runs."""
+    eobrun = 0
+    for zz in blocks:
+        t = [
+            (int(v) >> al) if v >= 0 else -((-int(v)) >> al)
+            for v in zz[k1 : k2 + 1]
+        ]
+        last_nz = max((i for i, v in enumerate(t) if v), default=-1)
+        if last_nz < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(bw, eobrun, ac_codes)
+                eobrun = 0
+            continue
+        _emit_eobrun(bw, eobrun, ac_codes)
+        eobrun = 0
+        run = 0
+        for idx in range(last_nz + 1):
+            v = t[idx]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]
+                bw.write(c, ln)
+                run -= 16
+            s = _category(v)
+            c, ln = ac_codes[(run << 4) | s]
+            bw.write(c, ln)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < k2 - k1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(bw, eobrun, ac_codes)
+                eobrun = 0
+    _emit_eobrun(bw, eobrun, ac_codes)
+
+
+def _emit_ac_refine_scan(
+    bw: _BitWriter, blocks: list, k1: int, k2: int, al: int, ac_codes: dict
+) -> None:
+    """AC refinement scan (G.1.2.3), mirroring the decoder's walk
+    exactly: corrections for history-nonzero coefficients are emitted
+    in the position order the decoder consumes them — after the ZRL or
+    RS code whose advance passes them, and after the EOBn code for the
+    run's tail/whole-block corrections."""
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush() -> None:
+        nonlocal eobrun, pending
+        _emit_eobrun(bw, eobrun, ac_codes)
+        for b in pending:
+            bw.write(b, 1)
+        eobrun = 0
+        pending = []
+
+    for zz in blocks:
+        band = [int(v) for v in zz[k1 : k2 + 1]]
+        T = [abs(v) >> al for v in band]
+        newly = [i for i, t in enumerate(T) if t == 1]
+        if newly:
+            flush()
+        k = 0
+        for pos in newly:
+            run = sum(1 for i in range(k, pos) if T[i] == 0)
+            while run > 15:
+                c, ln = ac_codes[0xF0]
+                bw.write(c, ln)
+                cnt = 0
+                while cnt < 16:  # corrections inside THIS ZRL's span only
+                    if T[k] > 1:
+                        bw.write(T[k] & 1, 1)
+                    else:
+                        cnt += 1
+                    k += 1
+                run -= 16
+            c, ln = ac_codes[(run << 4) | 1]
+            bw.write(c, ln)
+            bw.write(1 if band[pos] > 0 else 0, 1)  # sign precedes advance
+            while k < pos:
+                if T[k] > 1:
+                    bw.write(T[k] & 1, 1)
+                k += 1
+            k = pos + 1
+        if k <= k2 - k1:  # band tail exists: block joins an EOB run
+            eobrun += 1
+            pending.extend(T[i] & 1 for i in range(k, k2 - k1 + 1) if T[i] > 1)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+# Progressive AC scans need EOBn symbols (r<<4 for r=1..14), which the
+# sequential Annex-K table does not define. A flat canonical table of
+# every (run, size) symbol with size <= 10 — 176 codes, all length 8 —
+# is legal (DHT rides in the stream; 176 < 256 leaves the all-ones
+# code unused as the spec requires) and covers EOB0..EOB14 + ZRL.
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quant_value: int = 1, al: int = 1, band_split: int = 6
+) -> bytes:
+    """(H, W) uint8 grayscale or (H, W, 3) uint8 RGB → PROGRESSIVE JPEG
+    (SOF2, 4:4:4, flat quantization table): a DC-first scan with
+    successive approximation Al=``al``, DC refinement scans down to
+    bit 0, then per component two spectral AC bands (1..band_split-1
+    and band_split..63) each sent first-at-Al then refined per bit —
+    exercising every progressive scan kind the decoder implements.
+    Encodes the SAME quantized coefficients as ``encode_jpeg``, so the
+    two decodes are pixel-identical by construction."""
+    coefs, h, w, nby, nbx = _quantized_planes(pixels, quant_value)
+    ncomp = len(coefs)
+    quant = np.full((8, 8), quant_value, dtype=np.float64)
+    qz = bytes(int(quant[i, j]) for i, j in _ZIGZAG)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, b"\x00" + qz)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += struct.pack(">BBB", cid, 0x11, 0)
+    out += _seg(0xC2, sof)  # SOF2 progressive
+    out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xC4, b"\x10" + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS))
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def sos(scomps: list[int], ss: int, se: int, ah: int, a_l: int) -> bytes:
+        body = bytes([len(scomps)])
+        for cid in scomps:
+            body += bytes([cid, 0x00])  # DC table 0, AC table 0
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | a_l]))
+
+    # scan 1: interleaved DC first at Al=al
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 0, al)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(ncomp):
+                v = int(coefs[ci][by, bx, 0]) >> al  # arithmetic shift (A.4)
+                diff = v - preds[ci]
+                preds[ci] = v
+                s = _category(diff)
+                c, ln = dc_codes[s]
+                bw.write(c, ln)
+                if s:
+                    bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    out += bw.flush()
+    # DC refinement scans: one raw bit per block per level
+    for lvl in range(al - 1, -1, -1):
+        out += sos(list(range(1, ncomp + 1)), 0, 0, lvl + 1, lvl)
+        bw = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(ncomp):
+                    bw.write((int(coefs[ci][by, bx, 0]) >> lvl) & 1, 1)
+        out += bw.flush()
+    # AC scans: per component, two spectral bands, first then refined
+    bands = [(1, band_split - 1), (band_split, 63)]
+    blocks_of = [
+        [coefs[ci][by, bx] for by in range(nby) for bx in range(nbx)]
+        for ci in range(ncomp)
+    ]
+    for ci in range(ncomp):
+        for k1, k2 in bands:
+            out += sos([ci + 1], k1, k2, 0, al)
+            bw = _BitWriter()
+            _emit_ac_first_scan(bw, blocks_of[ci], k1, k2, al, ac_codes)
+            out += bw.flush()
+    for ci in range(ncomp):
+        for k1, k2 in bands:
+            for lvl in range(al - 1, -1, -1):
+                out += sos([ci + 1], k1, k2, lvl + 1, lvl)
+                bw = _BitWriter()
+                _emit_ac_refine_scan(bw, blocks_of[ci], k1, k2, lvl, ac_codes)
+                out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG → (H, W, 3) uint8 RGB (grayscale replicated to 3
-    channels — same convention as decode_png). Supports sequential
-    baseline (SOF0), 8-bit, 4:4:4 or single-component, restart markers;
-    raises NotImplementedError for progressive/arithmetic/12-bit/
-    subsampled streams. Truncated payloads raise ValueError (the
-    codecs' honest-gate contract), never a bare IndexError."""
+    """JPEG → (H, W, 3) uint8 RGB (grayscale replicated to 3 channels —
+    same convention as decode_png). Supports sequential baseline
+    (SOF0/1) AND progressive (SOF2: spectral selection + successive
+    approximation, DC/AC first and refinement scans, EOB runs — T.81
+    Annex G), 8-bit, 4:4:4 or single-component, restart markers;
+    raises NotImplementedError for arithmetic-coded/hierarchical/
+    12-bit/subsampled streams. Truncated payloads raise ValueError
+    (the codecs' honest-gate contract), never a bare IndexError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     try:
@@ -363,16 +606,187 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError(f"truncated JPEG payload: {e}") from e
 
 
+def _decode_ac_first(r, ac, zz, k1, k2, al, eobrun):
+    """AC coefficients, first scan of a band (T.81 G.1.2.2). Works for
+    the baseline full-band scan too (there EOBn is always EOB0)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = k1
+    while k <= k2:
+        rs = _huff_decode(r, ac)
+        rr, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if rr == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << rr) - 1
+            if rr:
+                eobrun += r.read_bits(rr)
+            break
+        k += rr
+        if k > k2:
+            raise ValueError("AC run past band end")
+        zz[k] = _extend(r.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _refine_nonzero(r, zz, k, p1):
+    """Correction bit for a history-nonzero coefficient (G.1.2.3):
+    move its magnitude up by 2^Al when the transmitted bit is 1."""
+    if r.read_bit():
+        if int(abs(zz[k])) & p1 == 0:
+            zz[k] += p1 if zz[k] > 0 else -p1
+
+
+def _decode_ac_refine(r, ac, zz, k1, k2, al, eobrun):
+    """AC refinement scan (T.81 G.1.2.3): the run in RS counts only
+    ZERO-history coefficients; history-nonzero ones passed during any
+    advance are 'transparent' and each consumes one correction bit."""
+    p1 = 1 << al
+    k = k1
+    if eobrun > 0:
+        # block lies wholly inside an ongoing EOB run: every history
+        # coefficient in the band carries a correction bit; the run
+        # count decrements by this block
+        while k <= k2:
+            if zz[k] != 0:
+                _refine_nonzero(r, zz, k, p1)
+            k += 1
+        return eobrun - 1
+    tail = False
+    while k <= k2:
+        rs = _huff_decode(r, ac)
+        rr, s = rs >> 4, rs & 0xF
+        newval = 0
+        if s:
+            if s != 1:
+                raise ValueError("refinement scan requires s == 1")
+            newval = p1 if r.read_bit() else -p1
+        elif rr != 15:  # EOBn: value counts ADDITIONAL whole blocks
+            eobrun = (1 << rr) - 1
+            if rr:
+                eobrun += r.read_bits(rr)
+            tail = True
+            break
+        # advance: skip rr zero-history positions, correcting the
+        # nonzero-history coefficients passed along the way
+        while k <= k2:
+            if zz[k] != 0:
+                _refine_nonzero(r, zz, k, p1)
+            else:
+                if rr == 0:
+                    break
+                rr -= 1
+            k += 1
+        if s and k <= k2:
+            zz[k] = newval
+        k += 1
+    if tail:
+        # EOBn decoded mid-block (even EOB0): the CURRENT block's
+        # remaining history coefficients still carry correction bits —
+        # this does NOT consume a unit of the run count
+        while k <= k2:
+            if zz[k] != 0:
+                _refine_nonzero(r, zz, k, p1)
+            k += 1
+    return eobrun
+
+
+def _run_scan(payload: bytes, pos: int, body: bytes, st: dict) -> int:
+    """Decode one SOS entropy-coded segment into the coefficient store.
+    Handles baseline full-band scans and all four progressive scan
+    kinds (DC/AC × first/refinement). Returns the position of the next
+    marker's 0xFF byte."""
+    ns = body[0]
+    cid_index = {cid: i for i, (cid, _) in enumerate(st["comps"])}
+    scomps = []
+    for c in range(ns):
+        cid, tt = body[1 + 2 * c : 3 + 2 * c]
+        scomps.append((cid_index[cid], tt >> 4, tt & 0xF))
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ahal = body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0xF
+    if not st["progressive"]:
+        ss, se, ah, al = 0, 63, 0, 0
+    if st["progressive"] and ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se == 0")
+    if ss > 0 and ns != 1:
+        raise ValueError("AC scans must be single-component")
+
+    nby, nbx = st["nby"], st["nbx"]
+    if ns == 1:
+        ci = scomps[0][0]
+        mcus = [[(ci, by, bx)] for by in range(nby) for bx in range(nbx)]
+    else:
+        mcus = [
+            [(ci, by, bx) for ci, _, _ in scomps]
+            for by in range(nby)
+            for bx in range(nbx)
+        ]
+    tbl = {ci: (d, a) for ci, d, a in scomps}
+    r = _BitReader(payload, pos)
+    preds = {ci: 0 for ci, _, _ in scomps}
+    eobrun = 0
+    ri = st["restart_interval"]
+    for m_i, units in enumerate(mcus):
+        if ri and m_i and m_i % ri == 0:
+            m = r.align_after_marker()
+            if not (0xD0 <= m <= 0xD7):
+                raise ValueError(f"expected RST marker, got {m:#x}")
+            preds = {ci: 0 for ci, _, _ in scomps}
+            eobrun = 0
+        for ci, by, bx in units:
+            zz = st["coefs"][ci][by, bx]
+            dcid, acid = tbl[ci]
+            if ss == 0:
+                if ah == 0:  # DC first (baseline or progressive)
+                    s = _huff_decode(r, st["dc"][dcid])
+                    diff = _extend(r.read_bits(s), s) if s else 0
+                    preds[ci] += diff
+                    zz[0] = preds[ci] << al
+                else:  # DC refinement: one raw bit per block
+                    if r.read_bit():
+                        zz[0] = int(zz[0]) | (1 << al)
+                if se > 0:  # baseline sequential: AC follows in-block
+                    eobrun = _decode_ac_first(
+                        r, st["ac"][acid], zz, 1, se, 0, eobrun
+                    )
+            elif ah == 0:
+                eobrun = _decode_ac_first(
+                    r, st["ac"][acid], zz, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _decode_ac_refine(
+                    r, st["ac"][acid], zz, ss, se, al, eobrun
+                )
+    if r.marker is not None:
+        return r.pos - 2
+    p = r.pos
+    while p + 1 < len(payload):
+        if payload[p] == 0xFF and payload[p + 1] not in (
+            0x00, *range(0xD0, 0xD8),
+        ):
+            return p
+        p += 1
+    return p
+
+
 def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     pos = 2
     quants: dict[int, np.ndarray] = {}
-    dc_tables: dict[int, dict] = {}
-    ac_tables: dict[int, dict] = {}
-    comps: list[tuple[int, int]] = []  # (component id, quant id)
-    comp_tables: list[tuple[int, int]] = []  # (dc id, ac id) per comp
+    st: dict = {
+        "dc": {},
+        "ac": {},
+        "comps": [],  # (component id, quant id)
+        "coefs": None,  # per-comp int32 [nby, nbx, 64] zigzag coefficients
+        "restart_interval": 0,
+        "progressive": False,
+        "nby": 0,
+        "nbx": 0,
+    }
     h = w = 0
-    restart_interval = 0
-    scan_pos = None
+    saw_scan = False
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("expected marker")
@@ -403,9 +817,10 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 bits = list(body[o + 1 : o + 17])
                 n = sum(bits)
                 vals = list(body[o + 17 : o + 17 + n])
-                (dc_tables if tc == 0 else ac_tables)[th] = _decode_table(bits, vals)
+                (st["dc"] if tc == 0 else st["ac"])[th] = _decode_table(bits, vals)
                 o += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            st["progressive"] = marker == 0xC2
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
@@ -415,70 +830,42 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                     raise NotImplementedError(
                         "chroma subsampling unsupported (4:4:4 only)"
                     )
-                comps.append((cid, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                st["comps"].append((cid, tq))
+            st["nby"], st["nbx"] = -(-h // 8), -(-w // 8)
+            st["coefs"] = [
+                np.zeros((st["nby"], st["nbx"], 64), dtype=np.int32)
+                for _ in range(ncomp)
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/"
-                "hierarchical) unsupported — baseline SOF0 only"
+                f"JPEG SOF{marker - 0xC0} (lossless/arithmetic/"
+                "hierarchical) unsupported — SOF0/1/2 only"
             )
         elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS
-            ns = body[0]
-            for c in range(ns):
-                _cid, tt = body[1 + 2 * c : 3 + 2 * c]
-                comp_tables.append((tt >> 4, tt & 0xF))
-            scan_pos = pos
-            break
+            (st["restart_interval"],) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — decode this scan, keep parsing after
+            if st["coefs"] is None:
+                raise ValueError("SOS before SOF")
+            pos = _run_scan(payload, pos, body, st)
+            saw_scan = True
         # APPn / COM / others: skipped via seglen
-    if scan_pos is None or not comps:
+    if not saw_scan or not st["comps"]:
         raise ValueError("JPEG missing SOS/SOF")
 
-    ncomp = len(comps)
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = [np.zeros((ph, pw)) for _ in range(ncomp)]
-    r = _BitReader(payload, scan_pos)
-    preds = [0] * ncomp
-    mcu = 0
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                m = r.align_after_marker()
-                if not (0xD0 <= m <= 0xD7):
-                    raise ValueError(f"expected RST marker, got {m:#x}")
-                preds = [0] * ncomp
-            for ci in range(ncomp):
-                dc = dc_tables[comp_tables[ci][0]]
-                ac = ac_tables[comp_tables[ci][1]]
-                quant = quants[comps[ci][1]]
-                zz = [0] * 64
-                s = _huff_decode(r, dc)
-                diff = _extend(r.read_bits(s), s) if s else 0
-                preds[ci] += diff
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = _huff_decode(r, ac)
-                    rrrr, ssss = rs >> 4, rs & 0xF
-                    if ssss == 0:
-                        if rrrr == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += rrrr
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[k] = _extend(r.read_bits(ssss), ssss)
-                    k += 1
-                coef = np.zeros((8, 8))
-                for kk, (i, j) in enumerate(_ZIGZAG):
-                    coef[i, j] = zz[kk]
-                block = _idct(coef * quant) + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-            mcu += 1
-
-    planes = [p[:h, :w] for p in planes]
+    # reconstruction: dequantize + IDCT every block of every component
+    ncomp = len(st["comps"])
+    zz_nat = np.array([i * 8 + j for i, j in _ZIGZAG])
+    planes = []
+    for ci, (_cid, tq) in enumerate(st["comps"]):
+        q = quants[tq]
+        nby, nbx = st["nby"], st["nbx"]
+        cf = np.zeros((nby, nbx, 64))
+        cf[:, :, zz_nat] = st["coefs"][ci]
+        cf = cf.reshape(nby, nbx, 8, 8) * q
+        blocks = np.einsum("ai,yxij,jb->yxab", _C.T, cf, _C) + 128.0
+        plane = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        planes.append(plane[:h, :w])
     if ncomp == 1:
         g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)

