@@ -234,6 +234,17 @@ def _png_unfilter(
     return img.astype(np.uint8), off
 
 
+def _png_unpack_subbyte(flat: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, row_bytes) unfiltered bytes → (h, w) samples for depth
+    1/2/4: samples pack MSB-first within each byte (spec §7.2), with
+    row padding bits discarded."""
+    bits = np.unpackbits(flat, axis=1)
+    h = flat.shape[0]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    samples = (bits.reshape(h, -1, depth) * weights).sum(axis=2)
+    return samples[:, :w].astype(np.uint8)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG → (H, W, 3) uint8 RGB, pure stdlib-zlib + numpy. Supports
     8-bit grayscale (type 0, expanded to RGB), truecolor (type 2),
@@ -245,9 +256,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     unfiltered per spec §9; IDAT chunks are concatenated before the
     single zlib inflate. 16-bit samples (gray/RGB/RGBA) decode for
     real and scale to the 8-bit output contract by taking the high
-    byte (the spec's sample-depth rescale for display); sub-byte
-    depths raise NotImplementedError (honest gate, same policy as the
-    BMP/WAV codecs)."""
+    byte (the spec's sample-depth rescale for display). SUB-BYTE
+    depths (1/2/4-bit grayscale and palette) decode for real too:
+    scanlines carry MSB-first packed samples with byte-granular
+    filters (bpp rounds up to one byte, spec §9), rows unpack with
+    padding bits dropped, grayscale rescales by 255/(2^d−1) exactly
+    (×255/×85/×17). That completes PNG: every depth×color-type
+    combination the spec defines for these color types decodes."""
     if payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG payload")
     pos, w, plte = 8, None, None
@@ -261,14 +276,15 @@ def decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            ok = (depth == 8 and color in (0, 2, 3, 6)) or (
-                depth == 16 and color in (0, 2, 6)  # palette is 8-bit max
+            ok = (
+                (depth == 8 and color in (0, 2, 3, 6))
+                or (depth == 16 and color in (0, 2, 6))  # palette ≤ 8-bit
+                or (depth in (1, 2, 4) and color in (0, 3))  # sub-byte
             )
             if not ok or interlace > 1:
                 raise NotImplementedError(
                     f"PNG depth={depth} color_type={color} "
-                    f"interlace={interlace} unsupported (8/16-bit gray/"
-                    "RGB/RGBA + 8-bit palette only)"
+                    f"interlace={interlace} unsupported"
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("invalid PNG compression/filter method")
@@ -285,8 +301,39 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     nch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
-    sb = depth // 8  # bytes per sample
     raw = zlib.decompress(bytes(idat))
+    if depth < 8:
+        # sub-byte: unfilter at byte granularity (bpp = 1 per spec §9),
+        # then unpack MSB-first samples per row/pass
+        if interlace == 0:
+            row_bytes = (w * depth + 7) // 8
+            flat, off = _png_unfilter(raw, 0, h, row_bytes, 1, 1)
+            if off != len(raw):
+                raise ValueError("PNG IDAT size mismatch")
+            samp = _png_unpack_subbyte(flat, w, depth)
+        else:
+            samp = np.zeros((h, w), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in ADAM7_PASSES:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                pass_bytes = (pw * depth + 7) // 8
+                sub, off = _png_unfilter(raw, off, ph, pass_bytes, 1, 1)
+                samp[y0::dy, x0::dx] = _png_unpack_subbyte(sub, pw, depth)
+            if off != len(raw):
+                raise ValueError("PNG IDAT size mismatch")
+        if color == 3:
+            if int(samp.max(initial=0)) >= len(plte):
+                raise ValueError("PNG palette index outside PLTE")
+            return plte[samp]
+        # exact spec rescale: 255/(2^d - 1) is an integer for d=1/2/4
+        gray = (samp.astype(np.int64) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    sb = depth // 8  # bytes per sample
     if interlace == 0:
         flat, off = _png_unfilter(raw, 0, h, w, nch, sb)
         if off != len(raw):
@@ -549,22 +596,66 @@ def _ms_decode_block(block: bytes) -> np.ndarray:
     return np.array(out, dtype=np.int16)
 
 
+def _ms_decode_block_multi(block: bytes, nch: int) -> np.ndarray:
+    """One multi-channel MS ADPCM block → (frames, nch) int16. The
+    header groups each field across channels (all predictor indices,
+    then all ideltas, then all samp1s, then all samp2s — 7*nch bytes);
+    the 4-bit codes then alternate channels sample-by-sample, high
+    nibble first."""
+    if len(block) < 7 * nch:
+        raise ValueError("truncated MS ADPCM block header")
+    bpreds = list(block[:nch])
+    if any(b >= len(MS_COEFF1) for b in bpreds):
+        raise ValueError("MS ADPCM predictor index out of range")
+    ideltas = list(struct.unpack_from(f"<{nch}h", block, nch))
+    s1s = list(struct.unpack_from(f"<{nch}h", block, 3 * nch))
+    s2s = list(struct.unpack_from(f"<{nch}h", block, 5 * nch))
+    c1s = [int(MS_COEFF1[b]) for b in bpreds]
+    c2s = [int(MS_COEFF2[b]) for b in bpreds]
+    packed = np.frombuffer(block[7 * nch :], dtype=np.uint8)
+    codes = np.empty(2 * len(packed), dtype=np.uint8)
+    codes[0::2] = packed >> 4
+    codes[1::2] = packed & 0x0F
+    frames = [list(s2s), list(s1s)]  # seeds emit oldest-first per channel
+    cur = []
+    for i, c in enumerate(codes):
+        ch = i % nch
+        c = int(c)
+        s = c - 16 if c >= 8 else c
+        pred = (s1s[ch] * c1s[ch] + s2s[ch] * c2s[ch]) >> 8
+        new = max(-32768, min(32767, pred + ideltas[ch] * s))
+        s2s[ch], s1s[ch] = s1s[ch], new
+        ideltas[ch] = max(16, (int(MS_ADAPTATION[c]) * ideltas[ch]) >> 8)
+        cur.append(new)
+        if ch == nch - 1:
+            frames.append(cur)
+            cur = []
+    return np.array(frames, dtype=np.int16)
+
+
 def _decode_wav_ms_adpcm(fmt: bytes, data: bytes) -> np.ndarray:
+    """WAV tag-2 block walk → int16 samples. Mono keeps the original
+    single-state path; multi-channel uses the grouped header + channel-
+    alternating code stream. Returns 1-D mono / frame-major (n, nch)."""
     tag, nch, _rate = struct.unpack_from("<HHI", fmt, 0)
     block_align = struct.unpack_from("<H", fmt, 12)[0]
-    if nch != 1:
-        raise NotImplementedError("multi-channel MS ADPCM unsupported")
-    if block_align < 8:
+    if nch < 1:
+        raise ValueError("MS ADPCM channel count must be >= 1")
+    if block_align < 8 * nch - 1:
         raise ValueError("inconsistent MS ADPCM block geometry")
-    spb = (block_align - 7) * 2 + 2
+    spb = (block_align - 7 * nch) * 2 // nch + 2
     if len(fmt) >= 20:
         declared = struct.unpack_from("<H", fmt, 18)[0]
         if declared > spb:
             raise ValueError("inconsistent MS ADPCM block geometry")
     out = []
     for off in range(0, len(data), block_align):
-        out.append(_ms_decode_block(data[off : off + block_align]))
-    return np.concatenate(out).astype(np.int16)
+        blk = data[off : off + block_align]
+        if nch == 1:
+            out.append(_ms_decode_block(blk))
+        else:
+            out.append(_ms_decode_block_multi(blk, nch))
+    return np.concatenate(out, axis=0).astype(np.int16)
 
 
 def _ms_encode_nibbles(samples: np.ndarray, idelta: int) -> bytes:
@@ -589,24 +680,64 @@ def _ms_encode_nibbles(samples: np.ndarray, idelta: int) -> bytes:
 def encode_wav_ms_adpcm(
     samples: np.ndarray, sample_rate: int = 8000, block_align: int = 39
 ) -> bytes:
-    """int16 mono samples → RIFF/WAVE with format tag 2 (MS ADPCM),
+    """int16 samples → RIFF/WAVE with format tag 2 (MS ADPCM),
     predictor 0, per-block initial idelta estimated from the block's
-    mean step. (block_align - 7) * 2 + 2 samples per block."""
+    mean step. Mono (1-D): (block_align - 7) * 2 + 2 samples per
+    block. Multi-channel ((n, nch)): grouped per-field header (all
+    predictor indices, all ideltas, all samp1s, all samp2s), then the
+    code stream alternating channels sample-by-sample, high nibble
+    first. Short final blocks pad by repeating the last frame."""
     samples = np.asarray(samples, dtype=np.int16)
-    spb = (block_align - 7) * 2 + 2
+    nch = 1 if samples.ndim == 1 else samples.shape[1]
+    spb = (block_align - 7 * nch) * 2 // nch + 2
     blocks = []
     for off in range(0, len(samples), spb):
+        if nch == 1:
+            chunk = np.asarray(samples[off : off + spb], dtype=np.int32)
+            if len(chunk) < 2:
+                chunk = np.append(chunk, chunk[-1] if len(chunk) else 0)
+            steps = np.abs(np.diff(chunk)) if len(chunk) > 1 else np.array([16])
+            idelta = max(16, int(steps.mean()) // 4 or 16)
+            body = struct.pack("<Bhhh", 0, idelta, int(chunk[1]), int(chunk[0]))
+            body += _ms_encode_nibbles(chunk, idelta)
+            blocks.append(body.ljust(block_align, b"\x00"))
+            continue
         chunk = np.asarray(samples[off : off + spb], dtype=np.int32)
-        if len(chunk) < 2:
-            chunk = np.append(chunk, chunk[-1] if len(chunk) else 0)
-        steps = np.abs(np.diff(chunk)) if len(chunk) > 1 else np.array([16])
-        idelta = max(16, int(steps.mean()) // 4 or 16)
-        body = struct.pack("<Bhhh", 0, idelta, int(chunk[1]), int(chunk[0]))
-        body += _ms_encode_nibbles(chunk, idelta)
+        if len(chunk) < spb:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], spb - len(chunk), axis=0)]
+            )
+        ideltas, s1s, s2s = [], [], []
+        for ch in range(nch):
+            steps = np.abs(np.diff(chunk[:, ch]))
+            ideltas.append(max(16, int(steps.mean()) // 4 or 16))
+            s2s.append(int(chunk[0, ch]))
+            s1s.append(int(chunk[1, ch]))
+        body = bytes(nch)  # predictor 0 per channel
+        body += struct.pack(f"<{nch}h", *ideltas)
+        body += struct.pack(f"<{nch}h", *s1s)
+        body += struct.pack(f"<{nch}h", *s2s)
+        st1, st2, di = list(s1s), list(s2s), list(ideltas)
+        codes = []
+        for fr in range(2, spb):
+            for ch in range(nch):
+                pred = (st1[ch] * 256 + st2[ch] * 0) >> 8
+                x = int(chunk[fr, ch])
+                s = max(-8, min(7, int(round((x - pred) / di[ch]))))
+                c = s + 16 if s < 0 else s
+                new = max(-32768, min(32767, pred + di[ch] * s))
+                st2[ch], st1[ch] = st1[ch], new
+                di[ch] = max(16, (int(MS_ADAPTATION[c]) * di[ch]) >> 8)
+                codes.append(c)
+        if len(codes) % 2:
+            codes.append(0)
+        body += bytes(
+            (codes[i] << 4) | codes[i + 1] for i in range(0, len(codes), 2)
+        )
         blocks.append(body.ljust(block_align, b"\x00"))
     data = b"".join(blocks)
     fmt = struct.pack(
-        "<HHIIHHHH", 2, 1, sample_rate,
+        "<HHIIHHHH", 2, nch, sample_rate,
         sample_rate * block_align // spb, block_align, 4, 2, spb,
     )
     body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
@@ -623,26 +754,54 @@ def encode_wav_ima(
     block_align: int = 36,
     initial_index: int = 0,
 ) -> bytes:
-    """int16 mono samples → RIFF/WAVE with format tag 0x11 (IMA ADPCM).
-    Each block stores a 4-byte header (true first sample as the int16
-    predictor, step index, reserved) + 4-bit nibbles two-per-byte, low
-    nibble first — (block_align - 4) * 2 + 1 samples per block."""
+    """int16 samples → RIFF/WAVE with format tag 0x11 (IMA ADPCM).
+    Mono (1-D input): each block stores a 4-byte header (true first
+    sample as the int16 predictor, step index, reserved) + 4-bit
+    nibbles two-per-byte, low nibble first — (block_align - 4) * 2 + 1
+    samples per block. Multi-channel ((n, nch) input): one 4-byte
+    header PER CHANNEL, then per-channel nibbles interleaved in 4-byte
+    words (8 samples a channel at a time) — the public IMA/Microsoft
+    WAVE layout; block_align must leave a 4*nch multiple of data
+    bytes. Short final blocks pad by repeating the last frame."""
     samples = np.asarray(samples, dtype=np.int16)
-    spb = (block_align - 4) * 2 + 1
+    if samples.ndim == 1:
+        nch = 1
+        spb = (block_align - 4) * 2 + 1
+    else:
+        nch = samples.shape[1]
+        if (block_align - 4 * nch) % (4 * nch):
+            raise ValueError("block_align must leave a 4*nch data multiple")
+        spb = (block_align - 4 * nch) * 2 // nch + 1
     blocks = []
-    idx = int(initial_index)
+    idx = [int(initial_index)] * nch
     for off in range(0, len(samples), spb):
         chunk = samples[off : off + spb]
-        pred = int(chunk[0])
-        nib = _ima_encode_nibbles(chunk[1:], pred, idx)
-        if len(nib) % 2:
-            nib = np.append(nib, 0)
-        packed = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
-        body = struct.pack("<hBB", pred, idx, 0) + packed.tobytes()
-        blocks.append(body.ljust(block_align, b"\x00"))
+        if nch == 1:
+            pred = int(chunk[0])
+            nib = _ima_encode_nibbles(chunk[1:], pred, idx[0])
+            if len(nib) % 2:
+                nib = np.append(nib, 0)
+            packed = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
+            body = struct.pack("<hBB", pred, idx[0], 0) + packed.tobytes()
+            blocks.append(body.ljust(block_align, b"\x00"))
+            continue
+        if len(chunk) < spb:  # repeat-last-frame pad
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], spb - len(chunk), axis=0)]
+            )
+        hdr = b""
+        ch_bytes = []
+        for ch in range(nch):
+            pred = int(chunk[0, ch])
+            nib = _ima_encode_nibbles(chunk[1:, ch], pred, idx[ch])
+            packed = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
+            hdr += struct.pack("<hBB", pred, idx[ch], 0)
+            ch_bytes.append(packed.reshape(-1, 4))
+        words = np.stack(ch_bytes, axis=1)  # (ngroups, nch, 4)
+        blocks.append(hdr + words.reshape(-1).tobytes())
     data = b"".join(blocks)
     fmt = struct.pack(
-        "<HHIIHHHH", 0x11, 1, sample_rate,
+        "<HHIIHHHH", 0x11, nch, sample_rate,
         sample_rate * block_align // spb, block_align, 4, 2, spb,
     )
     body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
@@ -654,43 +813,82 @@ def encode_wav_ima(
 
 
 def _decode_wav_ima(fmt: bytes, data: bytes) -> np.ndarray:
-    """WAV tag-0x11 block walk → int16 samples (mono; multi-channel IMA
-    interleaves nibble words per channel and stays honestly gated)."""
+    """WAV tag-0x11 block walk → int16 samples. Mono AND multi-channel:
+    each block carries a 4-byte header PER CHANNEL (predictor sample,
+    step index, reserved), then the nibble stream interleaves in 4-byte
+    words per channel (8 samples of channel 0, 8 of channel 1, ... —
+    the layout in the public IMA/Microsoft WAVE extension). Returns 1-D
+    for mono, frame-major (n, nch) otherwise."""
     tag, nch, _rate = struct.unpack_from("<HHI", fmt, 0)
     block_align = struct.unpack_from("<H", fmt, 12)[0]
-    if nch != 1:
-        raise NotImplementedError("multi-channel IMA ADPCM unsupported")
+    if nch < 1:
+        raise ValueError("IMA ADPCM channel count must be >= 1")
+    hdr = 4 * nch
     if len(fmt) >= 20:
         spb = struct.unpack_from("<H", fmt, 18)[0]
     else:
-        spb = (block_align - 4) * 2 + 1
-    if block_align < 5 or spb > (block_align - 4) * 2 + 1:
+        spb = (block_align - hdr) * 2 // nch + 1
+    if block_align < hdr + (4 * nch if nch > 1 else 1):
+        raise ValueError("inconsistent IMA ADPCM block geometry")
+    if spb > (block_align - hdr) * 2 // nch + 1:
+        raise ValueError("inconsistent IMA ADPCM block geometry")
+    if nch > 1 and (block_align - hdr) % (4 * nch):
         raise ValueError("inconsistent IMA ADPCM block geometry")
     out = []
     for off in range(0, len(data), block_align):
         block = data[off : off + block_align]
-        if len(block) < 4:
+        if len(block) < hdr:
             raise ValueError("truncated IMA ADPCM block header")
-        pred, idx, _rsvd = struct.unpack_from("<hBB", block, 0)
-        if idx > 88:
-            raise ValueError("IMA ADPCM step index out of range")
-        want = min(spb, 1 + (len(block) - 4) * 2) - 1
-        packed = np.frombuffer(block[4 : 4 + (want + 1) // 2], dtype=np.uint8)
-        nib = np.empty(2 * len(packed), dtype=np.uint8)
-        nib[0::2] = packed & 0x0F
-        nib[1::2] = packed >> 4
-        out.append(np.int16(pred))
-        out.append(_ima_decode_nibbles(nib[:want], pred, idx))
-    return np.concatenate([np.atleast_1d(x) for x in out]).astype(np.int16)
+        preds, idxs = [], []
+        for ch in range(nch):
+            pred, idx, _rsvd = struct.unpack_from("<hBB", block, 4 * ch)
+            if idx > 88:
+                raise ValueError("IMA ADPCM step index out of range")
+            preds.append(pred)
+            idxs.append(idx)
+        if nch == 1:
+            want = min(spb, 1 + (len(block) - 4) * 2) - 1
+            packed = np.frombuffer(
+                block[4 : 4 + (want + 1) // 2], dtype=np.uint8
+            )
+            nib = np.empty(2 * len(packed), dtype=np.uint8)
+            nib[0::2] = packed & 0x0F
+            nib[1::2] = packed >> 4
+            out.append(np.atleast_1d(np.int16(preds[0])))
+            out.append(_ima_decode_nibbles(nib[:want], preds[0], idxs[0]))
+            continue
+        body = np.frombuffer(block[hdr:], dtype=np.uint8)
+        usable = (len(body) // (4 * nch)) * (4 * nch)
+        words = body[:usable].reshape(-1, nch, 4)
+        chans = []
+        for ch in range(nch):
+            bts = words[:, ch, :].reshape(-1)
+            nib = np.empty(2 * len(bts), dtype=np.uint8)
+            nib[0::2] = bts & 0x0F
+            nib[1::2] = bts >> 4
+            want = min(spb - 1, len(nib))
+            dec = np.concatenate(
+                [[np.int16(preds[ch])],
+                 _ima_decode_nibbles(nib[:want], preds[ch], idxs[ch])]
+            )
+            chans.append(dec[:spb])
+        out.append(np.stack(chans, axis=1))  # frame-major (spb, nch)
+    if nch == 1:
+        return np.concatenate(out).astype(np.int16)
+    return np.concatenate(out, axis=0).astype(np.int16)
 
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch: BMP (decode_bmp), PNG (decode_png, stdlib
-    zlib + numpy unfilter), baseline JPEG (operators/jpeg.py — huffman
-    + DCT from the public T.81 spec) and GIF (operators/gif.py — real
-    variable-width LZW) decode for real; remaining variants
-    (progressive JPEG, palette PNG, interlaced GIF, ...) raise inside
-    their codec, and unknown formats raise here."""
+    zlib + numpy unfilter — every depth 1/2/4/8/16 × gray/RGB/RGBA/
+    palette combination the spec defines, sequential or Adam7), JPEG
+    (operators/jpeg.py — baseline SOF0/1 AND progressive SOF2 from the
+    public T.81 spec) and GIF (operators/gif.py — real variable-width
+    LZW, interlaced and composited sub-frames) decode for real. The
+    remaining TRUE gates raise inside their codec —
+    arithmetic/lossless/hierarchical JPEG, 12-bit JPEG, chroma
+    subsampling, exotic BMP variants — and unknown magic raises
+    here."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_SIGNATURE:

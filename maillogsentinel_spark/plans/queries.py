@@ -2021,39 +2021,41 @@ def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_gate_registry",
     oracle="""
-    WITH f AS (SELECT doc_id % 7 AS k, count(*) AS n
+    WITH f AS (SELECT doc_id % 10 AS k, count(*) AS n
                FROM documents GROUP BY 1)
     SELECT CASE k WHEN 0 THEN 'bmp'            WHEN 1 THEN 'gif'
                   WHEN 2 THEN 'gif_interlaced' WHEN 3 THEN 'gif_oob_frame'
                   WHEN 4 THEN 'wav_truncated'  WHEN 5 THEN 'mp3'
-                  ELSE 'unknown_magic' END AS format,
-           CASE k WHEN 0 THEN 'ok'      WHEN 1 THEN 'ok'
-                  WHEN 2 THEN 'ok'      WHEN 3 THEN 'invalid'
-                  WHEN 4 THEN 'invalid' WHEN 5 THEN 'gated'
-                  ELSE 'gated' END AS status,
+                  WHEN 6 THEN 'unknown_magic'
+                  WHEN 7 THEN 'jpeg_progressive'
+                  WHEN 8 THEN 'png_subbyte'
+                  ELSE 'adpcm_stereo' END AS format,
+           CASE k WHEN 3 THEN 'invalid' WHEN 4 THEN 'invalid'
+                  WHEN 5 THEN 'gated'   WHEN 6 THEN 'gated'
+                  ELSE 'ok' END AS status,
            CAST(n AS BIGINT) AS n_payloads
     FROM f ORDER BY format
     """,
 )
 def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The honest-gate POLICY itself as an oracle row: a mixed binary
-    column cycling (doc_id % 7) through decodable payloads (BMP, GIF —
-    including interlaced GIF, whose Appendix-E row scatter decodes for
-    real since round 7; in-bounds sub-frames now composite over the
-    background), variants the codecs must REFUSE with
-    NotImplementedError (an MP3 frame — genuinely lib-bound, unlike
-    the WAV family where PCM/μ-law/IMA/MS-ADPCM all decode for real —
+    column cycling (doc_id % 10) through decodable payloads (BMP;
+    GIF including interlaced and composited sub-frames; and — the
+    round-8 contract change — progressive JPEG, sub-byte PNG and
+    stereo IMA ADPCM, each formerly gated, now decoding for real),
+    variants the codecs must REFUSE with NotImplementedError (an MP3
+    frame — genuinely lib-bound, unlike the WAV family where
+    PCM/μ-law/IMA/MS-ADPCM decode for real in mono AND multi-channel —
     and unknown magic) plus two corrupt payloads that must fail loudly
     with ValueError (a truncated μ-law data chunk; a GIF frame
     exceeding its logical screen). The engine classifies each payload
-    by actually
-    attempting the decode and mapping the outcome to ok / gated /
-    invalid; the oracle states the CONTRACT — which format must land in
-    which bucket. A gate that silently starts "succeeding" (decoding
-    garbage), a wrong exception type, or a decoder crash on the good
-    payloads all change the (format, status) counts and fail the hash.
-    Payload synthesis and decode run in ONE mapInPandas — payload bytes
-    never shuffle."""
+    by actually attempting the decode and mapping the outcome to
+    ok / gated / invalid; the oracle states the CONTRACT — which format
+    must land in which bucket. A gate that silently starts "succeeding"
+    (decoding garbage), a wrong exception type, or a decoder crash on
+    the good payloads all change the (format, status) counts and fail
+    the hash. Payload synthesis and decode run in ONE mapInPandas —
+    payload bytes never shuffle."""
     import numpy as np
     import pandas as pd
 
@@ -2092,10 +2094,48 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("mp3", lambda d: b"ID3\x04\x00\x00\x00\x00\x00\x00\xff\xfb\x90"
                           + bytes(16)),
         ("unknown_magic", lambda d: b"XXXX" + bytes(16)),
+        # round-8 contract change: three formerly-gated variants now
+        # DECODE for real and the policy row grades the new contract —
+        # progressive JPEG (SOF2 multi-scan), sub-byte PNG (2-bit
+        # grayscale, MSB-first packing), stereo IMA ADPCM (per-channel
+        # state, 4-byte word interleave)
+        ("jpeg_progressive", lambda d: _pjpeg_payload(d)),
+        ("png_subbyte", lambda d: _png2bit_payload(d)),
+        ("adpcm_stereo", lambda d: _stereo_ima_payload(d)),
     ]
 
+    def _pjpeg_payload(d: int) -> bytes:
+        from ..operators.jpeg import encode_jpeg_progressive
+
+        img = np.full((8, 8), (d * 23) % 256, dtype=np.uint8)
+        return encode_jpeg_progressive(img, al=1)
+
+    def _png2bit_payload(d: int) -> bytes:
+        import zlib
+
+        from ..operators.multimodal import PNG_SIGNATURE, _png_chunk
+        import struct as _s
+
+        samp = ((d + np.arange(6)) % 4).astype(np.uint8).reshape(2, 3)
+        raw = bytearray()
+        for row in samp:  # filter 0, MSB-first 2-bit packing
+            raw.append(0)
+            raw.append((row[0] << 6) | (row[1] << 4) | (row[2] << 2))
+        ihdr = _s.pack(">IIBBBBB", 3, 2, 2, 0, 0, 0, 0)
+        return (PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _png_chunk(b"IEND", b""))
+
+    def _stereo_ima_payload(d: int) -> bytes:
+        from ..operators.multimodal import encode_wav_ima
+
+        t = np.arange(66)
+        sig = np.stack([((d * 3 + t * 40) % 2000).astype(np.int16),
+                        ((d * 7 - t * 25) % 1500).astype(np.int16)], axis=1)
+        return encode_wav_ima(sig, block_align=72)
+
     def outcome(did: int):
-        fmt, make = CASES[did % 7]
+        fmt, make = CASES[did % 10]
         payload = make(did)
         try:
             if payload[:4] == b"RIFF" or payload[:3] == b"ID3":
@@ -2113,10 +2153,10 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             # One REAL synth+decode per distinct k per Arrow batch — the
             # payload (and thus the gate outcome) is a constant of
-            # k = doc_id % 7 for every case except bmp, whose payloads
+            # k = doc_id % 10 for every case except bmp, whose payloads
             # are all valid by construction; decoding every row repeated
-            # the identical codec call ~n/7 times for no extra evidence.
-            ks = (pdf["doc_id"].astype("int64") % 7).to_numpy()
+            # the identical codec call ~n/10 times for no extra evidence.
+            ks = (pdf["doc_id"].astype("int64") % 10).to_numpy()
             per_k = {}
             seen = set()
             for i, k in enumerate(ks):

@@ -171,16 +171,127 @@ def test_png_16bit_decodes_high_byte():
 def test_png_unsupported_variants_raise():
     import struct
 
-    # sub-byte depth (4-bit palette)
-    bad = bytearray(_png_raw(1, 1, 3, [0, 0]))
-    struct.pack_into("B", bad, 8 + 8 + 8, 4)
-    with pytest.raises(NotImplementedError):
-        decode_png(bytes(bad))
     # 16-bit palette is invalid-per-spec and stays out
     bad2 = bytearray(_png_raw(1, 1, 3, [0, 0]))
     struct.pack_into("B", bad2, 8 + 8 + 8, 16)
     with pytest.raises(NotImplementedError):
         decode_png(bytes(bad2))
+    # sub-byte truecolor (depth 2, type 2) is invalid-per-spec too
+    bad3 = bytearray(_png_raw(1, 1, 2, [0, 0, 0, 0]))
+    struct.pack_into("B", bad3, 8 + 8 + 8, 2)
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(bad3))
+
+
+def _pack_subbyte_row(samples, depth):
+    """Pack one row of sub-byte samples MSB-first with zero padding."""
+    bits = np.unpackbits(
+        np.asarray(samples, dtype=np.uint8)[:, None], axis=1
+    )[:, 8 - depth:].reshape(-1)
+    pad = (-len(bits)) % 8
+    bits = np.concatenate([bits, np.zeros(pad, dtype=np.uint8)])
+    return np.packbits(bits).tobytes()
+
+
+def _subbyte_png(samp, depth, color_type, plte=None, interlace=0):
+    """Hand-built sub-byte PNG: rows packed MSB-first, then filtered on
+    BYTES with type (row % 5) cycling — bpp rounds up to 1 per spec §9,
+    so the left neighbor is the previous packed byte."""
+    import struct
+    import zlib
+
+    from maillogsentinel_spark.operators.multimodal import (
+        ADAM7_PASSES, PNG_SIGNATURE, _paeth, _png_chunk)
+
+    def filter_rows(sub):
+        raw = bytearray()
+        prev = None
+        for r in range(sub.shape[0]):
+            cur = np.frombuffer(
+                _pack_subbyte_row(sub[r], depth), dtype=np.uint8
+            ).astype(np.int64)
+            up = prev if prev is not None else np.zeros_like(cur)
+            ft = r % 5
+            raw.append(ft)
+            if ft == 0:
+                out = cur
+            elif ft == 1:
+                left = np.concatenate([[0], cur[:-1]])
+                out = (cur - left) % 256
+            elif ft == 2:
+                out = (cur - up) % 256
+            elif ft == 3:
+                left = np.concatenate([[0], cur[:-1]])
+                out = (cur - (left + up) // 2) % 256
+            else:
+                left = np.concatenate([[0], cur[:-1]])
+                ul = np.concatenate([[0], up[:-1]])
+                pred = np.array([_paeth(int(a), int(b), int(c))
+                                 for a, b, c in zip(left, up, ul)])
+                out = (cur - pred) % 256
+            raw += out.astype(np.uint8).tobytes()
+            prev = cur
+        return raw
+
+    h, w = samp.shape
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            sub = samp[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += filter_rows(sub)
+    else:
+        raw = filter_rows(samp)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", np.asarray(plte, np.uint8).tobytes())
+    return out + _png_chunk(b"IDAT", zlib.compress(bytes(raw))) + _png_chunk(
+        b"IEND", b"")
+
+
+def test_png_subbyte_grayscale_all_depths():
+    """1/2/4-bit grayscale decodes for real: MSB-first unpacking, byte-
+    granular filters, exact 255/(2^d-1) rescale, padding bits dropped
+    (widths chosen to force partial final bytes)."""
+    rng = np.random.default_rng(3)
+    for depth, w in [(1, 13), (2, 9), (4, 5), (1, 8), (4, 4)]:
+        samp = rng.integers(0, 1 << depth, (7, w), dtype=np.uint8)
+        dec = decode_png(_subbyte_png(samp, depth, 0))
+        want = (samp.astype(np.int64) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8)
+        assert dec.shape == (7, w, 3)
+        assert (dec == np.repeat(want[:, :, None], 3, axis=2)).all(), (depth, w)
+
+
+def test_png_subbyte_palette():
+    rng = np.random.default_rng(5)
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    samp = rng.integers(0, 16, (6, 7), dtype=np.uint8)
+    dec = decode_png(_subbyte_png(samp, 4, 3, plte=plte))
+    assert (dec == plte[samp]).all()
+    # 2-bit palette too
+    samp2 = rng.integers(0, 4, (5, 11), dtype=np.uint8)
+    dec2 = decode_png(_subbyte_png(samp2, 2, 3, plte=plte[:4]))
+    assert (dec2 == plte[:4][samp2]).all()
+    # index beyond PLTE fails loudly
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(_subbyte_png(np.full((2, 2), 3, np.uint8), 2, 3,
+                                plte=plte[:2]))
+
+
+def test_png_subbyte_adam7_interlaced():
+    """1-bit Adam7: each pass packs/filters its own sub-image rows, the
+    scatter must land every bit on the right pixel."""
+    rng = np.random.default_rng(9)
+    samp = rng.integers(0, 2, (10, 13), dtype=np.uint8)
+    dec = decode_png(_subbyte_png(samp, 1, 0, interlace=1))
+    assert (dec[:, :, 0] == samp * 255).all()
+    # and 4-bit palette interlaced
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    samp4 = rng.integers(0, 16, (9, 6), dtype=np.uint8)
+    dec4 = decode_png(_subbyte_png(samp4, 4, 3, plte=plte, interlace=1))
+    assert (dec4 == plte[samp4]).all()
 
 
 def test_png_adam7_roundtrip():
@@ -677,3 +788,96 @@ def test_ms_adpcm_bad_predictor_and_truncation_raise():
     b[b.index(b"data") + 8] = 9  # predictor index 9 > 6
     with pytest.raises(ValueError):
         decode_audio(bytes(b))
+
+
+# --- multi-channel (stereo) ADPCM ----------------------------------------
+
+def test_ima_adpcm_stereo_hand_layout():
+    """Stereo IMA word-interleave worked by hand: 4-byte header per
+    channel, then data alternates 4-byte words per channel (8 nibbles
+    of ch0, 8 of ch1). The layout is the thing under test: ch0's codes
+    must come from bytes 8..11, ch1's from bytes 12..15."""
+    import struct as _s
+
+    from maillogsentinel_spark.operators.multimodal import (
+        _decode_wav_ima, _ima_decode_nibbles)
+
+    fmt = _s.pack("<HHIIHHHH", 0x11, 2, 8000, 8000, 16, 4, 2, 9)
+    hdr = _s.pack("<hBB", 0, 0, 0) + _s.pack("<hBB", 1000, 10, 0)
+    ch0 = bytes([(12 << 4) | 4, 0, 0, 0])      # nibbles 4,12,0,... low-first
+    ch1 = bytes([(5 << 4) | 7, 0, 0, 0])       # nibbles 7,5,0,...
+    dec = _decode_wav_ima(fmt, hdr + ch0 + ch1)
+    assert dec.shape == (9, 2)
+    want0 = np.concatenate([[0], _ima_decode_nibbles(
+        np.array([4, 12, 0, 0, 0, 0, 0, 0], np.uint8), 0, 0)])
+    want1 = np.concatenate([[1000], _ima_decode_nibbles(
+        np.array([7, 5, 0, 0, 0, 0, 0, 0], np.uint8), 1000, 10)])
+    assert dec[:, 0].tolist() == want0.tolist()
+    assert dec[:, 1].tolist() == want1.tolist()
+    # hand-check the first decoded steps too (not circular): nibble 4 at
+    # (0,0): step 7 -> +7; nibble 12 at idx 2: step 9, diff 1+9 -> -3
+    assert dec[1, 0] == 7 and dec[2, 0] == -3
+
+
+def test_ms_adpcm_stereo_hand_vector():
+    """Stereo MS ADPCM grouped header + channel-alternating codes,
+    worked by hand: predictor 0 (pred = s1), seeds per channel, first
+    byte 0x31 -> code 3 for ch0 (350 = 200 + 50*3), code 1 for ch1
+    (360 = 300 + 60*1)."""
+    import struct as _s
+
+    from maillogsentinel_spark.operators.multimodal import _ms_decode_block_multi
+
+    block = (bytes([0, 0]) + _s.pack("<2h", 50, 60)
+             + _s.pack("<2h", 200, 300) + _s.pack("<2h", 100, 150)
+             + bytes([0x31]))
+    out = _ms_decode_block_multi(block, 2)
+    assert out.tolist() == [[100, 150], [200, 300], [350, 360]]
+
+
+@pytest.mark.parametrize("codec,ba", [("ima", 72), ("ms", 46)])
+def test_adpcm_stereo_roundtrip(codec, ba):
+    """Stereo roundtrip through the full WAV container: per-channel
+    predictor state must stay independent (no cross-channel bleed), the
+    fact chunk trims frames, and each block's seed frames are stored
+    verbatim per channel."""
+    from maillogsentinel_spark.operators.multimodal import (
+        encode_wav_ima, encode_wav_ms_adpcm)
+
+    enc = encode_wav_ima if codec == "ima" else encode_wav_ms_adpcm
+    t = np.arange(500)
+    sig = np.stack([
+        (3000 * np.sin(t / 9)).astype(np.int16),
+        (2000 * np.cos(t / 13) + 500).astype(np.int16),
+    ], axis=1)
+    rate, dec = decode_audio(enc(sig, 8000, block_align=ba))
+    assert rate == 8000
+    assert dec.shape == (500, 2)  # fact trims the padded final block
+    spb = (ba - 8) * 2 // 2 + 1 if codec == "ima" else (ba - 14) + 2
+    for off in range(0, 500, spb):
+        assert (dec[off] == sig[off]).all()  # seed frame verbatim
+        if codec == "ms" and off + 1 < 500:
+            assert (dec[off + 1] == sig[off + 1]).all()
+    err = np.abs(dec.astype(np.int32) - sig.astype(np.int32))
+    assert err.max() <= 2500 and err.mean() < 200
+    # channels must not swap or bleed
+    for ch in range(2):
+        c_same = np.corrcoef(dec[:, ch], sig[:, ch])[0, 1]
+        c_cross = abs(np.corrcoef(dec[:, ch], sig[:, 1 - ch])[0, 1])
+        assert c_same > 0.99 and c_same > c_cross, (codec, ch)
+
+
+def test_ima_stereo_bad_geometry_raises():
+    from maillogsentinel_spark.operators.multimodal import encode_wav_ima
+
+    sig = np.zeros((20, 2), dtype=np.int16)
+    with pytest.raises(ValueError, match="4\\*nch"):
+        encode_wav_ima(sig, block_align=30)  # 30-8=22 not a multiple of 8
+    # decoder-side: fmt declaring a non-word-multiple stereo geometry
+    import struct as _s
+
+    from maillogsentinel_spark.operators.multimodal import _decode_wav_ima
+
+    fmt = _s.pack("<HHIIHHHH", 0x11, 2, 8000, 8000, 18, 4, 2, 11)
+    with pytest.raises(ValueError, match="geometry"):
+        _decode_wav_ima(fmt, bytes(18))
