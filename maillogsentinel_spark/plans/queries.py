@@ -1168,6 +1168,161 @@ def q_dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic 1/16 corpus slice (Knuth multiplicative hash) for the
+# two queries whose FULL-corpus DuckDB oracles exhaust this box's disk
+# at sf1 (SCALE.md): the slice's pair/closure materialization stays
+# bounded at every scale decade, so the top decade regains value-exact
+# verification while the full-corpus twins keep proving the engine
+# path. The oracle shadows `documents` with the sliced CTE
+# (main.documents reaches the base view), so the shared pair CTEs
+# close over exactly the same sub-corpus the engine sees.
+# mod-prime first: 2654435761 is 1 mod 16, so a direct % 16 would
+# degenerate to doc_id % 16 — the prime reduction mixes high bits
+_SLICE_PRED = "((doc_id * 2654435761) % 2147483647) % 16 = 0"
+_SLICE_DOCS_CTE = (
+    f"documents AS (SELECT * FROM main.documents WHERE {_SLICE_PRED})"
+)
+
+
+def _slice_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(
+        ((F.col("doc_id") * F.lit(2654435761)) % 2147483647) % 16 == 0
+    )
+
+
+@query(
+    "dedup_graph_pagerank_slice",
+    oracle=f"""
+    WITH {_SLICE_DOCS_CTE},
+    {_sql_minhash_pairs_ctes()},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nstat AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    deg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY 1),
+    pr0 AS (SELECT doc_id AS id, 1.0 / nstat.n AS pr
+            FROM documents CROSS JOIN nstat),
+    it1 AS (
+      SELECT d.doc_id AS id, 0.15 / nstat.n + 0.85 * coalesce(s.c, 0) AS pr
+      FROM documents d CROSS JOIN nstat
+      LEFT JOIN (SELECT e.dst, sum(p.pr / g.deg) AS c
+                 FROM edges e JOIN pr0 p ON e.src = p.id
+                      JOIN deg g ON e.src = g.src
+                 GROUP BY e.dst) s ON d.doc_id = s.dst
+    ),
+    it2 AS (
+      SELECT d.doc_id AS id, 0.15 / nstat.n + 0.85 * coalesce(s.c, 0) AS pr
+      FROM documents d CROSS JOIN nstat
+      LEFT JOIN (SELECT e.dst, sum(p.pr / g.deg) AS c
+                 FROM edges e JOIN it1 p ON e.src = p.id
+                      JOIN deg g ON e.src = g.src
+                 GROUP BY e.dst) s ON d.doc_id = s.dst
+    )
+    SELECT id AS doc_id, round(pr, 6) AS pagerank
+    FROM it2 ORDER BY pagerank DESC, doc_id LIMIT 20
+    """,
+)
+def q_dedup_graph_pagerank_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_graph_pagerank` over the deterministic 1/16 hash slice —
+    the bounded twin whose oracle stays disk-feasible at sf1 (the full
+    oracle's pair CTE spills >80 GB there, SCALE.md): the engine runs
+    the IDENTICAL distributed path (MinHash-LSH pairs → 2-iteration
+    rank propagation) scoped to the slice, and DuckDB can materialize
+    the slice's closure at every scale decade. Value-exactness of the
+    top decade is the point; the full-corpus twin remains the scale
+    evidence."""
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.graph import pagerank
+
+    docs = _slice_docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, k=3, num_perm=16, bands=4, threshold=0.3)
+    pr = pagerank(docs.select("doc_id"), pairs, iters=2)
+    return (
+        pr.select("doc_id", F.round("pr", 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "dedup_incremental_new_docs_slice",
+    oracle=f"""
+    WITH {_SLICE_DOCS_CTE},
+    {_sql_minhash_pairs_ctes()},
+    newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    oldd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+    ex AS (SELECT n.doc_id, min(o.doc_id) AS exact_dup_of
+           FROM newd n JOIN oldd o ON md5(n.text) = md5(o.text)
+           GROUP BY 1),
+    nr AS (
+      SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_near
+      FROM pairs WHERE (id_a % 5 = 0) <> (id_b % 5 = 0)
+      GROUP BY 1
+    )
+    SELECT n.doc_id, ex.exact_dup_of,
+           CAST(coalesce(nr.n_near, 0) AS BIGINT) AS n_near,
+           CASE WHEN ex.exact_dup_of IS NOT NULL THEN 'drop_exact'
+                WHEN coalesce(nr.n_near, 0) > 0 THEN 'drop_near'
+                ELSE 'keep' END AS verdict
+    FROM newd n LEFT JOIN ex ON n.doc_id = ex.doc_id
+                LEFT JOIN nr ON n.doc_id = nr.doc_id
+    ORDER BY n.doc_id
+    """,
+)
+def q_dedup_incremental_new_docs_slice(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`dedup_incremental_new_docs` over the deterministic 1/16 hash
+    slice — the bounded twin restoring sf1 value-exactness (same
+    rationale as dedup_graph_pagerank_slice): arriving batch =
+    doc_id % 5 = 0 WITHIN the slice, checked against the slice's
+    standing corpus through the same exact-hash + cross-boundary LSH
+    layers."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = _slice_docs(spark, sf_dir)
+    is_new = F.col("doc_id") % 5 == 0
+    newd = docs.filter(is_new).select("doc_id", F.md5("text").alias("h"))
+    oldd = docs.filter(~is_new).select(
+        F.col("doc_id").alias("old_id"), F.md5("text").alias("h")
+    )
+    ex = (
+        newd.join(oldd, "h")
+        .groupBy("doc_id")
+        .agg(F.min("old_id").alias("exact_dup_of"))
+    )
+    pairs = minhash_lsh_pairs(docs, k=3, num_perm=16, bands=4, threshold=0.3)
+    a_new = F.col("id_a") % 5 == 0
+    b_new = F.col("id_b") % 5 == 0
+    nr = (
+        pairs.filter(a_new != b_new)
+        .select(F.when(a_new, F.col("id_a")).otherwise(F.col("id_b")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_near"))
+    )
+    verdict = (
+        F.when(F.col("exact_dup_of").isNotNull(), F.lit("drop_exact"))
+        .when(F.coalesce(F.col("n_near"), F.lit(0)) > 0, F.lit("drop_near"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        newd.select("doc_id")
+        .join(F.broadcast(ex), "doc_id", "left")
+        .join(F.broadcast(nr), "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup_of",
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+            verdict.alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _SQL_SIMHASH_CTES = f"""
     toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
     tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
@@ -9439,6 +9594,10 @@ _NEXT = [
     # round-8 NEW: progressive-JPEG decode (graded rep: the baseline
     # twin multimodal_jpeg_decode + the updated gate registry)
     "multimodal_pjpeg_decode",
+    # round-8 NEW: bounded 1/16-slice twins restoring sf1 value-exact
+    # oracles for the two disk-infeasible full-corpus queries
+    "dedup_graph_pagerank_slice",
+    "dedup_incremental_new_docs_slice",
     # round-7 rotation OUT: the five report aggregates retired from the
     # graded window (green since round 1; still in the full local gate)
     "report_daily_totals",
