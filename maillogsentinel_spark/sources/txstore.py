@@ -245,11 +245,28 @@ def tx_write_events(spark: SparkSession, path: str, events: DataFrame) -> int:
     return _commit(spark, path, manifest)
 
 
+def _check_schema(prev: dict, df: DataFrame, op: str) -> None:
+    """The manifest pins ONE schema per store; a drifted batch must
+    fail loudly before any file is staged — silently appending files
+    whose columns differ would make snapshot reads return nulls (or
+    fail) for the divergent columns."""
+    want = StructType.fromJson(json.loads(prev["schema"]))
+    got = _with_day(df).schema
+    if {f.name: f.dataType for f in got.fields} != {
+        f.name: f.dataType for f in want.fields
+    }:
+        raise ValueError(
+            f"{op} batch schema does not match the store schema: "
+            f"batch={got.simpleString()} store={want.simpleString()}"
+        )
+
+
 def tx_append_events(spark: SparkSession, path: str, events: DataFrame) -> int:
     """Append a batch: new files join the snapshot; existing files are
     never touched. One metadata rename commits all days at once."""
     txid = uuid.uuid4().hex
     prev = _load_manifest(spark, path)
+    _check_schema(prev, events, "append")
     files = _stage_and_publish(spark, path, _with_day(events), txid)
     merged = {d: list(v) for d, v in prev["files"].items()}
     for d, v in files.items():
@@ -304,6 +321,8 @@ def tx_upsert_events(
     )
     if not days:
         return tx_current_version(spark, path)
+    prev0 = _load_manifest(spark, path)
+    _check_schema(prev0, updates, "upsert")
     tiebreak = [
         F.col(f.name).desc_nulls_last()
         for f in up0.schema.fields
@@ -316,7 +335,7 @@ def tx_upsert_events(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
-    prev = _load_manifest(spark, path)
+    prev = prev0
     old = _snapshot_df(spark, path, prev, days).join(
         F.broadcast(up.select(key)), key, "left_anti"
     )

@@ -201,3 +201,22 @@ def test_empty_store_snapshot_keeps_schema(spark, tmp_path):
     assert snap.count() == 0
     assert {f.name for f in snap.schema.fields} >= {
         "event_id", "ts", "user_id", "event_type", "value"}
+
+
+def test_schema_drift_rejected_before_staging(spark, tmp_path):
+    """A batch whose columns/types differ from the store schema must
+    fail loudly BEFORE any file is staged — silently appending drifted
+    files would make snapshot reads null out (or fail on) the
+    divergent columns."""
+    path = _store(spark, tmp_path)
+    drifted = spark.createDataFrame(
+        [Row(event_id=9, ts=datetime.datetime(2025, 3, 1, 9, 0),
+             user_id=1, extra="boom")]
+    )
+    with pytest.raises(ValueError, match="schema"):
+        tx_append_events(spark, path, drifted)
+    with pytest.raises(ValueError, match="schema"):
+        tx_upsert_events(spark, path, drifted)
+    assert tx_current_version(spark, path) == 1
+    # no orphan staging/data residue beyond the original snapshot
+    assert tx_vacuum(spark, path, keep_versions=1) == 0
