@@ -2081,6 +2081,99 @@ def q_multimodal_pjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_png_subbyte_decode",
+    oracle="""
+    WITH rr AS (SELECT unnest(range(6)) AS r),
+    cc AS (SELECT unnest(range(5)) AS c),
+    v AS (SELECT doc_id, r, c, (doc_id * 3 + r * 7 + c) % 16 AS s
+          FROM documents CROSS JOIN rr CROSS JOIN cc)
+    SELECT doc_id AS media_id, 5 AS width, 6 AS height,
+           sum((s*17) % 256 + (s*29+5) % 256 + (s*53+11) % 256)::BIGINT
+             AS px_sum,
+           sum((s*17) % 256 + (s*29+5) % 256 + (s*53+11) % 256) / 90.0
+             AS px_mean,
+           max(CASE WHEN r = 0 AND c = 0 THEN (s*17) % 256 END)::INT AS tl_r,
+           sum(CASE WHEN r = 0 THEN (s*17) % 256 END)::BIGINT AS row0_r_sum
+    FROM v GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def q_multimodal_png_subbyte_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sub-byte PNG decode, value-pinned end-to-end (round 8's
+    PNG-completing depth family): per doc, a 5×6 4-bit PALETTE image —
+    sample s(r,c) = (doc_id*3+r*7+c)%16, palette entry j =
+    (17j, 29j+5, 53j+11) mod 256 — packed MSB-first at two samples per
+    byte with 4 PADDING BITS per 5-pixel row, scanlines filtered on
+    BYTES with type r%5 cycling all five PNG filters, then decoded back
+    through decode_png's bit-unpack + PLTE lookup. The oracle
+    recomputes the stats from the sample/palette formulas, so a
+    bit-order flip, an off-by-one in the padding discard, a filter
+    applied at pixel (not byte) granularity, or a palette index error
+    each fails the hash."""
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        PNG_SIGNATURE, _paeth, _png_chunk, image_stats)
+
+    W, H = 5, 6
+    j = np.arange(16, dtype=np.int64)
+    PLTE = np.stack(
+        [(j * 17) % 256, (j * 29 + 5) % 256, (j * 53 + 11) % 256], axis=1
+    ).astype(np.uint8).tobytes()
+
+    def _pack_row(row: np.ndarray) -> np.ndarray:
+        padded = np.append(row.astype(np.uint8), 0)  # 5 samples + pad
+        return ((padded[0::2] << 4) | padded[1::2]).astype(np.uint8)
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                raw = bytearray()
+                prev = np.zeros(3, dtype=np.int64)
+                for r in range(H):
+                    samp = (did * 3 + r * 7 + np.arange(W)) % 16
+                    cur = _pack_row(samp).astype(np.int64)
+                    ft = r % 5
+                    raw.append(ft)
+                    left = np.concatenate([[0], cur[:-1]])
+                    ul = np.concatenate([[0], prev[:-1]])
+                    if ft == 0:
+                        out = cur
+                    elif ft == 1:
+                        out = (cur - left) % 256
+                    elif ft == 2:
+                        out = (cur - prev) % 256
+                    elif ft == 3:
+                        out = (cur - (left + prev) // 2) % 256
+                    else:
+                        pred = np.array(
+                            [_paeth(int(a), int(b), int(cc))
+                             for a, b, cc in zip(left, prev, ul)]
+                        )
+                        out = (cur - pred) % 256
+                    raw += out.astype(np.uint8).tobytes()
+                    prev = cur
+                ihdr = _struct.pack(">IIBBBBB", W, H, 4, 3, 0, 0, 0)
+                payloads.append(
+                    PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"PLTE", PLTE)
+                    + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+                    + _png_chunk(b"IEND", b"")
+                )
+                ids.append(did)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return image_stats(media).orderBy("media_id")
+
+
+@query(
     "multimodal_gif_decode",
     oracle="""
     WITH j AS (SELECT unnest(range(72)) AS j),
@@ -2588,6 +2681,128 @@ def q_multimodal_ms_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_decode,
         "media_id long, sample_rate int, n_samples int, "
         "first_sample int, last_sample int, amp_sum long",
+    ).orderBy("media_id")
+
+
+_ADPCM_STEREO_ORACLE = f"""
+WITH RECURSIVE
+chans AS (SELECT unnest([0, 1]) AS ch),
+docs AS (SELECT doc_id, ch,
+                (doc_id * 131 + ch * 997) % 4001 - 2000 AS p0,
+                (doc_id + ch * 17) % 89 AS i0
+         FROM documents CROSS JOIN chans),
+dec AS (
+  SELECT doc_id, ch, -1 AS i, p0 AS pred, i0 AS idx, CAST(p0 AS BIGINT) AS acc
+  FROM docs
+  UNION ALL
+  SELECT doc_id, ch, i,
+         greatest(-32768, least(32767,
+             pred + CASE WHEN n >= 8 THEN -diff ELSE diff END)) AS pred,
+         greatest(0, least(88,
+             idx + [-1,-1,-1,-1,2,4,6,8][(n % 8) + 1])) AS idx,
+         acc + greatest(-32768, least(32767,
+             pred + CASE WHEN n >= 8 THEN -diff ELSE diff END)) AS acc
+  FROM (
+    SELECT *, step // 8
+         + CASE WHEN n % 2 = 1 THEN step // 4 ELSE 0 END
+         + CASE WHEN (n // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+         + CASE WHEN (n // 4) % 2 = 1 THEN step ELSE 0 END AS diff
+    FROM (
+      SELECT d.doc_id, d.ch, d.i + 1 AS i, d.pred, d.idx, d.acc,
+             (d.doc_id * 7 + d.ch * 5 + (d.i + 1) * 3) % 16 AS n,
+             {{steps}}[d.idx + 1] AS step
+      FROM dec d WHERE d.i < 63
+    )
+  )
+)
+SELECT doc_id AS media_id,
+       8000 AS sample_rate,
+       65 AS n_frames,
+       max(CASE WHEN ch = 0 AND i = -1 THEN pred END)::INT AS first_l,
+       max(CASE WHEN ch = 1 AND i = -1 THEN pred END)::INT AS first_r,
+       max(CASE WHEN ch = 0 AND i = 63 THEN pred END)::INT AS last_l,
+       max(CASE WHEN ch = 1 AND i = 63 THEN pred END)::INT AS last_r,
+       sum(CASE WHEN ch = 0 AND i = 63 THEN acc END)::BIGINT AS amp_sum_l,
+       sum(CASE WHEN ch = 1 AND i = 63 THEN acc END)::BIGINT AS amp_sum_r
+FROM dec GROUP BY doc_id ORDER BY media_id
+"""
+
+
+@query(
+    "multimodal_adpcm_stereo_decode",
+    oracle=_ADPCM_STEREO_ORACLE.format(steps=_IMA_STEPS_SQL),
+)
+def q_multimodal_adpcm_stereo_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STEREO IMA ADPCM decode, EXACTLY oracle-pinned — the round-8
+    multi-channel completion of the round-7 mono recurrence oracle:
+    per doc, TWO independent nibble streams (channel ch: predictor
+    (doc_id*131+997ch)%4001−2000, step index (doc_id+17ch)%89,
+    nibble_i = (doc_id*7+5ch+3i)%16) are packed into the WAV stereo
+    block layout — one 4-byte header per channel, then the data
+    INTERLEAVED in 4-byte words per channel — and decoded back through
+    the magic-byte dispatch. The DuckDB oracle replays BOTH adaptive
+    recurrences lockstep, keyed by (doc, channel): a decoder that
+    misassigns a word to the wrong channel, swaps the headers, or
+    cross-bleeds state feeds the wrong nibble into one of the chains
+    and diverges every subsequent sample — per-channel first/last
+    sample and amplitude sums all fail the hash. Payloads never
+    shuffle (synth + decode in ONE mapInPandas)."""
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import decode_audio
+
+    N = 64  # nibbles per channel -> 65 frames with the header predictors
+
+    def synth_decode(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                hdrs = b""
+                words = []
+                for ch in (0, 1):
+                    p0 = (did * 131 + ch * 997) % 4001 - 2000
+                    i0 = (did + ch * 17) % 89
+                    i = np.arange(N, dtype=np.int64)
+                    nib = ((did * 7 + ch * 5 + i * 3) % 16).astype(np.uint8)
+                    packed = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)
+                    hdrs += _struct.pack("<hBB", p0, i0, 0)
+                    words.append(packed.reshape(-1, 4))
+                block = hdrs + np.stack(words, axis=1).reshape(-1).tobytes()
+                fmt = _struct.pack(
+                    "<HHIIHHHH", 0x11, 2, 8000, 8000 * 72 // 65, 72, 4, 4, 65
+                )
+                body = (
+                    b"WAVEfmt " + _struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + _struct.pack("<I", len(block)) + block
+                )
+                payload = b"RIFF" + _struct.pack("<I", len(body)) + body
+                rate, dec = decode_audio(payload)
+                dec = dec.astype(np.int64)
+                rows.append(
+                    (did, rate, dec.shape[0],
+                     int(dec[0, 0]), int(dec[0, 1]),
+                     int(dec[-1, 0]), int(dec[-1, 1]),
+                     int(dec[:, 0].sum()), int(dec[:, 1].sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_frames",
+                         "first_l", "first_r", "last_l", "last_r",
+                         "amp_sum_l", "amp_sum_r"],
+            )
+
+    docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
+    return docs.mapInPandas(
+        synth_decode,
+        "media_id long, sample_rate int, n_frames int, "
+        "first_l int, first_r int, last_l int, last_r int, "
+        "amp_sum_l long, amp_sum_r long",
     ).orderBy("media_id")
 
 
@@ -9598,6 +9813,11 @@ _NEXT = [
     # oracles for the two disk-infeasible full-corpus queries
     "dedup_graph_pagerank_slice",
     "dedup_incremental_new_docs_slice",
+    # round-8 NEW: value-exact oracles for the two new codec paths —
+    # 4-bit palette PNG (all five filters, padding bits) and the
+    # STEREO IMA recurrence replayed per (doc, channel) by DuckDB
+    "multimodal_png_subbyte_decode",
+    "multimodal_adpcm_stereo_decode",
     # round-7 rotation OUT: the five report aggregates retired from the
     # graded window (green since round 1; still in the full local gate)
     "report_daily_totals",
