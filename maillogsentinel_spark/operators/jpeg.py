@@ -4,8 +4,9 @@ Implements the huffman-coded subset of the public JPEG spec (ITU-T
 T.81 / ISO 10918-1): sequential baseline (SOF0/1) AND progressive
 (SOF2) — spectral selection, successive approximation, DC/AC first
 and refinement scans, EOB runs per Annex G — over 8×8 DCT blocks,
-8-bit samples, grayscale or 4:4:4 YCbCr color, optional restart
-intervals. The encoders and the decoder share every table-construction
+8-bit samples, grayscale or YCbCr color at 4:4:4, 4:2:2 or 4:2:0
+chroma subsampling (MCU interleave per A.2.3, integer-ratio replicate
+upsample), optional restart intervals. The encoders and the decoder share every table-construction
 helper (zigzag, canonical huffman, DCT basis), so the bytes on the
 wire are real JPEG structure — SOI/DQT/SOF/DHT/SOS/EOI segments a
 third-party decoder would accept — while the pairs stay
@@ -17,7 +18,7 @@ contract).
 What is honestly NOT here (documented NotImplementedError gates, same
 policy as the BMP/PNG/WAV codecs in operators/multimodal.py):
 arithmetic-coded, lossless, and hierarchical JPEGs, 12-bit precision,
-and chroma subsampling other than 4:4:4.
+and non-integer sampling ratios.
 
 Exactness contract used by the oracle query (multimodal_jpeg_decode):
 with the all-ones quantization table, an image whose every 8×8 block is
@@ -282,36 +283,26 @@ def encode_jpeg(
     pixels: np.ndarray,
     quant_value: int = 1,
     restart_interval: int = 0,
+    subsampling: tuple[int, int] = (1, 1),
 ) -> bytes:
     """(H, W) uint8 grayscale or (H, W, 3) uint8 RGB → baseline JPEG
-    (4:4:4, flat quantization table of ``quant_value``, Annex-K typical
-    huffman tables, optional DRI restart interval in MCUs)."""
-    gray = pixels.ndim == 2
-    h, w = pixels.shape[:2]
-    if gray:
-        planes = [pixels.astype(np.float64)]
-    else:
-        rgb = pixels.astype(np.float64)
-        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-        ]
-    # pad to multiples of 8 with edge replication
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = [
-        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
-    ]
+    (flat quantization table of ``quant_value``, Annex-K typical
+    huffman tables, optional DRI restart interval in MCUs).
+    ``subsampling`` = luma sampling factors (h, v): (1, 1) is 4:4:4,
+    (2, 2) is 4:2:0, (2, 1) is 4:2:2 — chroma is box-averaged down and
+    each MCU interleaves h×v luma blocks with one block per chroma
+    component (spec A.2.3)."""
+    planes, samps, h, w, mcuy, mcux = _component_planes(pixels, subsampling)
+    ncomp = len(planes)
     quant = np.full((8, 8), quant_value, dtype=np.float64)
     qz = bytes(int(quant[i, j]) for i, j in _ZIGZAG)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xDB, b"\x00" + qz)  # DQT, table 0, 8-bit
-    ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
-        sof += struct.pack(">BBB", cid, 0x11, 0)  # 1x1 sampling, quant 0
+        hi, vi = samps[cid - 1]
+        sof += struct.pack(">BBB", cid, (hi << 4) | vi, 0)  # quant 0
     out += _seg(0xC0, sof)  # SOF0 baseline
     out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC 0
     out += _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC 0
@@ -329,8 +320,8 @@ def encode_jpeg(
     preds = [0] * ncomp
     mcu = 0
     rst = 0
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 out += bw.flush()
                 out += bytes([0xFF, 0xD0 + rst])
@@ -338,41 +329,73 @@ def encode_jpeg(
                 bw = _BitWriter()
                 preds = [0] * ncomp
             for ci, plane in enumerate(planes):
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                # _encode_block level-shifts internally (expects 0..255)
-                preds[ci] = _encode_block(
-                    bw, block, quant, preds[ci], dc_codes, ac_codes
-                )
+                hi, vi = samps[ci]
+                for v in range(vi):
+                    for u in range(hi):
+                        by, bx = my * vi + v, mx * hi + u
+                        block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                        # _encode_block level-shifts internally (0..255)
+                        preds[ci] = _encode_block(
+                            bw, block, quant, preds[ci], dc_codes, ac_codes
+                        )
             mcu += 1
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
-def _quantized_planes(
-    pixels: np.ndarray, quant_value: int
-) -> tuple[list[np.ndarray], int, int, int, int]:
-    """Shared encoder front half: color transform, edge padding, FDCT,
-    quantization. Returns (per-comp [nby, nbx, 64] zigzag int arrays,
-    h, w, nby, nbx)."""
+def _component_planes(
+    pixels: np.ndarray, subsampling: tuple[int, int]
+) -> tuple[list[np.ndarray], list[tuple[int, int]], int, int, int, int]:
+    """Shared encoder front half before the DCT: color transform,
+    chroma downsampling (box average over the sampling tile), and
+    edge padding of every component plane to its MCU-aligned block
+    grid. Returns (planes, per-comp (h_i, v_i), h, w, mcuy, mcux) —
+    plane[ci] has shape (mcuy*v_i*8, mcux*h_i*8)."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
+    sh, sv = (1, 1) if gray else subsampling
     if gray:
         planes = [pixels.astype(np.float64)]
+        samps = [(1, 1)]
     else:
         rgb = pixels.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-        ]
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    nby, nbx = ph // 8, pw // 8
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if (sh, sv) != (1, 1):
+            # pad to the tile multiple, then box-average each tile
+            th, tw = -(-h // sv) * sv, -(-w // sh) * sh
+            def down(p):
+                p = np.pad(p, ((0, th - h), (0, tw - w)), mode="edge")
+                return p.reshape(th // sv, sv, tw // sh, sh).mean(axis=(1, 3))
+            cb, cr = down(cb), down(cr)
+        planes = [y, cb, cr]
+        samps = [(sh, sv), (1, 1), (1, 1)]
+    mcux = -(-w // (8 * sh))
+    mcuy = -(-h // (8 * sv))
+    out = []
+    for p, (hi, vi) in zip(planes, samps):
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        ph_, pw_ = p.shape
+        out.append(np.pad(p, ((0, th - ph_), (0, tw - pw_)), mode="edge"))
+    return out, samps, h, w, mcuy, mcux
+
+
+def _quantized_planes(
+    pixels: np.ndarray,
+    quant_value: int,
+    subsampling: tuple[int, int] = (1, 1),
+) -> tuple[list[np.ndarray], list[tuple[int, int]], int, int, int, int]:
+    """Encoder front half through quantization. Returns (per-comp
+    [aby, abx, 64] zigzag int arrays over the MCU-padded block grid,
+    per-comp sampling, h, w, mcuy, mcux)."""
+    planes, samps, h, w, mcuy, mcux = _component_planes(pixels, subsampling)
     quant = np.full((8, 8), float(quant_value))
     out = []
-    for p in planes:
-        padded = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+    for p, (hi, vi) in zip(planes, samps):
+        nby, nbx = mcuy * vi, mcux * hi
         q = np.zeros((nby, nbx, 64), dtype=np.int64)
         for by in range(nby):
             for bx in range(nbx):
@@ -380,12 +403,12 @@ def _quantized_planes(
                 # matmul order — an einsum variant rounds differently
                 # at exact .5 boundaries)
                 coef = np.round(
-                    _fdct(padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    _fdct(p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
                           - 128.0) / quant
                 ).astype(np.int64)
                 q[by, bx] = [coef[i, j] for i, j in _ZIGZAG]
         out.append(q)
-    return out, h, w, nby, nbx
+    return out, samps, h, w, mcuy, mcux
 
 
 def _emit_eobrun(bw: _BitWriter, eobrun: int, ac_codes: dict) -> None:
@@ -505,25 +528,37 @@ _PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
 
 
 def encode_jpeg_progressive(
-    pixels: np.ndarray, quant_value: int = 1, al: int = 1, band_split: int = 6
+    pixels: np.ndarray,
+    quant_value: int = 1,
+    al: int = 1,
+    band_split: int = 6,
+    subsampling: tuple[int, int] = (1, 1),
 ) -> bytes:
     """(H, W) uint8 grayscale or (H, W, 3) uint8 RGB → PROGRESSIVE JPEG
-    (SOF2, 4:4:4, flat quantization table): a DC-first scan with
-    successive approximation Al=``al``, DC refinement scans down to
-    bit 0, then per component two spectral AC bands (1..band_split-1
-    and band_split..63) each sent first-at-Al then refined per bit —
+    (SOF2, flat quantization table): a DC-first scan with successive
+    approximation Al=``al``, DC refinement scans down to bit 0, then
+    per component two spectral AC bands (1..band_split-1 and
+    band_split..63) each sent first-at-Al then refined per bit —
     exercising every progressive scan kind the decoder implements.
+    ``subsampling`` works as in encode_jpeg: the DC scans interleave
+    h×v luma blocks per MCU; AC scans are non-interleaved over each
+    component's own unpadded block grid (spec G.1 requires ns=1).
     Encodes the SAME quantized coefficients as ``encode_jpeg``, so the
     two decodes are pixel-identical by construction."""
-    coefs, h, w, nby, nbx = _quantized_planes(pixels, quant_value)
+    coefs, samps, h, w, mcuy, mcux = _quantized_planes(
+        pixels, quant_value, subsampling
+    )
     ncomp = len(coefs)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
     quant = np.full((8, 8), quant_value, dtype=np.float64)
     qz = bytes(int(quant[i, j]) for i, j in _ZIGZAG)
     out = bytearray(b"\xff\xd8")
     out += _seg(0xDB, b"\x00" + qz)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
-        sof += struct.pack(">BBB", cid, 0x11, 0)
+        hi, vi = samps[cid - 1]
+        sof += struct.pack(">BBB", cid, (hi << 4) | vi, 0)
     out += _seg(0xC2, sof)  # SOF2 progressive
     out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += _seg(0xC4, b"\x10" + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS))
@@ -536,37 +571,47 @@ def encode_jpeg_progressive(
             body += bytes([cid, 0x00])  # DC table 0, AC table 0
         return _seg(0xDA, body + bytes([ss, se, (ah << 4) | a_l]))
 
+    def dc_units():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    hi, vi = samps[ci]
+                    for v in range(vi):
+                        for u in range(hi):
+                            yield ci, my * vi + v, mx * hi + u
+
     # scan 1: interleaved DC first at Al=al
     out += sos(list(range(1, ncomp + 1)), 0, 0, 0, al)
     bw = _BitWriter()
     preds = [0] * ncomp
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci in range(ncomp):
-                v = int(coefs[ci][by, bx, 0]) >> al  # arithmetic shift (A.4)
-                diff = v - preds[ci]
-                preds[ci] = v
-                s = _category(diff)
-                c, ln = dc_codes[s]
-                bw.write(c, ln)
-                if s:
-                    bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    for ci, by, bx in dc_units():
+        v = int(coefs[ci][by, bx, 0]) >> al  # arithmetic shift (A.4)
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = _category(diff)
+        c, ln = dc_codes[s]
+        bw.write(c, ln)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
     out += bw.flush()
     # DC refinement scans: one raw bit per block per level
     for lvl in range(al - 1, -1, -1):
         out += sos(list(range(1, ncomp + 1)), 0, 0, lvl + 1, lvl)
         bw = _BitWriter()
-        for by in range(nby):
-            for bx in range(nbx):
-                for ci in range(ncomp):
-                    bw.write((int(coefs[ci][by, bx, 0]) >> lvl) & 1, 1)
+        for ci, by, bx in dc_units():
+            bw.write((int(coefs[ci][by, bx, 0]) >> lvl) & 1, 1)
         out += bw.flush()
-    # AC scans: per component, two spectral bands, first then refined
+    # AC scans: per component, two spectral bands, first then refined —
+    # non-interleaved, so each component covers its OWN unpadded grid
     bands = [(1, band_split - 1), (band_split, 63)]
-    blocks_of = [
-        [coefs[ci][by, bx] for by in range(nby) for bx in range(nbx)]
-        for ci in range(ncomp)
-    ]
+    blocks_of = []
+    for ci in range(ncomp):
+        hi, vi = samps[ci]
+        bby = -(-(-(-h * vi // vmax)) // 8)
+        bbx = -(-(-(-w * hi // hmax)) // 8)
+        blocks_of.append(
+            [coefs[ci][by, bx] for by in range(bby) for bx in range(bbx)]
+        )
     for ci in range(ncomp):
         for k1, k2 in bands:
             out += sos([ci + 1], k1, k2, 0, al)
@@ -594,9 +639,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     same convention as decode_png). Supports sequential baseline
     (SOF0/1) AND progressive (SOF2: spectral selection + successive
     approximation, DC/AC first and refinement scans, EOB runs — T.81
-    Annex G), 8-bit, 4:4:4 or single-component, restart markers;
-    raises NotImplementedError for arithmetic-coded/hierarchical/
-    12-bit/subsampled streams. Truncated payloads raise ValueError
+    Annex G), 8-bit, grayscale or color at 4:4:4/4:2:2/4:2:0 (any
+    integer-ratio sampling), restart markers; raises
+    NotImplementedError for arithmetic-coded/hierarchical/12-bit/
+    non-integer-ratio streams. Truncated payloads raise ValueError
     (the codecs' honest-gate contract), never a bare IndexError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -714,16 +760,25 @@ def _run_scan(payload: bytes, pos: int, body: bytes, st: dict) -> int:
     if ss > 0 and ns != 1:
         raise ValueError("AC scans must be single-component")
 
-    nby, nbx = st["nby"], st["nbx"]
     if ns == 1:
+        # non-interleaved: iterate the component's OWN unpadded block
+        # grid in raster order (spec A.2.2)
         ci = scomps[0][0]
-        mcus = [[(ci, by, bx)] for by in range(nby) for bx in range(nbx)]
+        bby, bbx = st["blocks"][ci]
+        mcus = [[(ci, by, bx)] for by in range(bby) for bx in range(bbx)]
     else:
-        mcus = [
-            [(ci, by, bx) for ci, _, _ in scomps]
-            for by in range(nby)
-            for bx in range(nbx)
-        ]
+        # interleaved: each MCU carries h_i × v_i blocks per component
+        # in component order, left-to-right then top-to-bottom (A.2.3)
+        mcus = []
+        for my in range(st["mcuy"]):
+            for mx in range(st["mcux"]):
+                units = []
+                for ci, _, _ in scomps:
+                    hi, vi = st["samp"][ci]
+                    for v in range(vi):
+                        for u in range(hi):
+                            units.append((ci, my * vi + v, mx * hi + u))
+                mcus.append(units)
     tbl = {ci: (d, a) for ci, d, a in scomps}
     r = _BitReader(payload, pos)
     preds = {ci: 0 for ci, _, _ in scomps}
@@ -779,11 +834,14 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
         "dc": {},
         "ac": {},
         "comps": [],  # (component id, quant id)
-        "coefs": None,  # per-comp int32 [nby, nbx, 64] zigzag coefficients
+        "coefs": None,  # per-comp int32 [aby, abx, 64] zigzag coefficients
         "restart_interval": 0,
         "progressive": False,
-        "nby": 0,
-        "nbx": 0,
+        "samp": [],    # per-comp (h_i, v_i) sampling factors
+        "dims": [],    # per-comp (height, width) at component resolution
+        "blocks": [],  # per-comp UNPADDED block grid (for ns==1 scans)
+        "mcuy": 0,
+        "mcux": 0,
     }
     h = w = 0
     saw_scan = False
@@ -824,17 +882,38 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
+            samps = []
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling unsupported (4:4:4 only)"
-                    )
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("invalid JPEG sampling factors")
                 st["comps"].append((cid, tq))
-            st["nby"], st["nbx"] = -(-h // 8), -(-w // 8)
+                samps.append((hi, vi))
+            hmax = max(s[0] for s in samps)
+            vmax = max(s[1] for s in samps)
+            for hi, vi in samps:
+                if hmax % hi or vmax % vi:
+                    raise NotImplementedError(
+                        "non-integer JPEG sampling ratios unsupported"
+                    )
+            st["samp"] = samps
+            st["mcux"] = -(-w // (8 * hmax))
+            st["mcuy"] = -(-h // (8 * vmax))
+            st["dims"] = [
+                (-(-h * vi // vmax), -(-w * hi // hmax)) for hi, vi in samps
+            ]
+            # interleaved scans code whole MCUs, so allocate the
+            # MCU-padded block grid; non-interleaved scans iterate only
+            # the unpadded per-component grid below
+            st["blocks"] = [
+                (-(-ch_i // 8), -(-cw_i // 8)) for ch_i, cw_i in st["dims"]
+            ]
             st["coefs"] = [
-                np.zeros((st["nby"], st["nbx"], 64), dtype=np.int32)
-                for _ in range(ncomp)
+                np.zeros(
+                    (st["mcuy"] * vi, st["mcux"] * hi, 64), dtype=np.int32
+                )
+                for hi, vi in samps
             ]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -853,18 +932,29 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     if not saw_scan or not st["comps"]:
         raise ValueError("JPEG missing SOS/SOF")
 
-    # reconstruction: dequantize + IDCT every block of every component
+    # reconstruction: dequantize + IDCT every block of every component,
+    # crop to the component's own dimensions, then replicate-upsample
+    # subsampled components back to full resolution
     ncomp = len(st["comps"])
+    hmax = max(s[0] for s in st["samp"])
+    vmax = max(s[1] for s in st["samp"])
     zz_nat = np.array([i * 8 + j for i, j in _ZIGZAG])
     planes = []
     for ci, (_cid, tq) in enumerate(st["comps"]):
         q = quants[tq]
-        nby, nbx = st["nby"], st["nbx"]
+        nby, nbx = st["coefs"][ci].shape[:2]
         cf = np.zeros((nby, nbx, 64))
         cf[:, :, zz_nat] = st["coefs"][ci]
         cf = cf.reshape(nby, nbx, 8, 8) * q
         blocks = np.einsum("ai,yxij,jb->yxab", _C.T, cf, _C) + 128.0
         plane = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        ch_i, cw_i = st["dims"][ci]
+        plane = plane[:ch_i, :cw_i]
+        hi, vi = st["samp"][ci]
+        if (hi, vi) != (hmax, vmax):
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
         planes.append(plane[:h, :w])
     if ncomp == 1:
         g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

@@ -1,19 +1,22 @@
 """Multimodal column plumbing: image/audio/video as opaque binary +
 typed metadata, processed with Arrow-batched ``mapInPandas``.
 
-Four REAL decode paths exist end-to-end — BMP (hand-parsed BITMAPINFO
-headers, 24/32 bpp uncompressed, row padding + bottom-up flip + BGR→RGB,
-pure numpy), PNG (stdlib ``zlib`` inflate + numpy scanline unfilter,
-all five filter types, 8-bit gray/RGB/RGBA non-interlaced), baseline
-JPEG (operators/jpeg.py: canonical huffman, zigzag, 8×8 DCT, restart
-markers — ITU-T T.81 re-implemented on numpy) and WAV (RIFF PCM via
-the stdlib ``wave`` module, 8/16-bit) — all public, library-free
-formats. ``decode_image``/``decode_audio`` dispatch on magic bytes and
-raise NotImplementedError only for variants that genuinely need codec
-libs absent from this container (MP3, progressive/subsampled JPEG,
-palette/interlaced PNG); ``fake_feature_extractor`` remains as the deterministic
-stand-in for an embed step so the rest of the plumbing — schema, batch
-shape, partitioning — is testable regardless of format.
+EIGHT real decode paths exist end-to-end, all re-implemented from the
+public specs with numpy + stdlib only — BMP (24/32 bpp uncompressed,
+row padding, bottom-up and top-down, BGR→RGB); PNG (stdlib ``zlib``
+inflate + numpy unfilter: all five filters, every depth the spec
+defines for gray/RGB/RGBA/palette — 1/2/4/8/16-bit — sequential or
+Adam7-interlaced); JPEG (operators/jpeg.py: baseline SOF0/1 and
+progressive SOF2 per ITU-T T.81, 4:4:4/4:2:2/4:2:0 sampling, restart
+markers); GIF89a (operators/gif.py: variable-width LZW, interlace,
+sub-frame compositing); WAV PCM (stdlib ``wave``, 8/16-bit); G.711
+μ-law; IMA ADPCM and MS ADPCM (mono and multi-channel).
+``decode_image``/``decode_audio`` dispatch on magic bytes and raise
+NotImplementedError only for variants that genuinely need codec libs
+absent from this container (MP3, arithmetic/lossless/12-bit JPEG);
+``fake_feature_extractor`` remains as the deterministic stand-in for
+an embed step so the rest of the plumbing — schema, batch shape,
+partitioning — is testable regardless of format.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` modest for large blobs,
@@ -882,13 +885,13 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch: BMP (decode_bmp), PNG (decode_png, stdlib
     zlib + numpy unfilter — every depth 1/2/4/8/16 × gray/RGB/RGBA/
     palette combination the spec defines, sequential or Adam7), JPEG
-    (operators/jpeg.py — baseline SOF0/1 AND progressive SOF2 from the
-    public T.81 spec) and GIF (operators/gif.py — real variable-width
-    LZW, interlaced and composited sub-frames) decode for real. The
-    remaining TRUE gates raise inside their codec —
-    arithmetic/lossless/hierarchical JPEG, 12-bit JPEG, chroma
-    subsampling, exotic BMP variants — and unknown magic raises
-    here."""
+    (operators/jpeg.py — baseline SOF0/1 AND progressive SOF2 per
+    T.81, at 4:4:4/4:2:2/4:2:0 chroma sampling) and GIF
+    (operators/gif.py — real variable-width LZW, interlaced and
+    composited sub-frames) decode for real. The remaining TRUE gates
+    raise inside their codec — arithmetic/lossless/hierarchical JPEG,
+    12-bit JPEG, non-integer sampling ratios, exotic BMP variants —
+    and unknown magic raises here."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_SIGNATURE:

@@ -2081,6 +2081,70 @@ def q_multimodal_pjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg420_decode",
+    oracle="""
+    WITH tt AS (SELECT unnest(range(3)) AS t),
+    vv AS (SELECT unnest(range(2)) AS v),
+    uu AS (SELECT unnest(range(2)) AS u),
+    g AS (SELECT doc_id, t, v, u,
+                 (doc_id * 13 + 41 * t + 29 * (v * 2 + u)) % 256 AS val
+          FROM documents CROSS JOIN tt CROSS JOIN vv CROSS JOIN uu)
+    SELECT doc_id AS media_id, 48 AS width, 16 AS height,
+           (192 * sum(val))::BIGINT AS px_sum,
+           192 * sum(val) / 2304.0 AS px_mean,
+           max(CASE WHEN t = 0 AND v = 0 AND u = 0 THEN val END)::INT AS tl_r,
+           (8 * sum(CASE WHEN v = 0 THEN val ELSE 0 END))::BIGINT
+             AS row0_r_sum
+    FROM g GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def q_multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHROMA-SUBSAMPLED (4:2:0) JPEG decode, value-pinned — the
+    round-8 closure of the most common real-world JPEG gate: per doc, a
+    16×48 COLOR image of gray-valued 8×8 quadrants (quadrant (t,v,u) =
+    (doc_id*13+41t+29(2v+u))%256 on all three channels) encodes as a
+    genuine three-component 4:2:0 stream — 2×2 luma sampling, chroma
+    box-downsampled, MCUs interleaving four luma blocks with one block
+    per chroma component, restart marker every 2 MCUs. Gray pixels make
+    the chroma planes a constant 128, so every block is DC-only and the
+    whole pipeline is integer-exact: the oracle recomputes the stats
+    from the quadrant formula, and a luma block placed at the wrong MCU
+    offset, a chroma upsample misalignment that bleeds non-128 chroma,
+    or an MCU-vs-block restart miscount each fails the hash. (Colored-
+    content subsampling is pinned against the 4:4:4 decode in
+    tests/test_multimodal_codecs.py via lossless 16×16 tiles.)"""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import image_stats
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                img = np.zeros((16, 48), dtype=np.uint8)
+                for t in range(3):
+                    for v in range(2):
+                        for u in range(2):
+                            val = (did * 13 + 41 * t + 29 * (v * 2 + u)) % 256
+                            img[v * 8:(v + 1) * 8,
+                                t * 16 + u * 8:t * 16 + (u + 1) * 8] = val
+                rgb = np.repeat(img[:, :, None], 3, axis=2)
+                payloads.append(
+                    encode_jpeg(rgb, 1, restart_interval=2,
+                                subsampling=(2, 2))
+                )
+                ids.append(did)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return image_stats(media).orderBy("media_id")
+
+
+@query(
     "multimodal_png_subbyte_decode",
     oracle="""
     WITH rr AS (SELECT unnest(range(6)) AS r),
@@ -2269,7 +2333,7 @@ def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_gate_registry",
     oracle="""
-    WITH f AS (SELECT doc_id % 10 AS k, count(*) AS n
+    WITH f AS (SELECT doc_id % 11 AS k, count(*) AS n
                FROM documents GROUP BY 1)
     SELECT CASE k WHEN 0 THEN 'bmp'            WHEN 1 THEN 'gif'
                   WHEN 2 THEN 'gif_interlaced' WHEN 3 THEN 'gif_oob_frame'
@@ -2277,7 +2341,8 @@ def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN 6 THEN 'unknown_magic'
                   WHEN 7 THEN 'jpeg_progressive'
                   WHEN 8 THEN 'png_subbyte'
-                  ELSE 'adpcm_stereo' END AS format,
+                  WHEN 9 THEN 'adpcm_stereo'
+                  ELSE 'jpeg_420' END AS format,
            CASE k WHEN 3 THEN 'invalid' WHEN 4 THEN 'invalid'
                   WHEN 5 THEN 'gated'   WHEN 6 THEN 'gated'
                   ELSE 'ok' END AS status,
@@ -2287,10 +2352,11 @@ def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The honest-gate POLICY itself as an oracle row: a mixed binary
-    column cycling (doc_id % 10) through decodable payloads (BMP;
+    column cycling (doc_id % 11) through decodable payloads (BMP;
     GIF including interlaced and composited sub-frames; and — the
-    round-8 contract change — progressive JPEG, sub-byte PNG and
-    stereo IMA ADPCM, each formerly gated, now decoding for real),
+    round-8 contract change — progressive JPEG, 4:2:0-subsampled JPEG,
+    sub-byte PNG and stereo IMA ADPCM, each formerly gated, now
+    decoding for real),
     variants the codecs must REFUSE with NotImplementedError (an MP3
     frame — genuinely lib-bound, unlike the WAV family where
     PCM/μ-law/IMA/MS-ADPCM decode for real in mono AND multi-channel —
@@ -2350,6 +2416,8 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("jpeg_progressive", lambda d: _pjpeg_payload(d)),
         ("png_subbyte", lambda d: _png2bit_payload(d)),
         ("adpcm_stereo", lambda d: _stereo_ima_payload(d)),
+        # 4:2:0 chroma subsampling decodes for real too (round 8)
+        ("jpeg_420", lambda d: _jpeg420_payload(d)),
     ]
 
     def _pjpeg_payload(d: int) -> bytes:
@@ -2374,6 +2442,12 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
                 + _png_chunk(b"IEND", b""))
 
+    def _jpeg420_payload(d: int) -> bytes:
+        from ..operators.jpeg import encode_jpeg
+
+        img = np.full((16, 16, 3), (d * 31) % 256, dtype=np.uint8)
+        return encode_jpeg(img, 1, subsampling=(2, 2))
+
     def _stereo_ima_payload(d: int) -> bytes:
         from ..operators.multimodal import encode_wav_ima
 
@@ -2383,7 +2457,7 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         return encode_wav_ima(sig, block_align=72)
 
     def outcome(did: int):
-        fmt, make = CASES[did % 10]
+        fmt, make = CASES[did % 11]
         payload = make(did)
         try:
             if payload[:4] == b"RIFF" or payload[:3] == b"ID3":
@@ -2401,10 +2475,10 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             # One REAL synth+decode per distinct k per Arrow batch — the
             # payload (and thus the gate outcome) is a constant of
-            # k = doc_id % 10 for every case except bmp, whose payloads
+            # k = doc_id % 11 for every case except bmp, whose payloads
             # are all valid by construction; decoding every row repeated
-            # the identical codec call ~n/10 times for no extra evidence.
-            ks = (pdf["doc_id"].astype("int64") % 10).to_numpy()
+            # the identical codec call ~n/11 times for no extra evidence.
+            ks = (pdf["doc_id"].astype("int64") % 11).to_numpy()
             per_k = {}
             seen = set()
             for i, k in enumerate(ks):
@@ -9813,11 +9887,13 @@ _NEXT = [
     # oracles for the two disk-infeasible full-corpus queries
     "dedup_graph_pagerank_slice",
     "dedup_incremental_new_docs_slice",
-    # round-8 NEW: value-exact oracles for the two new codec paths —
-    # 4-bit palette PNG (all five filters, padding bits) and the
-    # STEREO IMA recurrence replayed per (doc, channel) by DuckDB
+    # round-8 NEW: value-exact oracles for the new codec paths —
+    # 4-bit palette PNG (all five filters, padding bits), the STEREO
+    # IMA recurrence replayed per (doc, channel) by DuckDB, and the
+    # 4:2:0 MCU-interleave decode
     "multimodal_png_subbyte_decode",
     "multimodal_adpcm_stereo_decode",
+    "multimodal_jpeg420_decode",
     # round-7 rotation OUT: the five report aggregates retired from the
     # graded window (green since round 1; still in the full local gate)
     "report_daily_totals",

@@ -881,3 +881,76 @@ def test_ima_stereo_bad_geometry_raises():
     fmt = _s.pack("<HHIIHHHH", 0x11, 2, 8000, 8000, 18, 4, 2, 11)
     with pytest.raises(ValueError, match="geometry"):
         _decode_wav_ima(fmt, bytes(18))
+
+
+# --- JPEG chroma subsampling (4:2:0 / 4:2:2) ------------------------------
+
+def test_jpeg_420_tile_constant_matches_444():
+    """16x16-constant-color tiles make chroma box-averaging lossless and
+    every block DC-only, so the 4:2:0 decode must equal the 4:4:4
+    decode EXACTLY — pinning MCU interleave, chroma downsample and the
+    replicate upsample without any tolerance."""
+    rng = np.random.default_rng(5)
+    tiles = rng.integers(0, 256, (2, 3, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 16, 0), 16, 1)
+    d444 = decode_jpeg(encode_jpeg(img, 1))
+    for sub in [(2, 2), (2, 1), (1, 2)]:
+        assert (decode_jpeg(encode_jpeg(img, 1, subsampling=sub))
+                == d444).all(), sub
+
+
+def test_jpeg_420_odd_dims_and_restart():
+    rng = np.random.default_rng(6)
+    base = np.repeat(np.repeat(
+        rng.integers(0, 256, (3, 2, 3), dtype=np.uint8), 16, 0), 16, 1)
+    img = base[:41, :29]  # crops force MCU padding on both axes
+    d444 = decode_jpeg(encode_jpeg(img, 1))
+    d420 = decode_jpeg(encode_jpeg(img, 1, subsampling=(2, 2)))
+    assert d420.shape == img.shape and (d444 == d420).all()
+    # restart markers count MCUs, not blocks
+    full = base[:32, :32]
+    assert (decode_jpeg(encode_jpeg(full, 1, restart_interval=2,
+                                    subsampling=(2, 2)))
+            == decode_jpeg(encode_jpeg(full, 1, subsampling=(2, 2)))).all()
+
+
+def test_jpeg_420_smooth_content_tolerance():
+    """On smooth content the only 4:2:0-vs-4:4:4 difference is chroma
+    averaging — bounded small. (White noise is the adversarial case and
+    is intentionally not asserted.)"""
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = np.stack([(yy * 3 + xx) % 256, (xx * 2) % 256,
+                    (yy * 4) % 256], axis=2).astype(np.uint8)
+    d444 = decode_jpeg(encode_jpeg(img, 4))
+    d420 = decode_jpeg(encode_jpeg(img, 4, subsampling=(2, 2)))
+    err = np.abs(d444.astype(int) - d420.astype(int))
+    assert err.mean() < 3 and err.max() <= 16
+
+
+def test_jpeg_progressive_420_equals_baseline_420():
+    """Progressive encoding at 4:2:0 shares the baseline's quantized
+    coefficients: the interleaved-DC + per-component-grid-AC scan
+    machinery must reproduce them exactly at every sampling."""
+    rng = np.random.default_rng(7)
+    for shape in [(32, 48, 3), (41, 29, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for q in (1, 8):
+            bb = decode_jpeg(encode_jpeg(img, q, subsampling=(2, 2)))
+            pp = decode_jpeg(encode_jpeg_progressive(
+                img, q, al=2, subsampling=(2, 2)))
+            assert (bb == pp).all(), (shape, q)
+
+
+def test_jpeg_nonint_sampling_ratio_still_gated():
+    """3:2-style ratios (Hmax not a multiple of h_i) stay honestly
+    gated — the replicate upsample requires integer ratios."""
+    import struct as _s
+
+    payload = bytearray(encode_jpeg(
+        np.zeros((16, 16, 3), dtype=np.uint8), 1, subsampling=(2, 2)))
+    i = payload.find(b"\xff\xc0")
+    # component 2's sampling byte: SOF body = prec,h,w,ncomp + 3 per comp
+    # payload[i+4] starts the body; comp c's samp byte = i+4+6+3c+1
+    payload[i + 4 + 6 + 3 + 1] = 0x33  # chroma 3x3 with Ymax 2 -> 2%3 != 0
+    with pytest.raises(NotImplementedError, match="sampling"):
+        decode_jpeg(bytes(payload))
