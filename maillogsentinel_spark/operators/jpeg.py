@@ -4,9 +4,10 @@ Implements the huffman-coded subset of the public JPEG spec (ITU-T
 T.81 / ISO 10918-1): sequential baseline (SOF0/1) AND progressive
 (SOF2) — spectral selection, successive approximation, DC/AC first
 and refinement scans, EOB runs per Annex G — over 8×8 DCT blocks,
-8-bit samples, grayscale or YCbCr color at 4:4:4, 4:2:2 or 4:2:0
-chroma subsampling (MCU interleave per A.2.3, integer-ratio replicate
-upsample), optional restart intervals. The encoders and the decoder share every table-construction
+8-bit or 12-bit samples (extended sequential SOF1 for 12-bit),
+grayscale or YCbCr color at 4:4:4, 4:2:2 or 4:2:0 chroma subsampling
+(MCU interleave per A.2.3, integer-ratio replicate upsample), optional
+restart intervals. The encoders and the decoder share every table-construction
 helper (zigzag, canonical huffman, DCT basis), so the bytes on the
 wire are real JPEG structure — SOI/DQT/SOF/DHT/SOS/EOI segments a
 third-party decoder would accept — while the pairs stay
@@ -17,7 +18,7 @@ contract).
 
 What is honestly NOT here (documented NotImplementedError gates, same
 policy as the BMP/PNG/WAV codecs in operators/multimodal.py):
-arithmetic-coded, lossless, and hierarchical JPEGs, 12-bit precision,
+arithmetic-coded, lossless, and hierarchical JPEGs, 16-bit precision,
 and non-integer sampling ratios.
 
 Exactness contract used by the oracle query (multimodal_jpeg_decode):
@@ -244,8 +245,9 @@ def _encode_block(
     dc_pred: int,
     dc_codes: dict[int, tuple[int, int]],
     ac_codes: dict[int, tuple[int, int]],
+    level: float = 128.0,
 ) -> int:
-    coef = np.round(_fdct(block.astype(np.float64) - 128.0) / quant).astype(np.int64)
+    coef = np.round(_fdct(block.astype(np.float64) - level) / quant).astype(np.int64)
     zz = [int(coef[i, j]) for i, j in _ZIGZAG]
     diff = zz[0] - dc_pred
     s = _category(diff)
@@ -284,6 +286,7 @@ def encode_jpeg(
     quant_value: int = 1,
     restart_interval: int = 0,
     subsampling: tuple[int, int] = (1, 1),
+    precision: int = 8,
 ) -> bytes:
     """(H, W) uint8 grayscale or (H, W, 3) uint8 RGB → baseline JPEG
     (flat quantization table of ``quant_value``, Annex-K typical
@@ -292,20 +295,30 @@ def encode_jpeg(
     (2, 2) is 4:2:0, (2, 1) is 4:2:2 — chroma is box-averaged down and
     each MCU interleaves h×v luma blocks with one block per chroma
     component (spec A.2.3)."""
-    planes, samps, h, w, mcuy, mcux = _component_planes(pixels, subsampling)
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    planes, samps, h, w, mcuy, mcux = _component_planes(
+        pixels, subsampling, precision
+    )
+    level = float(1 << (precision - 1))
     ncomp = len(planes)
     quant = np.full((8, 8), quant_value, dtype=np.float64)
     qz = bytes(int(quant[i, j]) for i, j in _ZIGZAG)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xDB, b"\x00" + qz)  # DQT, table 0, 8-bit
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for cid in range(1, ncomp + 1):
         hi, vi = samps[cid - 1]
         sof += struct.pack(">BBB", cid, (hi << 4) | vi, 0)  # quant 0
-    out += _seg(0xC0, sof)  # SOF0 baseline
-    out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC 0
-    out += _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC 0
+    # 12-bit is SOF1 extended sequential (baseline is 8-bit-only by A.1)
+    out += _seg(0xC0 if precision == 8 else 0xC1, sof)
+    dc_b, dc_v = (_DC_BITS, _DC_VALS) if precision == 8 else (
+        _EXT_DC_BITS, _EXT_DC_VALS)
+    ac_b, ac_v = (_AC_BITS, _AC_VALS) if precision == 8 else (
+        _EXT_AC_BITS, _EXT_AC_VALS)
+    out += _seg(0xC4, b"\x00" + bytes(dc_b) + bytes(dc_v))  # DHT DC 0
+    out += _seg(0xC4, b"\x10" + bytes(ac_b) + bytes(ac_v))  # DHT AC 0
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     sos = bytes([ncomp])
@@ -314,8 +327,8 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])  # spectral selection (baseline fixed)
     out += _seg(0xDA, sos)
 
-    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    dc_codes = _canonical_codes(dc_b, dc_v)
+    ac_codes = _canonical_codes(ac_b, ac_v)
     bw = _BitWriter()
     preds = [0] * ncomp
     mcu = 0
@@ -334,9 +347,9 @@ def encode_jpeg(
                     for u in range(hi):
                         by, bx = my * vi + v, mx * hi + u
                         block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                        # _encode_block level-shifts internally (0..255)
                         preds[ci] = _encode_block(
-                            bw, block, quant, preds[ci], dc_codes, ac_codes
+                            bw, block, quant, preds[ci], dc_codes,
+                            ac_codes, level,
                         )
             mcu += 1
     out += bw.flush()
@@ -345,7 +358,7 @@ def encode_jpeg(
 
 
 def _component_planes(
-    pixels: np.ndarray, subsampling: tuple[int, int]
+    pixels: np.ndarray, subsampling: tuple[int, int], precision: int = 8
 ) -> tuple[list[np.ndarray], list[tuple[int, int]], int, int, int, int]:
     """Shared encoder front half before the DCT: color transform,
     chroma downsampling (box average over the sampling tile), and
@@ -361,9 +374,10 @@ def _component_planes(
     else:
         rgb = pixels.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        center = float(1 << (precision - 1))
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + center
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + center
         if (sh, sv) != (1, 1):
             # pad to the tile multiple, then box-average each tile
             th, tw = -(-h // sv) * sv, -(-w // sh) * sh
@@ -387,11 +401,15 @@ def _quantized_planes(
     pixels: np.ndarray,
     quant_value: int,
     subsampling: tuple[int, int] = (1, 1),
+    precision: int = 8,
 ) -> tuple[list[np.ndarray], list[tuple[int, int]], int, int, int, int]:
     """Encoder front half through quantization. Returns (per-comp
     [aby, abx, 64] zigzag int arrays over the MCU-padded block grid,
     per-comp sampling, h, w, mcuy, mcux)."""
-    planes, samps, h, w, mcuy, mcux = _component_planes(pixels, subsampling)
+    planes, samps, h, w, mcuy, mcux = _component_planes(
+        pixels, subsampling, precision
+    )
+    level = float(1 << (precision - 1))
     quant = np.full((8, 8), float(quant_value))
     out = []
     for p, (hi, vi) in zip(planes, samps):
@@ -404,7 +422,7 @@ def _quantized_planes(
                 # at exact .5 boundaries)
                 coef = np.round(
                     _fdct(p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                          - 128.0) / quant
+                          - level) / quant
                 ).astype(np.int64)
                 q[by, bx] = [coef[i, j] for i, j in _ZIGZAG]
         out.append(q)
@@ -518,6 +536,16 @@ def _emit_ac_refine_scan(
     flush()
 
 
+# 12-bit precision needs DC categories up to 15 and wider AC sizes
+# than Annex K's 8-bit tables define; flat canonical tables (DHT rides
+# in the stream) cover them — 16 DC symbols at length 5, and all 256
+# (run, size) AC symbols split 128/128 across lengths 9 and 10 (a DHT
+# count byte caps at 255 per length); the all-ones code stays unused.
+_EXT_DC_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_EXT_DC_VALS = list(range(16))
+_EXT_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0]
+_EXT_AC_VALS = [(r << 4) | s2 for r in range(16) for s2 in range(16)]
+
 # Progressive AC scans need EOBn symbols (r<<4 for r=1..14), which the
 # sequential Annex-K table does not define. A flat canonical table of
 # every (run, size) symbol with size <= 10 — 176 codes, all length 8 —
@@ -533,6 +561,7 @@ def encode_jpeg_progressive(
     al: int = 1,
     band_split: int = 6,
     subsampling: tuple[int, int] = (1, 1),
+    precision: int = 8,
 ) -> bytes:
     """(H, W) uint8 grayscale or (H, W, 3) uint8 RGB → PROGRESSIVE JPEG
     (SOF2, flat quantization table): a DC-first scan with successive
@@ -545,8 +574,10 @@ def encode_jpeg_progressive(
     component's own unpadded block grid (spec G.1 requires ns=1).
     Encodes the SAME quantized coefficients as ``encode_jpeg``, so the
     two decodes are pixel-identical by construction."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     coefs, samps, h, w, mcuy, mcux = _quantized_planes(
-        pixels, quant_value, subsampling
+        pixels, quant_value, subsampling, precision
     )
     ncomp = len(coefs)
     hmax = max(s[0] for s in samps)
@@ -555,15 +586,20 @@ def encode_jpeg_progressive(
     qz = bytes(int(quant[i, j]) for i, j in _ZIGZAG)
     out = bytearray(b"\xff\xd8")
     out += _seg(0xDB, b"\x00" + qz)
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for cid in range(1, ncomp + 1):
         hi, vi = samps[cid - 1]
         sof += struct.pack(">BBB", cid, (hi << 4) | vi, 0)
     out += _seg(0xC2, sof)  # SOF2 progressive
-    out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
-    out += _seg(0xC4, b"\x10" + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS))
-    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    dc_b, dc_v = (_DC_BITS, _DC_VALS) if precision == 8 else (
+        _EXT_DC_BITS, _EXT_DC_VALS)
+    # the extended AC table already contains every EOBn/(run,size) symbol
+    ac_b, ac_v = (_PROG_AC_BITS, _PROG_AC_VALS) if precision == 8 else (
+        _EXT_AC_BITS, _EXT_AC_VALS)
+    out += _seg(0xC4, b"\x00" + bytes(dc_b) + bytes(dc_v))
+    out += _seg(0xC4, b"\x10" + bytes(ac_b) + bytes(ac_v))
+    dc_codes = _canonical_codes(dc_b, dc_v)
+    ac_codes = _canonical_codes(ac_b, ac_v)
 
     def sos(scomps: list[int], ss: int, se: int, ah: int, a_l: int) -> bytes:
         body = bytes([len(scomps)])
@@ -639,9 +675,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     same convention as decode_png). Supports sequential baseline
     (SOF0/1) AND progressive (SOF2: spectral selection + successive
     approximation, DC/AC first and refinement scans, EOB runs — T.81
-    Annex G), 8-bit, grayscale or color at 4:4:4/4:2:2/4:2:0 (any
-    integer-ratio sampling), restart markers; raises
-    NotImplementedError for arithmetic-coded/hierarchical/12-bit/
+    Annex G), 8-bit or 12-bit precision (12-bit scales to the uint8
+    output by its high byte), grayscale or color at 4:4:4/4:2:2/4:2:0
+    (any integer-ratio sampling), restart markers; raises
+    NotImplementedError for arithmetic-coded/hierarchical/lossless/
     non-integer-ratio streams. Truncated payloads raise ValueError
     (the codecs' honest-gate contract), never a bare IndexError."""
     if payload[:2] != b"\xff\xd8":
@@ -837,6 +874,7 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
         "coefs": None,  # per-comp int32 [aby, abx, 64] zigzag coefficients
         "restart_interval": 0,
         "progressive": False,
+        "prec": 8,
         "samp": [],    # per-comp (h_i, v_i) sampling factors
         "dims": [],    # per-comp (height, width) at component resolution
         "blocks": [],  # per-comp UNPADDED block grid (for ns==1 scans)
@@ -880,8 +918,9 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             st["progressive"] = marker == 0xC2
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
+            st["prec"] = prec
             samps = []
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
@@ -936,6 +975,9 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     # crop to the component's own dimensions, then replicate-upsample
     # subsampled components back to full resolution
     ncomp = len(st["comps"])
+    prec = st["prec"]
+    center = float(1 << (prec - 1))
+    maxval = (1 << prec) - 1
     hmax = max(s[0] for s in st["samp"])
     vmax = max(s[1] for s in st["samp"])
     zz_nat = np.array([i * 8 + j for i, j in _ZIGZAG])
@@ -946,7 +988,7 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
         cf = np.zeros((nby, nbx, 64))
         cf[:, :, zz_nat] = st["coefs"][ci]
         cf = cf.reshape(nby, nbx, 8, 8) * q
-        blocks = np.einsum("ai,yxij,jb->yxab", _C.T, cf, _C) + 128.0
+        blocks = np.einsum("ai,yxij,jb->yxab", _C.T, cf, _C) + center
         plane = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         ch_i, cw_i = st["dims"][ci]
         plane = plane[:ch_i, :cw_i]
@@ -956,12 +998,16 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
             )
         planes.append(plane[:h, :w])
+    # output contract stays (H, W, 3) uint8: 12-bit samples scale down
+    # by their high 8 bits (>> 4), same convention as 16-bit PNG
+    shift = prec - 8
     if ncomp == 1:
-        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-        return np.repeat(g[:, :, None], 3, axis=2)
+        g = np.clip(np.round(planes[0]), 0, maxval).astype(np.int64)
+        return np.repeat((g >> shift).astype(np.uint8)[:, :, None], 3, axis=2)
     y, cb, cr = planes
-    rch = y + 1.402 * (cr - 128.0)
-    gch = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    bch = y + 1.772 * (cb - 128.0)
+    rch = y + 1.402 * (cr - center)
+    gch = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    bch = y + 1.772 * (cb - center)
     rgb = np.stack([rch, gch, bch], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    out = np.clip(np.round(rgb), 0, maxval).astype(np.int64)
+    return (out >> shift).astype(np.uint8)

@@ -7,13 +7,13 @@ row padding, bottom-up and top-down, BGR→RGB); PNG (stdlib ``zlib``
 inflate + numpy unfilter: all five filters, every depth the spec
 defines for gray/RGB/RGBA/palette — 1/2/4/8/16-bit — sequential or
 Adam7-interlaced); JPEG (operators/jpeg.py: baseline SOF0/1 and
-progressive SOF2 per ITU-T T.81, 4:4:4/4:2:2/4:2:0 sampling, restart
-markers); GIF89a (operators/gif.py: variable-width LZW, interlace,
+progressive SOF2 per ITU-T T.81, 8-bit and 12-bit precision,
+4:4:4/4:2:2/4:2:0 sampling, restart markers); GIF89a (operators/gif.py: variable-width LZW, interlace,
 sub-frame compositing); WAV PCM (stdlib ``wave``, 8/16-bit); G.711
 μ-law; IMA ADPCM and MS ADPCM (mono and multi-channel).
 ``decode_image``/``decode_audio`` dispatch on magic bytes and raise
 NotImplementedError only for variants that genuinely need codec libs
-absent from this container (MP3, arithmetic/lossless/12-bit JPEG);
+absent from this container (MP3, arithmetic/lossless JPEG);
 ``fake_feature_extractor`` remains as the deterministic stand-in for
 an embed step so the rest of the plumbing — schema, batch shape,
 partitioning — is testable regardless of format.
@@ -886,12 +886,12 @@ def decode_image(payload: bytes) -> np.ndarray:
     zlib + numpy unfilter — every depth 1/2/4/8/16 × gray/RGB/RGBA/
     palette combination the spec defines, sequential or Adam7), JPEG
     (operators/jpeg.py — baseline SOF0/1 AND progressive SOF2 per
-    T.81, at 4:4:4/4:2:2/4:2:0 chroma sampling) and GIF
+    T.81, 8/12-bit, at 4:4:4/4:2:2/4:2:0 chroma sampling) and GIF
     (operators/gif.py — real variable-width LZW, interlaced and
     composited sub-frames) decode for real. The remaining TRUE gates
     raise inside their codec — arithmetic/lossless/hierarchical JPEG,
-    12-bit JPEG, non-integer sampling ratios, exotic BMP variants —
-    and unknown magic raises here."""
+    non-integer sampling ratios, exotic BMP variants — and unknown
+    magic raises here."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_SIGNATURE:

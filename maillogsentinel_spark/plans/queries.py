@@ -2333,7 +2333,7 @@ def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_gate_registry",
     oracle="""
-    WITH f AS (SELECT doc_id % 11 AS k, count(*) AS n
+    WITH f AS (SELECT doc_id % 12 AS k, count(*) AS n
                FROM documents GROUP BY 1)
     SELECT CASE k WHEN 0 THEN 'bmp'            WHEN 1 THEN 'gif'
                   WHEN 2 THEN 'gif_interlaced' WHEN 3 THEN 'gif_oob_frame'
@@ -2342,7 +2342,8 @@ def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN 7 THEN 'jpeg_progressive'
                   WHEN 8 THEN 'png_subbyte'
                   WHEN 9 THEN 'adpcm_stereo'
-                  ELSE 'jpeg_420' END AS format,
+                  WHEN 10 THEN 'jpeg_420'
+                  ELSE 'jpeg_12bit' END AS format,
            CASE k WHEN 3 THEN 'invalid' WHEN 4 THEN 'invalid'
                   WHEN 5 THEN 'gated'   WHEN 6 THEN 'gated'
                   ELSE 'ok' END AS status,
@@ -2352,11 +2353,11 @@ def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The honest-gate POLICY itself as an oracle row: a mixed binary
-    column cycling (doc_id % 11) through decodable payloads (BMP;
+    column cycling (doc_id % 12) through decodable payloads (BMP;
     GIF including interlaced and composited sub-frames; and — the
     round-8 contract change — progressive JPEG, 4:2:0-subsampled JPEG,
-    sub-byte PNG and stereo IMA ADPCM, each formerly gated, now
-    decoding for real),
+    12-bit JPEG, sub-byte PNG and stereo IMA ADPCM, each formerly
+    gated, now decoding for real),
     variants the codecs must REFUSE with NotImplementedError (an MP3
     frame — genuinely lib-bound, unlike the WAV family where
     PCM/μ-law/IMA/MS-ADPCM decode for real in mono AND multi-channel —
@@ -2418,6 +2419,8 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("adpcm_stereo", lambda d: _stereo_ima_payload(d)),
         # 4:2:0 chroma subsampling decodes for real too (round 8)
         ("jpeg_420", lambda d: _jpeg420_payload(d)),
+        # ... and so does 12-bit precision (SOF1 extended sequential)
+        ("jpeg_12bit", lambda d: _jpeg12_payload(d)),
     ]
 
     def _pjpeg_payload(d: int) -> bytes:
@@ -2448,6 +2451,12 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         img = np.full((16, 16, 3), (d * 31) % 256, dtype=np.uint8)
         return encode_jpeg(img, 1, subsampling=(2, 2))
 
+    def _jpeg12_payload(d: int) -> bytes:
+        from ..operators.jpeg import encode_jpeg
+
+        img = np.full((8, 8), (d * 419) % 4096, dtype=np.uint16)
+        return encode_jpeg(img, 1, precision=12)
+
     def _stereo_ima_payload(d: int) -> bytes:
         from ..operators.multimodal import encode_wav_ima
 
@@ -2457,7 +2466,7 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         return encode_wav_ima(sig, block_align=72)
 
     def outcome(did: int):
-        fmt, make = CASES[did % 11]
+        fmt, make = CASES[did % 12]
         payload = make(did)
         try:
             if payload[:4] == b"RIFF" or payload[:3] == b"ID3":
@@ -2475,10 +2484,10 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             # One REAL synth+decode per distinct k per Arrow batch — the
             # payload (and thus the gate outcome) is a constant of
-            # k = doc_id % 11 for every case except bmp, whose payloads
+            # k = doc_id % 12 for every case except bmp, whose payloads
             # are all valid by construction; decoding every row repeated
-            # the identical codec call ~n/11 times for no extra evidence.
-            ks = (pdf["doc_id"].astype("int64") % 11).to_numpy()
+            # the identical codec call ~n/12 times for no extra evidence.
+            ks = (pdf["doc_id"].astype("int64") % 12).to_numpy()
             per_k = {}
             seen = set()
             for i, k in enumerate(ks):

@@ -954,3 +954,58 @@ def test_jpeg_nonint_sampling_ratio_still_gated():
     payload[i + 4 + 6 + 3 + 1] = 0x33  # chroma 3x3 with Ymax 2 -> 2%3 != 0
     with pytest.raises(NotImplementedError, match="sampling"):
         decode_jpeg(bytes(payload))
+
+
+# --- 12-bit JPEG -----------------------------------------------------------
+
+def test_jpeg_12bit_gray_constant_blocks_exact():
+    """12-bit precision decodes for real: constant 8x8 blocks of
+    0..4095 samples survive the level-2048 shift + DC chain exactly and
+    scale to the uint8 output contract by their high 8 bits (>> 4, the
+    16-bit-PNG convention)."""
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 4096, (3, 4))
+    img12 = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint16)
+    dec = decode_jpeg(encode_jpeg(img12, 1, precision=12))
+    assert (dec[:, :, 0] == (img12 >> 4)).all()
+
+
+def test_jpeg_12bit_progressive_equals_baseline():
+    """12-bit works through every scan machinery: progressive (deeper
+    successive approximation), color, 4:2:0, restart markers — all
+    sharing the baseline's quantized coefficients."""
+    rng = np.random.default_rng(17)
+    img12 = rng.integers(0, 4096, (24, 16)).astype(np.uint16)
+    assert (decode_jpeg(encode_jpeg(img12, 4, precision=12)) ==
+            decode_jpeg(encode_jpeg_progressive(
+                img12, 4, al=3, precision=12))).all()
+    imgc12 = (rng.integers(0, 256, (16, 24, 3)) * 16).astype(np.uint16)
+    assert (decode_jpeg(encode_jpeg(imgc12, 1, subsampling=(2, 2),
+                                    precision=12)) ==
+            decode_jpeg(encode_jpeg_progressive(
+                imgc12, 1, al=1, subsampling=(2, 2), precision=12))).all()
+    g = rng.integers(0, 4096, (32, 32)).astype(np.uint16)
+    assert (decode_jpeg(encode_jpeg(g, 2, restart_interval=3, precision=12)) ==
+            decode_jpeg(encode_jpeg(g, 2, precision=12))).all()
+
+
+def test_jpeg_12bit_color_tracks_8bit_content():
+    """Encoding the same content at 12-bit (values x16) decodes close
+    to the 8-bit encode — differences are the two precisions' own
+    quantization errors, bounded small at quant 4."""
+    rng = np.random.default_rng(19)
+    imgc12 = (rng.integers(0, 256, (16, 24, 3)) * 16).astype(np.uint16)
+    b12 = decode_jpeg(encode_jpeg(imgc12, 4, precision=12))
+    b8 = decode_jpeg(encode_jpeg((imgc12 >> 4).astype(np.uint8), 4))
+    err = np.abs(b12.astype(int) - b8.astype(int))
+    assert err.mean() < 3 and err.max() <= 10
+
+
+def test_jpeg_unsupported_precision_still_gated():
+    import struct as _s
+
+    payload = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    i = payload.find(b"\xff\xc0")
+    _s.pack_into("B", payload, i + 4, 16)  # precision byte -> 16
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_jpeg(bytes(payload))
