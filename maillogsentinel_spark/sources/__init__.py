@@ -9,6 +9,7 @@ from .store import (  # noqa: F401
 from .txstore import (  # noqa: F401
     tx_append_events,
     tx_compact_partitions,
+    tx_optimize_zorder,
     tx_read_events,
     tx_upsert_events,
     tx_vacuum,

@@ -223,9 +223,16 @@ def _schema_json(df: DataFrame) -> str:
     return json.dumps(_with_day(df).schema.jsonValue())
 
 
-def tx_write_events(spark: SparkSession, path: str, events: DataFrame) -> int:
+def tx_write_events(
+    spark: SparkSession,
+    path: str,
+    events: DataFrame,
+    batch_id: int | None = None,
+) -> int:
     """Create (or atomically replace) the store with a full snapshot.
-    Returns the committed version."""
+    Returns the committed version. ``batch_id`` seeds the streaming
+    ledger when the first micro-batch creates the store (see
+    tx_append_events)."""
     txid = uuid.uuid4().hex
     df = _with_day(events)
     files = _stage_and_publish(spark, path, df, txid)
@@ -242,6 +249,8 @@ def tx_write_events(spark: SparkSession, path: str, events: DataFrame) -> int:
         "schema": _schema_json(df),
         "files": files,
     }
+    if batch_id is not None:
+        manifest["last_batch_id"] = batch_id
     return _commit(spark, path, manifest)
 
 
@@ -261,11 +270,26 @@ def _check_schema(prev: dict, df: DataFrame, op: str) -> None:
         )
 
 
-def tx_append_events(spark: SparkSession, path: str, events: DataFrame) -> int:
+def tx_append_events(
+    spark: SparkSession,
+    path: str,
+    events: DataFrame,
+    batch_id: int | None = None,
+) -> int:
     """Append a batch: new files join the snapshot; existing files are
-    never touched. One metadata rename commits all days at once."""
+    never touched. One metadata rename commits all days at once.
+
+    ``batch_id`` turns the append into an EXACTLY-ONCE streaming sink
+    commit: the manifest records the highest committed batch id, and
+    because the id rides in the SAME atomic rename as the file list, a
+    foreachBatch replay after a crash is a no-op — the data and its
+    ledger entry can never commit separately (the flaw a side-table
+    ledger has to work around). Batch ids must be monotone per store
+    (Structured Streaming's per-query contract)."""
     txid = uuid.uuid4().hex
     prev = _load_manifest(spark, path)
+    if batch_id is not None and batch_id <= prev.get("last_batch_id", -1):
+        return prev["version"]  # replayed batch: already committed
     _check_schema(prev, events, "append")
     files = _stage_and_publish(spark, path, _with_day(events), txid)
     merged = {d: list(v) for d, v in prev["files"].items()}
@@ -281,6 +305,10 @@ def tx_append_events(spark: SparkSession, path: str, events: DataFrame) -> int:
         "schema": prev["schema"],
         "files": merged,
     }
+    if batch_id is not None:
+        manifest["last_batch_id"] = batch_id
+    elif "last_batch_id" in prev:
+        manifest["last_batch_id"] = prev["last_batch_id"]
     return _commit(spark, path, manifest)
 
 
@@ -352,6 +380,8 @@ def tx_upsert_events(
         "schema": prev["schema"],
         "files": newmap,
     }
+    if "last_batch_id" in prev:  # carry the streaming ledger forward
+        manifest["last_batch_id"] = prev["last_batch_id"]
     return _commit(spark, path, manifest)
 
 
@@ -405,6 +435,8 @@ def tx_compact_partitions(
         "schema": prev["schema"],
         "files": newmap,
     }
+    if "last_batch_id" in prev:  # carry the streaming ledger forward
+        manifest["last_batch_id"] = prev["last_batch_id"]
     return _commit(spark, path, manifest)
 
 
@@ -442,3 +474,72 @@ def tx_vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> int:
     for v in versions[: len(versions) - len(keep)]:
         fs.delete(Path(_manifest_path(path, v)), False)
     return deleted
+
+
+def tx_optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    dims: tuple[str, str] = ("user_id", "ts"),
+    target_files_per_day: int = 1,
+    predicate: str | None = None,
+    bits: int = 16,
+) -> int:
+    """OPTIMIZE ZORDER with an atomic commit — the table-format
+    maintenance operation that composes this module's manifest swap
+    with the z-order layout kernel (operators/zorder.py): the selected
+    days' full content is rewritten range-partitioned AND sorted on the
+    Morton interleave of ``dims``, so every output file and every row
+    group inside it carries a tight min/max box in BOTH dimensions (the
+    stats predicate pushdown prunes on), and all touched days flip to
+    the new layout in ONE manifest rename. Layout-only by the same
+    contract as compaction: the predicate selects days, never rows.
+    Dimension ranges come from the selected days' own content (two
+    scalars per dim). Returns the committed version."""
+    from ..operators.zorder import z_interleave, z_normalize
+
+    txid = uuid.uuid4().hex
+    prev = _load_manifest(spark, path)
+    snap = _snapshot_df(spark, path, prev)
+    sel = snap.where(predicate) if predicate else snap
+    days = sorted(
+        str(r["event_date"]) for r in sel.select("event_date").distinct().collect()
+    )
+    if not days:
+        return prev["version"]
+    df = _snapshot_df(spark, path, prev, days)
+    d0, d1 = dims
+    a = F.col(d0).cast("long")
+    b = F.unix_micros(F.col(d1)) if d1 == "ts" else F.col(d1).cast("long")
+    lo0, hi0, lo1, hi1 = df.select(a.alias("a"), b.alias("b")).agg(
+        F.min("a"), F.max("a"), F.min("b"), F.max("b")
+    ).collect()[0]
+    if None in (lo0, hi0, lo1, hi1):
+        lo0 = hi0 = lo1 = hi1 = 0
+    z = z_interleave(
+        z_normalize(a, int(lo0), int(hi0), bits),
+        z_normalize(b, int(lo1), int(hi1), bits),
+        bits,
+    )
+    clustered = (
+        df.withColumn("__z", z)
+        .repartitionByRange(
+            max(len(days) * target_files_per_day, 1), "event_date", "__z"
+        )
+        .sortWithinPartitions("event_date", "__z")
+        .drop("__z")
+    )
+    files = _stage_and_publish(spark, path, clustered, txid)
+    newmap = {d: v for d, v in prev["files"].items() if d not in days}
+    newmap.update(files)
+    manifest = {
+        "format": _FORMAT,
+        "version": prev["version"] + 1,
+        "parent": prev["version"],
+        "txid": txid,
+        "operation": "zorder",
+        "schema": prev["schema"],
+        "files": newmap,
+    }
+    if "last_batch_id" in prev:  # carry the streaming ledger forward
+        manifest["last_batch_id"] = prev["last_batch_id"]
+    return _commit(spark, path, manifest)

@@ -158,3 +158,44 @@ def start_sql_export(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_tx_store_sink(
+    events_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming sink into the TRANSACTIONAL store (sources/txstore.py)
+    with exactly-once batches: each micro-batch commits through
+    ``tx_append_events(batch_id=...)``, whose manifest records the
+    highest committed batch id IN THE SAME atomic rename as the batch's
+    file list. foreachBatch is at-least-once (a crash between the sink
+    write and the checkpoint commit replays the batch), but a replayed
+    batch short-circuits on the manifest ledger — and unlike the SQLite
+    export's side-table ledger (same file, same transaction) or any
+    two-system design, the data and its ledger entry here CANNOT
+    commit separately, and a crash mid-append leaves readers on the
+    previous snapshot entirely (txstore's crash-injection contract).
+    The first batch creates the store; every subsequent batch is one
+    metadata rename regardless of how many day partitions it spans."""
+    from ..sources.txstore import tx_append_events, tx_write_events
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            tx_append_events(spark, store_path, batch_df, batch_id=batch_id)
+        except FileNotFoundError:
+            # no committed manifest yet: the first batch creates the
+            # store (tx_write_events commits v1 WITH the ledger seeded,
+            # so a post-commit replay of this batch short-circuits; a
+            # crash before the rename leaves no store and the replay
+            # recreates it)
+            tx_write_events(spark, store_path, batch_df, batch_id=batch_id)
+
+    writer = events_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -220,3 +220,88 @@ def test_schema_drift_rejected_before_staging(spark, tmp_path):
     assert tx_current_version(spark, path) == 1
     # no orphan staging/data residue beyond the original snapshot
     assert tx_vacuum(spark, path, keep_versions=1) == 0
+
+
+def test_optimize_zorder_layout_only_and_atomic(spark, tmp_path, monkeypatch):
+    """OPTIMIZE ZORDER: content byte-identical, files carry tight
+    min/max boxes in BOTH dims, one atomic commit — and a crash before
+    the manifest rename leaves the old layout fully readable."""
+    from maillogsentinel_spark.sources.txstore import tx_optimize_zorder
+
+    path = str(tmp_path / "txstore")
+    rows = [
+        Row(event_id=i, ts=datetime.datetime(2025, 3, 1, 10, i % 60),
+            user_id=i % 64, event_type="click", value=float(i))
+        for i in range(4096)
+    ]
+    tx_write_events(spark, path, spark.createDataFrame(rows, schema=None)
+                    .repartition(8))
+    before = _content(spark, path)
+    # crash first: snapshot survives
+    _crash_at(monkeypatch, "pre-commit")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        tx_optimize_zorder(spark, path, dims=("user_id", "value"),
+                           target_files_per_day=4)
+    assert _content(spark, path) == before
+    monkeypatch.setattr(txstore, "_fault", lambda p: None)
+    v = tx_optimize_zorder(spark, path, dims=("user_id", "value"),
+                           target_files_per_day=4)
+    assert v == 2
+    assert _content(spark, path) == before  # layout-only
+    # z-clustering evidence: per-file user_id spans shrink vs the 0-63
+    # full-range files the unclustered write produced
+    import pyarrow.parquet as pq
+
+    m = txstore._load_manifest(spark, path)
+    spans = []
+    for rel in m["files"]["2025-03-01"]:
+        t = pq.read_table(f"{path}/data/{rel}", columns=["user_id"])
+        u = t.column("user_id").to_pylist()
+        spans.append(max(u) - min(u))
+    assert len(spans) >= 2
+    assert sum(spans) / len(spans) <= 32  # vs 63 without clustering
+
+
+def test_streaming_tx_sink_exactly_once(spark, tmp_path):
+    """The tx-store streaming sink: batches land atomically, and a
+    REPLAYED batch (foreachBatch's at-least-once contract) is a no-op
+    because the ledger rides in the same manifest rename as the data."""
+    from maillogsentinel_spark.sources.txstore import tx_append_events
+    from maillogsentinel_spark.streaming.ingest import start_tx_store_sink
+
+    src_dir = str(tmp_path / "src")
+    store = str(tmp_path / "txstore")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = spark.createDataFrame([_ev(1, 1, 10, 1.0), _ev(2, 2, 11, 2.0)])
+    batch1.write.parquet(src_dir)
+    stream = spark.readStream.schema(batch1.schema).parquet(src_dir)
+    q = start_tx_store_sink(stream, store, ckpt)
+    q.awaitTermination(120)
+    assert [c[0] for c in _content(spark, store)] == [1, 2]
+    v1 = tx_current_version(spark, store)
+    # a second micro-batch arrives
+    spark.createDataFrame([_ev(3, 3, 12, 3.0)]).write.mode("append").parquet(
+        src_dir)
+    q = start_tx_store_sink(stream, store, ckpt)
+    q.awaitTermination(120)
+    assert [c[0] for c in _content(spark, store)] == [1, 2, 3]
+    m = txstore._load_manifest(spark, store)
+    last = m["last_batch_id"]
+    # simulate the replay foreachBatch would issue after a crash
+    # between sink write and checkpoint commit: same batch id -> no-op
+    tx_append_events(spark, store,
+                     spark.createDataFrame([_ev(3, 3, 12, 3.0)]),
+                     batch_id=last)
+    assert [c[0] for c in _content(spark, store)] == [1, 2, 3]
+    assert tx_current_version(spark, store) == m["version"]
+    # ledger survives maintenance operations
+    tx_compact_partitions(spark, store, 1)
+    tx_append_events(spark, store,
+                     spark.createDataFrame([_ev(9, 1, 9, 9.0)]),
+                     batch_id=last)  # still a replay -> still a no-op
+    assert [c[0] for c in _content(spark, store)] == [1, 2, 3]
+    # and a genuinely new batch id commits
+    tx_append_events(spark, store,
+                     spark.createDataFrame([_ev(4, 4, 13, 4.0)]),
+                     batch_id=last + 1)
+    assert [c[0] for c in _content(spark, store)] == [1, 2, 3, 4]
