@@ -9020,6 +9020,74 @@ def _stream_run(spark: SparkSession):
 
 
 @query(
+    "events_stream_tx_sink",
+    oracle="""
+    SELECT ts::DATE AS event_date,
+           count(*)::BIGINT AS n_rows,
+           sum(event_id)::BIGINT AS sum_eid,
+           round((sum(value::DECIMAL(21,6)))::DOUBLE, 4) AS value_sum
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_events_stream_tx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACTLY-ONCE streaming sink into the transactional store,
+    oracle-pinned end-to-end: the events table replays as a file
+    stream into ``start_tx_store_sink`` (each micro-batch commits via
+    one manifest rename carrying BOTH the batch's file list and the
+    ledger's batch id), then the foreachBatch replay a crash would
+    cause is simulated with a POISON batch — same batch id, different
+    rows — which must short-circuit on the manifest ledger. The final
+    per-day census over ``tx_read_events`` must equal the direct
+    relational aggregation of the source: a duplicated batch, a leaked
+    poison row, or a partial (non-atomic) append each flips a per-day
+    count or the exact decimal value sum. Store path is driver-local
+    tmp for the oracle contract; the sink takes any HCFS path."""
+    import shutil
+    import tempfile
+
+    from ..sources.txstore import (
+        _load_manifest, tx_append_events, tx_read_events)
+    from ..streaming.ingest import start_tx_store_sink
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    tmp = tempfile.mkdtemp(prefix="mls_stream_tx_")
+    store = f"{tmp}/store"
+    try:
+        with _stream_run(spark) as ckpt:
+            src = (
+                spark.readStream.schema(raw_schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
+            q = start_tx_store_sink(src, store, ckpt)
+            q.awaitTermination()
+            last = _load_manifest(spark, store).get("last_batch_id", 0)
+            poison = spark.createDataFrame(
+                [(int(-1), __import__("datetime").datetime(2030, 1, 1),
+                  int(-1), "poison", 9999.0, "{}")],
+                schema=raw_schema,
+            )
+            tx_append_events(spark, store, poison, batch_id=last)  # replay
+            agg = (
+                tx_read_events(spark, store)
+                .groupBy("event_date")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("event_id").cast("long").alias("sum_eid"),
+                    F.round(
+                        F.sum(F.col("value").cast("decimal(21,6)"))
+                        .cast("double"), 4,
+                    ).alias("value_sum"),
+                )
+                .orderBy("event_date")
+            )
+            rows = agg.collect()
+            return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "events_stream_tumbling_counts",
     oracle="""
     SELECT date_trunc('hour', ts) AS wstart, event_type,
@@ -9903,6 +9971,9 @@ _NEXT = [
     "multimodal_png_subbyte_decode",
     "multimodal_adpcm_stereo_decode",
     "multimodal_jpeg420_decode",
+    # round-8 NEW: the exactly-once streaming sink into the tx store —
+    # ledger and data in ONE manifest rename; poison replay pinned
+    "events_stream_tx_sink",
     # round-7 rotation OUT: the five report aggregates retired from the
     # graded window (green since round 1; still in the full local gate)
     "report_daily_totals",
