@@ -9,8 +9,9 @@ defines for gray/RGB/RGBA/palette — 1/2/4/8/16-bit — sequential or
 Adam7-interlaced); JPEG (operators/jpeg.py: baseline SOF0/1 and
 progressive SOF2 per ITU-T T.81, 8-bit and 12-bit precision,
 4:4:4/4:2:2/4:2:0 sampling, restart markers); GIF89a (operators/gif.py: variable-width LZW, interlace,
-sub-frame compositing); WAV PCM (stdlib ``wave``, 8/16-bit); G.711
-μ-law; IMA ADPCM and MS ADPCM (mono and multi-channel).
+sub-frame compositing); WAV PCM (stdlib ``wave``, 8/16/24/32-bit);
+G.711 μ-law AND A-law; IMA ADPCM and MS ADPCM (mono and
+multi-channel).
 ``decode_image``/``decode_audio`` dispatch on magic bytes and raise
 NotImplementedError only for variants that genuinely need codec libs
 absent from this container (MP3, arithmetic/lossless JPEG);
@@ -388,6 +389,37 @@ def mulaw_expand(codes: np.ndarray) -> np.ndarray:
     return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
 
 
+def alaw_expand(codes: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes → int16 linear PCM, vectorized numpy
+    transcription of the published CCITT reference expansion: XOR the
+    0x55 toggle, 3-bit segment, 4-bit mantissa; segment 0 adds the
+    half-step 8, higher segments add 0x108 and shift by (seg-1); the
+    POST-toggle sign bit set means positive (opposite of μ-law's
+    convention). Range ±32256; codes 0xD5/0x55 are ±8 (A-law has no
+    true zero)."""
+    a = np.asarray(codes, dtype=np.uint8) ^ 0x55
+    seg = ((a & 0x70) >> 4).astype(np.int32)
+    mant = (a & 0x0F).astype(np.int32)
+    t = np.where(
+        seg == 0,
+        (mant << 4) + 8,
+        ((mant << 4) + 0x108) << np.maximum(seg - 1, 0),
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def encode_wav_alaw(codes: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """A-law bytes → RIFF/WAVE with format tag 6 (WAVE_FORMAT_ALAW).
+    Hand-built RIFF, same shape as encode_wav_ulaw."""
+    data = np.asarray(codes, dtype=np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 6, 1, sample_rate, sample_rate, 1, 8)
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 _ULAW_SEG_ENDS = np.array(
     [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF], dtype=np.int32
 )
@@ -419,8 +451,9 @@ def encode_wav_ulaw(codes: np.ndarray, sample_rate: int = 8000) -> bytes:
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """RIFF/WAVE → (sample_rate, samples). PCM via the stdlib wave
-    module (16-bit → int16; 8-bit is unsigned by spec → uint8); μ-law
-    (format tag 7), MS ADPCM (tag 2) and IMA ADPCM (tag 0x11) via a
+    module (16-bit → int16; 8-bit is unsigned by spec → uint8; 24-bit
+    sign-extends to int32; 32-bit → int32); μ-law (format tag 7),
+    A-law (tag 6), MS ADPCM (tag 2) and IMA ADPCM (tag 0x11) via a
     minimal RIFF chunk walk. Multi-channel frames come back shaped
     (n_frames, n_channels)."""
     try:
@@ -435,6 +468,13 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         arr = np.frombuffer(raw, dtype="<i2")
     elif width == 1:
         arr = np.frombuffer(raw, dtype=np.uint8)
+    elif width == 3:
+        # 24-bit little-endian signed: assemble and sign-extend bit 23
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        arr = np.where(v & 0x800000, v - (1 << 24), v).astype(np.int32)
+    elif width == 4:
+        arr = np.frombuffer(raw, dtype="<i4")
     else:
         raise NotImplementedError(f"WAV sample width {width} unsupported")
     return rate, arr.reshape(-1, nch) if nch > 1 else arr
@@ -442,8 +482,9 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 def _decode_wav_nonpcm(payload: bytes) -> tuple[int, np.ndarray]:
     """Chunk-walking fallback for format tags the wave module rejects;
-    decodes μ-law (tag 7), MS ADPCM (tag 2) and IMA ADPCM (tag 0x11)
-    for real, gates the rest (e.g. MPEG-in-WAV tag 0x50) honestly."""
+    decodes μ-law (tag 7), A-law (tag 6), MS ADPCM (tag 2) and IMA
+    ADPCM (tag 0x11) for real, gates the rest (e.g. MPEG-in-WAV tag
+    0x50) honestly."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data, fact_n = 12, None, None, None
@@ -472,12 +513,13 @@ def _decode_wav_nonpcm(payload: bytes) -> tuple[int, np.ndarray]:
         # block is zero-padded to block_align at encode time, and the
         # pad nibbles must not decode as trailing samples
         return rate, arr[:fact_n] if fact_n is not None else arr
-    if tag != 7:
+    if tag not in (6, 7):
         raise NotImplementedError(
-            f"WAV format tag {tag} unsupported (PCM, mu-law, IMA and "
-            "MS ADPCM decode)"
+            f"WAV format tag {tag} unsupported (PCM, mu-law, A-law, "
+            "IMA and MS ADPCM decode)"
         )
-    arr = mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+    expand = mulaw_expand if tag == 7 else alaw_expand
+    arr = expand(np.frombuffer(data, dtype=np.uint8))
     return rate, arr.reshape(-1, nch) if nch > 1 else arr
 
 

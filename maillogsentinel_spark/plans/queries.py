@@ -2284,6 +2284,60 @@ def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_alaw_decode",
+    oracle="""
+    WITH i AS (SELECT unnest(range(32)) AS i),
+    c AS (SELECT doc_id, i,
+                 xor((doc_id * 11 + i * 5) % 256, 85) AS a
+          FROM documents CROSS JOIN i),
+    v AS (SELECT doc_id, i,
+            CASE WHEN a >= 128 THEN t ELSE -t END AS val
+          FROM (SELECT doc_id, i, a,
+                  CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+                       ELSE ((a % 16) * 16 + 264)
+                            * (1 << ((a // 16) % 8 - 1)) END AS t
+                FROM c))
+    SELECT doc_id AS media_id, 8000 AS sample_rate, 32 AS n_samples,
+           sum(val)::BIGINT AS amp_sum,
+           max(CASE WHEN i = 0 THEN val END)::INT AS first_sample,
+           max(abs(val))::INT AS max_abs
+    FROM v GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def q_multimodal_alaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 A-law decode end-to-end — the μ-law twin for the
+    OTHER published companding law: per doc, synthesize code bytes
+    (doc_id*11+i*5)%256, wrap them in an actual RIFF/WAVE with format
+    tag 6 (encode_wav_alaw), decode through the chunk-walking fallback
+    + vectorized expansion (multimodal.py:alaw_expand) and emit
+    amplitude stats. The oracle re-derives the expansion IN SQL from
+    the published formula — XOR the 0x55 toggle, 3-bit segment, 4-bit
+    mantissa, half-step 8 in segment 0 vs +0x108 and shift above, sign
+    from the POST-toggle top bit (the opposite convention to μ-law,
+    the classic transposition bug) — so a wrong toggle, segment shift
+    or sign fails the hash on every row."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import audio_stats, encode_wav_alaw
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                codes = ((int(did) * 11 + np.arange(32) * 5) % 256).astype(
+                    np.uint8
+                )
+                ids.append(did)
+                payloads.append(encode_wav_alaw(codes))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return audio_stats(media).orderBy("media_id")
+
+
+@query(
     "multimodal_ulaw_decode",
     oracle="""
     WITH i AS (SELECT unnest(range(32)) AS i),
@@ -9974,6 +10028,8 @@ _NEXT = [
     # round-8 NEW: the exactly-once streaming sink into the tx store —
     # ledger and data in ONE manifest rename; poison replay pinned
     "events_stream_tx_sink",
+    # round-8 NEW: the second G.711 companding law, formula-exact
+    "multimodal_alaw_decode",
     # round-7 rotation OUT: the five report aggregates retired from the
     # graded window (green since round 1; still in the full local gate)
     "report_daily_totals",

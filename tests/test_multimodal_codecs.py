@@ -1009,3 +1009,56 @@ def test_jpeg_unsupported_precision_still_gated():
     _s.pack_into("B", payload, i + 4, 16)  # precision byte -> 16
     with pytest.raises(NotImplementedError, match="16-bit"):
         decode_jpeg(bytes(payload))
+
+
+# --- A-law (G.711 tag 6) + wide PCM ---------------------------------------
+
+def test_alaw_anchor_values_and_container():
+    """Public G.711 anchors: 0xD5/0x55 are the ±8 near-silence codes
+    (A-law has no true zero), 0xAA/0x2A the ±32256 extremes; the sign
+    convention is the OPPOSITE of μ-law's (post-toggle MSB set means
+    positive). Full 256-code sweep roundtrips through a real format-
+    tag-6 RIFF container."""
+    from maillogsentinel_spark.operators.multimodal import (
+        alaw_expand, encode_wav_alaw)
+
+    got = alaw_expand(np.array([0xD5, 0x55, 0xAA, 0x2A], dtype=np.uint8))
+    assert got.tolist() == [8, -8, 32256, -32256]
+    codes = np.arange(256, dtype=np.uint8)
+    rate, dec = decode_audio(encode_wav_alaw(codes))
+    assert rate == 8000 and (dec == alaw_expand(codes)).all()
+    # per-segment monotonicity of the positive half (magnitudes grow
+    # with the mantissa inside every segment)
+    for seg in range(8):
+        vals = alaw_expand(np.array(
+            [(0x80 | (seg << 4) | m) ^ 0x55 for m in range(16)], np.uint8))
+        assert all(vals[i] < vals[i + 1] for i in range(15)), seg
+
+
+def test_wav_24bit_and_32bit_pcm():
+    """24-bit PCM sign-extends bit 23 into int32; 32-bit PCM reads
+    natively; both through the stdlib wave container."""
+    import io
+    import struct as _s
+    import wave as _w
+
+    vals = [0, 1, -1, 8388607, -8388608, 123456, -654321]
+    raw = b"".join(_s.pack("<i", v)[:3] for v in vals)
+    buf = io.BytesIO()
+    with _w.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(3)
+        f.setframerate(48000)
+        f.writeframes(raw)
+    rate, dec = decode_wav(buf.getvalue())
+    assert rate == 48000 and dec.tolist() == vals
+    buf = io.BytesIO()
+    with _w.open(buf, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(4)
+        f.setframerate(44100)
+        f.writeframes(np.array([1, -2, 2**31 - 1, -(2**31)],
+                               dtype="<i4").tobytes())
+    rate, dec = decode_wav(buf.getvalue())
+    assert dec.shape == (2, 2)
+    assert dec.reshape(-1).tolist() == [1, -2, 2**31 - 1, -(2**31)]
