@@ -7090,7 +7090,10 @@ def q_store_tx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, path, target_files_per_day=1,
                 predicate="event_type = 'upd_win'",
             )
-            tx_vacuum(spark, path, keep_versions=1)
+            # retention_ms=0: no writer is in flight here (single
+            # process); the default 10-min age gate would skip the
+            # seconds-old poison orphans this query exists to sweep
+            tx_vacuum(spark, path, keep_versions=1, retention_ms=0)
             agg = (
                 tx_read_events(spark, path)
                 .groupBy("event_date")

@@ -46,9 +46,14 @@ stores); upsert/compaction read ONLY the touched days' files straight
 from the manifest (file-level pruning, stronger than partition
 pruning); the commit is one metadata rename regardless of fan-out.
 Old versions remain readable until vacuumed (``version=`` time
-travel). Concurrent writers are detected, not merged: the loser's
-rename returns false and raises ``ConcurrentCommitError`` (optimistic
-concurrency's abort path; retry-with-rebase is a caller policy).
+travel). Concurrent writers are detected optimistically: the loser's
+rename returns false. APPENDS then rebase-and-retry (an append never
+replaces files, so two appends can both commit — the loser re-merges
+its already-published file list onto the new head and retries the
+rename, bounded attempts); UPSERT / COMPACT / ZORDER / OVERWRITE keep
+the abort path (they replace file sets — a true conflict) and raise
+``ConcurrentCommitError``, Delta/Iceberg's exact split of the
+conflict matrix.
 
 The reference cannot express any of this — its store is one
 append-only CSV (report.py:89-93 re-reads it whole every run).
@@ -270,11 +275,36 @@ def _check_schema(prev: dict, df: DataFrame, op: str) -> None:
         )
 
 
+def _ledger_replayed(prev: dict, batch_id: int | None) -> bool:
+    """Exactly-once ledger check. ``batch_id == last_batch_id`` is the
+    one legitimate foreachBatch replay (a crash between the sink write
+    and the checkpoint commit re-runs exactly the LAST batch) -> no-op.
+    ``batch_id < last_batch_id`` can only mean a SECOND streaming query
+    — or one restarted with a fresh checkpoint, where batch ids restart
+    at 0 — is writing to this store; silently no-op'ing would drop
+    every one of its batches, so fail loudly instead (one checkpoint
+    per store is the sink's contract)."""
+    if batch_id is None:
+        return False
+    last = prev.get("last_batch_id", -1)
+    if batch_id == last:
+        return True
+    if batch_id < last:
+        raise ValueError(
+            f"batch_id {batch_id} is behind the store ledger "
+            f"({last}): a tx store accepts exactly ONE streaming query "
+            "per checkpoint — a fresh-checkpoint restart (ids reset to "
+            "0) or a second query must write to a new store"
+        )
+    return False
+
+
 def tx_append_events(
     spark: SparkSession,
     path: str,
     events: DataFrame,
     batch_id: int | None = None,
+    max_rebase_attempts: int = 5,
 ) -> int:
     """Append a batch: new files join the snapshot; existing files are
     never touched. One metadata rename commits all days at once.
@@ -284,32 +314,54 @@ def tx_append_events(
     because the id rides in the SAME atomic rename as the file list, a
     foreachBatch replay after a crash is a no-op — the data and its
     ledger entry can never commit separately (the flaw a side-table
-    ledger has to work around). Batch ids must be monotone per store
-    (Structured Streaming's per-query contract)."""
+    ledger has to work around). Batch ids must be monotone per store:
+    a batch id BEHIND the ledger raises (see _ledger_replayed).
+
+    Concurrency: an append that loses the manifest rename race does
+    NOT abort — appends never replace files, so there is nothing to
+    conflict with. The loser reloads the new head, re-merges its
+    (already-published) file list, and retries the rename, up to
+    ``max_rebase_attempts`` times — two interleaved appends both
+    commit. Only a schema change or ledger regression on the new head
+    aborts the rebase."""
     txid = uuid.uuid4().hex
     prev = _load_manifest(spark, path)
-    if batch_id is not None and batch_id <= prev.get("last_batch_id", -1):
+    if _ledger_replayed(prev, batch_id):
         return prev["version"]  # replayed batch: already committed
     _check_schema(prev, events, "append")
     files = _stage_and_publish(spark, path, _with_day(events), txid)
-    merged = {d: list(v) for d, v in prev["files"].items()}
-    for d, v in files.items():
-        merged.setdefault(d, []).extend(v)
-        merged[d].sort()
-    manifest = {
-        "format": _FORMAT,
-        "version": prev["version"] + 1,
-        "parent": prev["version"],
-        "txid": txid,
-        "operation": "append",
-        "schema": prev["schema"],
-        "files": merged,
-    }
-    if batch_id is not None:
-        manifest["last_batch_id"] = batch_id
-    elif "last_batch_id" in prev:
-        manifest["last_batch_id"] = prev["last_batch_id"]
-    return _commit(spark, path, manifest)
+    for attempt in range(max_rebase_attempts):
+        merged = {d: list(v) for d, v in prev["files"].items()}
+        for d, v in files.items():
+            merged.setdefault(d, []).extend(v)
+            merged[d].sort()
+        manifest = {
+            "format": _FORMAT,
+            "version": prev["version"] + 1,
+            "parent": prev["version"],
+            "txid": txid,
+            "operation": "append",
+            "schema": prev["schema"],
+            "files": merged,
+        }
+        if batch_id is not None:
+            manifest["last_batch_id"] = batch_id
+        elif "last_batch_id" in prev:
+            manifest["last_batch_id"] = prev["last_batch_id"]
+        try:
+            return _commit(spark, path, manifest)
+        except ConcurrentCommitError:
+            if attempt == max_rebase_attempts - 1:
+                raise
+            # rebase: another writer committed first; re-read the head
+            # and re-merge. Our published files are untouched by the
+            # winner (append files are txid-unique), so only the
+            # metadata merge re-runs.
+            prev = _load_manifest(spark, path)
+            if _ledger_replayed(prev, batch_id):
+                return prev["version"]
+            _check_schema(prev, events, "append")  # head may have drifted
+    raise AssertionError("unreachable")
 
 
 def tx_read_events(
@@ -339,6 +391,15 @@ def tx_upsert_events(
     special case, no mixed store under any crash. Only the touched
     days' files are read (manifest file-list pruning). Returns the
     committed version; an empty batch commits nothing.
+
+    Caller contract (inherited from store.upsert_events, same as any
+    partition-scoped MERGE): because only the BATCH's days are
+    rewritten, a key whose row moves from day A to day B via a batch
+    containing only the day-B row leaves the stale day-A row behind
+    (duplicate key in the snapshot). Updates must either keep keys on
+    their original day, or include a (losing) row on the key's old day
+    so that day joins the touched set — the emptied-day test exercises
+    exactly this shape.
     """
     from pyspark.sql import Window
 
@@ -385,6 +446,48 @@ def tx_upsert_events(
     return _commit(spark, path, manifest)
 
 
+def _select_days(
+    spark: SparkSession, path: str, prev: dict, predicate: str | None
+) -> list[str]:
+    """Resolve the day set a maintenance predicate selects, WITHOUT a
+    full-store scan in the common cases. ``predicate is None`` -> the
+    manifest's own day keys, zero data reads. A predicate that
+    references only ``event_date`` (the common maintenance shape,
+    e.g. ``event_date < '2025-03-01'``) is evaluated against a
+    len(days)-row local frame built from the manifest keys — O(days),
+    not O(data), at any store size. Only a predicate that reads DATA
+    columns (e.g. ``event_type = 'x'``) falls back to scanning the
+    full snapshot for its distinct matching days — that cost is the
+    predicate's contract, not the store's."""
+    all_days = sorted(prev["files"].keys())
+    if predicate is None:
+        return all_days
+    import datetime as _dt
+
+    try:  # Catalyst's own parser names the predicate's column refs
+        parser = getattr(
+            getattr(spark._jvm.org.apache.spark.sql.catalyst.parser,
+                    "CatalystSqlParser$"),
+            "MODULE$",
+        )
+        it = parser.parseExpression(predicate).references().iterator()
+        refs = set()
+        while it.hasNext():
+            refs.add(it.next().name().lower())
+        date_only = refs <= {"event_date"}
+    except Exception:  # unparseable here -> let .where() raise canonically
+        date_only = False
+    if date_only:
+        sel = spark.createDataFrame(
+            [(_dt.date.fromisoformat(d),) for d in all_days], "event_date date"
+        ).where(predicate)
+    else:
+        sel = _snapshot_df(spark, path, prev).where(predicate)
+    return sorted(
+        str(r["event_date"]) for r in sel.select("event_date").distinct().collect()
+    )
+
+
 def tx_compact_partitions(
     spark: SparkSession,
     path: str,
@@ -395,15 +498,13 @@ def tx_compact_partitions(
     SELECTS days (never filters rows — store.py's round-6 lesson is
     inherited); the selected days' full content is rewritten into
     ``target_files_per_day`` files each; one rename swaps all touched
-    days at once. Returns the committed version (unchanged store
-    version if nothing matched)."""
+    days at once. Day selection is manifest-driven for event_date-only
+    predicates (see _select_days) — no full-store scan to pick days.
+    Returns the committed version (unchanged store version if nothing
+    matched)."""
     txid = uuid.uuid4().hex
     prev = _load_manifest(spark, path)
-    snap = _snapshot_df(spark, path, prev)
-    sel = snap.where(predicate) if predicate else snap
-    days = sorted(
-        str(r["event_date"]) for r in sel.select("event_date").distinct().collect()
-    )
+    days = _select_days(spark, path, prev, predicate)
     if not days:
         return prev["version"]
     df = _snapshot_df(spark, path, prev, days)
@@ -440,12 +541,32 @@ def tx_compact_partitions(
     return _commit(spark, path, manifest)
 
 
-def tx_vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> int:
+def tx_vacuum(
+    spark: SparkSession,
+    path: str,
+    keep_versions: int = 2,
+    retention_ms: int = 600_000,
+) -> int:
     """Delete data files not referenced by the newest ``keep_versions``
     manifests, orphaned staging dirs, and older manifests. Returns the
     number of deleted data files. Safe concurrently with readers of
     retained versions (a reader of a vacuumed version fails loudly, as
-    in any table format)."""
+    in any table format).
+
+    Writer concurrency: an IN-FLIGHT transaction's files are not yet
+    referenced by any manifest — a vacuum that raced it could sweep
+    its staged or published-but-uncommitted files, and the writer
+    would then commit a manifest pointing at deleted data (silent
+    corruption, unlike writer-vs-writer races which abort loudly).
+    The guard is ``retention_ms`` (default 10 min, mirroring Delta's
+    VACUUM retention): unreferenced data files and staging dirs whose
+    mtime is younger than the window are SKIPPED, so any transaction
+    that started within it survives. Pass ``retention_ms=0`` only when
+    no writer can be in flight (tests, single-process pipelines) —
+    vacuum-vs-writer mutual exclusion is otherwise the operator's
+    responsibility, exactly as in Delta/Iceberg."""
+    import time
+
     versions = _list_versions(spark, path)
     keep = versions[-max(keep_versions, 1):]
     live: set[str] = set()
@@ -453,6 +574,7 @@ def tx_vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> int:
         m = json.loads(_read_file(spark, _manifest_path(path, v)))
         for rels in m["files"].values():
             live.update(rels)
+    cutoff_ms = int(time.time() * 1000) - max(retention_ms, 0)
     fs, droot, jvm = _jfs(spark, f"{path}/{_DATA_DIR}")
     Path = jvm.org.apache.hadoop.fs.Path
     deleted = 0
@@ -461,16 +583,19 @@ def tx_vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> int:
         doomed = []
         base = droot.toUri().getPath()
         while it.hasNext():
-            f = it.next().getPath()
+            st = it.next()
+            f = st.getPath()
             rel = f.toUri().getPath()[len(base) + 1:]
-            if rel not in live:
+            if rel not in live and st.getModificationTime() <= cutoff_ms:
                 doomed.append(f)
         for f in doomed:
             fs.delete(f, False)
             deleted += 1
     sroot = Path(f"{path}/{_STAGING_DIR}")
     if fs.exists(sroot):
-        fs.delete(sroot, True)
+        for st in fs.listStatus(sroot):
+            if st.getModificationTime() <= cutoff_ms:
+                fs.delete(st.getPath(), True)
     for v in versions[: len(versions) - len(keep)]:
         fs.delete(Path(_manifest_path(path, v)), False)
     return deleted
@@ -494,16 +619,14 @@ def tx_optimize_zorder(
     the new layout in ONE manifest rename. Layout-only by the same
     contract as compaction: the predicate selects days, never rows.
     Dimension ranges come from the selected days' own content (two
-    scalars per dim). Returns the committed version."""
+    scalars per dim). Day selection is manifest-driven for
+    event_date-only predicates (see _select_days). Returns the
+    committed version."""
     from ..operators.zorder import z_interleave, z_normalize
 
     txid = uuid.uuid4().hex
     prev = _load_manifest(spark, path)
-    snap = _snapshot_df(spark, path, prev)
-    sel = snap.where(predicate) if predicate else snap
-    days = sorted(
-        str(r["event_date"]) for r in sel.select("event_date").distinct().collect()
-    )
+    days = _select_days(spark, path, prev, predicate)
     if not days:
         return prev["version"]
     df = _snapshot_df(spark, path, prev, days)

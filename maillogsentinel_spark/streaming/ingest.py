@@ -178,7 +178,11 @@ def start_tx_store_sink(
     commit separately, and a crash mid-append leaves readers on the
     previous snapshot entirely (txstore's crash-injection contract).
     The first batch creates the store; every subsequent batch is one
-    metadata rename regardless of how many day partitions it spans."""
+    metadata rename regardless of how many day partitions it spans.
+    One checkpoint per store: a batch id BEHIND the manifest ledger
+    (a second query, or a fresh-checkpoint restart where ids reset to
+    0) raises instead of silently dropping batches — only the exact
+    last batch id is a legitimate foreachBatch replay."""
     from ..sources.txstore import tx_append_events, tx_write_events
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

@@ -151,7 +151,7 @@ def test_crash_mid_upsert_never_exposes_mixed_state(spark, tmp_path,
     assert tx_upsert_events(spark, path, up) == 2
     by_id = {c[0]: c for c in _content(spark, path)}
     assert by_id[1][3] == 100.0 and by_id[4][3] == 40.0
-    n = tx_vacuum(spark, path, keep_versions=2)
+    n = tx_vacuum(spark, path, keep_versions=2, retention_ms=0)
     assert _content(spark, path) == sorted(by_id.values())
     if point != "staged":  # post-staging crashes leave published orphans
         assert n >= (1 if point == "mid-publish" else 0)
@@ -179,6 +179,157 @@ def test_concurrent_commit_detected(spark, tmp_path):
     with pytest.raises(ConcurrentCommitError):
         txstore._commit(spark, path, loser)
     assert txstore._load_manifest(spark, path)["txid"] == "winner"
+
+
+def test_concurrent_appends_both_commit_via_rebase(spark, tmp_path,
+                                                   monkeypatch):
+    """Two interleaved appends must BOTH commit: appends never replace
+    files, so the rename-race loser rebases onto the new head (re-merge
+    the file map, retry the rename) instead of aborting. Simulated by
+    injecting a competing real append between the outer append's
+    manifest build and its rename attempt."""
+    path = _store(spark, tmp_path)  # v1
+    real_commit = txstore._commit
+    state = {"raced": False}
+
+    def racing_commit(spark_, root, manifest):
+        if not state["raced"] and manifest["operation"] == "append":
+            state["raced"] = True  # guard before recursing
+            tx_append_events(  # the competing writer wins the race
+                spark_, root, spark_.createDataFrame([_ev(6, 2, 14, 6.0)])
+            )
+        return real_commit(spark_, root, manifest)
+
+    monkeypatch.setattr(txstore, "_commit", racing_commit)
+    v = tx_append_events(spark, path, spark.createDataFrame([_ev(5, 1, 13, 5.0)]))
+    assert v == 3  # winner took v2; loser rebased onto it and took v3
+    assert [c[0] for c in _content(spark, path)] == [1, 2, 3, 4, 5, 6]
+    m = txstore._load_manifest(spark, path)
+    assert m["operation"] == "append" and m["parent"] == 2
+
+
+def test_concurrent_append_rebase_carries_ledger(spark, tmp_path, monkeypatch):
+    """A rebased STREAMING append must still land its batch id, and a
+    rebase that discovers its batch id already committed on the new
+    head must no-op (replay) rather than double-commit."""
+    path = _store(spark, tmp_path)
+    tx_append_events(spark, path, spark.createDataFrame([_ev(5, 1, 13, 5.0)]),
+                     batch_id=0)
+    real_commit = txstore._commit
+    state = {"raced": False}
+
+    def racing_commit(spark_, root, manifest):
+        if not state["raced"] and manifest.get("last_batch_id") == 1:
+            state["raced"] = True
+            tx_append_events(spark_, root,
+                             spark_.createDataFrame([_ev(7, 2, 15, 7.0)]))
+        return real_commit(spark_, root, manifest)
+
+    monkeypatch.setattr(txstore, "_commit", racing_commit)
+    tx_append_events(spark, path, spark.createDataFrame([_ev(6, 2, 14, 6.0)]),
+                     batch_id=1)
+    m = txstore._load_manifest(spark, path)
+    assert m["last_batch_id"] == 1  # rebased commit still carries the id
+    assert [c[0] for c in _content(spark, path)] == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_concurrent_upsert_still_aborts(spark, tmp_path, monkeypatch):
+    """UPSERT replaces file sets — losing the rename race is a TRUE
+    conflict (the head it merged against is gone) and must abort with
+    ConcurrentCommitError, never rebase."""
+    path = _store(spark, tmp_path)
+    real_commit = txstore._commit
+    state = {"raced": False}
+
+    def racing_commit(spark_, root, manifest):
+        if not state["raced"] and manifest["operation"] == "upsert":
+            state["raced"] = True
+            tx_append_events(spark_, root,
+                             spark_.createDataFrame([_ev(6, 2, 14, 6.0)]))
+        return real_commit(spark_, root, manifest)
+
+    monkeypatch.setattr(txstore, "_commit", racing_commit)
+    with pytest.raises(ConcurrentCommitError):
+        tx_upsert_events(spark, path,
+                         spark.createDataFrame([_ev(1, 1, 10, 99.0)]))
+    by_id = {c[0]: c for c in _content(spark, path)}
+    assert by_id[1][3] == 1.0  # the aborted upsert left no trace
+    assert 6 in by_id          # the racing append won
+
+
+def test_ledger_regression_raises(spark, tmp_path):
+    """batch_id == last is the one legitimate foreachBatch replay;
+    batch_id < last means a second query / fresh checkpoint is writing
+    to this store and must fail loudly, not silently drop batches."""
+    path = _store(spark, tmp_path)
+    tx_append_events(spark, path, spark.createDataFrame([_ev(5, 1, 13, 5.0)]),
+                     batch_id=7)
+    v = tx_current_version(spark, path)
+    # exact replay: no-op
+    assert tx_append_events(spark, path,
+                            spark.createDataFrame([_ev(5, 1, 13, 5.0)]),
+                            batch_id=7) == v
+    # regression: a fresh checkpoint restarts ids at 0 -> loud failure
+    with pytest.raises(ValueError, match="behind the store ledger"):
+        tx_append_events(spark, path,
+                         spark.createDataFrame([_ev(8, 1, 13, 8.0)]),
+                         batch_id=0)
+    assert tx_current_version(spark, path) == v
+
+
+def test_vacuum_age_gate_protects_inflight_files(spark, tmp_path,
+                                                 monkeypatch):
+    """The retention window (default 10 min) must keep a concurrent
+    IN-FLIGHT transaction's published-but-uncommitted data files and
+    staging dirs alive: a racing vacuum skips anything younger than
+    the window, so the writer can still commit. retention_ms=0
+    (explicit single-writer mode) sweeps them."""
+    path = _store(spark, tmp_path)
+    # kill a transaction right after its first publish rename: leaves
+    # >=1 published-but-unreferenced data file AND a staging dir —
+    # exactly what an in-flight writer looks like to a racing vacuum
+    _crash_at(monkeypatch, "mid-publish")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        tx_upsert_events(spark, path,
+                         spark.createDataFrame([_ev(1, 1, 10, 100.0)]))
+    monkeypatch.setattr(txstore, "_fault", lambda p: None)
+    staging = os.path.join(path, "_staging")
+    assert os.listdir(staging)  # the in-flight txid's staging dir
+    # default retention: the seconds-old orphans are NOT touched
+    assert tx_vacuum(spark, path, keep_versions=1) == 0
+    assert os.listdir(staging)
+    # explicit retention_ms=0 (no writers in flight): swept
+    assert tx_vacuum(spark, path, keep_versions=1, retention_ms=0) >= 1
+    assert not (os.path.exists(staging) and os.listdir(staging))
+    assert [c[0] for c in _content(spark, path)] == [1, 2, 3, 4]
+
+
+def test_compaction_day_selection_is_manifest_driven(spark, tmp_path,
+                                                     monkeypatch):
+    """An event_date-only predicate must pick its days from the
+    manifest KEYS (O(days) driver-side), never a full-snapshot scan —
+    asserted by making the data files unreadable-by-content: if the
+    day selection scanned rows it would read these files."""
+    path = _store(spark, tmp_path)
+    calls = []
+    real = txstore._snapshot_df
+
+    def counting(spark_, root, manifest, days=None):
+        calls.append(days)
+        return real(spark_, root, manifest, days)
+
+    monkeypatch.setattr(txstore, "_snapshot_df", counting)
+    v = tx_compact_partitions(spark, path, 1,
+                              predicate="event_date <= '2025-03-02'")
+    assert v == 2
+    # only the day-sliced rewrite read data; no days=None full scan
+    assert calls and all(d is not None for d in calls)
+    m = txstore._load_manifest(spark, path)
+    assert len(m["files"]["2025-03-01"]) == 1
+    calls.clear()
+    # predicate=None never scans for day selection either
+    tx_compact_partitions(spark, path, 1)
+    assert calls and all(d is not None for d in calls)
 
 
 def test_vacuum_respects_retention_then_expires(spark, tmp_path):
@@ -219,7 +370,7 @@ def test_schema_drift_rejected_before_staging(spark, tmp_path):
         tx_upsert_events(spark, path, drifted)
     assert tx_current_version(spark, path) == 1
     # no orphan staging/data residue beyond the original snapshot
-    assert tx_vacuum(spark, path, keep_versions=1) == 0
+    assert tx_vacuum(spark, path, keep_versions=1, retention_ms=0) == 0
 
 
 def test_optimize_zorder_layout_only_and_atomic(spark, tmp_path, monkeypatch):
@@ -241,15 +392,19 @@ def test_optimize_zorder_layout_only_and_atomic(spark, tmp_path, monkeypatch):
     _crash_at(monkeypatch, "pre-commit")
     with pytest.raises(RuntimeError, match="injected crash"):
         tx_optimize_zorder(spark, path, dims=("user_id", "value"),
-                           target_files_per_day=4)
+                           target_files_per_day=16)
     assert _content(spark, path) == before
     monkeypatch.setattr(txstore, "_fault", lambda p: None)
     v = tx_optimize_zorder(spark, path, dims=("user_id", "value"),
-                           target_files_per_day=4)
+                           target_files_per_day=16)
     assert v == 2
     assert _content(spark, path) == before  # layout-only
     # z-clustering evidence: per-file user_id spans shrink vs the 0-63
-    # full-range files the unclustered write produced
+    # full-range files the unclustered write produced. 16 z-range files
+    # = 4 Morton bits = 2 bits per dim, so the ideal per-file span is
+    # ~63/4 ≈ 15.75; assert half the unclustered span with margin for
+    # range-boundary sampling noise (a 4-file split ideally spans 31.5
+    # per dim — indistinguishable from noise, the old flaky shape).
     import pyarrow.parquet as pq
 
     m = txstore._load_manifest(spark, path)
@@ -258,8 +413,8 @@ def test_optimize_zorder_layout_only_and_atomic(spark, tmp_path, monkeypatch):
         t = pq.read_table(f"{path}/data/{rel}", columns=["user_id"])
         u = t.column("user_id").to_pylist()
         spans.append(max(u) - min(u))
-    assert len(spans) >= 2
-    assert sum(spans) / len(spans) <= 32  # vs 63 without clustering
+    assert len(spans) >= 4
+    assert sum(spans) / len(spans) <= 26  # ideal ~15.75, unclustered 63
 
 
 def test_streaming_tx_sink_exactly_once(spark, tmp_path):
