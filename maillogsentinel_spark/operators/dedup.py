@@ -87,6 +87,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
     df_cap: int | None = None,
     shingle_rows: DataFrame | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """All pairs with k-shingle Jaccard ≥ threshold.
 
@@ -94,9 +95,22 @@ def ngram_jaccard_pairs(
     every qualifying pair shares ≥1 shingle, so the shingle equi-join
     finds all of them; no candidate is missed (unlike LSH).
 
+    The default path (``prefix_filter=True``, no df_cap) enumerates
+    candidates by PREFIX FILTERING — same result set, but the shuffle
+    cost no longer grows with the square of boilerplate-shingle
+    document frequency (see ``_jaccard_pairs_prefix``). ``df_cap``
+    forces the naive scaffold because the cap CHANGES the measure
+    (shingles in > df_cap docs stop counting toward the intersection),
+    and the prefix bound is only valid for the unmodified measure.
+
     ``shingle_rows``: optional pre-built (id, sh) distinct shingle table
     (signatures.doc_shingle_rows output, ideally persisted) so callers
     running several shingle consumers in one session build it once."""
+    if prefix_filter and df_cap is None:
+        return _jaccard_pairs_prefix(
+            docs, id_col, text_col, k, threshold, shingle_rows
+        ).orderBy("id_a", "id_b")
+
     def derive(stats: DataFrame) -> DataFrame:
         return (
             stats.withColumn(
@@ -115,6 +129,106 @@ def ngram_jaccard_pairs(
         docs, id_col, text_col, k, df_cap, shingle_rows, derive=derive
     )
     return jac.orderBy("id_a", "id_b")
+
+
+def _jaccard_pairs_prefix(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    threshold: float,
+    shingle_rows: DataFrame | None,
+) -> DataFrame:
+    """Exact Jaccard pairs via prefix filtering (Bayardo/Ma/Srikant,
+    "Scaling Up All Pairs Similarity Search", WWW'07; Chaudhuri et al.
+    SSJoin, ICDE'06) — identical output to the naive shingle self-join.
+
+    Why it is exact: jaccard(A,B) ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|),
+    so the overlap is at least α_X = ⌈t·|X|⌉ for BOTH docs. Order every
+    document's shingles by one global total order and keep only the
+    first |X| − α_X + 1 of them (the prefix): two sets with overlap ≥ α
+    must share an element inside their (len − α + 1)-prefixes (if they
+    didn't, all common elements would sit in one doc's (α−1)-suffix —
+    fewer than α of them). Joining prefixes therefore finds every
+    qualifying pair; a separate verification join then computes the
+    EXACT intersection over the full shingle sets, so no false positive
+    survives either. The measure is unchanged — the DuckDB oracle stays
+    the unmodified naive self-join.
+
+    Why it is fast: the global order is ASCENDING document frequency, so
+    boilerplate shingles (the df² blowup in the naive join) sort to the
+    tail of every document and fall out of the prefixes. Candidate cost
+    drops from Σ_sh df(sh)² to Σ_sh df_prefix(sh)², plus a length filter
+    (t·|A| ≤ |B| ≤ |A|/t) inside the join condition; verification costs
+    |candidates| × avg-doc-shingles keyed equi-join rows. Every stage is
+    a keyed shuffle — no all-pairs, no driver state.
+
+    Float hygiene: ⌈t·n⌉ and the length bounds are computed with a 1e-9
+    slack so IEEE noise (0.3·10 = 3.0000000000000004) can only LENGTHEN
+    a prefix / WIDEN the length window — toward a superset of
+    candidates, never a miss. The final jaccard ≥ t filter uses the
+    same double arithmetic as the oracle, so survivors match exactly.
+    """
+    from pyspark.sql import Window
+
+    standalone = shingle_rows is None
+    sh = _doc_shingles(docs, id_col, text_col, k, None, rows=shingle_rows)
+    if standalone:
+        sh = sh.cache()
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    by_id = Window.partitionBy("id")
+    ranked = (
+        sh.join(dfreq, "sh")
+        .withColumn("rn", F.row_number().over(by_id.orderBy("df", "sh")))
+        .withColumn("n", F.count(F.lit(1)).over(by_id))
+    )
+    alpha = F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-9))
+    prefix = ranked.filter(F.col("rn") <= F.col("n") - alpha + 1).select(
+        "id", "sh", "n"
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.n") >= F.col("a.n") * threshold - 1e-9)
+            & (F.col("a.n") >= F.col("b.n") * threshold - 1e-9),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), "sh")
+    sb = sh.select(F.col("id").alias("id_b"), "sh")
+    common = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    stats = (
+        common.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a"
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b"
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    if standalone:
+        stats = stats.localCheckpoint(eager=True)
+        sh.unpersist()
+    return stats
 
 
 def _pair_overlap_stats(

@@ -5,9 +5,10 @@ T.81 / ISO 10918-1): sequential baseline (SOF0/1) AND progressive
 (SOF2) — spectral selection, successive approximation, DC/AC first
 and refinement scans, EOB runs per Annex G — over 8×8 DCT blocks,
 8-bit or 12-bit samples (extended sequential SOF1 for 12-bit),
-grayscale or YCbCr color at 4:4:4, 4:2:2 or 4:2:0 chroma subsampling
-(MCU interleave per A.2.3, integer-ratio replicate upsample), optional
-restart intervals. The encoders and the decoder share every table-construction
+grayscale or YCbCr color at ANY T.81 sampling-factor combination —
+4:4:4, 4:2:2, 4:2:0 and non-integer ratios like luma 3×1 / chroma 2×1
+(MCU interleave per A.2.3, nearest index-map upsample, which reduces
+to replication for integer ratios), optional restart intervals. The encoders and the decoder share every table-construction
 helper (zigzag, canonical huffman, DCT basis), so the bytes on the
 wire are real JPEG structure — SOI/DQT/SOF/DHT/SOS/EOI segments a
 third-party decoder would accept — while the pairs stay
@@ -18,8 +19,8 @@ contract).
 
 What is honestly NOT here (documented NotImplementedError gates, same
 policy as the BMP/PNG/WAV codecs in operators/multimodal.py):
-arithmetic-coded, lossless, and hierarchical JPEGs, 16-bit precision,
-and non-integer sampling ratios.
+arithmetic-coded, lossless, and hierarchical JPEGs, and 16-bit
+precision.
 
 Exactness contract used by the oracle query (multimodal_jpeg_decode):
 with the all-ones quantization table, an image whose every 8×8 block is
@@ -287,6 +288,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     subsampling: tuple[int, int] = (1, 1),
     precision: int = 8,
+    chroma_sampling: tuple[int, int] = (1, 1),
 ) -> bytes:
     """(H, W) uint8 grayscale or (H, W, 3) uint8 RGB → baseline JPEG
     (flat quantization table of ``quant_value``, Annex-K typical
@@ -294,11 +296,15 @@ def encode_jpeg(
     ``subsampling`` = luma sampling factors (h, v): (1, 1) is 4:4:4,
     (2, 2) is 4:2:0, (2, 1) is 4:2:2 — chroma is box-averaged down and
     each MCU interleaves h×v luma blocks with one block per chroma
-    component (spec A.2.3)."""
+    component (spec A.2.3). ``chroma_sampling`` lifts the implicit
+    (1, 1) chroma factors: e.g. luma (3, 1) + chroma (2, 1) produces a
+    NON-INTEGER 3:2 luma:chroma ratio (T.81 allows any 1-4 factors);
+    fractional ratios downsample by nearest-sample index map, integer
+    ratios keep the box average."""
     if precision not in (8, 12):
         raise ValueError("precision must be 8 or 12")
     planes, samps, h, w, mcuy, mcux = _component_planes(
-        pixels, subsampling, precision
+        pixels, subsampling, precision, chroma_sampling
     )
     level = float(1 << (precision - 1))
     ncomp = len(planes)
@@ -358,16 +364,23 @@ def encode_jpeg(
 
 
 def _component_planes(
-    pixels: np.ndarray, subsampling: tuple[int, int], precision: int = 8
+    pixels: np.ndarray,
+    subsampling: tuple[int, int],
+    precision: int = 8,
+    chroma_sampling: tuple[int, int] = (1, 1),
 ) -> tuple[list[np.ndarray], list[tuple[int, int]], int, int, int, int]:
     """Shared encoder front half before the DCT: color transform,
-    chroma downsampling (box average over the sampling tile), and
-    edge padding of every component plane to its MCU-aligned block
+    chroma downsampling (box average over the sampling tile for integer
+    luma:chroma ratios, nearest-sample index map for fractional ones),
+    and edge padding of every component plane to its MCU-aligned block
     grid. Returns (planes, per-comp (h_i, v_i), h, w, mcuy, mcux) —
     plane[ci] has shape (mcuy*v_i*8, mcux*h_i*8)."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     sh, sv = (1, 1) if gray else subsampling
+    ch, cv = (1, 1) if gray else chroma_sampling
+    if ch > sh or cv > sv:
+        raise ValueError("chroma sampling factors must not exceed luma's")
     if gray:
         planes = [pixels.astype(np.float64)]
         samps = [(1, 1)]
@@ -378,15 +391,32 @@ def _component_planes(
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + center
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + center
-        if (sh, sv) != (1, 1):
-            # pad to the tile multiple, then box-average each tile
-            th, tw = -(-h // sv) * sv, -(-w // sh) * sh
-            def down(p):
-                p = np.pad(p, ((0, th - h), (0, tw - w)), mode="edge")
-                return p.reshape(th // sv, sv, tw // sh, sh).mean(axis=(1, 3))
+        if (sh, sv) != (ch, cv):
+            if sh % ch == 0 and sv % cv == 0:
+                # integer ratio: pad to the tile multiple, then
+                # box-average each (sv/cv)×(sh/ch) tile
+                tv, tu = sv // cv, sh // ch
+                th, tw = -(-h // tv) * tv, -(-w // tu) * tu
+
+                def down(p):
+                    p = np.pad(p, ((0, th - h), (0, tw - w)), mode="edge")
+                    return p.reshape(th // tv, tv, tw // tu, tu).mean(
+                        axis=(1, 3)
+                    )
+            else:
+                # fractional ratio (e.g. 3:2): nearest-sample subsample —
+                # chroma sample (y, x) reads full-res (y·sv/cv, x·sh/ch)
+                # floored; the decoder's index-map upsample is its exact
+                # inverse on content constant over the sampling tile
+                rows = np.arange(-(-h * cv // sv)) * sv // cv
+                cols = np.arange(-(-w * ch // sh)) * sh // ch
+
+                def down(p):
+                    return p[np.ix_(rows, cols)]
+
             cb, cr = down(cb), down(cr)
         planes = [y, cb, cr]
-        samps = [(sh, sv), (1, 1), (1, 1)]
+        samps = [(sh, sv), (ch, cv), (ch, cv)]
     mcux = -(-w // (8 * sh))
     mcuy = -(-h // (8 * sv))
     out = []
@@ -676,10 +706,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     (SOF0/1) AND progressive (SOF2: spectral selection + successive
     approximation, DC/AC first and refinement scans, EOB runs — T.81
     Annex G), 8-bit or 12-bit precision (12-bit scales to the uint8
-    output by its high byte), grayscale or color at 4:4:4/4:2:2/4:2:0
-    (any integer-ratio sampling), restart markers; raises
-    NotImplementedError for arithmetic-coded/hierarchical/lossless/
-    non-integer-ratio streams. Truncated payloads raise ValueError
+    output by its high byte), grayscale or color at ANY sampling-factor
+    combination (4:4:4/4:2:2/4:2:0 and non-integer ratios), restart
+    markers; raises NotImplementedError for arithmetic-coded/
+    hierarchical/lossless streams. Truncated payloads raise ValueError
     (the codecs' honest-gate contract), never a bare IndexError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -931,11 +961,6 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 samps.append((hi, vi))
             hmax = max(s[0] for s in samps)
             vmax = max(s[1] for s in samps)
-            for hi, vi in samps:
-                if hmax % hi or vmax % vi:
-                    raise NotImplementedError(
-                        "non-integer JPEG sampling ratios unsupported"
-                    )
             st["samp"] = samps
             st["mcux"] = -(-w // (8 * hmax))
             st["mcuy"] = -(-h // (8 * vmax))
@@ -994,9 +1019,19 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
         plane = plane[:ch_i, :cw_i]
         hi, vi = st["samp"][ci]
         if (hi, vi) != (hmax, vmax):
-            plane = np.repeat(
-                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
-            )
+            # nearest-neighbor upsample by index map: output pixel (y, x)
+            # reads component sample (y·v_i/vmax, x·h_i/hmax) floored —
+            # for integer ratios r this is exactly np.repeat(plane, r)
+            # (y·v_i//(r·v_i) = y//r), and it generalizes to NON-INTEGER
+            # sampling ratios (e.g. luma 3×1 with chroma 2×1 → 3/2): the
+            # map is monotone and lands in-bounds because the component
+            # dimension is ⌈full·v_i/vmax⌉ (A.1.1), so (full−1)·v_i//vmax
+            # ≤ comp_dim − 1 always
+            plane = plane[
+                np.ix_(
+                    np.arange(h) * vi // vmax, np.arange(w) * hi // hmax
+                )
+            ]
         planes.append(plane[:h, :w])
     # output contract stays (H, W, 3) uint8: 12-bit samples scale down
     # by their high 8 bits (>> 4), same convention as 16-bit PNG

@@ -928,12 +928,12 @@ def decode_image(payload: bytes) -> np.ndarray:
     zlib + numpy unfilter — every depth 1/2/4/8/16 × gray/RGB/RGBA/
     palette combination the spec defines, sequential or Adam7), JPEG
     (operators/jpeg.py — baseline SOF0/1 AND progressive SOF2 per
-    T.81, 8/12-bit, at 4:4:4/4:2:2/4:2:0 chroma sampling) and GIF
-    (operators/gif.py — real variable-width LZW, interlaced and
-    composited sub-frames) decode for real. The remaining TRUE gates
-    raise inside their codec — arithmetic/lossless/hierarchical JPEG,
-    non-integer sampling ratios, exotic BMP variants — and unknown
-    magic raises here."""
+    T.81, 8/12-bit, at any sampling-factor combination including
+    non-integer ratios) and GIF (operators/gif.py — real
+    variable-width LZW, interlaced and composited sub-frames) decode
+    for real. The remaining TRUE gates raise inside their codec —
+    arithmetic/lossless/hierarchical JPEG, exotic BMP variants — and
+    unknown magic raises here."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_SIGNATURE:

@@ -2145,6 +2145,63 @@ def q_multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_frac_decode",
+    oracle="""
+    WITH jj AS (SELECT unnest(range(6)) AS j),
+    v AS (SELECT doc_id, j, (doc_id * 11 + 37 * j) % 256 AS val
+          FROM documents CROSS JOIN jj)
+    SELECT doc_id AS media_id, 48 AS width, 8 AS height,
+           (192 * sum(val))::BIGINT AS px_sum,
+           192 * sum(val) / 1152.0 AS px_mean,
+           max(CASE WHEN j = 0 THEN val END)::INT AS tl_r,
+           (8 * sum(val))::BIGINT AS row0_r_sum
+    FROM v GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def q_multimodal_jpeg_frac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-INTEGER-sampling-ratio JPEG decode, value-pinned — the
+    round-9 closure of the last JPEG sampling gate (T.81 allows any
+    1-4 sampling factors; nothing requires h_i | hmax): per doc, an
+    8×48 COLOR image of gray-valued 8-wide stripes (stripe j =
+    (doc_id*11+37j)%256 on all three channels) encodes with luma 3×1
+    and chroma 2×1 — a FRACTIONAL 3:2 luma:chroma ratio, so each MCU
+    interleaves three luma blocks with TWO blocks per chroma component
+    and the decoder's upsample must be the index map x·h_i/hmax (an
+    integer replication factor does not exist). Gray pixels keep the
+    chroma planes constant-128, so every block is DC-only and
+    integer-exact end-to-end: the oracle recomputes the stats from the
+    stripe formula, and a mis-ordered MCU unit, an off-by-one in the
+    fractional index map, or chroma bleed each fails the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import image_stats
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                vals = (did * 11 + 37 * np.arange(6)) % 256
+                img = np.repeat(vals, 8)[None, :].repeat(8, axis=0)
+                rgb = np.repeat(
+                    img.astype(np.uint8)[:, :, None], 3, axis=2
+                )
+                payloads.append(
+                    encode_jpeg(
+                        rgb, 1, subsampling=(3, 1), chroma_sampling=(2, 1)
+                    )
+                )
+                ids.append(did)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return image_stats(media).orderBy("media_id")
+
+
+@query(
     "multimodal_png_subbyte_decode",
     oracle="""
     WITH rr AS (SELECT unnest(range(6)) AS r),
@@ -2387,7 +2444,7 @@ def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_gate_registry",
     oracle="""
-    WITH f AS (SELECT doc_id % 12 AS k, count(*) AS n
+    WITH f AS (SELECT doc_id % 13 AS k, count(*) AS n
                FROM documents GROUP BY 1)
     SELECT CASE k WHEN 0 THEN 'bmp'            WHEN 1 THEN 'gif'
                   WHEN 2 THEN 'gif_interlaced' WHEN 3 THEN 'gif_oob_frame'
@@ -2397,6 +2454,7 @@ def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN 8 THEN 'png_subbyte'
                   WHEN 9 THEN 'adpcm_stereo'
                   WHEN 10 THEN 'jpeg_420'
+                  WHEN 11 THEN 'jpeg_frac'
                   ELSE 'jpeg_12bit' END AS format,
            CASE k WHEN 3 THEN 'invalid' WHEN 4 THEN 'invalid'
                   WHEN 5 THEN 'gated'   WHEN 6 THEN 'gated'
@@ -2407,11 +2465,12 @@ def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The honest-gate POLICY itself as an oracle row: a mixed binary
-    column cycling (doc_id % 12) through decodable payloads (BMP;
-    GIF including interlaced and composited sub-frames; and — the
-    round-8 contract change — progressive JPEG, 4:2:0-subsampled JPEG,
+    column cycling (doc_id % 13) through decodable payloads (BMP;
+    GIF including interlaced and composited sub-frames; the round-8
+    contract change — progressive JPEG, 4:2:0-subsampled JPEG,
     12-bit JPEG, sub-byte PNG and stereo IMA ADPCM, each formerly
-    gated, now decoding for real),
+    gated, now decoding for real; and the round-9 change —
+    NON-INTEGER sampling ratios, luma 3×1 with chroma 2×1),
     variants the codecs must REFUSE with NotImplementedError (an MP3
     frame — genuinely lib-bound, unlike the WAV family where
     PCM/μ-law/IMA/MS-ADPCM decode for real in mono AND multi-channel —
@@ -2473,6 +2532,9 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("adpcm_stereo", lambda d: _stereo_ima_payload(d)),
         # 4:2:0 chroma subsampling decodes for real too (round 8)
         ("jpeg_420", lambda d: _jpeg420_payload(d)),
+        # round 9: NON-INTEGER sampling ratio (luma 3×1, chroma 2×1 →
+        # 3:2), formerly the last sampling gate
+        ("jpeg_frac", lambda d: _jpeg_frac_payload(d)),
         # ... and so does 12-bit precision (SOF1 extended sequential)
         ("jpeg_12bit", lambda d: _jpeg12_payload(d)),
     ]
@@ -2511,6 +2573,14 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         img = np.full((8, 8), (d * 419) % 4096, dtype=np.uint16)
         return encode_jpeg(img, 1, precision=12)
 
+    def _jpeg_frac_payload(d: int) -> bytes:
+        from ..operators.jpeg import encode_jpeg
+
+        img = np.full((8, 24, 3), (d * 29) % 256, dtype=np.uint8)
+        return encode_jpeg(
+            img, 1, subsampling=(3, 1), chroma_sampling=(2, 1)
+        )
+
     def _stereo_ima_payload(d: int) -> bytes:
         from ..operators.multimodal import encode_wav_ima
 
@@ -2520,7 +2590,7 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         return encode_wav_ima(sig, block_align=72)
 
     def outcome(did: int):
-        fmt, make = CASES[did % 12]
+        fmt, make = CASES[did % 13]
         payload = make(did)
         try:
             if payload[:4] == b"RIFF" or payload[:3] == b"ID3":
@@ -2538,10 +2608,10 @@ def q_multimodal_gate_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             # One REAL synth+decode per distinct k per Arrow batch — the
             # payload (and thus the gate outcome) is a constant of
-            # k = doc_id % 12 for every case except bmp, whose payloads
+            # k = doc_id % 13 for every case except bmp, whose payloads
             # are all valid by construction; decoding every row repeated
-            # the identical codec call ~n/12 times for no extra evidence.
-            ks = (pdf["doc_id"].astype("int64") % 12).to_numpy()
+            # the identical codec call ~n/13 times for no extra evidence.
+            ks = (pdf["doc_id"].astype("int64") % 13).to_numpy()
             per_k = {}
             seen = set()
             for i, k in enumerate(ks):
@@ -10138,11 +10208,15 @@ GRADED_PREFIX: list[str] = [
     # codec oracles join — progressive SOF2, 4:2:0 MCU interleave,
     # sub-byte PNG, G.711 A-law, stereo ADPCM — and the synthetic
     # multimodal_features rep (green since round 1) retires: every
-    # remaining row is a REAL decode
-    "multimodal_bmp_decode",
+    # remaining row is a REAL decode. Mid-round-9: the NEW non-integer-
+    # sampling-ratio decode (the last JPEG sampling gate, now closed)
+    # joins on arrival; multimodal_bmp_decode (the simplest decode,
+    # green since round 4) retires just past the window — real BMP
+    # decodes stay graded via the gate registry's bmp rows
     "multimodal_gif_decode",
     "multimodal_pjpeg_decode",
     "multimodal_jpeg420_decode",
+    "multimodal_jpeg_frac_decode",
     "multimodal_png_subbyte_decode",
     "multimodal_alaw_decode",
     "multimodal_adpcm_stereo_decode",
@@ -10196,6 +10270,10 @@ _NEXT = [
     "kmeans_assign",
     "dedup_graph_pagerank",      # its sf1-exact sliced twin is in-window
     "multimodal_features",
+    # mid-round-9 rotation OUT: the simplest decode (green since round
+    # 4) retires for the new non-integer-sampling JPEG decode; the gate
+    # registry keeps driving a real BMP decode in-window
+    "multimodal_bmp_decode",
     "doc_fingerprint",
     "doc_shingle_novelty",
     # round-8 rotation OUT: four long-green rows (graded green since

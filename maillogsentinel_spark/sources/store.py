@@ -9,6 +9,39 @@ partition, not the store.
 Byte-compat CSV emitter kept for parity with the reference's
 ``maillogsentinel.csv``: ``;`` delimiter, QUOTE_MINIMAL, header, column
 order from parser.py:109-121, `dd/MM/yyyy HH:mm` date strings.
+
+WHICH STORE DO I USE? — decision matrix vs ``sources/txstore.py``
+(the transactional manifest store). **txstore is the default for any
+mutating maintenance**; this module is the raw-layout path:
+
+===================  =======================  =========================
+concern              store.py (raw parquet)   txstore.py (manifest)
+===================  =======================  =========================
+MERGE / compact /    per-partition dynamic    DEFAULT — one atomic
+zorder               overwrite; a crash can   manifest rename commits
+                     mix days until re-run    all touched days or none
+crash of a multi-    mixed store possible     impossible: readers only
+day commit           (docstring caveat)       see committed manifests
+emptied day after    stale files linger       day absent from manifest
+MERGE                (needs special-casing)   by construction
+time travel /        none                     ``version=`` reads,
+exactly-once sink                             in-manifest batch ledger
+interop: files       plain                    any engine can read
+readable by plain    ``spark.read.parquet``   ``data/`` but only via
+``spark.read``       just works               the manifest file list
+appends from MANY    fine (blind append,      appends rebase-and-retry;
+writers              no coordination)         replacing writers abort
+cost per commit      zero metadata            one JSON write + rename
+===================  =======================  =========================
+
+Keep using this module when you need (a) the byte-compat CSV sink
+(reference parity), (b) a plain partitioned parquet layout that
+external readers consume directly with no manifest protocol, or
+(c) blind multi-writer appends with no read-consistency requirement.
+For everything that REWRITES data, reach for txstore — both paths keep
+graded oracles (`store_maintenance_roundtrip` here,
+`store_tx_roundtrip` / `tx_time_travel_diff` there), so the raw path
+stays verified for the interop cases above.
 """
 
 from __future__ import annotations

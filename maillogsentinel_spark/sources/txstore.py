@@ -57,6 +57,11 @@ conflict matrix.
 
 The reference cannot express any of this — its store is one
 append-only CSV (report.py:89-93 re-reads it whole every run).
+
+This module is the DEFAULT maintenance path (MERGE / compaction /
+Z-order / streaming sink). ``sources/store.py`` remains the raw-layout
+alternative for plain-parquet interop and blind appends — the decision
+matrix lives in its module docstring.
 """
 
 from __future__ import annotations

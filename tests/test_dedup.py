@@ -87,6 +87,49 @@ def test_df_cap_drops_hot_shingles(spark):
     assert len(capped) < len(uncapped)
 
 
+def _jac_set(df):
+    return {(r["id_a"], r["id_b"]): r["jaccard"] for r in df.collect()}
+
+
+def test_prefix_filter_matches_naive(spark):
+    # the prefix-filtered path must be RESULT-IDENTICAL to the naive
+    # shingle self-join on a corpus built to stress its pruning rules:
+    # heavy shared boilerplate (df skew → short prefixes), df ties
+    # (order degeneracy), and a subset pair sitting exactly on the
+    # length-filter boundary
+    docs = spark.createDataFrame(
+        [(i, f"shared boilerplate header text unique{i} tail{i} extra{i} more{i}")
+         for i in range(8)]
+        + [
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),
+            (101, "alpha beta gamma delta epsilon"),   # subset of 100
+            (102, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 100
+        ],
+        ["doc_id", "text"],
+    )
+    for t in (0.2, 0.3, 0.5, 0.8):
+        fast = _jac_set(ngram_jaccard_pairs(docs, k=3, threshold=t))
+        naive = _jac_set(
+            ngram_jaccard_pairs(docs, k=3, threshold=t, prefix_filter=False)
+        )
+        assert fast == naive, f"threshold {t}: {fast} != {naive}"
+
+
+def test_prefix_filter_pair_found_via_common_shingles_only(spark):
+    # a qualifying pair whose ONLY shared shingles are the corpus's
+    # most frequent ones — a df-cap would lose it, prefix filtering
+    # must not (the shared shingles still head the prefix when the
+    # docs contain nothing rarer in front of them)
+    docs = spark.createDataFrame(
+        [(i, "very common phrase here indeed") for i in (1, 2, 3, 4)]
+        + [(5, "totally different words elsewhere now")],
+        ["doc_id", "text"],
+    )
+    pairs = _jac_set(ngram_jaccard_pairs(docs, k=3, threshold=0.9))
+    assert pairs[(1, 2)] == 1.0 and pairs[(3, 4)] == 1.0
+    assert not any(5 in p for p in pairs)
+
+
 def test_embedding_pairs(spark):
     emb = spark.createDataFrame(
         [

@@ -37,11 +37,15 @@ def test_prefix_families_covered():
     # round-8: the two lossy ADPCM recurrence oracles + the honest-gate
     # policy row; round-9 (verdict #1): the five never-graded r8 codec
     # oracles join and the synthetic multimodal_features rep retires —
-    # every graded multimodal row is now a REAL decode
-    assert {"multimodal_bmp_decode", "multimodal_gif_decode",
+    # every graded multimodal row is now a REAL decode. Mid-round-9:
+    # the non-integer-sampling JPEG decode (last sampling gate, now
+    # closed) joins on arrival; multimodal_bmp_decode retires (real BMP
+    # decodes stay graded via the gate registry's bmp rows)
+    assert {"multimodal_gif_decode",
             "multimodal_adpcm_decode", "multimodal_ms_adpcm_decode",
             "multimodal_gate_registry", "multimodal_pjpeg_decode",
-            "multimodal_jpeg420_decode", "multimodal_png_subbyte_decode",
+            "multimodal_jpeg420_decode", "multimodal_jpeg_frac_decode",
+            "multimodal_png_subbyte_decode",
             "multimodal_alaw_decode",
             "multimodal_adpcm_stereo_decode"} <= p
     # round-8: the full join-mode matrix is graded — left-outer was the

@@ -941,19 +941,54 @@ def test_jpeg_progressive_420_equals_baseline_420():
             assert (bb == pp).all(), (shape, q)
 
 
-def test_jpeg_nonint_sampling_ratio_still_gated():
-    """3:2-style ratios (Hmax not a multiple of h_i) stay honestly
-    gated — the replicate upsample requires integer ratios."""
-    import struct as _s
+def test_jpeg_fractional_sampling_exact():
+    """NON-INTEGER sampling ratios (round 9, formerly gated): luma 3×1
+    with chroma 2×1 is a 3:2 ratio — no integer replication factor
+    exists, the decoder must index-map-upsample. Gray stripes constant
+    per 8×8 block keep every component DC-only, so the roundtrip is
+    EXACT, horizontally and vertically."""
+    vals = (11 + 37 * np.arange(6)) % 256
+    stripes = np.repeat(vals, 8)[None, :].repeat(8, axis=0).astype(np.uint8)
+    rgb = np.repeat(stripes[:, :, None], 3, axis=2)
+    dec = decode_jpeg(encode_jpeg(rgb, 1, subsampling=(3, 1),
+                                  chroma_sampling=(2, 1)))
+    assert (dec == rgb).all()
+    dec_v = decode_jpeg(encode_jpeg(
+        np.transpose(rgb, (1, 0, 2)).copy(), 1,
+        subsampling=(1, 3), chroma_sampling=(1, 2)))
+    assert (dec_v == np.transpose(rgb, (1, 0, 2))).all()
 
-    payload = bytearray(encode_jpeg(
-        np.zeros((16, 16, 3), dtype=np.uint8), 1, subsampling=(2, 2)))
-    i = payload.find(b"\xff\xc0")
-    # component 2's sampling byte: SOF body = prec,h,w,ncomp + 3 per comp
-    # payload[i+4] starts the body; comp c's samp byte = i+4+6+3c+1
-    payload[i + 4 + 6 + 3 + 1] = 0x33  # chroma 3x3 with Ymax 2 -> 2%3 != 0
-    with pytest.raises(NotImplementedError, match="sampling"):
-        decode_jpeg(bytes(payload))
+
+def test_jpeg_fractional_sampling_color_constant_matches_444():
+    """A flat COLOR image (chroma constant but ≠ 128): the fractional
+    nearest subsample is lossless on constants, so the 3:2-sampled
+    decode must equal the 4:4:4 decode exactly — including at odd
+    dimensions that force MCU padding on both axes."""
+    for shape in [(16, 48, 3), (11, 35, 3)]:
+        img = np.empty(shape, dtype=np.uint8)
+        img[:, :] = (37, 180, 91)
+        d444 = decode_jpeg(encode_jpeg(img, 1))
+        dfrac = decode_jpeg(encode_jpeg(img, 1, subsampling=(3, 1),
+                                        chroma_sampling=(2, 1)))
+        assert dfrac.shape == img.shape and (dfrac == d444).all(), shape
+
+
+def test_jpeg_fractional_sampling_with_restart_markers():
+    """Restart intervals count MCUs under fractional sampling too (an
+    MCU here carries 3 luma + 2 Cb + 2 Cr blocks)."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (8, 72, 3), dtype=np.uint8)
+    a = decode_jpeg(encode_jpeg(img, 1, subsampling=(3, 1),
+                                chroma_sampling=(2, 1)))
+    b = decode_jpeg(encode_jpeg(img, 1, subsampling=(3, 1),
+                                chroma_sampling=(2, 1), restart_interval=2))
+    assert (a == b).all()
+
+
+def test_jpeg_chroma_sampling_must_not_exceed_luma():
+    with pytest.raises(ValueError, match="chroma sampling"):
+        encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), 1,
+                    subsampling=(1, 1), chroma_sampling=(2, 1))
 
 
 # --- 12-bit JPEG -----------------------------------------------------------
