@@ -52,6 +52,87 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     return df.join(keep, id_col, "inner")
 
 
+def cdc_chunk_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    modulus: int = 32,
+    base: int = 31,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING (the LBFS / rsync / FastCDC family):
+    split each document into variable-length chunks whose boundaries
+    are picked by the CONTENT, not by offset — a chunk boundary falls
+    after position i whenever the polynomial rolling hash of the last
+    ``window`` characters, Σ_{j<window} base^j·codepoint(text[i−j]),
+    is ≡ 0 (mod ``modulus``). An insertion or deletion therefore only
+    perturbs the chunks it touches; every chunk downstream of the edit
+    re-synchronizes on the same content-derived boundaries — the
+    property that makes CDC the sub-document dedup primitive fixed-size
+    blocking lacks, and the shift-robust complement to ExactSubstr
+    (which needs exact suffix runs) for training-corpus curation.
+
+    Boundary rule is STATELESS (no min/max chunk clamp), so the whole
+    operator is pure codegen relational algebra — explode positions,
+    8-term hash in WholeStageCodegen, boundary filter, one per-document
+    window (lag) to cut chunks — and the exact same rule is
+    expressible in ANSI SQL for the DuckDB oracle. Expected chunk
+    length ≈ ``modulus`` characters. Documents shorter than ``window``
+    (or with no matching position) become one whole-document chunk via
+    a synthetic end-boundary at length(text). Empty texts are dropped.
+
+    Returns (id, *extra_cols, i, chunk): boundary end-position and the
+    chunk text ending there. Codepoints come from ``F.ascii`` — exact
+    for ASCII corpora; both engines return the first character's
+    codepoint, so oracle parity holds for any single-byte content.
+
+    Scale: the position explode is map-side only (no shuffle carries
+    it); the only shuffle is the per-document lag window over ~len/
+    modulus boundary rows — O(corpus bytes / modulus) rows, linear.
+    """
+    from functools import reduce
+    from operator import add
+
+    from pyspark.sql import Window
+
+    keep = [id_col, *extra_cols]
+    d = (
+        docs.filter(F.length(text_col) > 0)
+        .select(*keep, F.col(text_col).alias("__t"))
+        .withColumn("__len", F.length("__t"))
+    )
+    pos = d.filter(F.col("__len") >= window).select(
+        *keep,
+        "__t",
+        "__len",
+        F.explode(F.sequence(F.lit(window), F.col("__len"))).alias("i"),
+    )
+    h = reduce(
+        add,
+        [
+            F.ascii(F.col("__t").substr(F.col("i") - F.lit(j), F.lit(1)))
+            * F.lit(base**j).cast("long")
+            for j in range(window)
+        ],
+    )
+    # interior hash boundaries only (i < len): the document end is
+    # ALWAYS a boundary, appended unconditionally below — excluding
+    # i == len here keeps the union duplicate-free with no
+    # dropDuplicates shuffle
+    bounds = pos.filter((h % modulus == 0) & (F.col("i") < F.col("__len"))).select(
+        *keep, "__t", "i"
+    )
+    ends = bounds.union(d.select(*keep, "__t", F.col("__len").alias("i")))
+    w = Window.partitionBy(id_col).orderBy("i")
+    prev = F.coalesce(F.lag("i").over(w), F.lit(0))
+    return ends.select(
+        *keep,
+        "i",
+        F.col("__t").substr(prev + 1, F.col("i") - prev).alias("chunk"),
+    )
+
+
 def _doc_shingles(
     docs: DataFrame,
     id_col: str,
@@ -87,7 +168,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
     df_cap: int | None = None,
     shingle_rows: DataFrame | None = None,
-    prefix_filter: bool = True,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """All pairs with k-shingle Jaccard ≥ threshold.
 
@@ -95,13 +176,23 @@ def ngram_jaccard_pairs(
     every qualifying pair shares ≥1 shingle, so the shingle equi-join
     finds all of them; no candidate is missed (unlike LSH).
 
-    The default path (``prefix_filter=True``, no df_cap) enumerates
-    candidates by PREFIX FILTERING — same result set, but the shuffle
-    cost no longer grows with the square of boilerplate-shingle
-    document frequency (see ``_jaccard_pairs_prefix``). ``df_cap``
-    forces the naive scaffold because the cap CHANGES the measure
-    (shingles in > df_cap docs stop counting toward the intersection),
-    and the prefix bound is only valid for the unmodified measure.
+    ``prefix_filter=True`` switches candidate enumeration to PREFIX
+    FILTERING (``_jaccard_pairs_prefix``) — result-identical, and a big
+    win on ZIPFIAN corpora (hapax-heavy df distributions) where a few
+    boilerplate shingles dominate the self-join's Σdf² cost. It is OFF
+    by default because on df-UNIFORM corpora (bounded vocabularies,
+    template-generated text — including this repo's synthetic test
+    tables, 31-word vocab, shingle space saturated) prefixes barely
+    shrink the join while the verification join pays |candidates|×|doc|
+    extra rows — measured >10× slower than the naive join at sf1. Pick
+    per corpus shape; the equivalence tests pin that both paths agree.
+    ``df_cap`` forces the naive scaffold because the cap CHANGES the
+    measure (shingles in > df_cap docs stop counting toward the
+    intersection), and the prefix bound is only valid for the
+    unmodified measure. For the regime where neither helps (saturated
+    shingle space, Θ(Σdf²) ∝ n² inherently), the scale path is
+    ``minhash_lsh_pairs`` at the same threshold — banded candidates +
+    exact verification (measured recall 0.996, SCALE.md).
 
     ``shingle_rows``: optional pre-built (id, sh) distinct shingle table
     (signatures.doc_shingle_rows output, ideally persisted) so callers
@@ -155,13 +246,23 @@ def _jaccard_pairs_prefix(
     survives either. The measure is unchanged — the DuckDB oracle stays
     the unmodified naive self-join.
 
-    Why it is fast: the global order is ASCENDING document frequency, so
-    boilerplate shingles (the df² blowup in the naive join) sort to the
-    tail of every document and fall out of the prefixes. Candidate cost
-    drops from Σ_sh df(sh)² to Σ_sh df_prefix(sh)², plus a length filter
-    (t·|A| ≤ |B| ≤ |A|/t) inside the join condition; verification costs
-    |candidates| × avg-doc-shingles keyed equi-join rows. Every stage is
-    a keyed shuffle — no all-pairs, no driver state.
+    Why it is fast ON THE RIGHT CORPUS: the global order is ASCENDING
+    document frequency, so boilerplate shingles (the df² blowup in the
+    naive join) sort to the tail of every document and fall out of the
+    prefixes. Candidate cost drops from Σ_sh df(sh)² to
+    Σ_sh df_prefix(sh)², plus a length filter (t·|A| ≤ |B| ≤ |A|/t)
+    inside the join condition; verification costs |candidates| ×
+    avg-doc-shingles keyed equi-join rows. Every stage is a keyed
+    shuffle — no all-pairs, no driver state.
+
+    When it LOSES (why it is not the default): the technique monetizes
+    df SKEW. On a df-uniform, saturated shingle space (bounded vocab /
+    template text) prefixes keep ~(1−t) of every posting, the candidate
+    set degenerates toward all length-compatible overlapping pairs, and
+    the verification join's |candidates|×|doc| rows dwarf the Σdf² it
+    saved — measured >10× slower than the naive join on this repo's
+    fixed-vocab synthetic at sf1. Zipfian real-text corpora are the
+    winning regime (hapax-dominated df → short hot-prefix overlap).
 
     Float hygiene: ⌈t·n⌉ and the length bounds are computed with a 1e-9
     slack so IEEE noise (0.3·10 = 3.0000000000000004) can only LENGTHEN

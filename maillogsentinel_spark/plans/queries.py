@@ -1032,6 +1032,76 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_HASH_SQL = " + ".join(
+    f"{31 ** j}::BIGINT * ascii(substr(text, i - {j}, 1))" for j in range(8)
+)
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, text, length(text) AS len
+               FROM documents WHERE length(text) > 0),
+    pos AS (SELECT doc_id, source, text, unnest(range(8, len + 1)) AS i
+            FROM d WHERE len >= 8),
+    b AS (SELECT doc_id, source, text, i FROM pos
+          WHERE ({_CDC_HASH_SQL}) % 32 = 0 AND i < length(text)),
+    ends AS (SELECT doc_id, source, text, i FROM b
+             UNION ALL
+             SELECT doc_id, source, text, len FROM d),
+    ch AS (SELECT source,
+                  substr(text,
+                         coalesce(lag(i) OVER w, 0) + 1,
+                         i - coalesce(lag(i) OVER w, 0)) AS chunk
+           FROM ends WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+    SELECT source,
+           count(*)::BIGINT AS total_chunks,
+           count(DISTINCT chunk)::BIGINT AS uniq_chunks,
+           round(1.0 - count(DISTINCT chunk)::DOUBLE / count(*), 6)
+             AS dup_ratio,
+           round(avg(length(chunk)), 6) AS avg_chunk_len
+    FROM ch GROUP BY source ORDER BY source
+    """,
+)
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING dedup census (LBFS/rsync/FastCDC
+    family) — the sub-document dedup primitive that is robust to
+    insertions, unlike fixed-size blocking (boundaries shift) and
+    cheaper than ExactSubstr (no suffix sorting): chunk boundaries fall
+    where the 8-char polynomial rolling hash ≡ 0 (mod 32), so an edit
+    only perturbs the chunks it touches and duplicated passages
+    re-synchronize on identical chunks. Per source: chunk counts,
+    distinct chunks, duplicate-chunk ratio and mean chunk length. The
+    oracle recomputes the SAME stateless boundary rule in ANSI SQL —
+    a wrong hash coefficient, an off-by-one in the window, or a missed
+    end-boundary all change every downstream chunk and fail the hash.
+    Engine side is pure codegen (explode positions → 8-term hash →
+    boundary filter → one per-doc lag window); the only shuffle
+    carries ~len/32 boundary rows per doc — linear in corpus bytes."""
+    from ..operators.dedup import cdc_chunk_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    rows = cdc_chunk_rows(
+        docs, "doc_id", "text", window=8, modulus=32, base=31,
+        extra_cols=("source",),
+    )
+    return (
+        rows.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_chunks"),
+            F.countDistinct("chunk").cast("long").alias("uniq_chunks"),
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct("chunk").cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+            F.round(F.avg(F.length("chunk")), 6).alias("avg_chunk_len"),
+        )
+        .orderBy("source")
+    )
+
+
 def _sql_minhash_sig(num_perm: int) -> str:
     from ..operators.signatures import MINHASH_P, minhash_perm_consts
 
@@ -10257,6 +10327,10 @@ GRADED_PREFIX: list[str] = [
 # After the prefix: remaining beyond-reference ops by family value, then the
 # TPC-H long tail.
 _NEXT = [
+    # NEW mid-round-9, first in line for the round-10 rotation:
+    # content-defined chunking (LBFS/rsync-family CDC) — sub-document
+    # dedup robust to insertions; full-gate green, never driver-graded
+    "dedup_cdc_chunks",
     # round-9 rotation OUT: ten long-green rows (each graded green for
     # 3+ consecutive rounds) retired to make room for the nine
     # never-driver-graded round-8 queries plus the new time-travel

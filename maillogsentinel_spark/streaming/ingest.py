@@ -165,6 +165,7 @@ def start_tx_store_sink(
     store_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    processing_time: str = "60 seconds",
 ):
     """Streaming sink into the TRANSACTIONAL store (sources/txstore.py)
     with exactly-once batches: each micro-batch commits through
@@ -202,4 +203,6 @@ def start_tx_store_sink(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
     return writer.start()

@@ -108,10 +108,10 @@ def test_prefix_filter_matches_naive(spark):
         ["doc_id", "text"],
     )
     for t in (0.2, 0.3, 0.5, 0.8):
-        fast = _jac_set(ngram_jaccard_pairs(docs, k=3, threshold=t))
-        naive = _jac_set(
-            ngram_jaccard_pairs(docs, k=3, threshold=t, prefix_filter=False)
+        fast = _jac_set(
+            ngram_jaccard_pairs(docs, k=3, threshold=t, prefix_filter=True)
         )
+        naive = _jac_set(ngram_jaccard_pairs(docs, k=3, threshold=t))
         assert fast == naive, f"threshold {t}: {fast} != {naive}"
 
 
@@ -125,9 +125,53 @@ def test_prefix_filter_pair_found_via_common_shingles_only(spark):
         + [(5, "totally different words elsewhere now")],
         ["doc_id", "text"],
     )
-    pairs = _jac_set(ngram_jaccard_pairs(docs, k=3, threshold=0.9))
+    pairs = _jac_set(
+        ngram_jaccard_pairs(docs, k=3, threshold=0.9, prefix_filter=True)
+    )
     assert pairs[(1, 2)] == 1.0 and pairs[(3, 4)] == 1.0
     assert not any(5 in p for p in pairs)
+
+
+def _cdc(spark, texts, **kw):
+    from maillogsentinel_spark.operators.dedup import cdc_chunk_rows
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = cdc_chunk_rows(docs, **kw).orderBy("doc_id", "i").collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["doc_id"], []).append(r["chunk"])
+    return out
+
+
+def test_cdc_chunks_partition_and_short_doc(spark):
+    long = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running through fields of data while the chunker follows "
+            "content defined boundaries wherever the rolling hash says "
+            "so and nowhere else at all") * 2
+    out = _cdc(spark, [long, "tiny", ""])
+    # chunks partition the text exactly, in order
+    assert "".join(out[0]) == long
+    assert len(out[0]) >= 2  # expected chunk ~32 chars over ~400 chars
+    # sub-window doc -> one whole-document chunk; empty text dropped
+    assert out[1] == ["tiny"]
+    assert 2 not in out
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark):
+    # THE content-defined property: prepending bytes only perturbs the
+    # chunk(s) touching the edit — every later boundary is the same
+    # content position, so the chunk tails are string-identical (what
+    # fixed-size blocking can never do)
+    base = ("content defined chunking finds the same boundaries in the "
+            "same content no matter where that content sits inside the "
+            "file which is exactly why rsync and lbfs use it for dedup "
+            "across shifted copies of the data")
+    out = _cdc(spark, [base, "XYZW " + base])
+    a, b = out[0], out[1]
+    assert len(a) >= 3
+    tail = len(a) - 1  # all chunks after the first re-synchronize
+    assert a[-tail:] == b[-tail:]
+    assert "".join(b) == "XYZW " + base
 
 
 def test_embedding_pairs(spark):

@@ -460,3 +460,77 @@ def test_streaming_tx_sink_exactly_once(spark, tmp_path):
                      spark.createDataFrame([_ev(4, 4, 13, 4.0)]),
                      batch_id=last + 1)
     assert [c[0] for c in _content(spark, store)] == [1, 2, 3, 4]
+
+
+def test_streaming_tx_sink_soak_kill_resume(spark, tmp_path):
+    """The PRODUCTION topology, not availableNow: a long-lived
+    processing-time-trigger query consuming files as they arrive over
+    several micro-batches, stopped mid-stream (with a file already
+    published to the source but possibly not yet committed to the
+    sink), then resumed from the same checkpoint — every event must
+    land exactly once across the kill/resume boundary, the manifest
+    ledger must stay monotone, and a forced replay of the final batch
+    id must still short-circuit."""
+    import time
+
+    from maillogsentinel_spark.streaming.ingest import start_tx_store_sink
+
+    src_dir = str(tmp_path / "src")
+    store = str(tmp_path / "txstore")
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(eids):
+        spark.createDataFrame(
+            [_ev(e, (e % 3) + 1, 10 + e, float(e)) for e in eids]
+        ).write.mode("append").parquet(src_dir)
+
+    def content_ids():
+        try:
+            return [c[0] for c in _content(spark, store)]
+        except Exception:
+            return []
+
+    feed([1, 2])
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = start_tx_store_sink(stream, store, ckpt, available_now=False,
+                            processing_time="1 second")
+    try:
+        # live phase: files arrive WHILE the query runs, across several
+        # micro-batches (maxFilesPerTrigger is unset, but distinct
+        # arrival times force distinct batches)
+        deadline = time.time() + 120
+        for batch in ([3], [4, 5], [6]):
+            while set(content_ids()) != set(range(1, batch[0])):
+                assert time.time() < deadline, (
+                    f"sink never caught up: {content_ids()}")
+                time.sleep(0.5)
+            feed(batch)
+        while set(content_ids()) != set(range(1, 7)):
+            assert time.time() < deadline, content_ids()
+            time.sleep(0.5)
+    finally:
+        # the kill: a file is published to the source immediately before
+        # the stop, so the in-flight micro-batch may or may not have
+        # consumed it — exactly the ambiguity the ledger must absorb
+        feed([7])
+        q.stop()
+    q.awaitTermination(60)
+
+    versions_before = tx_current_version(spark, store)
+    assert versions_before >= 3  # several distinct commits happened
+
+    # downtime arrivals, then resume from the SAME checkpoint
+    feed([8, 9])
+    q = start_tx_store_sink(stream, store, ckpt)  # availableNow drain
+    q.awaitTermination(120)
+
+    assert content_ids() == list(range(1, 10))  # exactly once, no holes
+    m = txstore._load_manifest(spark, store)
+    assert m["last_batch_id"] >= 1
+    # a post-resume replay of the last committed batch is still a no-op
+    tx_append_events(spark, store,
+                     spark.createDataFrame([_ev(99, 1, 99, 99.0)]),
+                     batch_id=m["last_batch_id"])
+    assert content_ids() == list(range(1, 10))
+    assert tx_current_version(spark, store) == m["version"]
