@@ -73,64 +73,80 @@ def cdc_chunk_rows(
     blocking lacks, and the shift-robust complement to ExactSubstr
     (which needs exact suffix runs) for training-corpus curation.
 
-    Boundary rule is STATELESS (no min/max chunk clamp), so the whole
-    operator is pure codegen relational algebra — explode positions,
-    8-term hash in WholeStageCodegen, boundary filter, one per-document
-    window (lag) to cut chunks — and the exact same rule is
-    expressible in ANSI SQL for the DuckDB oracle. Expected chunk
-    length ≈ ``modulus`` characters. Documents shorter than ``window``
-    (or with no matching position) become one whole-document chunk via
-    a synthetic end-boundary at length(text). Empty texts are dropped.
+    Boundary rule is STATELESS (no min/max chunk clamp), so the exact
+    same rule is expressible in ANSI SQL for the DuckDB oracle (the
+    ``dedup_cdc_chunks`` query carries the mirrored position-explode
+    form). The ENGINE side runs as one Arrow ``mapInPandas`` pass —
+    the same shape as signatures.doc_shingle_rows, and for the same
+    measured reason: the relational explode-positions form evaluates
+    ``substr(text, i, 1)`` per position, which is O(i) under UTF-8
+    variable-width seeking, O(len²) per document (~15 s for 5k docs at
+    sf0.1); the linear one-pass rolling hash (one np.convolve per
+    document) is ~50× faster and embarrassingly map-side. Expected
+    chunk length ≈ ``modulus`` characters. Documents shorter than
+    ``window`` (or with no matching interior position) become one
+    whole-document chunk via the unconditional end-boundary at
+    length(text). Empty texts are dropped.
 
-    Returns (id, *extra_cols, i, chunk): boundary end-position and the
-    chunk text ending there. Codepoints come from ``F.ascii`` — exact
-    for ASCII corpora; both engines return the first character's
-    codepoint, so oracle parity holds for any single-byte content.
+    Returns (id, *extra_cols, i, chunk): 1-based boundary end-position
+    and the chunk text ending there. Codepoints come from ``ord`` —
+    identical to DuckDB's ``ascii()`` (first character's codepoint),
+    so oracle parity holds beyond ASCII too.
 
-    Scale: the position explode is map-side only (no shuffle carries
-    it); the only shuffle is the per-document lag window over ~len/
-    modulus boundary rows — O(corpus bytes / modulus) rows, linear.
+    Scale: pure map-side — no shuffle at all; each partition streams
+    its documents through one Arrow batch. Downstream chunk-level
+    grouping is the caller's (one keyed shuffle of O(corpus bytes /
+    modulus) rows).
     """
-    from functools import reduce
-    from operator import add
+    import numpy as np
 
-    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     keep = [id_col, *extra_cols]
-    d = (
-        docs.filter(F.length(text_col) > 0)
-        .select(*keep, F.col(text_col).alias("__t"))
-        .withColumn("__len", F.length("__t"))
+    in_fields = {f.name: f for f in docs.schema.fields}
+    out_schema = StructType(
+        [in_fields[c] for c in keep]
+        + [StructField("i", LongType()), StructField("chunk", StringType())]
     )
-    pos = d.filter(F.col("__len") >= window).select(
-        *keep,
-        "__t",
-        "__len",
-        F.explode(F.sequence(F.lit(window), F.col("__len"))).alias("i"),
-    )
-    h = reduce(
-        add,
-        [
-            F.ascii(F.col("__t").substr(F.col("i") - F.lit(j), F.lit(1)))
-            * F.lit(base**j).cast("long")
-            for j in range(window)
-        ],
-    )
-    # interior hash boundaries only (i < len): the document end is
-    # ALWAYS a boundary, appended unconditionally below — excluding
-    # i == len here keeps the union duplicate-free with no
-    # dropDuplicates shuffle
-    bounds = pos.filter((h % modulus == 0) & (F.col("i") < F.col("__len"))).select(
-        *keep, "__t", "i"
-    )
-    ends = bounds.union(d.select(*keep, "__t", F.col("__len").alias("i")))
-    w = Window.partitionBy(id_col).orderBy("i")
-    prev = F.coalesce(F.lag("i").over(w), F.lit(0))
-    return ends.select(
-        *keep,
-        "i",
-        F.col("__t").substr(prev + 1, F.col("i") - prev).alias("chunk"),
-    )
+    weights = np.array([base**j for j in range(window)], dtype=np.int64)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cols: dict[str, list] = {c: [] for c in keep}
+            iis: list[int] = []
+            chunks: list[str] = []
+            for row in pdf.itertuples(index=False):
+                text = getattr(row, text_col)
+                if not text:
+                    continue
+                L = len(text)
+                ends: list[int] = []
+                if L >= window:
+                    codes = np.fromiter(
+                        map(ord, text), dtype=np.int64, count=L
+                    )
+                    # full convolution index n carries Σ_j codes[n−j]·base^j;
+                    # n = i−1 (0-based end of the 1-based window ending at i),
+                    # valid from n = window−1, i.e. i = window .. L
+                    conv = np.convolve(codes, weights)[window - 1 : L]
+                    hits = np.nonzero(conv % modulus == 0)[0] + window
+                    # interior boundaries only — the document end is
+                    # appended unconditionally below
+                    ends = [int(i) for i in hits if i < L]
+                ends.append(L)
+                prev = 0
+                for i in ends:
+                    for c in keep:
+                        cols[c].append(getattr(row, c))
+                    iis.append(i)
+                    chunks.append(text[prev:i])
+                    prev = i
+            yield pd.DataFrame({**cols, "i": iis, "chunk": chunks})
+
+    need = list(dict.fromkeys([*keep, text_col]))
+    return docs.select(*need).mapInPandas(gen, out_schema)
 
 
 def _doc_shingles(

@@ -1075,12 +1075,13 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the SAME stateless boundary rule in ANSI SQL —
     a wrong hash coefficient, an off-by-one in the window, or a missed
     end-boundary all change every downstream chunk and fail the hash.
-    Engine side is pure codegen (explode positions → 8-term hash →
-    boundary filter → one per-doc lag window); the only shuffle
-    carries ~len/32 boundary rows per doc — linear in corpus bytes."""
+    Engine side is one Arrow mapInPandas pass (linear rolling hash per
+    doc — the relational explode form pays O(len²) UTF-8 substr seeks,
+    see cdc_chunk_rows); the only shuffle is the final per-source agg
+    over ~len/32 chunk rows per doc — linear in corpus bytes."""
     from ..operators.dedup import cdc_chunk_rows
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", repartition=True)
     rows = cdc_chunk_rows(
         docs, "doc_id", "text", window=8, modulus=32, base=31,
         extra_cols=("source",),
@@ -1154,6 +1155,50 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16 perms) → LSH(4 bands) candidates → exact-Jaccard
     verification at 0.3. Oracle replicates the full pipeline."""
     return _lsh_pairs_shared(spark, sf_dir)
+
+
+@query(
+    "dedup_lsh_recall",
+    oracle=f"""
+    WITH {_sql_minhash_pairs_ctes()},
+    ex AS (SELECT count(*) AS n FROM jac WHERE jaccard >= 0.3),
+    ls AS (SELECT count(*) AS n FROM pairs)
+    SELECT ex.n::BIGINT AS n_exact, ls.n::BIGINT AS n_lsh,
+           CASE WHEN ex.n > 0 THEN round(ls.n::DOUBLE / ex.n, 6) END
+             AS recall
+    FROM ex CROSS JOIN ls
+    """,
+)
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup scale-path's quality claim, HASH-VERIFIED: recall of
+    the banded MinHash-LSH near-dup pairs (16 perms / 4 bands,
+    verification-exact) against the EXACT shingle-Jaccard pair set at
+    the same threshold 0.3 — the number SCALE.md's pair-family analysis
+    leans on when it routes the quadratic exact join through banding at
+    scale. One row (n_exact, n_lsh, recall); the oracle recomputes BOTH
+    pipelines (full Jaccard CTE + minhash/band/bucket CTE) so a
+    signature drift, a band-boundary bug, or a verification threshold
+    mismatch moves recall and fails the hash. Both inputs come from the
+    session-shared artifacts — the exact side is the same Σdf² join the
+    graded dedup_ngram_jaccard runs; this query adds two counts."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(
+        docs, k=3, threshold=0.3,
+        shingle_rows=_doc_shingles_shared(spark, sf_dir, 3),
+    )
+    lsh = _lsh_pairs_shared(spark, sf_dir)
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    nl = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    return ne.crossJoin(nl).select(
+        "n_exact",
+        "n_lsh",
+        F.when(
+            F.col("n_exact") > 0,
+            F.round(F.col("n_lsh").cast("double") / F.col("n_exact"), 6),
+        ).alias("recall"),
+    )
 
 
 @query(
@@ -10331,6 +10376,9 @@ _NEXT = [
     # content-defined chunking (LBFS/rsync-family CDC) — sub-document
     # dedup robust to insertions; full-gate green, never driver-graded
     "dedup_cdc_chunks",
+    # NEW mid-round-9: hash-verified LSH-vs-exact recall — the scale
+    # path's quality number (SCALE.md round-9 section) as an oracle row
+    "dedup_lsh_recall",
     # round-9 rotation OUT: ten long-green rows (each graded green for
     # 3+ consecutive rounds) retired to make room for the nine
     # never-driver-graded round-8 queries plus the new time-travel

@@ -33,7 +33,14 @@ def test_dedup_family_empty(spark):
     docs = _empty_docs(spark)
     assert exact_dedup(docs, "doc_id", "text").count() == 0
     assert ngram_jaccard_pairs(docs).count() == 0
+    assert ngram_jaccard_pairs(docs, prefix_filter=True).count() == 0
     assert minhash_lsh_pairs(docs).count() == 0
+
+
+def test_cdc_chunks_empty(spark):
+    from maillogsentinel_spark.operators.dedup import cdc_chunk_rows
+
+    assert cdc_chunk_rows(_empty_docs(spark)).count() == 0
 
 
 def test_similarity_empty_queries(spark):

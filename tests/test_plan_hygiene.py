@@ -54,6 +54,8 @@ ALLOWED = {
     # (the _doc_lm_scores bigram model shared with doc_bigram_logprob)
     ("udtf_bigrams_topk", "BatchEvalPython"),        # the UDTF surface demo:
     # BatchEvalPythonUDTF IS the extension point this query exists to prove
+    ("dedup_lsh_recall", "BroadcastNestedLoopJoin"),  # two 1-row count
+    # aggregates cross-joined into the single recall row
 }
 
 FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]
