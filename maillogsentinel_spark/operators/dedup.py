@@ -52,6 +52,34 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     return df.join(keep, id_col, "inner")
 
 
+def cdc_boundaries(
+    text: str, window: int = 8, modulus: int = 32, base: int = 31
+) -> list[int]:
+    """Pure per-document CDC boundary kernel: 1-based end positions of
+    every chunk — interior positions i (window ≤ i < len) where the
+    polynomial rolling hash Σ_{j<window} base^j·ord(text[i−j−1]) is
+    ≡ 0 (mod modulus), plus the unconditional document end. Linear via
+    one np.convolve. Empty text → []. The hypothesis property tests
+    drive this kernel directly (partition + re-synchronization)."""
+    import numpy as np
+
+    if not text:
+        return []
+    L = len(text)
+    ends: list[int] = []
+    if L >= window:
+        codes = np.fromiter(map(ord, text), dtype=np.int64, count=L)
+        weights = np.array([base**j for j in range(window)], dtype=np.int64)
+        # full convolution index n carries Σ_j codes[n−j]·base^j;
+        # n = i−1 (0-based end of the 1-based window ending at i),
+        # valid from n = window−1, i.e. i = window .. L
+        conv = np.convolve(codes, weights)[window - 1 : L]
+        hits = np.nonzero(conv % modulus == 0)[0] + window
+        ends = [int(i) for i in hits if i < L]
+    ends.append(L)
+    return ends
+
+
 def cdc_chunk_rows(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -98,8 +126,6 @@ def cdc_chunk_rows(
     grouping is the caller's (one keyed shuffle of O(corpus bytes /
     modulus) rows).
     """
-    import numpy as np
-
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     keep = [id_col, *extra_cols]
@@ -108,7 +134,6 @@ def cdc_chunk_rows(
         [in_fields[c] for c in keep]
         + [StructField("i", LongType()), StructField("chunk", StringType())]
     )
-    weights = np.array([base**j for j in range(window)], dtype=np.int64)
 
     def gen(batches):
         import pandas as pd
@@ -119,25 +144,8 @@ def cdc_chunk_rows(
             chunks: list[str] = []
             for row in pdf.itertuples(index=False):
                 text = getattr(row, text_col)
-                if not text:
-                    continue
-                L = len(text)
-                ends: list[int] = []
-                if L >= window:
-                    codes = np.fromiter(
-                        map(ord, text), dtype=np.int64, count=L
-                    )
-                    # full convolution index n carries Σ_j codes[n−j]·base^j;
-                    # n = i−1 (0-based end of the 1-based window ending at i),
-                    # valid from n = window−1, i.e. i = window .. L
-                    conv = np.convolve(codes, weights)[window - 1 : L]
-                    hits = np.nonzero(conv % modulus == 0)[0] + window
-                    # interior boundaries only — the document end is
-                    # appended unconditionally below
-                    ends = [int(i) for i in hits if i < L]
-                ends.append(L)
                 prev = 0
-                for i in ends:
+                for i in cdc_boundaries(text, window, modulus, base):
                     for c in keep:
                         cols[c].append(getattr(row, c))
                     iis.append(i)

@@ -1103,6 +1103,74 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cdc_cross_source",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, text, length(text) AS len
+               FROM documents WHERE length(text) > 0),
+    pos AS (SELECT doc_id, source, text, unnest(range(8, len + 1)) AS i
+            FROM d WHERE len >= 8),
+    b AS (SELECT doc_id, source, text, i FROM pos
+          WHERE ({_CDC_HASH_SQL}) % 32 = 0 AND i < length(text)),
+    ends AS (SELECT doc_id, source, text, i FROM b
+             UNION ALL
+             SELECT doc_id, source, text, len FROM d),
+    ch AS (SELECT source,
+                  substr(text,
+                         coalesce(lag(i) OVER w, 0) + 1,
+                         i - coalesce(lag(i) OVER w, 0)) AS chunk
+           FROM ends WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+    sc AS (SELECT DISTINCT source, chunk FROM ch
+           WHERE length(chunk) >= 16)
+    SELECT a.source AS src_a, b.source AS src_b,
+           count(*)::BIGINT AS shared_chunks,
+           sum(length(a.chunk))::BIGINT AS shared_chars
+    FROM sc a JOIN sc b ON a.chunk = b.chunk AND a.source < b.source
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    ORDER BY src_a, src_b
+    """,
+)
+def q_dedup_cdc_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC chunks as a CROSS-SOURCE contamination detector — the
+    second consumer of the content-defined chunking rows: a passage
+    duplicated between two sources re-synchronizes onto identical
+    chunks no matter where it sits in each document, so source pairs
+    sharing ≥3 distinct chunks of ≥16 chars are sharing real content,
+    not coincidental short strings. Output is the source-pair sharing
+    matrix (distinct shared chunks + their character mass) — the CDC
+    counterpart of dedup_cross_source_matrix's LSH-pair view, catching
+    QUOTED PASSAGES that whole-document near-dup measures dilute.
+    Relational shape: distinct (source, chunk) projection, then a
+    chunk-keyed equi-join — never all-pairs of documents; the join key
+    space is the deduplicated chunk set (~corpus bytes / 32)."""
+    from ..operators.dedup import cdc_chunk_rows
+
+    docs = _t(spark, sf_dir, "documents", repartition=True)
+    sc = (
+        cdc_chunk_rows(
+            docs, "doc_id", "text", window=8, modulus=32, base=31,
+            extra_cols=("source",),
+        )
+        .filter(F.length("chunk") >= 16)
+        .select("source", "chunk")
+        .distinct()
+    )
+    a = sc.select(F.col("source").alias("src_a"), "chunk")
+    b = sc.select(F.col("source").alias("src_b"), "chunk")
+    return (
+        a.join(b, "chunk")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_chunks"),
+            F.sum(F.length("chunk")).cast("long").alias("shared_chars"),
+        )
+        .where(F.col("shared_chunks") >= 3)
+        .orderBy("src_a", "src_b")
+    )
+
+
 def _sql_minhash_sig(num_perm: int) -> str:
     from ..operators.signatures import MINHASH_P, minhash_perm_consts
 
@@ -10379,6 +10447,9 @@ _NEXT = [
     # NEW mid-round-9: hash-verified LSH-vs-exact recall — the scale
     # path's quality number (SCALE.md round-9 section) as an oracle row
     "dedup_lsh_recall",
+    # NEW mid-round-9: the CDC rows' second consumer — cross-source
+    # shared-passage matrix (quoted-content contamination detector)
+    "dedup_cdc_cross_source",
     # round-9 rotation OUT: ten long-green rows (each graded green for
     # 3+ consecutive rounds) retired to make room for the nine
     # never-driver-graded round-8 queries plus the new time-travel

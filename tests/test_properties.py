@@ -162,3 +162,50 @@ def test_sql_escaping_roundtrips_through_sqlite(values):
         for v in values
     ]
     assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(text=st.text(min_size=0, max_size=400))
+def test_cdc_boundaries_partition_property(text):
+    # chunks partition the document exactly: strictly increasing
+    # 1-based end positions, last one at len(text), none past it —
+    # so concatenating text[prev:i] over the ends reproduces the doc
+    from maillogsentinel_spark.operators.dedup import cdc_boundaries
+
+    ends = cdc_boundaries(text)
+    if not text:
+        assert ends == []
+        return
+    assert ends == sorted(set(ends))
+    assert ends[-1] == len(text)
+    assert all(1 <= i <= len(text) for i in ends)
+    prev, parts = 0, []
+    for i in ends:
+        parts.append(text[prev:i])
+        prev = i
+    assert "".join(parts) == text
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    prefix=st.text(min_size=0, max_size=40),
+    body=st.text(min_size=0, max_size=300),
+)
+def test_cdc_boundaries_shift_resynchronization(prefix, body):
+    # THE content-defined property, for arbitrary unicode: every
+    # interior boundary of `body` survives a prefix insertion at the
+    # shifted position (its 8-char hash window lies entirely inside
+    # body), so chunking re-synchronizes after any edit — the reason
+    # CDC beats fixed-size blocking for dedup
+    from maillogsentinel_spark.operators.dedup import cdc_boundaries
+
+    w = 8
+    interior_body = {i for i in cdc_boundaries(body)[:-1]} if body else set()
+    shifted = cdc_boundaries(prefix + body)
+    interior_shifted = set(shifted[:-1]) if (prefix + body) else set()
+    expect = {i + len(prefix) for i in interior_body}
+    # shifted interior boundaries past the splice window must be
+    # exactly the body's, relocated; new ones may only appear in the
+    # first w−1 positions after the splice (windows straddling it)
+    deep = {i for i in interior_shifted if i >= len(prefix) + w}
+    assert deep == {i for i in expect if i >= len(prefix) + w}
