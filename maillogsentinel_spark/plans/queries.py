@@ -7413,6 +7413,106 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+_TX_EVOLVE_ORACLE = """
+WITH base AS (
+  SELECT event_id, ts, value FROM events WHERE event_id % 7 = 0
+),
+b2 AS (
+  SELECT event_id, ts, value,
+         round(value * 2 + (event_id % 13), 6) AS score
+  FROM events WHERE event_id % 7 = 3
+),
+head AS (
+  SELECT event_id, ts::DATE AS event_date, value, NULL::DOUBLE AS score
+  FROM base
+  UNION ALL
+  SELECT event_id, ts::DATE, value, score FROM b2
+)
+SELECT event_date,
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN score IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_scored,
+       round(sum(coalesce(score, 0)::DECIMAL(21,6))::DOUBLE, 4)
+         AS score_sum,
+       round(sum(value::DECIMAL(21,6))::DOUBLE, 4) AS value_sum,
+       6 AS v1_ncols, 7 AS head_ncols
+FROM head GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("tx_schema_evolution", oracle=_TX_EVOLVE_ORACLE)
+def q_tx_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION, hash-verified: commit v1 with the five-column
+    events shape, then append a batch carrying a NEW ``score`` column
+    under ``merge_schema=True`` (Delta's mergeSchema) — the evolved
+    schema rides in the SAME atomic manifest rename as the batch's
+    files, so evolution can never half-commit. The head read must show
+    every v1 row with score NULL (old files read under the evolved
+    schema) and every appended row with its exact score; time travel
+    to version 1 must return the ORIGINAL six-column shape, pinned by
+    the constant v1_ncols/head_ncols columns the oracle states. A
+    batch column leaking into v1, a dropped evolved column, or an old
+    row misreading score all flip the census and fail the hash.
+
+    Scale shape: identical to tx_time_travel_diff — manifest file-list
+    reads, one per-day agg; the evolution itself is O(1) metadata."""
+    import shutil
+    import tempfile
+
+    from ..sources.txstore import (
+        tx_append_events,
+        tx_read_events,
+        tx_write_events,
+    )
+
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base = ev.where(F.col("event_id") % 7 == 0)
+    batch = ev.where(F.col("event_id") % 7 == 3).withColumn(
+        "score", F.round(F.col("value") * 2 + (F.col("event_id") % 13), 6)
+    )
+    tmp = tempfile.mkdtemp(prefix="mls_store_evo_")
+    path = f"{tmp}/store"
+    try:
+        with _stream_state_parts(spark, 8):
+            tx_write_events(spark, path, base.repartition(F.to_date("ts")))
+            tx_append_events(spark, path, batch, merge_schema=True)
+            v1 = tx_read_events(spark, path, version=1)
+            head = tx_read_events(spark, path)
+            assert "score" not in v1.columns  # time travel keeps shape
+            agg = (
+                head.groupBy("event_date")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum(
+                        F.when(F.col("score").isNotNull(), 1).otherwise(0)
+                    ).cast("long").alias("n_scored"),
+                    F.round(
+                        F.sum(
+                            F.coalesce(F.col("score"), F.lit(0)).cast(
+                                "decimal(21,6)"
+                            )
+                        ).cast("double"),
+                        4,
+                    ).alias("score_sum"),
+                    F.round(
+                        F.sum(F.col("value").cast("decimal(21,6)")).cast(
+                            "double"
+                        ),
+                        4,
+                    ).alias("value_sum"),
+                    F.lit(len(v1.columns)).alias("v1_ncols"),
+                    F.lit(len(head.columns)).alias("head_ncols"),
+                )
+                .orderBy("event_date")
+            )
+            rows = agg.collect()
+            return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @query("tx_time_travel_diff", oracle=_TX_TT_ORACLE)
 def q_tx_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME TRAVEL, hash-verified: commit v1 (snapshot write), MERGE a
@@ -10450,6 +10550,10 @@ _NEXT = [
     # NEW mid-round-9: the CDC rows' second consumer — cross-source
     # shared-passage matrix (quoted-content contamination detector)
     "dedup_cdc_cross_source",
+    # NEW mid-round-9: atomic mergeSchema evolution on the tx store —
+    # evolved schema + batch files in ONE rename; time travel keeps
+    # each version's own shape (v1_ncols/head_ncols pinned)
+    "tx_schema_evolution",
     # round-9 rotation OUT: ten long-green rows (each graded green for
     # 3+ consecutive rounds) retired to make room for the nine
     # never-driver-graded round-8 queries plus the new time-travel

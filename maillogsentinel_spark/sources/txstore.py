@@ -264,20 +264,54 @@ def tx_write_events(
     return _commit(spark, path, manifest)
 
 
-def _check_schema(prev: dict, df: DataFrame, op: str) -> None:
-    """The manifest pins ONE schema per store; a drifted batch must
+def _check_schema(
+    prev: dict, df: DataFrame, op: str, merge: bool = False
+) -> str:
+    """The manifest pins ONE schema per VERSION; a drifted batch must
     fail loudly before any file is staged — silently appending files
     whose columns differ would make snapshot reads return nulls (or
-    fail) for the divergent columns."""
+    fail) for the divergent columns. Returns the schema JSON the new
+    manifest should carry.
+
+    ``merge=True`` is Delta's mergeSchema semantics, sound because the
+    snapshot read applies the MANIFEST's schema to every file
+    (_snapshot_df): NEW batch columns extend the store schema (old
+    files simply read null there, nullable by construction), and a
+    batch may OMIT store columns (its files read null for them). What
+    can never change is the TYPE of an existing column — files written
+    under the old type would then be unreadable — so type conflicts
+    raise in both modes. Because the evolved schema rides in the same
+    manifest as the batch's files, schema evolution is as atomic as
+    the data, and time travel to an older version reads that version's
+    OWN (pre-evolution) schema."""
+    from pyspark.sql.types import StructField
+
     want = StructType.fromJson(json.loads(prev["schema"]))
     got = _with_day(df).schema
-    if {f.name: f.dataType for f in got.fields} != {
-        f.name: f.dataType for f in want.fields
-    }:
+    want_types = {f.name: f.dataType for f in want.fields}
+    got_types = {f.name: f.dataType for f in got.fields}
+    if got_types == want_types:
+        return prev["schema"]
+    conflicts = {
+        n for n in got_types.keys() & want_types.keys()
+        if got_types[n] != want_types[n]
+    }
+    new_cols = [f for f in got.fields if f.name not in want_types]
+    missing = want_types.keys() - got_types.keys()
+    if conflicts or (not merge and (new_cols or missing)):
         raise ValueError(
-            f"{op} batch schema does not match the store schema: "
-            f"batch={got.simpleString()} store={want.simpleString()}"
+            f"{op} batch schema does not match the store schema"
+            + (f" (type conflicts: {sorted(conflicts)})" if conflicts else "")
+            + f": batch={got.simpleString()} store={want.simpleString()}"
+            + (" — pass merge_schema=True to add new nullable columns / "
+               "omit existing ones"
+               if not merge and op == "append" else "")
         )
+    evolved = StructType(
+        list(want.fields)
+        + [StructField(f.name, f.dataType, nullable=True) for f in new_cols]
+    )
+    return json.dumps(evolved.jsonValue())
 
 
 def _ledger_replayed(prev: dict, batch_id: int | None) -> bool:
@@ -310,6 +344,7 @@ def tx_append_events(
     events: DataFrame,
     batch_id: int | None = None,
     max_rebase_attempts: int = 5,
+    merge_schema: bool = False,
 ) -> int:
     """Append a batch: new files join the snapshot; existing files are
     never touched. One metadata rename commits all days at once.
@@ -328,12 +363,18 @@ def tx_append_events(
     (already-published) file list, and retries the rename, up to
     ``max_rebase_attempts`` times — two interleaved appends both
     commit. Only a schema change or ledger regression on the new head
-    aborts the rebase."""
+    aborts the rebase.
+
+    ``merge_schema=True`` (Delta's mergeSchema): the batch may ADD new
+    nullable columns (old files read null there) or OMIT existing ones
+    (its files read null); the evolved schema commits in the SAME
+    manifest rename as the batch's files, and time travel keeps every
+    older version's own schema. Type changes always raise."""
     txid = uuid.uuid4().hex
     prev = _load_manifest(spark, path)
     if _ledger_replayed(prev, batch_id):
         return prev["version"]  # replayed batch: already committed
-    _check_schema(prev, events, "append")
+    schema_json = _check_schema(prev, events, "append", merge=merge_schema)
     files = _stage_and_publish(spark, path, _with_day(events), txid)
     for attempt in range(max_rebase_attempts):
         merged = {d: list(v) for d, v in prev["files"].items()}
@@ -346,7 +387,7 @@ def tx_append_events(
             "parent": prev["version"],
             "txid": txid,
             "operation": "append",
-            "schema": prev["schema"],
+            "schema": schema_json,
             "files": merged,
         }
         if batch_id is not None:
@@ -365,7 +406,11 @@ def tx_append_events(
             prev = _load_manifest(spark, path)
             if _ledger_replayed(prev, batch_id):
                 return prev["version"]
-            _check_schema(prev, events, "append")  # head may have drifted
+            # head may have drifted (another writer evolved it first) —
+            # re-evolve against the new head
+            schema_json = _check_schema(
+                prev, events, "append", merge=merge_schema
+            )
     raise AssertionError("unreachable")
 
 

@@ -417,6 +417,57 @@ def test_optimize_zorder_layout_only_and_atomic(spark, tmp_path, monkeypatch):
     assert sum(spans) / len(spans) <= 26  # ideal ~15.75, unclustered 63
 
 
+def test_schema_evolution_append(spark, tmp_path):
+    """mergeSchema semantics: an append may ADD nullable columns (old
+    files read null) or OMIT existing ones (its files read null); the
+    evolved schema commits in the SAME rename as the data, time travel
+    keeps each version's own shape, and type changes always raise."""
+    path = str(tmp_path / "txstore")
+    tx_write_events(spark, path, spark.createDataFrame(
+        [_ev(1, 1, 10, 1.0), _ev(2, 2, 11, 2.0)]))
+
+    scored = spark.createDataFrame([_ev(3, 1, 12, 3.0)]).withColumn(
+        "score", F.lit(0.75))
+    # strict mode refuses, and points at the escape hatch
+    with pytest.raises(ValueError, match="merge_schema"):
+        tx_append_events(spark, path, scored)
+    v2 = tx_append_events(spark, path, scored, merge_schema=True)
+    head = tx_read_events(spark, path)
+    assert "score" in head.columns
+    got = {r["event_id"]: r["score"] for r in head.collect()}
+    assert got == {1: None, 2: None, 3: 0.75}
+    # time travel: version 1 keeps its OWN pre-evolution schema
+    v1_df = tx_read_events(spark, path, version=1)
+    assert "score" not in v1_df.columns
+    assert v1_df.count() == 2
+
+    # a batch OMITTING an existing column also needs merge_schema;
+    # its rows read null for the omitted column
+    partial = spark.createDataFrame([_ev(4, 2, 13, 4.0)]).drop("value")
+    with pytest.raises(ValueError, match="does not match"):
+        tx_append_events(spark, path, partial)
+    tx_append_events(spark, path, partial, merge_schema=True)
+    vals = {r["event_id"]: (r["value"], r["score"])
+            for r in tx_read_events(spark, path).collect()}
+    assert vals[4] == (None, None)
+    assert vals[3] == (3.0, 0.75)
+
+    # TYPE changes are never mergeable — files written under the old
+    # type would become unreadable
+    retyped = spark.createDataFrame([_ev(5, 1, 14, 5.0)]).withColumn(
+        "value", F.lit("not a double"))
+    with pytest.raises(ValueError, match="type conflicts"):
+        tx_append_events(spark, path, retyped, merge_schema=True)
+
+    # maintenance carries the evolved schema forward
+    tx_compact_partitions(spark, path, target_files_per_day=1)
+    after = {r["event_id"]: (r["value"], r["score"])
+             for r in tx_read_events(spark, path).collect()}
+    assert after == {1: (1.0, None), 2: (2.0, None),
+                     3: (3.0, 0.75), 4: (None, None)}
+    assert tx_current_version(spark, path) == v2 + 2
+
+
 def test_streaming_tx_sink_exactly_once(spark, tmp_path):
     """The tx-store streaming sink: batches land atomically, and a
     REPLAYED batch (foreachBatch's at-least-once contract) is a no-op
