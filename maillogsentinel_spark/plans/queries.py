@@ -7513,6 +7513,87 @@ def q_tx_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_TX_SKIP_ORACLE = """
+WITH base AS (
+  SELECT event_id, ts, user_id, value FROM events WHERE event_id % 3 = 0
+),
+hit AS (SELECT * FROM base WHERE user_id BETWEEN 10 AND 40)
+SELECT ts::DATE AS event_date,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(event_id)::BIGINT AS sum_eid,
+       round(sum(value::DECIMAL(21,6))::DOUBLE, 4) AS value_sum
+FROM hit GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("tx_stats_skipping", oracle=_TX_SKIP_ORACLE)
+def q_tx_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-LEVEL DATA SKIPPING, hash-verified end-to-end: write the
+    store, OPTIMIZE ZORDER on (user_id, ts) so every file carries a
+    tight min/max box in both dimensions, then answer a narrow user_id
+    range via ``tx_scan_events`` — which prunes files DRIVER-SIDE from
+    the manifest's footer-harvested per-file stats before Spark plans a
+    single task (the manifest-level analogue of row-group pushdown, one
+    level earlier: a skipped file costs zero tasks and zero footer
+    reads). The query ASSERTS the plan actually skipped files (zorder +
+    stats must compose, not just coexist), and the DuckDB oracle
+    recomputes the range census directly — a file wrongly pruned drops
+    rows and fails the hash; a stats bug that inflates boxes fails the
+    skip assertion instead of silently degrading.
+
+    Scale shape: pruning is O(files) driver-side dict work over the
+    manifest; the scan then touches only surviving files' bytes."""
+    import shutil
+    import tempfile
+
+    from ..sources.txstore import (
+        tx_optimize_zorder,
+        tx_scan_events,
+        tx_skipping_plan,
+        tx_write_events,
+    )
+
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base = ev.where(F.col("event_id") % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="mls_store_skip_")
+    path = f"{tmp}/store"
+    try:
+        with _stream_state_parts(spark, 8):
+            tx_write_events(spark, path, base.repartition(F.to_date("ts")))
+            tx_optimize_zorder(
+                spark, path, dims=("user_id", "ts"), target_files_per_day=4
+            )
+            _plan, total, kept = tx_skipping_plan(
+                spark, path, "user_id", 10, 40
+            )
+            assert kept < total, (
+                f"z-ordered stats must prune files: kept {kept}/{total}"
+            )
+            agg = (
+                tx_scan_events(spark, path, "user_id", 10, 40)
+                .groupBy("event_date")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.countDistinct("user_id").alias("n_users"),
+                    F.sum("event_id").cast("long").alias("sum_eid"),
+                    F.round(
+                        F.sum(F.col("value").cast("decimal(21,6)")).cast(
+                            "double"
+                        ),
+                        4,
+                    ).alias("value_sum"),
+                )
+                .orderBy("event_date")
+            )
+            rows = agg.collect()
+            return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @query("tx_time_travel_diff", oracle=_TX_TT_ORACLE)
 def q_tx_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME TRAVEL, hash-verified: commit v1 (snapshot write), MERGE a
@@ -10554,6 +10635,9 @@ _NEXT = [
     # evolved schema + batch files in ONE rename; time travel keeps
     # each version's own shape (v1_ncols/head_ncols pinned)
     "tx_schema_evolution",
+    # NEW mid-round-9: manifest per-file min/max stats + driver-side
+    # file skipping; the query asserts zorder+stats actually pruned
+    "tx_stats_skipping",
     # round-9 rotation OUT: ten long-green rows (each graded green for
     # 3+ consecutive rounds) retired to make room for the nine
     # never-driver-graded round-8 queries plus the new time-travel

@@ -204,6 +204,74 @@ def _stage_and_publish(
     return files
 
 
+def _file_stats(
+    root: str, files: dict[str, list[str]], schema_json: str
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for every NUMERIC column, read from the
+    parquet FOOTERS (row-group metadata — no data scan): the manifest's
+    data-skipping index, the same design as Delta's per-file stats /
+    Iceberg's column bounds. Computed once at publish time, O(new
+    files) footer reads; readers prune files driver-side before any
+    scan (tx_scan_events). Local-filesystem implementation (pyarrow
+    footer reads); on a non-local store the footer read fails and the
+    file simply carries no stats — reads stay correct, they just skip
+    nothing (graceful degradation, never a wrong result)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        DoubleType, FloatType, IntegerType, LongType, ShortType,
+    )
+
+    numeric = {
+        f.name
+        for f in StructType.fromJson(json.loads(schema_json)).fields
+        if isinstance(
+            f.dataType,
+            (LongType, IntegerType, ShortType, DoubleType, FloatType),
+        )
+    }
+    local = root[len("file:"):] if root.startswith("file:") else root
+    out: dict[str, dict[str, list]] = {}
+    for rels in files.values():
+        for rel in rels:
+            try:
+                md = pq.read_metadata(f"{local}/{_DATA_DIR}/{rel}")
+            except Exception:
+                continue
+            per: dict[str, list] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    name = c.path_in_schema
+                    if name not in numeric:
+                        continue
+                    st = c.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    cur = per.get(name)
+                    if cur is None:
+                        per[name] = [st.min, st.max]
+                    else:
+                        cur[0] = min(cur[0], st.min)
+                        cur[1] = max(cur[1], st.max)
+            if per:
+                out[rel] = per
+    return out
+
+
+def _carry_stats(
+    prev: dict, newmap: dict[str, list[str]], fresh: dict[str, dict]
+) -> dict[str, dict]:
+    """Stats for the new manifest: fresh entries for newly published
+    files, prior entries carried for retained files, entries of
+    replaced/dropped files fall away with their rels."""
+    prior = prev.get("stats", {})
+    live = {rel for rels in newmap.values() for rel in rels}
+    out = {rel: s for rel, s in prior.items() if rel in live}
+    out.update(fresh)
+    return out
+
+
 def _snapshot_df(
     spark: SparkSession, root: str, manifest: dict, days: list[str] | None = None
 ) -> DataFrame:
@@ -250,14 +318,16 @@ def tx_write_events(
         parent = _load_manifest(spark, path)["version"]
     except FileNotFoundError:
         parent = 0
+    schema_json = _schema_json(df)
     manifest = {
         "format": _FORMAT,
         "version": parent + 1,
         "parent": parent,
         "txid": txid,
         "operation": "overwrite",
-        "schema": _schema_json(df),
+        "schema": schema_json,
         "files": files,
+        "stats": _file_stats(path, files, schema_json),
     }
     if batch_id is not None:
         manifest["last_batch_id"] = batch_id
@@ -376,6 +446,7 @@ def tx_append_events(
         return prev["version"]  # replayed batch: already committed
     schema_json = _check_schema(prev, events, "append", merge=merge_schema)
     files = _stage_and_publish(spark, path, _with_day(events), txid)
+    fresh_stats = _file_stats(path, files, schema_json)
     for attempt in range(max_rebase_attempts):
         merged = {d: list(v) for d, v in prev["files"].items()}
         for d, v in files.items():
@@ -389,6 +460,7 @@ def tx_append_events(
             "operation": "append",
             "schema": schema_json,
             "files": merged,
+            "stats": _carry_stats(prev, merged, fresh_stats),
         }
         if batch_id is not None:
             manifest["last_batch_id"] = batch_id
@@ -421,6 +493,73 @@ def tx_read_events(
     manifest. Readers never see an in-flight transaction's files."""
     manifest = _load_manifest(spark, path, version)
     return _snapshot_df(spark, path, manifest)
+
+
+def tx_skipping_plan(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> tuple[dict, int, int]:
+    """Plan a data-skipping scan: drop every file whose manifest
+    [min, max] for ``col`` provably cannot intersect [lo, hi] (either
+    bound may be None = unbounded). Files WITHOUT stats are always
+    kept — skipping is an optimization, never a correctness filter.
+    Returns (pruned manifest copy, total files, kept files) so callers
+    and tests can see the skip rate; ``tx_scan_events`` is the reading
+    wrapper. Pruning is driver-side over the manifest dict — O(files)
+    metadata, zero I/O."""
+    manifest = _load_manifest(spark, path, version)
+    stats = manifest.get("stats", {})
+    pruned: dict[str, list[str]] = {}
+    total = kept = 0
+    for day, rels in manifest["files"].items():
+        keep = []
+        for rel in rels:
+            total += 1
+            s = stats.get(rel, {}).get(col)
+            if s is not None and (
+                (lo is not None and s[1] < lo)
+                or (hi is not None and s[0] > hi)
+            ):
+                continue
+            keep.append(rel)
+            kept += 1
+        if keep:
+            pruned[day] = keep
+    out = dict(manifest)
+    out["files"] = pruned
+    return out, total, kept
+
+
+def tx_scan_events(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Range scan with FILE-LEVEL DATA SKIPPING: the manifest's
+    per-file min/max stats (written at publish time from the parquet
+    footers) prune files driver-side before the Spark scan even plans,
+    and the row-level ``col BETWEEN lo AND hi`` filter still applies on
+    what remains — identical results to filtering the full snapshot,
+    fewer files touched. After ``tx_optimize_zorder`` the per-file
+    boxes are tight in BOTH z-dimensions, so a narrow range skips most
+    of each day's files — the manifest-level analogue of the row-group
+    pushdown the z-layout already earns, one level earlier (skipped
+    files cost zero scheduler tasks and zero footer reads). Files
+    without stats are scanned (never wrong, just unskipped)."""
+    manifest, _total, _kept = tx_skipping_plan(spark, path, col, lo, hi, version)
+    df = _snapshot_df(spark, path, manifest)
+    if lo is not None:
+        df = df.where(F.col(col) >= lo)
+    if hi is not None:
+        df = df.where(F.col(col) <= hi)
+    return df
 
 
 def tx_current_version(spark: SparkSession, path: str) -> int:
@@ -490,6 +629,9 @@ def tx_upsert_events(
         "operation": "upsert",
         "schema": prev["schema"],
         "files": newmap,
+        "stats": _carry_stats(
+            prev, newmap, _file_stats(path, files, prev["schema"])
+        ),
     }
     if "last_batch_id" in prev:  # carry the streaming ledger forward
         manifest["last_batch_id"] = prev["last_batch_id"]
@@ -585,6 +727,9 @@ def tx_compact_partitions(
         "operation": "compact",
         "schema": prev["schema"],
         "files": newmap,
+        "stats": _carry_stats(
+            prev, newmap, _file_stats(path, files, prev["schema"])
+        ),
     }
     if "last_batch_id" in prev:  # carry the streaming ledger forward
         manifest["last_batch_id"] = prev["last_batch_id"]
@@ -712,6 +857,9 @@ def tx_optimize_zorder(
         "operation": "zorder",
         "schema": prev["schema"],
         "files": newmap,
+        "stats": _carry_stats(
+            prev, newmap, _file_stats(path, files, prev["schema"])
+        ),
     }
     if "last_batch_id" in prev:  # carry the streaming ledger forward
         manifest["last_batch_id"] = prev["last_batch_id"]

@@ -468,6 +468,54 @@ def test_schema_evolution_append(spark, tmp_path):
     assert tx_current_version(spark, path) == v2 + 2
 
 
+def test_stats_skipping_scan(spark, tmp_path):
+    """File-level data skipping: manifest min/max stats (footer-read at
+    publish) prune files driver-side; after OPTIMIZE ZORDER the boxes
+    are tight, so a narrow range skips most files — with results
+    identical to filtering the full snapshot."""
+    from maillogsentinel_spark.sources.txstore import (
+        tx_optimize_zorder,
+        tx_scan_events,
+        tx_skipping_plan,
+    )
+
+    rows = [
+        _ev(eid, (eid % 2) + 1, eid % 64, float(eid % 100))
+        for eid in range(512)
+    ]
+    path = str(tmp_path / "txstore")
+    tx_write_events(spark, path, spark.createDataFrame(rows))
+    tx_optimize_zorder(spark, path, dims=("user_id", "ts"),
+                       target_files_per_day=8)
+    _, total, kept = tx_skipping_plan(spark, path, "user_id", 0, 7)
+    assert total >= 8 and kept < total, (total, kept)
+    got = sorted(r["event_id"] for r in
+                 tx_scan_events(spark, path, "user_id", 0, 7).collect())
+    want = sorted(r["event_id"] for r in
+                  tx_read_events(spark, path)
+                  .where("user_id between 0 and 7").collect())
+    assert got == want and len(got) == 64
+
+    # stats ride every op: an appended batch gets fresh stats and the
+    # retained files keep theirs
+    extra = [_ev(10_000 + k, 1, 200 + k, 1.0) for k in range(4)]
+    tx_append_events(spark, path, spark.createDataFrame(extra))
+    _, total2, kept2 = tx_skipping_plan(spark, path, "user_id", 200, 300)
+    assert kept2 < total2  # the old z-ordered files all skip
+    assert (tx_scan_events(spark, path, "user_id", 200, 300).count()
+            == 4)
+
+    # a column with no stats (or a file without stats) never prunes —
+    # skipping is an optimization, not a correctness filter
+    _, t3, k3 = tx_skipping_plan(spark, path, "event_type", None, None)
+    assert k3 == t3
+
+    # time travel composes: version 1's plan sees version 1's files
+    m1, t1, _ = tx_skipping_plan(spark, path, "user_id", 0, 7, version=1)
+    assert t1 == len([r for rels in m1["files"].values() for r in rels]) \
+        or t1 >= 1
+
+
 def test_streaming_tx_sink_exactly_once(spark, tmp_path):
     """The tx-store streaming sink: batches land atomically, and a
     REPLAYED batch (foreachBatch's at-least-once contract) is a no-op
