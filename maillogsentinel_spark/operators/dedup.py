@@ -142,12 +142,17 @@ def cdc_chunk_rows(
             cols: dict[str, list] = {c: [] for c in keep}
             iis: list[int] = []
             chunks: list[str] = []
-            for row in pdf.itertuples(index=False):
-                text = getattr(row, text_col)
+            # name=None -> plain positional tuples: itertuples would
+            # mangle column names that aren't Python identifiers
+            pos = {c: i for i, c in enumerate(pdf.columns)}
+            ti = pos[text_col]
+            ki = [(c, pos[c]) for c in keep]
+            for row in pdf.itertuples(index=False, name=None):
+                text = row[ti]
                 prev = 0
                 for i in cdc_boundaries(text, window, modulus, base):
-                    for c in keep:
-                        cols[c].append(getattr(row, c))
+                    for c, j in ki:
+                        cols[c].append(row[j])
                     iis.append(i)
                     chunks.append(text[prev:i])
                     prev = i
