@@ -10484,11 +10484,20 @@ GRADED_PREFIX: list[str] = [
     # top10_geo_breakdown, ip_point_lookup — every one graded green since
     # round 1, all still in the full local gate) move just past the prefix
     # to make room for the never-driver-graded flagships below.
+    # round-10 rotation (VERDICT r9 #1, verbatim): eleven rows retire —
+    # each graded green 3-9 consecutive rounds with family evidence
+    # kept in-window or in the full local gate (per-row notes below) —
+    # to admit the five round-9 newcomers (tx_stats_skipping,
+    # tx_schema_evolution, dedup_cdc_chunks, dedup_cdc_cross_source,
+    # dedup_lsh_recall) and the six never-driver-graded TPC-H queries
+    # that carry the engine's only correlated-subquery/semi/anti
+    # evidence (q2, q11, q16, q17, q20, q21).
     "sasl_parse",
     "geo_range_join",
     "rdns_status_counts",
     "mail_report_top10_today",
-    "json_props_agg",
+    # json_props_agg retires r10 (green r1-r9; F-json evidence stays in
+    # the full gate)
     "anonymize_users",          # §2.10 U5 (gated first-seen rank)
     "sql_cast_normalize",       # §2.2 P7/P10, §2.1 S8/S9 cast core
     # round-7 rotation IN: the hardest never-graded paths — Lee et al.
@@ -10497,7 +10506,8 @@ GRADED_PREFIX: list[str] = [
     # plus the NEW maintenance-surface gate (upsert dup-key MERGE +
     # predicate-scoped compaction re-derived relationally by DuckDB)
     "dedup_exact_substring",
-    "multimodal_jpeg_decode",
+    # multimodal_jpeg_decode retires r10 (green r7-r9; JPEG evidence
+    # stays via the strictly-harder pjpeg/420/frac decodes in-window)
     "events_scd2_type_history",
     "knn_pq_adc",
     "store_maintenance_roundtrip",
@@ -10510,14 +10520,22 @@ GRADED_PREFIX: list[str] = [
     "store_tx_roundtrip",
     "events_stream_tx_sink",
     "tx_time_travel_diff",
+    # round-10 rotation IN (r9 verdict #1): the tx store's two newest
+    # flagships — atomic mergeSchema evolution (v1/v2 shapes pinned
+    # through time travel) and per-file min/max stats + file skipping
+    # (the query asserts the z-ordered store actually pruned files, so
+    # it also carries events_zorder_layout's retired evidence)
+    "tx_schema_evolution",
+    "tx_stats_skipping",
     # windows / custom operators — §2.5, §2.7, as-of (round-9 rotation:
     # events_sessionize + sasl_bruteforce_windows — graded green since
     # rounds 1-2 — retire; window evidence stays via per_user_topk,
     # events_scd2_type_history, events_asof_join and the streaming
     # session windows in the full gate)
-    "per_user_topk_event_types",
+    # per_user_topk_event_types + events_set_ops retire r10 (green
+    # r1-r9; ranked-window evidence stays via events_scd2_type_history
+    # in-window, set-op evidence in the full gate)
     "events_asof_join",
-    "events_set_ops",
     # quantiles / UDAF (round-9: lineitem_percentiles + hll_daily —
     # green since round 1 — retire; exact-quantile evidence stays via
     # the median UDAF, sketch evidence via events_heavy_hitters_exact
@@ -10529,9 +10547,19 @@ GRADED_PREFIX: list[str] = [
     # exact-dedup evidence stays via dedup_clusters' survivor set;
     # round-9: embedding_cosine_pairs retires — the exact-cosine
     # evidence stays via knn_recall_ladder's exact baseline arm)
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    # dedup_ngram_jaccard + dedup_minhash_lsh retire r10 (green r1-r9;
+    # both arms stay graded via dedup_lsh_recall below, whose oracle
+    # re-derives the exact-jaccard truth set AND the banded-LSH
+    # candidate set side by side)
     "dedup_clusters",
+    # round-10 rotation IN (r9 verdict #1): the three round-9 dedup
+    # newcomers — content-defined chunking (insert-robust sub-document
+    # dedup), its cross-source shared-passage consumer (quoted-content
+    # contamination, carrying corpus_contamination's retired evidence),
+    # and the hash-verified LSH-vs-exact recall contract
+    "dedup_cdc_chunks",
+    "dedup_cdc_cross_source",
+    "dedup_lsh_recall",
     # round-9 rotation IN: the bounded 1/16-slice twins that restored
     # sf1 VALUE-exact oracles for the two disk-infeasible full-corpus
     # queries (pagerank replaces its unsliced sibling in-window — same
@@ -10561,11 +10589,12 @@ GRADED_PREFIX: list[str] = [
     # round-9: doc_fingerprint + doc_shingle_novelty — both green since
     # round 1 — retire; rolling-hash/shingle evidence stays via
     # dedup_ngram_jaccard + dedup_minhash_lsh in-window)
-    "text_lang_quality",
+    # text_lang_quality retires r10 (green r1-r9; text-quality evidence
+    # stays via pii_scrub + corpus_gopher_rules in-window)
     "pii_scrub",
     "corpus_gopher_rules",
-    # corpus preparation (hash_sample follows just past the prefix)
-    "corpus_contamination",
+    # corpus_contamination retires r10 (green r2-r9; contamination
+    # evidence stays via dedup_cdc_cross_source in-window)
     # multimodal — round-5 rotation: the COMPRESSED-codec decode (GIF89a
     # variable-width LZW, the hardest single decode path) joins the BMP
     # rep in-window; round-9 (verdict #1): the five never-graded r8
@@ -10577,7 +10606,8 @@ GRADED_PREFIX: list[str] = [
     # joins on arrival; multimodal_bmp_decode (the simplest decode,
     # green since round 4) retires just past the window — real BMP
     # decodes stay graded via the gate registry's bmp rows
-    "multimodal_gif_decode",
+    # multimodal_gif_decode retires r10 (green r5-r9; the compressed-
+    # codec family keeps seven REAL-decode reps in-window below)
     "multimodal_pjpeg_decode",
     "multimodal_jpeg420_decode",
     "multimodal_jpeg_frac_decode",
@@ -10597,7 +10627,9 @@ GRADED_PREFIX: list[str] = [
     # green in r4, now just past the prefix) for the two semantics a
     # streaming engine most often gets wrong: append-mode watermark
     # emission and the double-watermarked stream-stream range join
-    "events_stream_watermark_append",
+    # events_stream_watermark_append retires r10 (green r5-r9; the
+    # streaming family keeps four in-window reps: the three join modes
+    # below + the exactly-once tx sink above, all watermark-driven)
     "events_stream_stream_join",
     # mid-round-5 additions, graded on arrival: the FULL OUTER join's
     # asymmetric per-side eviction boundaries are the hardest delivery
@@ -10611,33 +10643,48 @@ GRADED_PREFIX: list[str] = [
     # boundary is one-sided, unlike the graded full-outer's)
     "events_stream_left_outer_join",
     "events_heavy_hitters_exact",
-    "events_zorder_layout",
+    # events_zorder_layout retires r10 (green r5-r9; z-order evidence
+    # stays via tx_stats_skipping in-window, which z-orders a store and
+    # asserts the layout actually enabled file pruning)
     # IR retrieval (never driver-graded in round 1 — front-loaded);
     # customer_rfm (behavioral showcase, green since r1) retired r8 —
     # gated-ntile/window evidence stays via events_scd2_type_history
     "doc_bm25_search",
+    # round-10 rotation IN (r9 verdict #1): the six never-driver-graded
+    # TPC-H queries — the engine's only correlated-subquery, scalar-
+    # subquery, semi-join and anti-join evidence at driver level after
+    # nine rounds. q2: correlated min-cost scalar subquery; q11:
+    # HAVING vs a global scalar subquery; q16: NOT IN anti + distinct
+    # agg; q17: per-part avg scalar subquery; q20: nested IN/semi with
+    # a correlated quantity threshold; q21: EXISTS + NOT EXISTS
+    # double-correlation
+    "tpch_q2_min_cost_supp",
+    "tpch_q11_important_parts",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q20_qty_suppliers",
+    "tpch_q21_waiting_supp",
 ]
 
 # After the prefix: remaining beyond-reference ops by family value, then the
 # TPC-H long tail.
 _NEXT = [
-    # NEW mid-round-9, first in line for the round-10 rotation:
-    # content-defined chunking (LBFS/rsync-family CDC) — sub-document
-    # dedup robust to insertions; full-gate green, never driver-graded
-    "dedup_cdc_chunks",
-    # NEW mid-round-9: hash-verified LSH-vs-exact recall — the scale
-    # path's quality number (SCALE.md round-9 section) as an oracle row
-    "dedup_lsh_recall",
-    # NEW mid-round-9: the CDC rows' second consumer — cross-source
-    # shared-passage matrix (quoted-content contamination detector)
-    "dedup_cdc_cross_source",
-    # NEW mid-round-9: atomic mergeSchema evolution on the tx store —
-    # evolved schema + batch files in ONE rename; time travel keeps
-    # each version's own shape (v1_ncols/head_ncols pinned)
-    "tx_schema_evolution",
-    # NEW mid-round-9: manifest per-file min/max stats + driver-side
-    # file skipping; the query asserts zorder+stats actually pruned
-    "tx_stats_skipping",
+    # round-10 rotation OUT: eleven long-green rows (each graded green
+    # 3-9 consecutive rounds) retired to admit the five round-9
+    # newcomers (now graded above) and the six never-driver-graded
+    # TPC-H correlated/semi/anti queries; every family keeps an
+    # in-window rep (see GRADED_PREFIX notes per group)
+    "json_props_agg",
+    "per_user_topk_event_types",
+    "events_set_ops",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_lang_quality",
+    "corpus_contamination",
+    "multimodal_gif_decode",
+    "multimodal_jpeg_decode",
+    "events_zorder_layout",
+    "events_stream_watermark_append",
     # round-9 rotation OUT: ten long-green rows (each graded green for
     # 3+ consecutive rounds) retired to make room for the nine
     # never-driver-graded round-8 queries plus the new time-travel

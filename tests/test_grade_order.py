@@ -13,63 +13,59 @@ def test_prefix_is_first_and_exactly_50():
 
 def test_prefix_families_covered():
     p = set(GRADED_PREFIX)
+    # §2 core surface (json_props_agg retired r10 — F-json stays in the
+    # full local gate)
     assert {"sasl_parse", "geo_range_join", "rdns_status_counts",
-            "anonymize_users", "sql_cast_normalize"} <= p      # §2 core
-    # dedup_simhash rotated just past the window mid-round-5, dedup_exact
-    # round 8, embedding_cosine_pairs round 9 (exact-cosine evidence
-    # stays via knn_recall_ladder's exact baseline arm); hash-sketch
-    # dedup evidence stays via dedup_minhash_lsh, exact-dedup via
-    # dedup_clusters' survivor set. Round 9 adds the sf1-exact slice
-    # twins (verdict #1: never driver-graded before)
-    assert {"dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters",
+            "anonymize_users", "sql_cast_normalize",
+            "mail_report_top10_today"} <= p
+    # dedup: ngram_jaccard + minhash_lsh retired r10 — BOTH arms stay
+    # graded via dedup_lsh_recall, whose oracle re-derives the
+    # exact-jaccard truth set and the banded-LSH candidate set side by
+    # side; exact-dedup evidence stays via dedup_clusters' survivor
+    # set; CDC chunking + its cross-source consumer join r10
+    assert {"dedup_clusters", "dedup_lsh_recall", "dedup_cdc_chunks",
+            "dedup_cdc_cross_source", "dedup_exact_substring",
             "dedup_graph_pagerank_slice",
-            "dedup_incremental_new_docs_slice"} <= p           # dedup
-    # knn_ivf/knn_lsh rotated out round 5, knn_bruteforce round 8,
-    # kmeans_assign round 9: knn_recall_ladder composes IVF/LSH/
-    # multiprobe against its own exact top-5 baseline arm; PQ-ADC
-    # graded since round 7
+            "dedup_incremental_new_docs_slice"} <= p
+    # similarity: knn_recall_ladder composes IVF/LSH/multiprobe against
+    # its own exact top-5 baseline arm; PQ-ADC graded since round 7
     assert {"knn_recall_ladder", "knn_pq_adc"} <= p
-    # doc_fingerprint rotated out round 9 (rolling-hash evidence stays
-    # via the shingle-based dedup reps in-window)
-    assert {"text_lang_quality", "pii_scrub",
-            "corpus_gopher_rules"} <= p                        # text
-    # round-5 rotation: the compressed-codec decode joins the BMP rep;
-    # round-8: the two lossy ADPCM recurrence oracles + the honest-gate
-    # policy row; round-9 (verdict #1): the five never-graded r8 codec
-    # oracles join and the synthetic multimodal_features rep retires —
-    # every graded multimodal row is now a REAL decode. Mid-round-9:
-    # the non-integer-sampling JPEG decode (last sampling gate, now
-    # closed) joins on arrival; multimodal_bmp_decode retires (real BMP
-    # decodes stay graded via the gate registry's bmp rows)
-    assert {"multimodal_gif_decode",
-            "multimodal_adpcm_decode", "multimodal_ms_adpcm_decode",
+    # text (text_lang_quality retired r10; quality evidence stays via
+    # pii_scrub + corpus_gopher_rules; contamination via the CDC
+    # cross-source matrix)
+    assert {"pii_scrub", "corpus_gopher_rules"} <= p
+    # multimodal: every graded row is a REAL decode; gif_decode and
+    # baseline jpeg_decode retired r10 (JPEG evidence stays via the
+    # strictly-harder progressive/420/fractional-sampling decodes)
+    assert {"multimodal_adpcm_decode", "multimodal_ms_adpcm_decode",
             "multimodal_gate_registry", "multimodal_pjpeg_decode",
             "multimodal_jpeg420_decode", "multimodal_jpeg_frac_decode",
             "multimodal_png_subbyte_decode",
             "multimodal_alaw_decode",
             "multimodal_adpcm_stereo_decode"} <= p
-    # round-8: the full join-mode matrix is graded — left-outer was the
-    # only row never driver-graded
-    assert {"events_stream_watermark_append", "events_stream_stream_join",
+    # streaming: watermark_append retired r10 — the family keeps the
+    # full join-mode matrix (all watermark-driven) + the tx sink
+    assert {"events_stream_stream_join",
             "events_stream_full_outer_join",
-            "events_stream_left_outer_join"} <= p
-    # round-9 (verdict #1, top item): the transactional store's own
-    # oracles — the poison-transaction roundtrip, the exactly-once
-    # in-manifest streaming sink, and the hash-verified time-travel diff
+            "events_stream_left_outer_join",
+            "events_stream_tx_sink"} <= p
+    # transactional store: the round-9 flagships join r10 —
+    # tx_stats_skipping also carries events_zorder_layout's retired
+    # z-order evidence (it asserts the z-ordered store pruned files)
     assert {"store_maintenance_roundtrip", "store_tx_roundtrip",
-            "events_stream_tx_sink", "tx_time_travel_diff"} <= p
-    # mid-round-5 new families: exact heavy hitters + z-order layout
-    assert {"events_heavy_hitters_exact", "events_zorder_layout"} <= p
-    # lineitem_percentiles + events_hll_daily_users rotated out round 9
-    # (green since r1); exact-quantile evidence stays via the median
-    # UDAF, sketch evidence via heavy hitters in-window + HLL rollup in
-    # the full gate
-    assert "events_median_by_type" in p
-    assert {"udtf_bigrams_topk", "doc_bm25_search"} <= p
-    # round-2 family fill: graph / ER / security / embedding stats
-    # (pagerank's graded rep is the sliced twin since round 9)
-    assert {"entity_resolution_usernames",
-            "ip_risk_scores", "embedding_centroids"} <= p
+            "tx_time_travel_diff", "tx_schema_evolution",
+            "tx_stats_skipping"} <= p
+    # TPC-H correlated/semi/anti evidence (never driver-graded r1-r9)
+    assert {"tpch_q2_min_cost_supp", "tpch_q11_important_parts",
+            "tpch_q16_supplier_cnt", "tpch_q17_small_qty",
+            "tpch_q20_qty_suppliers", "tpch_q21_waiting_supp"} <= p
+    # sketches / windows / UDAF-UDTF / IR / graph-ER / security /
+    # embeddings each keep a rep
+    assert {"events_heavy_hitters_exact", "events_scd2_type_history",
+            "events_asof_join", "events_median_by_type",
+            "udtf_bigrams_topk", "doc_bm25_search",
+            "entity_resolution_usernames", "ip_risk_scores",
+            "embedding_centroids"} <= p
 
 
 def test_prefix_is_fully_oracle_checked():
