@@ -293,11 +293,16 @@ def _jaccard_pairs_prefix(
     fixed-vocab synthetic at sf1. Zipfian real-text corpora are the
     winning regime (hapax-dominated df → short hot-prefix overlap).
 
-    Float hygiene: ⌈t·n⌉ and the length bounds are computed with a 1e-9
-    slack so IEEE noise (0.3·10 = 3.0000000000000004) can only LENGTHEN
-    a prefix / WIDEN the length window — toward a superset of
-    candidates, never a miss. The final jaccard ≥ t filter uses the
-    same double arithmetic as the oracle, so survivors match exactly.
+    Float hygiene: the final filter applies t to the 6-dp ROUNDED
+    jaccard (matching the oracle), so a pair whose true jaccard lies in
+    [t−5e-7, t) still survives it. ⌈t·n⌉ and the length bounds are
+    therefore derived from the effective threshold t−5e-7 (the rounding
+    granularity) with a further 1e-9 slack, so IEEE noise (0.3·10 =
+    3.0000000000000004) can only LENGTHEN a prefix / WIDEN the length
+    window — toward a superset of candidates, never a miss, including
+    at the rounding boundary on arbitrarily large shingle sets. The
+    jaccard expression itself uses the same double arithmetic as the
+    oracle, so survivors match exactly.
     """
     from pyspark.sql import Window
 
@@ -312,7 +317,8 @@ def _jaccard_pairs_prefix(
         .withColumn("rn", F.row_number().over(by_id.orderBy("df", "sh")))
         .withColumn("n", F.count(F.lit(1)).over(by_id))
     )
-    alpha = F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-9))
+    t_eff = threshold - 5e-7  # 6-dp rounding granularity of the final filter
+    alpha = F.ceil(F.col("n") * F.lit(t_eff) - F.lit(1e-9))
     prefix = ranked.filter(F.col("rn") <= F.col("n") - alpha + 1).select(
         "id", "sh", "n"
     )
@@ -322,8 +328,8 @@ def _jaccard_pairs_prefix(
             b,
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.id") < F.col("b.id"))
-            & (F.col("b.n") >= F.col("a.n") * threshold - 1e-9)
-            & (F.col("a.n") >= F.col("b.n") * threshold - 1e-9),
+            & (F.col("b.n") >= F.col("a.n") * t_eff - 1e-9)
+            & (F.col("a.n") >= F.col("b.n") * t_eff - 1e-9),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

@@ -379,6 +379,15 @@ def _component_planes(
     h, w = pixels.shape[:2]
     sh, sv = (1, 1) if gray else subsampling
     ch, cv = (1, 1) if gray else chroma_sampling
+    # T.81 B.2.2: sampling factors Hi/Vi live in [1, 4]. Validate BOTH
+    # tuples up front — (5, 1) would emit a stream the decoder rejects,
+    # (0, 1) a degenerate empty-plane/div-by-zero path.
+    for fac in (sh, sv, ch, cv):
+        if not 1 <= fac <= 4:
+            raise ValueError(
+                f"JPEG sampling factors must be in 1..4 (T.81 B.2.2), "
+                f"got luma {subsampling}, chroma {chroma_sampling}"
+            )
     if ch > sh or cv > sv:
         raise ValueError("chroma sampling factors must not exceed luma's")
     if gray:

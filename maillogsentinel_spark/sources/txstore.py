@@ -479,9 +479,26 @@ def tx_append_events(
             if _ledger_replayed(prev, batch_id):
                 return prev["version"]
             # head may have drifted (another writer evolved it first) —
-            # re-evolve against the new head
+            # re-evolve against the new head. fresh_stats is NOT
+            # recomputed: _file_stats only consults the schema for its
+            # numeric-column set, the batch's files hold only the
+            # batch's own columns (a subset of every evolution of the
+            # original schema — merge only ADDS columns), so the stats
+            # are invariant under re-evolution. Assert that, so a
+            # future _file_stats that reads more of the schema fails
+            # loudly here instead of committing stale stats.
             schema_json = _check_schema(
                 prev, events, "append", merge=merge_schema
+            )
+            re_evolved = {
+                f.name for f in StructType.fromJson(json.loads(schema_json)).fields
+            }
+            stale = {
+                c for per in fresh_stats.values() for c in per
+            } - re_evolved
+            assert not stale, (
+                f"rebase dropped stats columns {sorted(stale)} from the "
+                "re-evolved schema — recompute fresh_stats"
             )
     raise AssertionError("unreachable")
 
@@ -510,9 +527,27 @@ def tx_skipping_plan(
     Returns (pruned manifest copy, total files, kept files) so callers
     and tests can see the skip rate; ``tx_scan_events`` is the reading
     wrapper. Pruning is driver-side over the manifest dict — O(files)
-    metadata, zero I/O."""
+    metadata, zero I/O.
+
+    NaN hygiene (float/double columns only): Spark SQL orders NaN
+    GREATER than every value, so NaN rows satisfy ``col >= lo`` — but
+    parquet footer min/max ignore NaN (and old writers mishandle it).
+    For a lower-bound-only scan (hi is None) the ``max < lo`` prune
+    would therefore drop a file whose non-NaN max is below lo but which
+    contains NaN rows. When hi IS set, NaN fails ``col <= hi`` row-side
+    and both prunes stay sound. So: the max-below-lo prune is disabled
+    for Float/Double columns unless hi is also bounded (Delta solves
+    the same hazard with a per-file hasNaN flag)."""
+    from pyspark.sql.types import DoubleType, FloatType
+
     manifest = _load_manifest(spark, path, version)
     stats = manifest.get("stats", {})
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    is_float = any(
+        f.name == col and isinstance(f.dataType, (FloatType, DoubleType))
+        for f in schema.fields
+    )
+    lo_prune_ok = lo is not None and not (is_float and hi is None)
     pruned: dict[str, list[str]] = {}
     total = kept = 0
     for day, rels in manifest["files"].items():
@@ -521,7 +556,7 @@ def tx_skipping_plan(
             total += 1
             s = stats.get(rel, {}).get(col)
             if s is not None and (
-                (lo is not None and s[1] < lo)
+                (lo_prune_ok and s[1] < lo)
                 or (hi is not None and s[0] > hi)
             ):
                 continue

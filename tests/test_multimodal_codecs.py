@@ -899,6 +899,23 @@ def test_jpeg_420_tile_constant_matches_444():
                 == d444).all(), sub
 
 
+def test_jpeg_sampling_factor_range_validated():
+    """T.81 B.2.2 bounds sampling factors to 1..4 — out-of-range or
+    zero factors must raise up front instead of emitting a stream the
+    decoder rejects ((5,1)) or dividing by zero ((0,1))."""
+    import pytest
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    for luma, chroma in [
+        ((5, 1), (5, 1)),   # emits, but decoder rejects the stream
+        ((1, 1), (0, 1)),   # degenerate empty chroma plane
+        ((0, 2), (1, 1)),
+        ((2, 2), (2, 5)),
+    ]:
+        with pytest.raises(ValueError, match="sampling factors"):
+            encode_jpeg(img, 1, subsampling=luma, chroma_sampling=chroma)
+
+
 def test_jpeg_420_odd_dims_and_restart():
     rng = np.random.default_rng(6)
     base = np.repeat(np.repeat(

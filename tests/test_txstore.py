@@ -516,6 +516,40 @@ def test_stats_skipping_scan(spark, tmp_path):
         or t1 >= 1
 
 
+def test_stats_skipping_float_nan_safe(spark, tmp_path):
+    """Spark orders NaN greater than every value, but parquet footer
+    min/max ignore NaN — so a lower-bound-only scan must NOT prune a
+    float/double file via ``max < lo`` (a NaN row in that file would
+    satisfy ``col >= lo``). With hi bounded, NaN fails ``col <= hi``
+    row-side and both prunes stay sound; integer columns are NaN-free
+    and prune in every mode."""
+    from maillogsentinel_spark.sources.txstore import tx_skipping_plan
+
+    path = str(tmp_path / "txstore")
+    # two batches with disjoint value/user ranges → ≥2 files with
+    # disjoint [min, max] boxes on both columns
+    tx_write_events(
+        spark, path,
+        spark.createDataFrame([_ev(i, 1, i, float(i)) for i in range(8)]))
+    tx_append_events(
+        spark, path,
+        spark.createDataFrame(
+            [_ev(100 + i, 2, 100 + i, 100.0 + i) for i in range(8)]))
+
+    # double column, lo-only: the max<lo prune is DISABLED (NaN hazard)
+    _, total, kept = tx_skipping_plan(spark, path, "value", 50.0, None)
+    assert total >= 2 and kept == total, (total, kept)
+    # double column, bounded range: both prunes sound → files skip
+    _, total2, kept2 = tx_skipping_plan(spark, path, "value", 50.0, 200.0)
+    assert kept2 < total2, (total2, kept2)
+    # double column, hi-only (min>hi prune): sound — NaN fails col<=hi
+    _, total3, kept3 = tx_skipping_plan(spark, path, "value", None, 50.0)
+    assert kept3 < total3, (total3, kept3)
+    # integer column, lo-only: still prunes (no NaN in integral types)
+    _, total4, kept4 = tx_skipping_plan(spark, path, "user_id", 50, None)
+    assert kept4 < total4, (total4, kept4)
+
+
 def test_streaming_tx_sink_exactly_once(spark, tmp_path):
     """The tx-store streaming sink: batches land atomically, and a
     REPLAYED batch (foreachBatch's at-least-once contract) is a no-op
