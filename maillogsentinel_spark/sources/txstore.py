@@ -204,19 +204,79 @@ def _stage_and_publish(
     return files
 
 
+def _resolve_pafs(root: str):
+    """(pyarrow FileSystem, scheme-less root path) for the store root.
+    Bare paths and Hadoop-style ``file:/...`` map to the local
+    filesystem; any ``scheme://...`` URI resolves through
+    ``pyarrow.fs.FileSystem.from_uri`` (hdfs, s3, gcs, ...), so footer
+    stats survive non-local deployments instead of silently vanishing."""
+    from pyarrow import fs as pafs
+
+    if root.startswith("file:") and "://" not in root:
+        return pafs.LocalFileSystem(), root[len("file:"):]
+    if "://" in root:
+        return pafs.FileSystem.from_uri(root)
+    return pafs.LocalFileSystem(), root
+
+
+def _footer_minmax(fs, full_path: str, numeric: set) -> dict | None:
+    """[min, max] per numeric column from ONE parquet footer (row-group
+    metadata — no data scan). Returns None when the footer is
+    unreadable or carries no usable stats: the file then simply prunes
+    nothing — graceful degradation, never a wrong result."""
+    import pyarrow.parquet as pq
+
+    try:
+        with fs.open_input_file(full_path) as f:
+            md = pq.read_metadata(f)
+    except Exception:
+        return None
+    per: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if name not in numeric:
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                continue
+            cur = per.get(name)
+            if cur is None:
+                per[name] = [st.min, st.max]
+            else:
+                cur[0] = min(cur[0], st.min)
+                cur[1] = max(cur[1], st.max)
+    return per or None
+
+
+# Above this many new files the publish-time footer reads run as a
+# Spark job (one partition per slice of files) instead of a driver
+# loop — a large commit must not serialize its metadata harvest on the
+# driver (Delta computes the same stats in the writing tasks).
+_STATS_DRIVER_MAX = 8
+
+
 def _file_stats(
-    root: str, files: dict[str, list[str]], schema_json: str
+    root: str,
+    files: dict[str, list[str]],
+    schema_json: str,
+    spark: SparkSession | None = None,
 ) -> dict[str, dict[str, list]]:
     """Per-file [min, max] for every NUMERIC column, read from the
-    parquet FOOTERS (row-group metadata — no data scan): the manifest's
-    data-skipping index, the same design as Delta's per-file stats /
-    Iceberg's column bounds. Computed once at publish time, O(new
-    files) footer reads; readers prune files driver-side before any
-    scan (tx_scan_events). Local-filesystem implementation (pyarrow
-    footer reads); on a non-local store the footer read fails and the
-    file simply carries no stats — reads stay correct, they just skip
-    nothing (graceful degradation, never a wrong result)."""
-    import pyarrow.parquet as pq
+    parquet FOOTERS: the manifest's data-skipping index, the same
+    design as Delta's per-file stats / Iceberg's column bounds.
+    Computed once at publish time, O(new files) footer reads; readers
+    prune files driver-side before any scan (tx_scan_events).
+
+    Execution: small commits read footers on the driver (a Spark job
+    costs more than a handful of metadata reads); commits above
+    ``_STATS_DRIVER_MAX`` files fan the reads out as a Spark job, each
+    task resolving its own pyarrow filesystem from the root's scheme —
+    so neither half of the 100 TB design point bites: no driver
+    serialization on wide commits, no silent stats loss on hdfs/s3
+    stores."""
     from pyspark.sql.types import (
         DoubleType, FloatType, IntegerType, LongType, ShortType,
     )
@@ -229,33 +289,31 @@ def _file_stats(
             (LongType, IntegerType, ShortType, DoubleType, FloatType),
         )
     }
-    local = root[len("file:"):] if root.startswith("file:") else root
+    rels = sorted(rel for v in files.values() for rel in v)
+    if not numeric or not rels:
+        return {}
+    if spark is not None and len(rels) > _STATS_DRIVER_MAX:
+        data_root, data_dir = root, _DATA_DIR
+
+        def _part(it):
+            fs, base = _resolve_pafs(data_root)
+            for rel in it:
+                per = _footer_minmax(fs, f"{base}/{data_dir}/{rel}", numeric)
+                if per is not None:
+                    yield rel, per
+
+        slices = min(len(rels), spark.sparkContext.defaultParallelism)
+        return dict(
+            spark.sparkContext.parallelize(rels, slices)
+            .mapPartitions(_part)
+            .collect()
+        )
+    fs, base = _resolve_pafs(root)
     out: dict[str, dict[str, list]] = {}
-    for rels in files.values():
-        for rel in rels:
-            try:
-                md = pq.read_metadata(f"{local}/{_DATA_DIR}/{rel}")
-            except Exception:
-                continue
-            per: dict[str, list] = {}
-            for rg in range(md.num_row_groups):
-                g = md.row_group(rg)
-                for ci in range(g.num_columns):
-                    c = g.column(ci)
-                    name = c.path_in_schema
-                    if name not in numeric:
-                        continue
-                    st = c.statistics
-                    if st is None or not st.has_min_max:
-                        continue
-                    cur = per.get(name)
-                    if cur is None:
-                        per[name] = [st.min, st.max]
-                    else:
-                        cur[0] = min(cur[0], st.min)
-                        cur[1] = max(cur[1], st.max)
-            if per:
-                out[rel] = per
+    for rel in rels:
+        per = _footer_minmax(fs, f"{base}/{_DATA_DIR}/{rel}", numeric)
+        if per is not None:
+            out[rel] = per
     return out
 
 
@@ -327,7 +385,7 @@ def tx_write_events(
         "operation": "overwrite",
         "schema": schema_json,
         "files": files,
-        "stats": _file_stats(path, files, schema_json),
+        "stats": _file_stats(path, files, schema_json, spark),
     }
     if batch_id is not None:
         manifest["last_batch_id"] = batch_id
@@ -446,7 +504,7 @@ def tx_append_events(
         return prev["version"]  # replayed batch: already committed
     schema_json = _check_schema(prev, events, "append", merge=merge_schema)
     files = _stage_and_publish(spark, path, _with_day(events), txid)
-    fresh_stats = _file_stats(path, files, schema_json)
+    fresh_stats = _file_stats(path, files, schema_json, spark)
     for attempt in range(max_rebase_attempts):
         merged = {d: list(v) for d, v in prev["files"].items()}
         for d, v in files.items():
@@ -665,7 +723,7 @@ def tx_upsert_events(
         "schema": prev["schema"],
         "files": newmap,
         "stats": _carry_stats(
-            prev, newmap, _file_stats(path, files, prev["schema"])
+            prev, newmap, _file_stats(path, files, prev["schema"], spark)
         ),
     }
     if "last_batch_id" in prev:  # carry the streaming ledger forward
@@ -763,7 +821,7 @@ def tx_compact_partitions(
         "schema": prev["schema"],
         "files": newmap,
         "stats": _carry_stats(
-            prev, newmap, _file_stats(path, files, prev["schema"])
+            prev, newmap, _file_stats(path, files, prev["schema"], spark)
         ),
     }
     if "last_batch_id" in prev:  # carry the streaming ledger forward
@@ -893,7 +951,7 @@ def tx_optimize_zorder(
         "schema": prev["schema"],
         "files": newmap,
         "stats": _carry_stats(
-            prev, newmap, _file_stats(path, files, prev["schema"])
+            prev, newmap, _file_stats(path, files, prev["schema"], spark)
         ),
     }
     if "last_batch_id" in prev:  # carry the streaming ledger forward

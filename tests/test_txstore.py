@@ -516,6 +516,42 @@ def test_stats_skipping_scan(spark, tmp_path):
         or t1 >= 1
 
 
+def test_stats_survive_scheme_and_distribute(spark, tmp_path, monkeypatch):
+    """Publish-time footer stats must not be a driver-local-filesystem
+    special case: (a) a scheme-qualified store root (``file://...`` —
+    the same resolution path hdfs/s3 URIs take through
+    ``pyarrow.fs.FileSystem.from_uri``) still yields per-file stats in
+    the manifest; (b) a commit wider than _STATS_DRIVER_MAX harvests
+    its footers in a Spark job (executor-side pyarrow), and the
+    distributed result prunes exactly like the driver loop would."""
+    import maillogsentinel_spark.sources.txstore as tx
+
+    # (a) scheme-qualified root end-to-end
+    uri_root = (tmp_path / "txuri").as_uri()  # file:///...
+    tx.tx_write_events(
+        spark, uri_root,
+        spark.createDataFrame([_ev(i, 1, i, float(i)) for i in range(6)]))
+    m = tx._load_manifest(spark, uri_root)
+    assert m["stats"], "scheme-qualified store lost its footer stats"
+    assert all("user_id" in s for s in m["stats"].values())
+
+    # (b) force the distributed path for every commit width
+    monkeypatch.setattr(tx, "_STATS_DRIVER_MAX", 0)
+    path = str(tmp_path / "txdist")
+    tx.tx_write_events(
+        spark, path,
+        spark.createDataFrame(
+            [_ev(i, (i % 3) + 1, i, float(i)) for i in range(64)]))
+    m2 = tx._load_manifest(spark, path)
+    nfiles = sum(len(v) for v in m2["files"].values())
+    assert nfiles > 1 and len(m2["stats"]) == nfiles
+    _, total, kept = tx.tx_skipping_plan(spark, path, "user_id", 0, 3)
+    assert kept <= total
+    got = sorted(r["event_id"] for r in
+                 tx.tx_scan_events(spark, path, "user_id", 0, 3).collect())
+    assert got == [i for i in range(64) if 0 <= i <= 3]
+
+
 def test_stats_skipping_float_nan_safe(spark, tmp_path):
     """Spark orders NaN greater than every value, but parquet footer
     min/max ignore NaN — so a lower-bound-only scan must NOT prune a
