@@ -4,3 +4,9 @@ from .sessions import (  # noqa: F401
     streaming_failure_streaks,
     streaming_sessions,
 )
+from .ttl import (  # noqa: F401
+    UnboundedStateError,
+    UnboundedStateWarning,
+    has_unbounded_state,
+    start_stateful,
+)

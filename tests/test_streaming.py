@@ -296,6 +296,68 @@ def test_unbounded_state_warns_at_plan_build(spark):
         streaming_failure_streaks(events, state_ttl_ms=60_000)
 
 
+def test_start_stateful_guards_continuous_trigger(spark, tmp_path):
+    """start_stateful enforces what the build-time warning only
+    advises: a NoTimeout stateful plan on a processingTime trigger
+    RAISES (state would grow forever on a 24/7 stream) unless the
+    caller opts out with allow_unbounded_state=True; availableNow
+    drains — where NoTimeout is required — start unchanged, and a
+    TTL'd plan starts on any trigger. The guard is derived from the
+    analyzed plan's stateful node, not a registry."""
+    import warnings
+
+    from maillogsentinel_spark.streaming.sessions import (
+        streaming_failure_streaks,
+    )
+    from maillogsentinel_spark.streaming.ttl import (
+        UnboundedStateError,
+        has_unbounded_state,
+        start_stateful,
+    )
+
+    logs = tmp_path / "guard_logs"
+    logs.mkdir()
+    (logs / "mail.log").write_text(
+        "Sep 28 10:00:00 s p[1]: warning: unknown[9.9.9.9]: "
+        "SASL fail, sasl_username=eve\n"
+    )
+    lines = spark.readStream.text(str(logs))
+    parsed = lines.selectExpr(
+        "'9.9.9.9' as ip", "current_timestamp() as ts"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        unbounded = streaming_failure_streaks(parsed)
+    bounded = streaming_failure_streaks(parsed, state_ttl_ms=60_000)
+    assert has_unbounded_state(unbounded)
+    assert not has_unbounded_state(bounded)
+
+    # continuous + NoTimeout: refused before any query starts
+    with pytest.raises(UnboundedStateError, match="state_ttl_ms"):
+        start_stateful(unbounded, str(tmp_path / "ck1"),
+                       available_now=False, processing_time="1 second")
+    # explicit opt-out starts (bounded key domain is the caller's claim)
+    q = start_stateful(unbounded, str(tmp_path / "ck2"),
+                       available_now=False, processing_time="1 second",
+                       allow_unbounded_state=True, query_name="optout_t")
+    q.stop()
+    # availableNow drain over NoTimeout: unchanged, runs to completion
+    q2 = start_stateful(unbounded, str(tmp_path / "ck3"),
+                        query_name="drain_t")
+    q2.awaitTermination(120)
+    # TTL'd plan on a continuous trigger: no guard in the way
+    q3 = start_stateful(bounded, str(tmp_path / "ck4"),
+                        available_now=False, processing_time="1 second",
+                        query_name="ttl_t")
+    q3.stop()
+    # trigger argument hygiene
+    with pytest.raises(ValueError, match="not both"):
+        start_stateful(bounded, str(tmp_path / "ck5"),
+                       available_now=True, processing_time="1 second")
+    with pytest.raises(ValueError, match="processingTime"):
+        start_stateful(bounded, str(tmp_path / "ck6"), available_now=False)
+
+
 def test_streaming_failure_streaks_alerts_mid_stream(spark, tmp_path):
     """applyInPandasWithState: alert appears as soon as the streak
     crosses the threshold, within the batch that crosses it."""
