@@ -53,14 +53,24 @@ HEADLINE = [
 
 LINE_BUDGET = 1900  # driver tail capture is ~2000 chars; stay under
 
-# Load-calibration canary: a fixed CPU-bound job (md5 + distinct over
-# spark.range — no IO, no query code, saturates all cores) timed at bench
-# start and end. CANARY_REF_SEC is its warm time on an idle box; a bench
-# run whose canary ratio is well above 1.0 ran on a loaded box, so its
-# per-query numbers carry that load — tools/bench_diff.py downgrades >2x
+# Load-calibration canaries, one per contention axis:
+#
+# CPU — a fixed CPU-bound job (md5 + distinct over spark.range — no IO,
+# no query code, saturates all cores) timed at bench start and end.
+# CANARY_REF_SEC is its warm time on an idle box; a bench run whose
+# canary ratio is well above 1.0 ran on a loaded box, so its per-query
+# numbers carry that load — tools/bench_diff.py downgrades >2x
 # regression flags when the canary says the box was busy (>1.5x), which
 # round 3 showed can otherwise cost a whole re-adjudication cycle.
+#
+# IO — a write+fsync+read loop in the same temp space the streaming
+# checkpoints use. Round 9's driver bench ran on a DISK-loaded box: the
+# 14 fsync-bound stream/tx fixture queries inflated 2-3x while the CPU
+# canary, blind to disk, read near-idle (1.35 vs 1.44) — an invisible
+# +91 s. The IO leg closes that blind spot; bench_diff takes the max of
+# both cross-run load ratios.
 CANARY_REF_SEC = 0.85
+IO_CANARY_REF_SEC = 0.04  # idle-box warm time, measured round 10
 
 
 def run_canary(spark) -> float:
@@ -69,6 +79,28 @@ def run_canary(spark) -> float:
     for _ in range(2):
         t0 = time.perf_counter()
         spark.range(8_000_000, numPartitions=32).selectExpr(expr).collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def run_io_canary() -> float:
+    """Fixed small write+fsync+read loop (64 fsyncs of 64 KiB + one
+    cold-ish readback) in the default temp dir — the same device the
+    throwaway stream checkpoints and tx-store fixtures hit."""
+    import tempfile
+
+    best = float("inf")
+    block = b"\x5a" * 65536
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with tempfile.NamedTemporaryFile(prefix="mls-iocanary-") as f:
+            for _ in range(64):
+                f.write(block)
+                f.flush()
+                os.fsync(f.fileno())
+            f.seek(0)
+            while f.read(1 << 20):
+                pass
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -129,6 +161,7 @@ def main() -> None:
         print(f"# bench warmup prebuild error: {e}", file=sys.stderr)
 
     canary_start = run_canary(spark)
+    io_start = run_io_canary()
 
     per_query: dict[str, float] = {}
     for name, fn in QUERIES.items():
@@ -154,10 +187,14 @@ def main() -> None:
     total = round(sum(v for v in per_query.values() if v is not None), 3)
 
     canary_end = run_canary(spark)
+    io_end = run_io_canary()
     canary = {
         "sec": [round(canary_start, 3), round(canary_end, 3)],
         "ref": CANARY_REF_SEC,
         "ratio": round(max(canary_start, canary_end) / CANARY_REF_SEC, 2),
+        "io_sec": [round(io_start, 3), round(io_end, 3)],
+        "io_ref": IO_CANARY_REF_SEC,
+        "io_ratio": round(max(io_start, io_end) / IO_CANARY_REF_SEC, 2),
     }
 
     full = {

@@ -63,24 +63,29 @@ def main() -> int:
     tp, tc = prev.get("value"), cur.get("value")
     if _num(tp) and _num(tc) and tp:
         print(f"total    {tp:.1f}s -> {tc:.1f}s ({tc / tp:.2f}x)")
-    # Load calibration: the canary is the same fixed CPU-bound job in
-    # both runs, so the load ratio CUR vs PREV is hardware-independent —
-    # prefer it over each run's ratio-vs-constant (CANARY_REF_SEC is
-    # only right on the box it was measured on). A loaded box never
-    # WAIVES a >2x flag: it demands a re-measure (distinct exit code 2)
-    # so a real regression can't land silently during a busy bench run.
-    def canary_sec(d):
-        secs = (d.get("canary") or {}).get("sec")
+    # Load calibration: each canary is the same fixed job in both runs
+    # (CPU: md5+distinct; IO: write+fsync+read — round 9's driver bench
+    # was disk-loaded and the CPU-only canary couldn't see it), so the
+    # load ratio CUR vs PREV is hardware-independent — prefer it over
+    # each run's ratio-vs-constant (the *_REF_SEC constants are only
+    # right on the box they were measured on). The two axes contend
+    # independently; the guard takes the MAX. A loaded box never WAIVES
+    # a >2x flag: it demands a re-measure (distinct exit code 2) so a
+    # real regression can't land silently during a busy bench run.
+    def canary_sec(d, key="sec"):
+        secs = (d.get("canary") or {}).get(key)
         if isinstance(secs, list) and secs and all(_num(s) for s in secs):
             return max(secs)
         return None
 
-    load_ratio = None
-    cs, ps = canary_sec(cur), canary_sec(prev)
-    if cs is not None and ps:
-        load_ratio = cs / ps
-    elif _num((cur.get("canary") or {}).get("ratio")):
-        load_ratio = (cur.get("canary") or {}).get("ratio")
+    ratios = []
+    for key, ratio_key in (("sec", "ratio"), ("io_sec", "io_ratio")):
+        cs, ps = canary_sec(cur, key), canary_sec(prev, key)
+        if cs is not None and ps:
+            ratios.append(cs / ps)
+        elif _num((cur.get("canary") or {}).get(ratio_key)):
+            ratios.append((cur.get("canary") or {}).get(ratio_key))
+    load_ratio = max(ratios) if ratios else None
     if failed:
         print(f"QUERIES FAILED: {failed}")
         return 1
