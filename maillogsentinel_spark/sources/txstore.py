@@ -254,8 +254,20 @@ def _footer_minmax(fs, full_path: str, numeric: set) -> dict | None:
 # Above this many new files the publish-time footer reads run as a
 # Spark job (one partition per slice of files) instead of a driver
 # loop — a large commit must not serialize its metadata harvest on the
-# driver (Delta computes the same stats in the writing tasks).
-_STATS_DRIVER_MAX = 8
+# driver (Delta computes the same stats in the writing tasks). The
+# breakeven is scheme-dependent, measured round 10: a LOCAL footer
+# read is ~0.2 ms while an empty Spark job costs ~0.7 s (breakeven
+# ~3000 files; 256 keeps headroom for slower disks), but an
+# OBJECT-STORE footer read is a network round-trip (~20-100 ms), so
+# the driver loop serializes at tens of files.
+_STATS_DRIVER_MAX_LOCAL = 256
+_STATS_DRIVER_MAX_REMOTE = 16
+
+
+def _stats_driver_max(root: str) -> int:
+    scheme = root.split("://", 1)[0] if "://" in root else ""
+    local = scheme in ("", "file") or root.startswith("file:")
+    return _STATS_DRIVER_MAX_LOCAL if local else _STATS_DRIVER_MAX_REMOTE
 
 
 def _file_stats(
@@ -292,7 +304,7 @@ def _file_stats(
     rels = sorted(rel for v in files.values() for rel in v)
     if not numeric or not rels:
         return {}
-    if spark is not None and len(rels) > _STATS_DRIVER_MAX:
+    if spark is not None and len(rels) > _stats_driver_max(root):
         data_root, data_dir = root, _DATA_DIR
 
         def _part(it):

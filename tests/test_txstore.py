@@ -536,7 +536,7 @@ def test_stats_survive_scheme_and_distribute(spark, tmp_path, monkeypatch):
     assert all("user_id" in s for s in m["stats"].values())
 
     # (b) force the distributed path for every commit width
-    monkeypatch.setattr(tx, "_STATS_DRIVER_MAX", 0)
+    monkeypatch.setattr(tx, "_STATS_DRIVER_MAX_LOCAL", 0)
     path = str(tmp_path / "txdist")
     tx.tx_write_events(
         spark, path,
