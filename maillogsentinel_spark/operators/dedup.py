@@ -497,7 +497,6 @@ def minhash_lsh_pairs(
     table shared across queries (see plans.queries shared caches)."""
     from .signatures import doc_shingle_rows, minhash_table
 
-    rows = num_perm // bands
     # ONE persisted raw shingle table feeds the sig build AND the
     # verification branches (sa/sb/sizes) — the Python shingle stage is
     # the expensive one, and each unshared plan branch would re-run it.
@@ -505,6 +504,17 @@ def minhash_lsh_pairs(
     if raw_sh is None:
         raw_sh = doc_shingle_rows(docs, id_col, text_col, k, distinct=True).persist()
     with_sig = minhash_table(docs, id_col, text_col, k, num_perm, shingle_rows=raw_sh)
+    candidates = _band_candidates(with_sig, num_perm, bands)
+    sh = _doc_shingles(docs, id_col, text_col, k, df_cap, rows=raw_sh)
+    return _verify_candidates(candidates, sh, threshold).orderBy("id_a", "id_b")
+
+
+def _band_candidates(with_sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """LSH candidate pairs for one band geometry: explode the signature
+    into ``bands`` keys of num_perm/bands rows each, self-join on
+    (band, key) — a pair is a candidate iff some band's slice matches
+    exactly. Distinct (id_a < id_b) pairs."""
+    rows = num_perm // bands
     banded = with_sig.select(
         "id",
         F.explode(
@@ -529,7 +539,7 @@ def minhash_lsh_pairs(
     # branch would redo the 16-permutation minhash transform
     banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -539,9 +549,15 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # verify candidates only: join each side's shingle set through the
-    # (small, broadcastable) candidate list
-    sh = _doc_shingles(docs, id_col, text_col, k, df_cap, rows=raw_sh)
+
+
+def _verify_candidates(
+    candidates: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs ONLY: join each
+    side's shingle set through the (small, broadcastable) candidate
+    list — the candidate set is tiny next to the corpus, and a
+    full-corpus Jaccard join would defeat the LSH."""
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     cands = F.broadcast(candidates)
     sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -567,7 +583,54 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_band_sweep(
+    docs: DataFrame,
+    geometries: tuple[int, ...] = (4, 8, 16),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    threshold: float = 0.3,
+    shingle_rows: DataFrame | None = None,
+) -> DataFrame:
+    """The LSH scale path's QUALITY CONTRACT: one row per band geometry
+    (bands, rows_per_band, n_candidates, n_pairs) so recall (n_pairs /
+    exact-pair count, joined by the caller) and cost (n_candidates —
+    every candidate pays one verification join row) are pinned TOGETHER
+    for the same signatures. The S-curve says recall at threshold t
+    rises with more, narrower bands (collision prob 1-(1-t^r)^b) while
+    the candidate set — the verification bill — grows toward all
+    bucket-mates; the sweep measures that trade on the actual corpus
+    instead of trusting the curve.
+
+    Execution: ONE minhash transform (persisted) feeds every geometry's
+    band-explode; per geometry the candidate count and verified count
+    are distributed jobs whose scalar results assemble the output row —
+    a bounded driver loop over len(geometries), same pattern as the
+    recall ladder."""
+    from .signatures import doc_shingle_rows, minhash_table
+
+    raw_sh = shingle_rows
+    if raw_sh is None:
+        raw_sh = doc_shingle_rows(docs, id_col, text_col, k, distinct=True).persist()
+    with_sig = minhash_table(
+        docs, id_col, text_col, k, num_perm, shingle_rows=raw_sh
+    ).persist()
+    sh = _doc_shingles(docs, id_col, text_col, k, None, rows=raw_sh)
+    out = []
+    for bands in geometries:
+        cand = _band_candidates(with_sig, num_perm, bands).persist()
+        n_cand = cand.count()
+        n_pairs = _verify_candidates(cand, sh, threshold).count()
+        cand.unpersist()
+        out.append((bands, num_perm // bands, n_cand, n_pairs))
+    with_sig.unpersist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        out, "bands int, rows_per_band int, n_candidates long, n_pairs long"
     )
 
 

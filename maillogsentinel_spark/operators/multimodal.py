@@ -952,11 +952,28 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 
 def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
-    """Magic-byte dispatch: RIFF/WAVE decodes for real (decode_wav)."""
+    """Magic-byte dispatch: RIFF/WAVE decodes for real (decode_wav).
+
+    MP3 stays a TRUE gate after investigation (round 10): an MPEG-1
+    audio decoder needs the standard's NORMATIVE tables, which are
+    neither formula-derivable nor reconstructible offline — the
+    512-coefficient synthesis window (ISO 11172-3 Table 3-B.3, a
+    hand-tuned table that famously differs from its own prototype-
+    filter formula), the Layer III Huffman code tables (3-B.7, 34
+    tables), the scalefactor-band partitions (3-B.8, per sample rate)
+    and the Layer II bit-allocation tables (3-B.2a-d). The DSP halves
+    that ARE formula-specified (the 32-band matrixing DCT
+    cos((16+i)(2k+1)π/64), the 36-point IMDCT, the eight alias-
+    reduction coefficients) would decode nothing without them — the
+    same offline-unreachable class as arithmetic JPEG's QM-coder Qe
+    table, and unlike every WAV-family codec here (PCM, G.711 μ/A-law,
+    IMA and MS ADPCM), whose published tables fit in source."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     raise NotImplementedError(
-        "only WAV decodes without audio libs; MP3/FLAC need codec libs"
+        "only WAV decodes without audio libs; MP3 needs ISO 11172-3's "
+        "normative window/Huffman/allocation tables (not formula-"
+        "derivable, unreachable offline); FLAC needs codec libs"
     )
 
 

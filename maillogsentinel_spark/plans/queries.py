@@ -1195,32 +1195,75 @@ def _sql_minhash_sig(num_perm: int) -> str:
     return f"[{mins}]"
 
 
-def _sql_minhash_pairs_ctes(
-    num_perm: int = 16, bands: int = 4, threshold: float = 0.3
-) -> str:
-    """CTE chain ending in pairs(id_a, id_b, jaccard) — the verified
-    MinHash-LSH near-dup pairs, shared by the pair and cluster oracles."""
+def _sql_sigs_ctes(num_perm: int = 16) -> str:
+    """CTE chain ending in sigs(doc_id, sig) — shingles, all-pairs
+    jaccard (jac) and the minhash signature table, shared by every
+    banded-LSH oracle."""
+    return f"""{_SQL_JACCARD_CTES},
+    shl_t AS (SELECT doc_id, {_SQL_SHINGLES3} AS shl FROM toks),
+    sigs AS (SELECT doc_id, {_sql_minhash_sig(num_perm)} AS sig FROM shl_t)"""
+
+
+def _sql_band_ctes(num_perm: int, bands: int, suffix: str = "") -> str:
+    """banded{suffix}/cands{suffix} CTEs for one band geometry over the
+    shared sigs table (suffixes let one oracle sweep several)."""
     rows = num_perm // bands
     band_structs = ", ".join(
         f"{{'band': {b}, 'key': array_to_string(list_slice(sig, {b * rows + 1}, {(b + 1) * rows}), ',')}}"
         for b in range(bands)
     )
-    return f"""{_SQL_JACCARD_CTES},
-    shl_t AS (SELECT doc_id, {_SQL_SHINGLES3} AS shl FROM toks),
-    sigs AS (SELECT doc_id, {_sql_minhash_sig(num_perm)} AS sig FROM shl_t),
-    banded AS (
+    return f"""banded{suffix} AS (
       SELECT doc_id, unnest([{band_structs}], recursive := true) FROM sigs
     ),
-    cands AS (
+    cands{suffix} AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM banded a JOIN banded b
+      FROM banded{suffix} a JOIN banded{suffix} b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    ),
+    )"""
+
+
+def _sql_minhash_pairs_ctes(
+    num_perm: int = 16, bands: int = 4, threshold: float = 0.3
+) -> str:
+    """CTE chain ending in pairs(id_a, id_b, jaccard) — the verified
+    MinHash-LSH near-dup pairs, shared by the pair and cluster oracles."""
+    return f"""{_sql_sigs_ctes(num_perm)},
+    {_sql_band_ctes(num_perm, bands)},
     pairs AS (
       SELECT c.id_a, c.id_b, j.jaccard
       FROM cands c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
       WHERE j.jaccard >= {threshold}
     )"""
+
+
+def _sql_band_sweep_oracle(
+    num_perm: int = 16,
+    geoms: tuple[int, ...] = (4, 8, 16),
+    threshold: float = 0.3,
+) -> str:
+    band_ctes = ",\n    ".join(
+        _sql_band_ctes(num_perm, b, suffix=str(b)) for b in geoms
+    )
+    geom_rows = "\n      UNION ALL".join(
+        f"""
+      SELECT {b} AS bands, {num_perm // b} AS rows_per_band,
+             (SELECT count(*) FROM cands{b})::BIGINT AS n_candidates,
+             (SELECT count(*) FROM cands{b} c JOIN jac j
+                ON c.id_a = j.id_a AND c.id_b = j.id_b
+                WHERE j.jaccard >= {threshold})::BIGINT AS n_pairs"""
+        for b in geoms
+    )
+    return f"""
+    WITH {_sql_sigs_ctes(num_perm)},
+    {band_ctes},
+    ex AS (SELECT count(*)::BIGINT AS n FROM jac WHERE jaccard >= {threshold}),
+    geoms AS ({geom_rows}
+    )
+    SELECT g.bands, g.rows_per_band, g.n_candidates, g.n_pairs,
+           CASE WHEN ex.n > 0
+                THEN round(g.n_pairs::DOUBLE / ex.n, 6) END AS recall
+    FROM geoms g CROSS JOIN ex ORDER BY g.bands
+    """
 
 
 def _sql_minhash_oracle(num_perm: int = 16, bands: int = 4) -> str:
@@ -1279,6 +1322,49 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_exact") > 0,
             F.round(F.col("n_lsh").cast("double") / F.col("n_exact"), 6),
         ).alias("recall"),
+    )
+
+
+@query("dedup_lsh_band_sweep", oracle=_sql_band_sweep_oracle())
+def q_dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded scale path's QUALITY CONTRACT, hash-verified (r9
+    verdict #4): the same 16-perm MinHash signatures swept through
+    THREE band geometries — (4 bands × 4 rows), (8 × 2), (16 × 1) —
+    each row pinning (bands, rows_per_band, n_candidates, n_pairs,
+    recall-vs-exact at threshold 0.3). n_candidates is the COST side
+    (every candidate pays one verification join row); recall is the
+    QUALITY side; the S-curve 1-(1-t^r)^b trades one for the other and
+    this query measures the trade on the actual corpus. The declared
+    operating point lives in SCALE.md's round-10 section. The oracle
+    re-derives every geometry's candidate set from the same signature
+    definition plus the exact all-pairs Jaccard — a banding bug, a
+    slice-boundary error, or a verification drift moves a count and
+    fails the hash."""
+    from ..operators.dedup import minhash_band_sweep, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    sweep = minhash_band_sweep(
+        docs, geometries=(4, 8, 16),
+        shingle_rows=_doc_shingles_shared(spark, sf_dir, 3),
+    )
+    exact = ngram_jaccard_pairs(
+        docs, k=3, threshold=0.3,
+        shingle_rows=_doc_shingles_shared(spark, sf_dir, 3),
+    )
+    ex = exact.agg(F.count(F.lit(1)).cast("long").alias("n_ex"))
+    return (
+        sweep.crossJoin(F.broadcast(ex))
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_pairs",
+            F.when(
+                F.col("n_ex") > 0,
+                F.round(F.col("n_pairs").cast("double") / F.col("n_ex"), 6),
+            ).alias("recall"),
+        )
+        .orderBy("bands")
     )
 
 
@@ -10592,6 +10678,13 @@ GRADED_PREFIX: list[str] = [
     "dedup_cdc_chunks",
     "dedup_cdc_cross_source",
     "dedup_lsh_recall",
+    # NEW mid-round-10 (r9 verdict #4), graded on arrival: the band-
+    # geometry sweep — (bands, rows_per_band, n_candidates, n_pairs,
+    # recall) hash-pinned for 4/8/16 bands over the same signatures;
+    # the scale path's recall-vs-cost contract. embedding_centroids
+    # (green r3-r9) retires to make the slot — embedding-table evidence
+    # stays via knn_recall_ladder + knn_pq_adc in-window
+    "dedup_lsh_band_sweep",
     # round-9 rotation IN: the bounded 1/16-slice twins that restored
     # sf1 VALUE-exact oracles for the two disk-infeasible full-corpus
     # queries (pagerank replaces its unsliced sibling in-window — same
@@ -10613,7 +10706,6 @@ GRADED_PREFIX: list[str] = [
     # twin above
     "entity_resolution_usernames",
     "ip_risk_scores",
-    "embedding_centroids",
     # text analysis (token_counts_by_source follows just past the prefix —
     # text_lang_quality already carries a token count in-window)
     # (round-8 rotation: doc_tfidf_topk — green since round 1 — retires;
@@ -10707,6 +10799,7 @@ _NEXT = [
     # TPC-H correlated/semi/anti queries; every family keeps an
     # in-window rep (see GRADED_PREFIX notes per group)
     "json_props_agg",
+    "embedding_centroids",
     "per_user_topk_event_types",
     "events_set_ops",
     "dedup_ngram_jaccard",

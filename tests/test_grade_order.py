@@ -23,7 +23,8 @@ def test_prefix_families_covered():
     # exact-jaccard truth set and the banded-LSH candidate set side by
     # side; exact-dedup evidence stays via dedup_clusters' survivor
     # set; CDC chunking + its cross-source consumer join r10
-    assert {"dedup_clusters", "dedup_lsh_recall", "dedup_cdc_chunks",
+    assert {"dedup_clusters", "dedup_lsh_recall", "dedup_lsh_band_sweep",
+            "dedup_cdc_chunks",
             "dedup_cdc_cross_source", "dedup_exact_substring",
             "dedup_graph_pagerank_slice",
             "dedup_incremental_new_docs_slice"} <= p
@@ -64,8 +65,9 @@ def test_prefix_families_covered():
     assert {"events_heavy_hitters_exact", "events_scd2_type_history",
             "events_asof_join", "events_median_by_type",
             "udtf_bigrams_topk", "doc_bm25_search",
-            "entity_resolution_usernames", "ip_risk_scores",
-            "embedding_centroids"} <= p
+            "entity_resolution_usernames", "ip_risk_scores"} <= p
+    # embedding_centroids retired r10 for the band sweep — embedding-
+    # table evidence stays via knn_recall_ladder + knn_pq_adc in-window
 
 
 def test_prefix_is_fully_oracle_checked():
