@@ -552,14 +552,19 @@ def _band_candidates(with_sig: DataFrame, num_perm: int, bands: int) -> DataFram
 
 
 def _verify_candidates(
-    candidates: DataFrame, sh: DataFrame, threshold: float
+    candidates: DataFrame, sh: DataFrame, threshold: float,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs ONLY: join each
-    side's shingle set through the (small, broadcastable) candidate
-    list — the candidate set is tiny next to the corpus, and a
-    full-corpus Jaccard join would defeat the LSH."""
+    side's shingle set through the candidate list — a full-corpus
+    Jaccard join would defeat the LSH. At sane band geometries the
+    candidate set is tiny and ``broadcast=True`` keeps the join
+    shuffle-free; a DEGENERATE geometry (e.g. 1-row bands on a
+    saturated-vocab corpus) can produce near-quadratic candidates, and
+    the sweep passes broadcast=False there so the join shuffles on its
+    keys instead of shipping the pair list to every executor."""
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    cands = F.broadcast(candidates)
+    cands = F.broadcast(candidates) if broadcast else candidates
     sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("id").alias("cid_b"), F.col("sh").alias("sh_b"))
     common = (
@@ -624,7 +629,9 @@ def minhash_band_sweep(
     for bands in geometries:
         cand = _band_candidates(with_sig, num_perm, bands).persist()
         n_cand = cand.count()
-        n_pairs = _verify_candidates(cand, sh, threshold).count()
+        n_pairs = _verify_candidates(
+            cand, sh, threshold, broadcast=n_cand <= 1_000_000
+        ).count()
         cand.unpersist()
         out.append((bands, num_perm // bands, n_cand, n_pairs))
     with_sig.unpersist()

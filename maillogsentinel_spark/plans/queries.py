@@ -7823,6 +7823,146 @@ def q_tx_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_TX_CDC_ORACLE = """
+WITH base AS (
+  SELECT event_id, ts, user_id, event_type, value FROM events
+  WHERE event_id % 5 = 0 AND day(ts) <= 18
+),
+upd AS (
+  SELECT event_id, ts, user_id, 'upd' AS event_type, value + 500 AS value
+  FROM base WHERE event_id % 20 = 0 AND day(ts) <= 15
+),
+ins AS (
+  SELECT -event_id - 1 AS event_id, ts + INTERVAL 12 HOUR AS ts, user_id,
+         'ins' AS event_type, value
+  FROM base WHERE event_id % 50 = 35 AND day(ts) <= 15
+),
+v1 AS (SELECT * FROM base),
+v3 AS (
+  SELECT * FROM (
+    SELECT * FROM base WHERE event_id NOT IN (SELECT event_id FROM upd)
+    UNION ALL SELECT * FROM upd
+    UNION ALL SELECT * FROM ins
+  ) WHERE event_id % 40 <> 0
+),
+upd_keys AS (
+  SELECT a.event_id FROM v1 a JOIN v3 b USING (event_id)
+  WHERE a.value <> b.value OR a.event_type <> b.event_type
+     OR a.ts <> b.ts OR a.user_id <> b.user_id
+),
+changes AS (
+  SELECT 'insert' AS change_type, ts, event_id, value FROM v3
+  WHERE event_id NOT IN (SELECT event_id FROM v1)
+  UNION ALL
+  SELECT 'delete', ts, event_id, value FROM v1
+  WHERE event_id NOT IN (SELECT event_id FROM v3)
+  UNION ALL
+  SELECT 'update_preimage', a.ts, a.event_id, a.value
+  FROM v1 a JOIN upd_keys USING (event_id)
+  UNION ALL
+  SELECT 'update_postimage', b.ts, b.event_id, b.value
+  FROM v3 b JOIN upd_keys USING (event_id)
+)
+SELECT ts::DATE AS event_date, change_type,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT event_id)::BIGINT AS n_keys,
+       sum(event_id)::BIGINT AS sum_eid,
+       round(sum(value::DECIMAL(21,6))::DOUBLE, 4) AS value_sum
+FROM changes GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("tx_cdc_changes", oracle=_TX_CDC_ORACLE)
+def q_tx_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED, hash-verified end-to-end: v1 (snapshot) →
+    v2 (MERGE: updates + inserts) → v3 (atomic overwrite dropping
+    every key ≡ 0 mod 40), then ``tx_changes(1, head)`` — the feed
+    Delta calls CDF, here derived ON READ from the manifest file diff
+    with no change log written (immutable data files make the manifest
+    the change record; see sources/txstore.py:tx_changes). The per-day
+    per-change-type census (rows, keys, key sum, exact value sum) must
+    match the oracle's relational re-derivation of all three states:
+    a missed delete, a pre/post image swap, a leaked UNCHANGED row
+    (the overwrite rewrites every file, so the null-safe struct
+    compare must drop the ~94% of rewritten rows that didn't change),
+    or a file-diff error each flips a count or a sum.
+
+    Scale shape: only files that entered/left the snapshot are
+    scanned; the one shuffle is the key-level full-outer join;
+    classification is a projection (no driver materialization beyond
+    the census)."""
+    import shutil
+    import tempfile
+
+    from ..sources.txstore import (
+        tx_changes,
+        tx_read_events,
+        tx_upsert_events,
+        tx_write_events,
+    )
+
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # same 18-day base as tx_time_travel_diff (shared fixture shape)
+    base = ev.where(
+        (F.col("event_id") % 5 == 0) & (F.dayofmonth("ts") <= 18)
+    )
+    tmp = tempfile.mkdtemp(prefix="mls_store_cdc_", dir=_scratch_dir())
+    path = f"{tmp}/store"
+    try:
+        with _stream_state_parts(spark, 8):
+            tx_write_events(spark, path, base.repartition(F.to_date("ts")))
+            upd = base.where(
+                (F.col("event_id") % 20 == 0) & (F.dayofmonth("ts") <= 15)
+            ).select(
+                "event_id", "ts", "user_id",
+                F.lit("upd").alias("event_type"),
+                (F.col("value") + 500).alias("value"),
+            )
+            ins = base.where(
+                (F.col("event_id") % 50 == 35) & (F.dayofmonth("ts") <= 15)
+            ).select(
+                (-F.col("event_id") - 1).alias("event_id"),
+                (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("ts"),
+                "user_id",
+                F.lit("ins").alias("event_type"),
+                "value",
+            )
+            tx_upsert_events(spark, path, upd.unionByName(ins))
+            survivors = tx_read_events(spark, path).where(
+                F.col("event_id") % 40 != 0
+            )
+            tx_write_events(
+                spark, path, survivors.repartition(F.to_date("ts"))
+            )
+            agg = (
+                tx_changes(spark, path, 1)
+                .groupBy("event_date", "_change_type")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.countDistinct("event_id").alias("n_keys"),
+                    F.sum("event_id").cast("long").alias("sum_eid"),
+                    F.round(
+                        F.sum(F.col("value").cast("decimal(21,6)")).cast(
+                            "double"
+                        ),
+                        4,
+                    ).alias("value_sum"),
+                )
+                .select(
+                    "event_date",
+                    F.col("_change_type").alias("change_type"),
+                    "n_rows", "n_keys", "sum_eid", "value_sum",
+                )
+                .orderBy("event_date", "change_type")
+            )
+            rows = agg.collect()
+            return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @query(
     "docs_train_val_split",
     oracle="""
@@ -10793,6 +10933,11 @@ GRADED_PREFIX: list[str] = [
 # After the prefix: remaining beyond-reference ops by family value, then the
 # TPC-H long tail.
 _NEXT = [
+    # NEW mid-round-10, first in line for the round-11 rotation: the
+    # tx store's CHANGE DATA FEED (tx_changes — manifest-file-diff CDF
+    # with no written change log), census-pinned across MERGE +
+    # delete-by-overwrite incl. the unchanged-row-suppression negative
+    "tx_cdc_changes",
     # round-10 rotation OUT: eleven long-green rows (each graded green
     # 3-9 consecutive rounds) retired to admit the five round-9
     # newcomers (now graded above) and the six never-driver-graded

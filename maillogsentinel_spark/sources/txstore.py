@@ -671,6 +671,107 @@ def tx_current_version(spark: SparkSession, path: str) -> int:
     return _load_manifest(spark, path)["version"]
 
 
+def tx_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    key: str = "event_id",
+) -> DataFrame:
+    """CHANGE DATA FEED between two committed versions, derived ON READ
+    from the manifest file diff — no change log is ever written
+    (Delta's CDF materializes _change_data files at write time; here
+    the manifest already IS the change record, because data files are
+    immutable once published). Files present in BOTH manifests carry
+    identical rows in both snapshots, so only files that ENTERED or
+    LEFT the snapshot between the versions are scanned; a key-level
+    full-outer join of the left-rows vs the entered-rows classifies:
+
+    - key only on the entered side                  → ``insert``
+    - key only on the left side                     → ``delete``
+    - key on both sides, any non-key column differs → one
+      ``update_preimage`` row (old values) + one ``update_postimage``
+      row (new values)
+    - key on both sides, all columns equal → NOT a change (layout-only
+      rewrites — compaction, Z-order — move rows between files without
+      changing them; the null-safe struct compare filters them out, so
+      OPTIMIZE traffic never pollutes the feed).
+
+    Output: every column of the TO version's schema plus
+    ``_change_type`` and ``_commit_version`` (the to-version). Under
+    schema evolution both sides read with their OWN manifest's schema
+    and the FROM side is aligned to the TO shape (missing columns read
+    null — exactly what a reader of the old version would have seen
+    after evolution).
+
+    Scale: the scan is manifest-file-diff-scoped (an upsert that
+    touched 3 of 10⁵ days reads only those days' old+new files); the
+    one shuffle is the key join; classification is a projection.
+    """
+    prev = _load_manifest(spark, path, from_version)
+    cur = _load_manifest(spark, path, to_version)
+    to_version = cur["version"]
+    prev_files = {r for v in prev["files"].values() for r in v}
+    cur_files = {r for v in cur["files"].values() for r in v}
+
+    def _subset(manifest: dict, keep: set) -> dict:
+        fmap = {
+            d: [r for r in rels if r in keep]
+            for d, rels in manifest["files"].items()
+        }
+        return dict(manifest, files={d: v for d, v in fmap.items() if v})
+
+    old_side = _snapshot_df(spark, path, _subset(prev, prev_files - cur_files))
+    new_side = _snapshot_df(spark, path, _subset(cur, cur_files - prev_files))
+    to_schema = StructType.fromJson(json.loads(cur["schema"]))
+    cols = [f.name for f in to_schema.fields]
+    old_cols = set(old_side.columns)
+    old_side = old_side.select(
+        *[
+            F.col(c) if c in old_cols
+            else F.lit(None).cast(f.dataType).alias(c)
+            for c, f in zip(cols, to_schema.fields)
+        ]
+    )
+    data_cols = [c for c in cols if c != key]
+    a = old_side.select(
+        F.col(key).alias("__k"),
+        F.struct(*[F.col(c) for c in cols]).alias("__pre"),
+    )
+    b = new_side.select(
+        F.col(key).alias("__k"),
+        F.struct(*[F.col(c) for c in cols]).alias("__post"),
+    )
+    j = a.join(b, "__k", "full_outer")
+    pre_d = F.struct(*[F.col(f"__pre.{c}") for c in data_cols])
+    post_d = F.struct(*[F.col(f"__post.{c}") for c in data_cols])
+    ins = j.where(F.col("__pre").isNull()).select(
+        *[F.col(f"__post.{c}").alias(c) for c in cols],
+        F.lit("insert").alias("_change_type"),
+    )
+    dele = j.where(F.col("__post").isNull()).select(
+        *[F.col(f"__pre.{c}").alias(c) for c in cols],
+        F.lit("delete").alias("_change_type"),
+    )
+    upd = j.where(
+        F.col("__pre").isNotNull()
+        & F.col("__post").isNotNull()
+        & ~pre_d.eqNullSafe(post_d)
+    )
+    upd_pre = upd.select(
+        *[F.col(f"__pre.{c}").alias(c) for c in cols],
+        F.lit("update_preimage").alias("_change_type"),
+    )
+    upd_post = upd.select(
+        *[F.col(f"__post.{c}").alias(c) for c in cols],
+        F.lit("update_postimage").alias("_change_type"),
+    )
+    return (
+        ins.unionByName(dele).unionByName(upd_pre).unionByName(upd_post)
+        .withColumn("_commit_version", F.lit(to_version).cast("int"))
+    )
+
+
 def tx_upsert_events(
     spark: SparkSession, path: str, updates: DataFrame, key: str = "event_id"
 ) -> int:

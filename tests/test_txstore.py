@@ -516,6 +516,75 @@ def test_stats_skipping_scan(spark, tmp_path):
         or t1 >= 1
 
 
+def test_change_data_feed(spark, tmp_path):
+    """tx_changes derives a Delta-CDF-style change feed ON READ from
+    the manifest file diff: inserts/updates (pre+post) from an upsert,
+    deletes from an overwrite, and — the load-bearing negative — a
+    layout-only compaction produces ZERO change rows even though it
+    rewrote every touched file."""
+    from maillogsentinel_spark.sources.txstore import tx_changes
+
+    path = _store(spark, tmp_path)  # v1: keys 1..4
+
+    # v2: update key 2 (new value), move key 4 day 3 -> day 4 (losing
+    # dup on the old day per the day-moving-key caller contract),
+    # insert 5
+    tx_upsert_events(spark, path, spark.createDataFrame(
+        [_ev(2, 1, 11, 20.0), _ev(4, 3, 12, 39.0), _ev(4, 4, 12, 40.0),
+         _ev(5, 2, 13, 5.0)]))
+    ch = {(r["event_id"], r["_change_type"]): r
+          for r in tx_changes(spark, path, 1, 2).collect()}
+    assert set(ch) == {
+        (2, "update_preimage"), (2, "update_postimage"),
+        (4, "update_preimage"), (4, "update_postimage"),
+        (5, "insert"),
+    }
+    assert ch[(2, "update_preimage")]["value"] == 2.0
+    assert ch[(2, "update_postimage")]["value"] == 20.0
+    assert str(ch[(4, "update_postimage")]["event_date"]) == "2025-03-04"
+    assert all(r["_commit_version"] == 2 for r in ch.values())
+    # keys 1 and 3 were rewritten by the touched-day MERGE but did not
+    # change — the null-safe struct compare keeps them out of the feed
+
+    # v3: layout-only compaction -> EMPTY feed
+    tx_compact_partitions(spark, path, target_files_per_day=1)
+    assert tx_changes(spark, path, 2, 3).count() == 0
+
+    # v4: overwrite drops keys 1 and 3 -> deletes (+unchanged filtered)
+    keep = tx_read_events(spark, path).where(
+        F.col("event_id").isin(2, 4, 5))
+    tx_write_events(spark, path, keep.drop("event_date"))
+    ch2 = {(r["event_id"], r["_change_type"])
+           for r in tx_changes(spark, path, 3, 4).collect()}
+    assert ch2 == {(1, "delete"), (3, "delete")}
+
+    # multi-version span: v1 -> head compares END-TO-END snapshots
+    span = {(r["event_id"], r["_change_type"])
+            for r in tx_changes(spark, path, 1).collect()}
+    assert span == {(1, "delete"), (3, "delete"), (5, "insert"),
+                    (2, "update_preimage"), (2, "update_postimage"),
+                    (4, "update_preimage"), (4, "update_postimage")}
+
+
+def test_change_data_feed_schema_evolution(spark, tmp_path):
+    """Across a mergeSchema append, the FROM side aligns to the TO
+    shape: pre-images of pre-evolution rows read null in the new
+    column, and the appended rows arrive as inserts with their score."""
+    from maillogsentinel_spark.sources.txstore import tx_changes
+
+    path = _store(spark, tmp_path)
+    evolved = spark.createDataFrame(
+        [_ev(9, 2, 14, 9.0)]).withColumn("score", F.lit(0.5))
+    tx_append_events(spark, path, evolved, merge_schema=True)
+    tx_upsert_events(spark, path, spark.createDataFrame(
+        [_ev(1, 1, 10, 100.0)]).withColumn("score", F.lit(None).cast("double")))
+    ch = {(r["event_id"], r["_change_type"]): r
+          for r in tx_changes(spark, path, 1).collect()}
+    assert ch[(9, "insert")]["score"] == 0.5
+    assert ch[(1, "update_preimage")]["score"] is None
+    assert ch[(1, "update_postimage")]["value"] == 100.0
+
+
 def test_stats_survive_scheme_and_distribute(spark, tmp_path, monkeypatch):
     """Publish-time footer stats must not be a driver-local-filesystem
     special case: (a) a scheme-qualified store root (``file://...`` —
