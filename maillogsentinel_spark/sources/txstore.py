@@ -531,6 +531,7 @@ def tx_append_events(
             "schema": schema_json,
             "files": merged,
             "stats": _carry_stats(prev, merged, fresh_stats),
+            "blooms": _carry_blooms(prev, merged),
         }
         if batch_id is not None:
             manifest["last_batch_id"] = batch_id
@@ -669,6 +670,210 @@ def tx_scan_events(
 
 def tx_current_version(spark: SparkSession, path: str) -> int:
     return _load_manifest(spark, path)["version"]
+
+
+def _carry_blooms(prev: dict, newmap: dict[str, list[str]]) -> dict:
+    """Blooms for the new manifest: prior entries carried for retained
+    files; entries of replaced/dropped files fall away with their rels.
+    Newly written files carry no bloom until the next
+    ``tx_add_bloom_filters`` run — skipping is optional, reads stay
+    correct either way."""
+    prior = prev.get("blooms", {})
+    if not prior:
+        return {}
+    live = {rel for rels in newmap.values() for rel in rels}
+    return {rel: b for rel, b in prior.items() if rel in live}
+
+
+def _bloom_positions(value: str, m_bits: int, k: int) -> list[int]:
+    """The k bit positions of ``value`` — pure-Python twin of the Spark
+    expression used at build time (hash64 with salt 'bloom{i}'), so the
+    driver-side probe and the executor-side build can never drift."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        h = hashlib.md5(f"bloom{i}\x1f{value}".encode()).hexdigest()
+        out.append(int(h[:15], 16) % m_bits)
+    return out
+
+
+def tx_add_bloom_filters(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    m_bits: int = 8192,
+    k: int = 6,
+) -> int:
+    """METADATA-ONLY commit attaching per-file BLOOM FILTERS for
+    equality skipping on ``col`` — the point-lookup complement of the
+    min/max range stats (a high-cardinality string column's min/max
+    box covers almost any probe; its bloom excludes almost every
+    file). Files already carrying a bloom with the same (m, k) keep
+    it; only missing files are scanned. Data files are untouched — the
+    commit adds a ``blooms`` map (base64 bitsets, m_bits/8 bytes per
+    file) to the manifest, and maintenance operations carry entries
+    for retained files exactly like stats.
+
+    Build: ONE Spark job — the missing files are read with
+    ``input_file_name()``, each distinct (file, value) emits its k bit
+    positions via the DuckDB-portable hash64 (salt ``bloom{i}``), and
+    an ``applyInPandas`` per file packs the bitset executor-side, so
+    the driver receives m_bits/8 bytes per file, never the value set.
+    Restricted to string and integral columns (float equality is not a
+    meaningful probe, and its cast-to-string rendering differs between
+    build and probe sides)."""
+    import base64
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, ShortType, StringType,
+    )
+
+    from ..functions.hashing import hash64
+
+    txid = uuid.uuid4().hex
+    prev = _load_manifest(spark, path)
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    field = next((f for f in schema.fields if f.name == col), None)
+    if field is None or not isinstance(
+        field.dataType, (StringType, LongType, IntegerType, ShortType)
+    ):
+        raise ValueError(
+            f"bloom filters need a string/integral column, got {col!r}"
+        )
+    blooms = dict(prev.get("blooms", {}))
+    missing = [
+        rel
+        for rels in prev["files"].values()
+        for rel in rels
+        if blooms.get(rel, {}).get(col, {}).get("m") != m_bits
+        or blooms.get(rel, {}).get(col, {}).get("k") != k
+    ]
+    if missing:
+        paths = [f"{path}/{_DATA_DIR}/{rel}" for rel in missing]
+        src = (
+            spark.read.option("basePath", f"{path}/{_DATA_DIR}")
+            .schema(schema)
+            .parquet(*paths)
+        )
+        sval = F.col(col).cast("string")
+        pos = F.array(
+            *[hash64(sval, salt=f"bloom{i}") % m_bits for i in range(k)]
+        )
+        fp = (
+            src.where(F.col(col).isNotNull())
+            .select(
+                F.input_file_name().alias("f"),
+                F.explode(pos).alias("p"),
+            )
+            .distinct()
+        )
+
+        nbytes = m_bits // 8
+
+        def pack(pdf):
+            import numpy as np
+            import pandas as pd
+
+            bits = np.zeros(nbytes, dtype=np.uint8)
+            p = pdf["p"].to_numpy()
+            bits[p // 8] |= (1 << (p % 8)).astype(np.uint8)
+            return pd.DataFrame(
+                {"f": [pdf["f"].iloc[0]], "bits": [bits.tobytes()]}
+            )
+
+        built = fp.groupBy("f").applyInPandas(pack, "f string, bits binary")
+        for row in built.collect():
+            parts = row["f"].rstrip("/").split("/")
+            rel = f"{parts[-2]}/{parts[-1]}"
+            ent = blooms.setdefault(rel, {})
+            ent[col] = {
+                "m": m_bits,
+                "k": k,
+                "bits": base64.b64encode(row["bits"]).decode("ascii"),
+            }
+    manifest = {
+        "format": _FORMAT,
+        "version": prev["version"] + 1,
+        "parent": prev["version"],
+        "txid": txid,
+        "operation": "bloom",
+        "schema": prev["schema"],
+        "files": prev["files"],
+        "stats": prev.get("stats", {}),
+        "blooms": blooms,
+    }
+    if "last_batch_id" in prev:
+        manifest["last_batch_id"] = prev["last_batch_id"]
+    return _commit(spark, path, manifest)
+
+
+def tx_skipping_plan_eq(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> tuple[dict, int, int]:
+    """Plan an equality scan: drop every file whose bloom filter
+    PROVABLY excludes ``value`` (some probed bit is 0 — a bloom has no
+    false negatives), plus every file whose min/max stats exclude it.
+    Files without a bloom or stats are kept; like the range planner,
+    skipping is an optimization, never a correctness filter."""
+    import base64
+
+    manifest = _load_manifest(spark, path, version)
+    blooms = manifest.get("blooms", {})
+    stats = manifest.get("stats", {})
+    sval = str(value)
+    pruned: dict[str, list[str]] = {}
+    total = kept = 0
+    pos_cache: dict[tuple[int, int], list[int]] = {}
+    for day, rels in manifest["files"].items():
+        keeps = []
+        for rel in rels:
+            total += 1
+            drop = False
+            s = stats.get(rel, {}).get(col)
+            if s is not None and not isinstance(value, str):
+                if s[1] < value or s[0] > value:
+                    drop = True
+            b = blooms.get(rel, {}).get(col)
+            if not drop and b is not None:
+                key = (b["m"], b["k"])
+                pos = pos_cache.get(key)
+                if pos is None:
+                    pos = _bloom_positions(sval, b["m"], b["k"])
+                    pos_cache[key] = pos
+                bits = base64.b64decode(b["bits"])
+                if any(not bits[p // 8] & (1 << (p % 8)) for p in pos):
+                    drop = True
+            if drop:
+                continue
+            keeps.append(rel)
+            kept += 1
+        if keeps:
+            pruned[day] = keeps
+    out = dict(manifest)
+    out["files"] = pruned
+    return out, total, kept
+
+
+def tx_scan_events_eq(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Equality scan with bloom + stats FILE-LEVEL SKIPPING: prune
+    driver-side over the manifest (zero I/O), then apply the row-level
+    equality filter on what remains — identical results to filtering
+    the full snapshot, fewer files touched."""
+    manifest, _total, _kept = tx_skipping_plan_eq(
+        spark, path, col, value, version
+    )
+    return _snapshot_df(spark, path, manifest).where(F.col(col) == value)
 
 
 def tx_changes(
@@ -838,6 +1043,7 @@ def tx_upsert_events(
         "stats": _carry_stats(
             prev, newmap, _file_stats(path, files, prev["schema"], spark)
         ),
+        "blooms": _carry_blooms(prev, newmap),
     }
     if "last_batch_id" in prev:  # carry the streaming ledger forward
         manifest["last_batch_id"] = prev["last_batch_id"]
@@ -936,6 +1142,7 @@ def tx_compact_partitions(
         "stats": _carry_stats(
             prev, newmap, _file_stats(path, files, prev["schema"], spark)
         ),
+        "blooms": _carry_blooms(prev, newmap),
     }
     if "last_batch_id" in prev:  # carry the streaming ledger forward
         manifest["last_batch_id"] = prev["last_batch_id"]
@@ -1066,6 +1273,7 @@ def tx_optimize_zorder(
         "stats": _carry_stats(
             prev, newmap, _file_stats(path, files, prev["schema"], spark)
         ),
+        "blooms": _carry_blooms(prev, newmap),
     }
     if "last_batch_id" in prev:  # carry the streaming ledger forward
         manifest["last_batch_id"] = prev["last_batch_id"]

@@ -516,6 +516,69 @@ def test_stats_skipping_scan(spark, tmp_path):
         or t1 >= 1
 
 
+def test_bloom_filter_skipping(spark, tmp_path):
+    """Per-file bloom filters prune equality scans on high-cardinality
+    columns where min/max boxes cover everything: a metadata-only
+    commit attaches the bitsets, probes for values confined to one day
+    skip the other days' files, results always equal the unpruned
+    filter, maintenance carries blooms for retained files, and rewritten
+    files degrade to scanned-not-skipped until the next bloom run."""
+    from maillogsentinel_spark.sources.txstore import (
+        tx_add_bloom_filters,
+        tx_scan_events_eq,
+        tx_skipping_plan_eq,
+    )
+
+    path = str(tmp_path / "txstore")
+    rows = [
+        Row(event_id=i, ts=datetime.datetime(2025, 3, 1 + i % 4, 10, 0),
+            user_id=i, event_type=f"tag{i:04d}", value=float(i))
+        for i in range(64)
+    ]
+    tx_write_events(spark, path, spark.createDataFrame(rows))
+    v = tx_add_bloom_filters(spark, path, "event_type")
+    assert v == 2
+    m = txstore._load_manifest(spark, path)
+    nfiles = sum(len(x) for x in m["files"].values())
+    assert len(m["blooms"]) == nfiles
+
+    # tag0005 lives on day 2 only (5 % 4 == 1) — other days must skip
+    _, total, kept = tx_skipping_plan_eq(spark, path, "event_type", "tag0005")
+    assert total == nfiles and kept < total, (total, kept)
+    got = tx_scan_events_eq(spark, path, "event_type", "tag0005").collect()
+    assert [r["event_id"] for r in got] == [5]
+    # a value that exists nowhere skips EVERY bloom'd file
+    _, _, kept0 = tx_skipping_plan_eq(spark, path, "event_type", "nosuch")
+    assert kept0 == 0
+    # integral column probe composes bloom + min/max stats
+    tx_add_bloom_filters(spark, path, "user_id")
+    _, t2, k2 = tx_skipping_plan_eq(spark, path, "user_id", 7)
+    assert k2 < t2
+    assert tx_scan_events_eq(spark, path, "user_id", 7).count() == 1
+
+    # idempotent re-run: nothing missing, still commits cleanly
+    tx_add_bloom_filters(spark, path, "event_type")
+
+    # maintenance: compaction rewrites day files -> their bloom entries
+    # fall away (no stale bits), untouched days keep theirs; scans stay
+    # correct, the rewritten files just stop skipping
+    tx_compact_partitions(spark, path, target_files_per_day=1,
+                          predicate="event_date = '2025-03-02'")
+    m2 = txstore._load_manifest(spark, path)
+    assert all(rel in {r for v_ in m2["files"].values() for r in v_}
+               for rel in m2["blooms"])
+    got2 = tx_scan_events_eq(spark, path, "event_type", "tag0005").collect()
+    assert [r["event_id"] for r in got2] == [5]
+    # re-running blooms covers the compacted files again
+    tx_add_bloom_filters(spark, path, "event_type")
+    _, t3, k3 = tx_skipping_plan_eq(spark, path, "event_type", "nosuch")
+    assert k3 == 0
+
+    # type guard: float equality probes are refused at build time
+    with pytest.raises(ValueError, match="string/integral"):
+        tx_add_bloom_filters(spark, path, "value")
+
+
 def test_change_data_feed(spark, tmp_path):
     """tx_changes derives a Delta-CDF-style change feed ON READ from
     the manifest file diff: inserts/updates (pre+post) from an upsert,
