@@ -7963,6 +7963,86 @@ def q_tx_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_TX_BLOOM_ORACLE = """
+WITH base AS (
+  SELECT event_id, ts, user_id, value, 'e' || event_id AS tag
+  FROM events WHERE day(ts) <= 12
+),
+probes AS (
+  SELECT min(event_id) AS eid FROM base
+  WHERE day(ts) BETWEEN 5 AND 8 GROUP BY day(ts)
+)
+SELECT b.event_id, b.tag, b.user_id,
+       round(b.value::DECIMAL(21,6)::DOUBLE, 4) AS value_r
+FROM base b JOIN probes p ON b.event_id = p.eid
+ORDER BY b.event_id
+"""
+
+
+@query("tx_bloom_skipping", oracle=_TX_BLOOM_ORACLE)
+def q_tx_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER file skipping, hash-verified end-to-end: the store
+    carries a synthetic high-cardinality string column (tag =
+    'e'||event_id — every value unique, so min/max boxes are useless
+    for equality and only the blooms can prune), a METADATA-ONLY
+    commit attaches per-file bitsets (tx_add_bloom_filters: one Spark
+    job packs each file's bits executor-side; data files untouched),
+    and four point probes — each day 5-8's minimum event id, scalars
+    the oracle re-derives — must (a) each PROVABLY skip files (kept <
+    total asserted in-query; a tag lives in exactly one file) and (b)
+    return exactly the oracle's rows. A hash drift between the build's
+    Spark-side hash64 and the probe's pure-Python twin, a bit-packing
+    endianness flip, or a false negative each either kills the
+    assertion or flips the result hash."""
+    import shutil
+    import tempfile
+
+    from ..sources.txstore import (
+        tx_add_bloom_filters,
+        tx_scan_events_eq,
+        tx_skipping_plan_eq,
+        tx_write_events,
+    )
+
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "value",
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("tag"),
+    ).where(F.dayofmonth("ts") <= 12)
+    tmp = tempfile.mkdtemp(prefix="mls_store_bloom_", dir=_scratch_dir())
+    path = f"{tmp}/store"
+    try:
+        with _stream_state_parts(spark, 8):
+            tx_write_events(spark, path, ev.repartition(F.to_date("ts")))
+            tx_add_bloom_filters(spark, path, "tag")
+            probes = [
+                r["eid"]
+                for r in ev.where(F.dayofmonth("ts").between(5, 8))
+                .groupBy(F.dayofmonth("ts"))
+                .agg(F.min("event_id").alias("eid"))
+                .collect()
+            ]
+            hits = None
+            for eid in sorted(probes):
+                _plan, total, kept = tx_skipping_plan_eq(
+                    spark, path, "tag", f"e{eid}"
+                )
+                assert kept < total, (
+                    f"bloom must prune for e{eid}: kept {kept}/{total}"
+                )
+                h = tx_scan_events_eq(spark, path, "tag", f"e{eid}").select(
+                    "event_id", "tag", "user_id",
+                    F.round(
+                        F.col("value").cast("decimal(21,6)").cast("double"), 4
+                    ).alias("value_r"),
+                )
+                hits = h if hits is None else hits.unionByName(h)
+            out = hits.orderBy("event_id")
+            rows = out.collect()
+            return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @query(
     "docs_train_val_split",
     oracle="""
@@ -10938,6 +11018,10 @@ _NEXT = [
     # with no written change log), census-pinned across MERGE +
     # delete-by-overwrite incl. the unchanged-row-suppression negative
     "tx_cdc_changes",
+    # NEW mid-round-10: bloom-filter equality skipping — the point-
+    # lookup complement of the min/max stats, metadata-only commit,
+    # build-vs-probe hash parity pinned by the oracle's scalar probes
+    "tx_bloom_skipping",
     # round-10 rotation OUT: eleven long-green rows (each graded green
     # 3-9 consecutive rounds) retired to admit the five round-9
     # newcomers (now graded above) and the six never-driver-graded

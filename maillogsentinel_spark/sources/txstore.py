@@ -777,7 +777,10 @@ def tx_add_bloom_filters(
 
             bits = np.zeros(nbytes, dtype=np.uint8)
             p = pdf["p"].to_numpy()
-            bits[p // 8] |= (1 << (p % 8)).astype(np.uint8)
+            # bitwise_or.at, NOT fancy-index |= — the buffered form
+            # applies ONE update per distinct byte index, silently
+            # dropping every other bit that lands in the same byte
+            np.bitwise_or.at(bits, p // 8, (1 << (p % 8)).astype(np.uint8))
             return pd.DataFrame(
                 {"f": [pdf["f"].iloc[0]], "bits": [bits.tobytes()]}
             )
