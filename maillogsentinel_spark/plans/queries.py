@@ -8043,6 +8043,93 @@ def q_tx_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_TX_INC_ORACLE = """
+WITH ev AS (
+  SELECT event_id, ts, value FROM events WHERE day(ts) <= 12
+),
+inc AS (
+  SELECT 2 AS commit_version, ts, event_id, value FROM ev
+  WHERE day(ts) BETWEEN 7 AND 9
+  UNION ALL
+  SELECT 4, ts, event_id, value FROM ev WHERE day(ts) BETWEEN 10 AND 12
+)
+SELECT commit_version, ts::DATE AS event_date,
+       count(*)::BIGINT AS n_rows,
+       sum(event_id)::BIGINT AS sum_eid,
+       round(sum(value::DECIMAL(21,6))::DOUBLE, 4) AS value_sum
+FROM inc GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("tx_incremental_tail", oracle=_TX_INC_ORACLE)
+def q_tx_incremental_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL TAILING of the tx store, hash-verified: v1 snapshot
+    (days ≤ 6) → v2 append (days 7-9) → v3 COMPACTION (layout-only,
+    rewrites v2's files) → v4 append (days 10-12), then
+    ``tx_read_incremental(since_version=1)`` — the cursor-based read a
+    streaming consumer tails (sources/txstore.py). The per-version
+    per-day census must contain EXACTLY the two appends' rows tagged
+    with their commit versions: a compaction that leaked its rewritten
+    rows into the feed (the manifest's operation field proves row
+    preservation, so it must contribute NOTHING), a missed append
+    file, or a wrong version tag each flips a count. The oracle
+    re-derives both appends from the day formulas."""
+    import shutil
+    import tempfile
+
+    from ..sources.txstore import (
+        tx_append_events,
+        tx_compact_partitions,
+        tx_read_incremental,
+        tx_write_events,
+    )
+
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).where(F.dayofmonth("ts") <= 12)
+    day = F.dayofmonth("ts")
+    tmp = tempfile.mkdtemp(prefix="mls_store_inc_", dir=_scratch_dir())
+    path = f"{tmp}/store"
+    try:
+        with _stream_state_parts(spark, 8):
+            tx_write_events(
+                spark, path,
+                ev.where(day <= 6).repartition(F.to_date("ts")),
+            )
+            tx_append_events(
+                spark, path,
+                ev.where(day.between(7, 9)).repartition(F.to_date("ts")),
+            )
+            tx_compact_partitions(spark, path, target_files_per_day=1)
+            tx_append_events(
+                spark, path,
+                ev.where(day.between(10, 12)).repartition(F.to_date("ts")),
+            )
+            agg = (
+                tx_read_incremental(spark, path, 1)
+                .groupBy("_commit_version", "event_date")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("event_id").cast("long").alias("sum_eid"),
+                    F.round(
+                        F.sum(F.col("value").cast("decimal(21,6)")).cast(
+                            "double"
+                        ),
+                        4,
+                    ).alias("value_sum"),
+                )
+                .select(
+                    F.col("_commit_version").alias("commit_version"),
+                    "event_date", "n_rows", "sum_eid", "value_sum",
+                )
+                .orderBy("commit_version", "event_date")
+            )
+            rows = agg.collect()
+            return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @query(
     "docs_train_val_split",
     oracle="""
@@ -11022,6 +11109,10 @@ _NEXT = [
     # lookup complement of the min/max stats, metadata-only commit,
     # build-vs-probe hash parity pinned by the oracle's scalar probes
     "tx_bloom_skipping",
+    # NEW mid-round-10: cursor-based incremental tailing — appends
+    # stream out version-tagged; the compaction-leaks-nothing negative
+    # is the load-bearing assertion
+    "tx_incremental_tail",
     # round-10 rotation OUT: eleven long-green rows (each graded green
     # 3-9 consecutive rounds) retired to admit the five round-9
     # newcomers (now graded above) and the six never-driver-graded

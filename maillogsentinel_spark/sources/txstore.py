@@ -672,6 +672,88 @@ def tx_current_version(spark: SparkSession, path: str) -> int:
     return _load_manifest(spark, path)["version"]
 
 
+def tx_read_incremental(
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    to_version: int | None = None,
+    ignore_changes: bool = False,
+) -> DataFrame:
+    """INCREMENTAL READ — rows added after ``since_version`` (exclusive)
+    up to ``to_version`` (inclusive, default head), the cursor-based
+    primitive a streaming consumer of the store tails (Delta's
+    streaming source over a table, here as an explicit batch API the
+    caller drives from foreachBatch or a scheduler with its own cursor
+    persistence). Walks the retained manifests version by version:
+
+    - ``append``: the version's NEW files (file map minus parent's)
+      are exactly its new rows — scanned and tagged
+      ``_commit_version``; nothing else is read.
+    - ``compact`` / ``zorder`` / ``bloom``: layout- or metadata-only,
+      row set unchanged — SKIPPED. (Delta has to raise here unless
+      ignoreChanges, because its log entry doesn't prove row
+      preservation; this manifest's operation field does.)
+    - ``upsert`` / ``overwrite``: the row set genuinely changed —
+      raises ValueError naming the version, unless
+      ``ignore_changes=True``, which emits the version's entered
+      files' rows (Delta's ignoreChanges contract: updated rows
+      appear, consumers must dedupe downstream; ``tx_changes`` is the
+      precise alternative).
+
+    A vacuumed (missing) manifest in the range raises FileNotFoundError
+    — the cursor has fallen behind the retention window, the same
+    failure mode as Kafka retention expiry.
+
+    Scale: per version, only its own new files are listed and scanned;
+    the walk is O(versions in range) driver-side manifest reads."""
+    cur = _load_manifest(spark, path, to_version)
+    to_version = cur["version"]
+    frames: list[DataFrame] = []
+    prev_files = {
+        r for v in _load_manifest(spark, path, since_version)["files"].values()
+        for r in v
+    }
+    for v in range(since_version + 1, to_version + 1):
+        m = _load_manifest(spark, path, v)
+        op = m.get("operation", "?")
+        files_v = {r for rels in m["files"].values() for r in rels}
+        entered = files_v - prev_files
+        prev_files = files_v
+        if op in ("compact", "zorder", "bloom"):
+            continue
+        if op in ("upsert", "overwrite") and not ignore_changes:
+            raise ValueError(
+                f"version {v} is a row-changing {op!r}; incremental "
+                "append-tailing stops here — use tx_changes for a "
+                "precise feed, or ignore_changes=True for Delta-style "
+                "at-least-once rows"
+            )
+        if not entered:
+            continue
+        sub = dict(
+            m,
+            files={
+                d: [r for r in rels if r in entered]
+                for d, rels in m["files"].items()
+                if any(r in entered for r in rels)
+            },
+        )
+        frames.append(
+            _snapshot_df(spark, path, sub).withColumn(
+                "_commit_version", F.lit(v).cast("int")
+            )
+        )
+    if not frames:
+        schema = StructType.fromJson(json.loads(cur["schema"]))
+        return spark.createDataFrame([], schema).withColumn(
+            "_commit_version", F.lit(None).cast("int")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
 def _carry_blooms(prev: dict, newmap: dict[str, list[str]]) -> dict:
     """Blooms for the new manifest: prior entries carried for retained
     files; entries of replaced/dropped files fall away with their rels.

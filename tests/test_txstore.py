@@ -516,6 +516,47 @@ def test_stats_skipping_scan(spark, tmp_path):
         or t1 >= 1
 
 
+def test_incremental_read_tails_appends(spark, tmp_path):
+    """tx_read_incremental tails appended rows by version cursor:
+    appends stream out tagged with their commit version, layout/
+    metadata ops (compact, bloom) are PROVABLY row-preserving and skip
+    silently, row-changing ops raise unless ignore_changes, and a
+    cursor at head reads empty."""
+    from maillogsentinel_spark.sources.txstore import (
+        tx_add_bloom_filters,
+        tx_read_incremental,
+    )
+
+    path = _store(spark, tmp_path)                                    # v1
+    tx_append_events(spark, path, spark.createDataFrame(
+        [_ev(5, 2, 13, 5.0), _ev(6, 3, 14, 6.0)]))                    # v2
+    tx_compact_partitions(spark, path, target_files_per_day=1)        # v3
+    tx_append_events(spark, path, spark.createDataFrame(
+        [_ev(7, 4, 15, 7.0)]))                                        # v4
+    inc = tx_read_incremental(spark, path, 1, to_version=4)
+    got = sorted((r["event_id"], r["_commit_version"]) for r in inc.collect())
+    assert got == [(5, 2), (6, 2), (7, 4)]
+    # cursor at head -> empty, schema intact
+    assert tx_read_incremental(spark, path, 4).count() == 0
+
+    tx_upsert_events(spark, path, spark.createDataFrame(
+        [_ev(5, 2, 13, 50.0)]))                                       # v5
+    tx_add_bloom_filters(spark, path, "event_type")                   # v6
+    with pytest.raises(ValueError, match="upsert"):
+        tx_read_incremental(spark, path, 1)
+    # ignore_changes: at-least-once rows — the upsert's rewritten day
+    # re-emits; the bloom op (metadata-only) still contributes nothing
+    loose = tx_read_incremental(spark, path, 4, ignore_changes=True)
+    ids = sorted(r["event_id"] for r in loose.collect())
+    assert 5 in ids and all(
+        r["_commit_version"] == 5 for r in loose.collect())
+
+    # vacuumed cursor -> retention expiry, loud
+    tx_vacuum(spark, path, keep_versions=1, retention_ms=0)
+    with pytest.raises(FileNotFoundError):
+        tx_read_incremental(spark, path, 1)
+
+
 def test_bloom_filter_skipping(spark, tmp_path):
     """Per-file bloom filters prune equality scans on high-cardinality
     columns where min/max boxes cover everything: a metadata-only
