@@ -8130,6 +8130,96 @@ def q_tx_incremental_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_TX_DV_ORACLE = """
+WITH base AS (
+  SELECT event_id, ts, user_id, value FROM events WHERE day(ts) <= 12
+)
+SELECT ts::DATE AS event_date,
+       count(*)::BIGINT AS n_before,
+       sum(CASE WHEN user_id % 7 <> 3 THEN 1 ELSE 0 END)::BIGINT
+         AS n_after,
+       sum(CASE WHEN user_id % 7 <> 3 THEN event_id END)::BIGINT
+         AS sum_eid_after,
+       round(sum(CASE WHEN user_id % 7 <> 3
+                 THEN value::DECIMAL(21,6) END)::DOUBLE, 4)
+         AS value_sum_after
+FROM base GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("tx_deletion_vectors", oracle=_TX_DV_ORACLE)
+def q_tx_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION VECTORS (merge-on-read), hash-verified: v1 snapshot →
+    ``tx_delete_where("user_id % 7 = 3")`` — rows vanish from the head
+    read via the (rel, row-position) sidecar anti-join while NOT ONE
+    data file is rewritten (asserted in-query: v2's file map ==
+    v1's), and time travel to v1 still returns every pre-delete row
+    (n_before comes from the v1 read AFTER the delete committed). The
+    per-day census joins both reads, so a leaked deleted row, an
+    over-deleted survivor, a wrong row-position mapping, or a DV that
+    silently rewrote files each flips a count, a sum, or the
+    assertion. The DuckDB oracle re-derives both states from the
+    predicate."""
+    import shutil
+    import tempfile
+
+    from ..sources.txstore import (
+        _load_manifest,
+        tx_delete_where,
+        tx_read_events,
+        tx_write_events,
+    )
+
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "value"
+    ).where(F.dayofmonth("ts") <= 12)
+    tmp = tempfile.mkdtemp(prefix="mls_store_dv_", dir=_scratch_dir())
+    path = f"{tmp}/store"
+    try:
+        with _stream_state_parts(spark, 8):
+            tx_write_events(spark, path, ev.repartition(F.to_date("ts")))
+            tx_delete_where(spark, path, "user_id % 7 = 3")
+            m1 = _load_manifest(spark, path, 1)
+            m2 = _load_manifest(spark, path, 2)
+            assert m2["files"] == m1["files"], (
+                "deletion vectors must not rewrite data files"
+            )
+            before = (
+                tx_read_events(spark, path, version=1)
+                .groupBy("event_date")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_before"))
+            )
+            after = (
+                tx_read_events(spark, path)
+                .groupBy("event_date")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_after"),
+                    F.sum("event_id").cast("long").alias("sum_eid_after"),
+                    F.round(
+                        F.sum(F.col("value").cast("decimal(21,6)")).cast(
+                            "double"
+                        ),
+                        4,
+                    ).alias("value_sum_after"),
+                )
+            )
+            agg = (
+                before.join(after, "event_date", "left")
+                .select(
+                    "event_date",
+                    "n_before",
+                    F.coalesce("n_after", F.lit(0)).alias("n_after"),
+                    "sum_eid_after",
+                    "value_sum_after",
+                )
+                .orderBy("event_date")
+            )
+            rows = agg.collect()
+            return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @query(
     "docs_train_val_split",
     oracle="""
@@ -11113,6 +11203,10 @@ _NEXT = [
     # stream out version-tagged; the compaction-leaks-nothing negative
     # is the load-bearing assertion
     "tx_incremental_tail",
+    # NEW mid-round-10: merge-on-read deletion vectors — row-level
+    # delete with zero file rewrites (asserted), time travel to the
+    # pre-delete state pinned in the same census
+    "tx_deletion_vectors",
     # round-10 rotation OUT: eleven long-green rows (each graded green
     # 3-9 consecutive rounds) retired to admit the five round-9
     # newcomers (now graded above) and the six never-driver-graded

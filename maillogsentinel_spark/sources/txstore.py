@@ -69,7 +69,7 @@ from __future__ import annotations
 import json
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -78,6 +78,7 @@ from .store import _contains_map
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 _STAGING_DIR = "_staging"
+_DELETES_DIR = "_deletes"
 _FORMAT = 1
 
 
@@ -342,23 +343,79 @@ def _carry_stats(
     return out
 
 
+def _rel_expr() -> Column:
+    """data-file rel ('event_date=.../<file>') from the scan's
+    ``_metadata.file_path`` — the join key deletion vectors are keyed
+    by."""
+    parts = F.split(F.col("_metadata.file_path"), "/")
+    return F.concat_ws(
+        "/", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+
+
 def _snapshot_df(
-    spark: SparkSession, root: str, manifest: dict, days: list[str] | None = None
+    spark: SparkSession,
+    root: str,
+    manifest: dict,
+    days: list[str] | None = None,
+    with_pos: bool = False,
 ) -> DataFrame:
     """Materialize a snapshot (optionally day-sliced) from the manifest
-    FILE LIST — no directory listing; file-level pruning for the slice."""
+    FILE LIST — no directory listing; file-level pruning for the slice.
+
+    MERGE-ON-READ deletion vectors: files named in the manifest's
+    ``dv`` map read with their (rel, row position) projected and
+    anti-join the referenced DV sidecars — deleted rows vanish without
+    the data file ever being rewritten (tx_delete_where). Files
+    without a DV take the plain scan; the anti-join's scope is exactly
+    the DV'd files, and the sidecar side is broadcast (a DV is small
+    next to its file by design — a delete large enough to dominate a
+    file is what compaction is for).
+
+    ``with_pos=True`` keeps (__rel, __pos) — the physical row identity
+    — on every output row; tx_delete_where needs it, and it must be
+    materialized INSIDE each scan branch because the hidden
+    ``_metadata`` column does not survive the union."""
     fmap = manifest["files"]
     if days is not None:
         fmap = {d: fmap[d] for d in days if d in fmap}
-    paths = [f"{root}/{_DATA_DIR}/{rel}" for rels in fmap.values() for rel in rels]
-    if not paths:
-        schema = StructType.fromJson(json.loads(manifest["schema"]))
-        return spark.createDataFrame([], schema)
-    return (
-        spark.read.option("basePath", f"{root}/{_DATA_DIR}")
-        .schema(StructType.fromJson(json.loads(manifest["schema"])))
-        .parquet(*paths)
-    )
+    dv_map = manifest.get("dv", {})
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    plain = [
+        rel for rels in fmap.values() for rel in rels if rel not in dv_map
+    ]
+    dved = [rel for rels in fmap.values() for rel in rels if rel in dv_map]
+
+    def _read(paths: list[str]) -> DataFrame:
+        df = (
+            spark.read.option("basePath", f"{root}/{_DATA_DIR}")
+            .schema(schema)
+            .parquet(*paths)
+        )
+        return df.withColumn("__rel", _rel_expr()).withColumn(
+            "__pos", F.col("_metadata.row_index")
+        )
+
+    out = None
+    if plain:
+        out = _read([f"{root}/{_DATA_DIR}/{rel}" for rel in plain])
+    if dved:
+        dv_rels = sorted({d for rel in dved for d in dv_map[rel]})
+        dv = spark.read.parquet(
+            *[f"{root}/{_DELETES_DIR}/{d}" for d in dv_rels]
+        ).select(F.col("rel").alias("__dv_rel"), F.col("pos").alias("__dv_pos"))
+        kept = _read([f"{root}/{_DATA_DIR}/{rel}" for rel in dved]).join(
+            F.broadcast(dv),
+            (F.col("__rel") == F.col("__dv_rel"))
+            & (F.col("__pos") == F.col("__dv_pos")),
+            "left_anti",
+        )
+        out = kept if out is None else out.unionByName(kept)
+    if out is None:
+        out = spark.createDataFrame([], schema).withColumn(
+            "__rel", F.lit(None).cast("string")
+        ).withColumn("__pos", F.lit(None).cast("long"))
+    return out if with_pos else out.drop("__rel", "__pos")
 
 
 def _with_day(df: DataFrame) -> DataFrame:
@@ -532,6 +589,7 @@ def tx_append_events(
             "files": merged,
             "stats": _carry_stats(prev, merged, fresh_stats),
             "blooms": _carry_blooms(prev, merged),
+            "dv": _carry_dv(prev, merged),
         }
         if batch_id is not None:
             manifest["last_batch_id"] = batch_id
@@ -672,6 +730,76 @@ def tx_current_version(spark: SparkSession, path: str) -> int:
     return _load_manifest(spark, path)["version"]
 
 
+def _carry_dv(prev: dict, newmap: dict[str, list[str]]) -> dict:
+    """DV map for the new manifest: entries carried for retained files
+    only. A rewriting op (upsert/compact/zorder) reads through
+    _snapshot_df — deletions are APPLIED into the rewritten files — so
+    the replaced files' DV entries must fall away with their rels or
+    the same rows would vanish twice."""
+    prior = prev.get("dv", {})
+    if not prior:
+        return {}
+    live = {rel for rels in newmap.values() for rel in rels}
+    return {rel: d for rel, d in prior.items() if rel in live}
+
+
+def tx_delete_where(
+    spark: SparkSession, path: str, predicate: str
+) -> int:
+    """ROW-LEVEL DELETE without rewriting a single data file — Delta's
+    deletion-vector merge-on-read: the matching rows' (file rel, row
+    position) pairs are written as ONE parquet sidecar under
+    ``_deletes/<txid>`` and the manifest's ``dv`` map points each
+    touched data file at it; readers anti-join the sidecar during the
+    scan (_snapshot_df), so the delete is visible atomically with the
+    manifest rename while the copy-on-write cost (rewriting a 1 GB
+    file to drop 10 rows) is deferred to the next compaction/zorder of
+    that day, which reads through the DV and folds it in.
+
+    The sidecar is invisible until the manifest references it — a
+    crash after the sidecar write leaves an orphan that tx_vacuum
+    sweeps, never a half-applied delete. Row positions come from the
+    scan's ``_metadata.row_index`` (stable for immutable files).
+    Returns the committed version; a predicate matching nothing
+    commits nothing and returns the current version."""
+    txid = uuid.uuid4().hex
+    prev = _load_manifest(spark, path)
+    snap = _snapshot_df(spark, path, prev, with_pos=True)  # DVs apply
+    matched = (
+        snap.where(predicate)
+        .select(F.col("__rel").alias("rel"), F.col("__pos").alias("pos"))
+    )
+    dv_rel = txid
+    matched.coalesce(1).write.parquet(f"{path}/{_DELETES_DIR}/{dv_rel}")
+    touched = [
+        r["rel"]
+        for r in spark.read.parquet(f"{path}/{_DELETES_DIR}/{dv_rel}")
+        .select("rel").distinct().collect()
+    ]
+    if not touched:
+        fs, p, _ = _jfs(spark, f"{path}/{_DELETES_DIR}/{dv_rel}")
+        fs.delete(p, True)
+        return prev["version"]
+    dv = {rel: list(ents) for rel, ents in prev.get("dv", {}).items()}
+    for rel in touched:
+        dv.setdefault(rel, []).append(dv_rel)
+    manifest = {
+        "format": _FORMAT,
+        "version": prev["version"] + 1,
+        "parent": prev["version"],
+        "txid": txid,
+        "operation": "delete",
+        "schema": prev["schema"],
+        "files": prev["files"],
+        "stats": prev.get("stats", {}),
+        "blooms": prev.get("blooms", {}),
+        "dv": dv,
+    }
+    if "last_batch_id" in prev:
+        manifest["last_batch_id"] = prev["last_batch_id"]
+    return _commit(spark, path, manifest)
+
+
 def tx_read_incremental(
     spark: SparkSession,
     path: str,
@@ -721,7 +849,11 @@ def tx_read_incremental(
         prev_files = files_v
         if op in ("compact", "zorder", "bloom"):
             continue
-        if op in ("upsert", "overwrite") and not ignore_changes:
+        if op != "append" and not ignore_changes:
+            # upsert / overwrite / delete / anything future: the row
+            # set (possibly) changed — raising is the default so an op
+            # this walk doesn't understand can never be silently
+            # skipped as if it were row-preserving
             raise ValueError(
                 f"version {v} is a row-changing {op!r}; incremental "
                 "append-tailing stops here — use tx_changes for a "
@@ -887,6 +1019,7 @@ def tx_add_bloom_filters(
         "files": prev["files"],
         "stats": prev.get("stats", {}),
         "blooms": blooms,
+        "dv": prev.get("dv", {}),
     }
     if "last_batch_id" in prev:
         manifest["last_batch_id"] = prev["last_batch_id"]
@@ -1003,6 +1136,15 @@ def tx_changes(
     to_version = cur["version"]
     prev_files = {r for v in prev["files"].values() for r in v}
     cur_files = {r for v in cur["files"].values() for r in v}
+    # a file whose DELETION VECTOR changed carries row changes even
+    # though the file itself is in both manifests — rescan it on both
+    # sides (each side's _snapshot_df applies its OWN dv state, so the
+    # key join sees the deleted rows leave)
+    pdv, cdv = prev.get("dv", {}), cur.get("dv", {})
+    dv_changed = {
+        rel for rel in prev_files & cur_files
+        if pdv.get(rel) != cdv.get(rel)
+    }
 
     def _subset(manifest: dict, keep: set) -> dict:
         fmap = {
@@ -1011,8 +1153,12 @@ def tx_changes(
         }
         return dict(manifest, files={d: v for d, v in fmap.items() if v})
 
-    old_side = _snapshot_df(spark, path, _subset(prev, prev_files - cur_files))
-    new_side = _snapshot_df(spark, path, _subset(cur, cur_files - prev_files))
+    old_side = _snapshot_df(
+        spark, path, _subset(prev, (prev_files - cur_files) | dv_changed)
+    )
+    new_side = _snapshot_df(
+        spark, path, _subset(cur, (cur_files - prev_files) | dv_changed)
+    )
     to_schema = StructType.fromJson(json.loads(cur["schema"]))
     cols = [f.name for f in to_schema.fields]
     old_cols = set(old_side.columns)
@@ -1129,6 +1275,7 @@ def tx_upsert_events(
             prev, newmap, _file_stats(path, files, prev["schema"], spark)
         ),
         "blooms": _carry_blooms(prev, newmap),
+        "dv": _carry_dv(prev, newmap),
     }
     if "last_batch_id" in prev:  # carry the streaming ledger forward
         manifest["last_batch_id"] = prev["last_batch_id"]
@@ -1228,6 +1375,7 @@ def tx_compact_partitions(
             prev, newmap, _file_stats(path, files, prev["schema"], spark)
         ),
         "blooms": _carry_blooms(prev, newmap),
+        "dv": _carry_dv(prev, newmap),
     }
     if "last_batch_id" in prev:  # carry the streaming ledger forward
         manifest["last_batch_id"] = prev["last_batch_id"]
@@ -1263,10 +1411,13 @@ def tx_vacuum(
     versions = _list_versions(spark, path)
     keep = versions[-max(keep_versions, 1):]
     live: set[str] = set()
+    live_dv: set[str] = set()
     for v in keep:
         m = json.loads(_read_file(spark, _manifest_path(path, v)))
         for rels in m["files"].values():
             live.update(rels)
+        for ents in m.get("dv", {}).values():
+            live_dv.update(ents)
     cutoff_ms = int(time.time() * 1000) - max(retention_ms, 0)
     fs, droot, jvm = _jfs(spark, f"{path}/{_DATA_DIR}")
     Path = jvm.org.apache.hadoop.fs.Path
@@ -1289,6 +1440,16 @@ def tx_vacuum(
         for st in fs.listStatus(sroot):
             if st.getModificationTime() <= cutoff_ms:
                 fs.delete(st.getPath(), True)
+    # deletion-vector sidecars: one directory per delete txid; sweep
+    # the ones no retained manifest references (crash orphans and
+    # folded-in DVs), same retention window as data files
+    dvroot = Path(f"{path}/{_DELETES_DIR}")
+    if fs.exists(dvroot):
+        for st in fs.listStatus(dvroot):
+            name = st.getPath().getName()
+            if name not in live_dv and st.getModificationTime() <= cutoff_ms:
+                fs.delete(st.getPath(), True)
+                deleted += 1
     for v in versions[: len(versions) - len(keep)]:
         fs.delete(Path(_manifest_path(path, v)), False)
     return deleted
@@ -1359,6 +1520,7 @@ def tx_optimize_zorder(
             prev, newmap, _file_stats(path, files, prev["schema"], spark)
         ),
         "blooms": _carry_blooms(prev, newmap),
+        "dv": _carry_dv(prev, newmap),
     }
     if "last_batch_id" in prev:  # carry the streaming ledger forward
         manifest["last_batch_id"] = prev["last_batch_id"]

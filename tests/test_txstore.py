@@ -516,6 +516,71 @@ def test_stats_skipping_scan(spark, tmp_path):
         or t1 >= 1
 
 
+def test_deletion_vectors_merge_on_read(spark, tmp_path):
+    """tx_delete_where deletes rows WITHOUT touching data files: the
+    (rel, row position) sidecar anti-joins into every read path
+    (snapshot, time travel reads the PRE-delete state, change feed
+    emits the deletes), a second delete stacks, compaction folds the
+    DV into rewritten files and drops the entry, and vacuum sweeps the
+    folded-in sidecar."""
+    import glob as _glob
+
+    from maillogsentinel_spark.sources.txstore import (
+        tx_changes,
+        tx_delete_where,
+        tx_read_incremental,
+    )
+
+    path = _store(spark, tmp_path)  # v1: keys 1..4
+    files_before = set(_glob.glob(os.path.join(path, "data", "*", "*.parquet")))
+
+    v = tx_delete_where(spark, path, "event_id in (2, 3)")        # v2
+    assert v == 2
+    assert sorted(r.event_id for r in tx_read_events(spark, path).collect()) \
+        == [1, 4]
+    # merge-on-read: not one data file rewritten
+    assert set(_glob.glob(os.path.join(path, "data", "*", "*.parquet"))) \
+        == files_before
+    # time travel still sees the pre-delete rows
+    assert sorted(r.event_id
+                  for r in tx_read_events(spark, path, version=1).collect()) \
+        == [1, 2, 3, 4]
+    # the change feed reports the deletes (file set unchanged — the DV
+    # diff is what flags the files for rescan)
+    ch = {(r["event_id"], r["_change_type"])
+          for r in tx_changes(spark, path, 1, 2).collect()}
+    assert ch == {(2, "delete"), (3, "delete")}
+    # incremental tailing refuses to skip a delete silently
+    with pytest.raises(ValueError, match="delete"):
+        tx_read_incremental(spark, path, 1)
+
+    # no-op predicate: no commit
+    assert tx_delete_where(spark, path, "event_id = 999") == 2
+
+    # second delete stacks on the first
+    tx_delete_where(spark, path, "event_id = 1")                  # v3
+    assert [r.event_id for r in tx_read_events(spark, path).collect()] == [4]
+
+    # upsert through DVs: the deleted row may be re-inserted as new
+    tx_upsert_events(spark, path, spark.createDataFrame(
+        [_ev(2, 1, 11, 22.0)]))                                   # v4
+    assert sorted(r.event_id for r in tx_read_events(spark, path).collect()) \
+        == [2, 4]
+    # the rewritten day folded its DV in: day-1 files have no dv entry
+    m = txstore._load_manifest(spark, path)
+    day1 = set(m["files"].get("2025-03-01", []))
+    assert not day1 & set(m.get("dv", {}))
+
+    # compaction folds remaining DVs; vacuum sweeps dead sidecars
+    tx_compact_partitions(spark, path, target_files_per_day=1)    # v5
+    m2 = txstore._load_manifest(spark, path)
+    assert m2.get("dv", {}) == {}
+    assert sorted(r.event_id for r in tx_read_events(spark, path).collect()) \
+        == [2, 4]
+    tx_vacuum(spark, path, keep_versions=1, retention_ms=0)
+    assert _glob.glob(os.path.join(path, "_deletes", "*")) == []
+
+
 def test_incremental_read_tails_appends(spark, tmp_path):
     """tx_read_incremental tails appended rows by version cursor:
     appends stream out tagged with their commit version, layout/
