@@ -8220,6 +8220,126 @@ def q_tx_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_TX_SRC_ORACLE = """
+WITH ev AS (
+  SELECT event_id, ts, value FROM events WHERE day(ts) <= 12
+),
+inc AS (
+  SELECT 1 AS commit_version, ts, event_id, value FROM ev
+  WHERE day(ts) <= 6
+  UNION ALL
+  SELECT 2, ts, event_id, value FROM ev WHERE day(ts) BETWEEN 7 AND 9
+  UNION ALL
+  SELECT 4, ts, event_id, value FROM ev WHERE day(ts) BETWEEN 10 AND 12
+)
+SELECT commit_version, ts::DATE AS event_date,
+       count(*)::BIGINT AS n_rows,
+       sum(event_id)::BIGINT AS sum_eid,
+       round(sum(value::DECIMAL(21,6))::DOUBLE, 4) AS value_sum
+FROM inc GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("events_stream_tx_source", oracle=_TX_SRC_ORACLE)
+def q_events_stream_tx_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tx store as a NATIVE STRUCTURED STREAMING SOURCE, hash-
+    verified end-to-end: ``readStream.format("txstore")`` (the Python
+    DataSource in sources/txstore_datasource.py) whose offsets ARE
+    manifest versions — the seed snapshot (v1, days ≤ 6), an append
+    (v2, days 7-9), a COMPACTION (v3 — row-preserving, must contribute
+    NOTHING to the stream even though it rewrote every v2 file), and a
+    second append (v4, days 10-12) drain through a real availableNow
+    run into a foreachBatch census keyed by (_commit_version, day).
+    Exactly-once falls out of the offset design: versions are atomic,
+    immutable, totally ordered manifests, so any replayed range reads
+    identical files — no side ledger. The oracle re-derives all three
+    emitting versions from the day formulas; a leaked compaction row,
+    a missed append file, or a wrong version tag flips a count."""
+    import shutil
+    import tempfile
+
+    from ..sources.txstore import (
+        tx_append_events,
+        tx_compact_partitions,
+        tx_write_events,
+    )
+    from ..sources.txstore_datasource import register
+
+    register(spark)
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).where(F.dayofmonth("ts") <= 12)
+    day = F.dayofmonth("ts")
+    tmp = tempfile.mkdtemp(prefix="mls_store_src_", dir=_scratch_dir())
+    path = f"{tmp}/store"
+    try:
+        with _stream_run(spark) as ckpt:
+            tx_write_events(
+                spark, path,
+                ev.where(day <= 6).repartition(F.to_date("ts")),
+            )
+            tx_append_events(
+                spark, path,
+                ev.where(day.between(7, 9)).repartition(F.to_date("ts")),
+            )
+            tx_compact_partitions(spark, path, target_files_per_day=1)
+            tx_append_events(
+                spark, path,
+                ev.where(day.between(10, 12)).repartition(F.to_date("ts")),
+            )
+            batches: list = []
+
+            def sink(batch_df: DataFrame, _bid: int) -> None:
+                batches.extend(
+                    batch_df.groupBy("_commit_version", "event_date")
+                    .agg(
+                        F.count(F.lit(1)).cast("long").alias("n_rows"),
+                        F.sum("event_id").cast("long").alias("sum_eid"),
+                        F.sum(
+                            F.col("value").cast("decimal(21,6)")
+                        ).alias("vsum"),
+                    )
+                    .collect()
+                )
+
+            q = (
+                spark.readStream.format("txstore")
+                .option("path", path)
+                .load()
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            part = spark.createDataFrame(
+                [
+                    (
+                        r["_commit_version"], r["event_date"],
+                        r["n_rows"], r["sum_eid"], r["vsum"],
+                    )
+                    for r in batches
+                ],
+                "commit_version int, event_date date, n_rows long, "
+                "sum_eid long, vsum decimal(21,6)",
+            )
+            # multiple micro-batches may split one (version, day):
+            # re-aggregate the partials
+            return (
+                part.groupBy("commit_version", "event_date")
+                .agg(
+                    F.sum("n_rows").cast("long").alias("n_rows"),
+                    F.sum("sum_eid").cast("long").alias("sum_eid"),
+                    F.round(
+                        F.sum("vsum").cast("double"), 4
+                    ).alias("value_sum"),
+                )
+                .orderBy("commit_version", "event_date")
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @query(
     "docs_train_val_split",
     oracle="""
@@ -11207,6 +11327,10 @@ _NEXT = [
     # delete with zero file rewrites (asserted), time travel to the
     # pre-delete state pinned in the same census
     "tx_deletion_vectors",
+    # NEW mid-round-10: the tx store as a NATIVE streaming source
+    # (Python DataSource, offsets = manifest versions) — the seed/
+    # append/compaction-emits-nothing protocol census-pinned
+    "events_stream_tx_source",
     # round-10 rotation OUT: eleven long-green rows (each graded green
     # 3-9 consecutive rounds) retired to admit the five round-9
     # newcomers (now graded above) and the six never-driver-graded

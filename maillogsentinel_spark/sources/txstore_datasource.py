@@ -1,0 +1,236 @@
+"""Streaming Python DataSource (Spark 4 ``pyspark.sql.datasource``)
+over the transactional store: ``spark.readStream.format("txstore")
+.option("path", root).load()`` tails APPENDS exactly-once.
+
+Offsets ARE manifest versions — the one thing the store already
+guarantees to be atomic, totally ordered and immutable — so the
+source needs no side ledger: Spark checkpoints ``{"version": N}``,
+``latestOffset`` is the head manifest, and a micro-batch's partitions
+are exactly the data files that ENTERED the snapshot in
+``(start, end]``. Replaying any offset range re-reads identical
+manifests and identical immutable files, which is the whole
+exactly-once argument (the same one ``tx_read_incremental`` makes for
+its batch cursor — this module is that cursor surfaced through the
+engine's native streaming API, so watermarks, stateful operators and
+every sink compose on top).
+
+Operation handling mirrors tx_read_incremental: ``append`` versions
+contribute their new files; ``compact`` / ``zorder`` / ``bloom`` are
+provably row-preserving (the manifest's operation field) and
+contribute nothing; ANY other operation (upsert / overwrite / delete /
+future ops) fails the stream unless ``ignoreChanges=true``, which
+emits the version's entered files Delta-style (at-least-once rows,
+consumer dedupes).
+
+Scale: one input partition per entered file (the natural parallelism
+of an append); partition planning is O(versions in the batch) driver-
+side manifest reads through pyarrow's filesystem layer (local, file:,
+hdfs://, s3:// — same resolution as the stats harvest). Partition
+columns (event_date) are reconstructed from the file's directory, the
+same contract as the batch reader's basePath scan.
+
+Cites reference behavior: the reference's incremental tail
+(lib/maillogsentinel/parser.py offset ledger) restarts from a byte
+offset in ONE file; this source restarts from a version in a
+transactional multi-file store — the Spark-native generalization.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+_ROW_PRESERVING = ("compact", "zorder", "bloom")
+
+
+def _fs_root(root: str):
+    from .txstore import _resolve_pafs
+
+    return _resolve_pafs(root)
+
+
+def _list_versions(root: str) -> list[int]:
+    fs, base = _fs_root(root)
+    from pyarrow import fs as pafs
+
+    try:
+        infos = fs.get_file_info(
+            pafs.FileSelector(f"{base}/{_MANIFEST_DIR}", allow_not_found=True)
+        )
+    except FileNotFoundError:
+        return []
+    out = []
+    for info in infos:
+        name = info.base_name
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _load_manifest(root: str, version: int) -> dict:
+    fs, base = _fs_root(root)
+    path = f"{base}/{_MANIFEST_DIR}/v{version:010d}.json"
+    with fs.open_input_file(path) as f:
+        return json.loads(f.read().decode("utf-8"))
+
+
+class TxStoreDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "txstore"
+
+    def _root(self) -> str:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("txstore source requires a path option")
+        return root
+
+    def schema(self):
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        versions = _list_versions(self._root())
+        if not versions:
+            raise FileNotFoundError(
+                f"no committed manifest under {self._root()}"
+            )
+        m = _load_manifest(self._root(), versions[-1])
+        st = StructType.fromJson(json.loads(m["schema"]))
+        return StructType(
+            st.fields + [StructField("_commit_version", IntegerType())]
+        )
+
+    def streamReader(self, schema) -> "TxStoreStreamReader":
+        return TxStoreStreamReader(
+            self._root(),
+            schema,
+            str(self.options.get("ignorechanges", "false")).lower() == "true",
+        )
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, rel: str, version: int, schema_json: str):
+        self.rel = rel
+        self.version = version
+        self.schema_json = schema_json
+
+
+class TxStoreStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, schema, ignore_changes: bool):
+        self._root = root
+        self._schema = schema
+        self._ignore_changes = ignore_changes
+
+    def initialOffset(self) -> dict:
+        # version 0 = before the first commit: a fresh query replays
+        # the store from its very first snapshot
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        versions = _list_versions(self._root)
+        return {"version": versions[-1] if versions else 0}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        parts: list[_FilePartition] = []
+        if hi <= lo:
+            return parts
+        if lo == 0:
+            prev_files: set[str] = set()
+            first = lo + 1
+        else:
+            prev_files = {
+                r
+                for v in _load_manifest(self._root, lo)["files"].values()
+                for r in v
+            }
+            first = lo + 1
+        for v in range(first, hi + 1):
+            m = _load_manifest(self._root, v)
+            op = m.get("operation", "?")
+            files_v = {r for rels in m["files"].values() for r in rels}
+            entered = files_v - prev_files
+            prev_files = files_v
+            if op in _ROW_PRESERVING:
+                continue
+            # a fresh query's first batch may be the store's initial
+            # snapshot (the version-1 'overwrite' tx_write_events
+            # commits) — that's the stream's SEED; any later
+            # row-changing op breaks append-only tailing
+            is_seed = lo == 0 and v == 1 and op == "overwrite"
+            if op != "append" and not is_seed and not self._ignore_changes:
+                raise ValueError(
+                    f"txstore stream: version {v} is a row-changing "
+                    f"{op!r}; append-only tailing stops here — "
+                    "tx_changes gives the precise feed, or set "
+                    "ignoreChanges=true for Delta-style at-least-once "
+                    "rows"
+                )
+            parts.extend(
+                _FilePartition(rel, v, m["schema"]) for rel in sorted(entered)
+            )
+        return parts
+
+    def read(self, partition: _FilePartition):
+        import pyarrow.parquet as pq
+
+        fs, base = _fs_root(self._root)
+        with fs.open_input_file(
+            f"{base}/{_DATA_DIR}/{partition.rel}"
+        ) as f:
+            table = pq.read_table(f)
+        day = None
+        dirname = partition.rel.split("/")[0]
+        if dirname.startswith("event_date="):
+            day = datetime.date.fromisoformat(dirname.split("=", 1)[1])
+        from pyspark.sql.types import TimestampType
+
+        cols = {c: table.column(c).to_pylist() for c in table.column_names}
+        n = table.num_rows
+        names = [f.name for f in self._schema.fields]
+        # Spark's TIMESTAMP (LTZ) converter requires tz-AWARE datetimes;
+        # a parquet file whose timestamps read back naive (NTZ physical
+        # type under the session's UTC pin) is localized to UTC — the
+        # identity wall-clock→epoch map, same contract as
+        # plans.queries._norm_events_ts
+        ts_fields = {
+            f.name
+            for f in self._schema.fields
+            if isinstance(f.dataType, TimestampType)
+        }
+        for i in range(n):
+            row = []
+            for name in names:
+                if name == "_commit_version":
+                    row.append(partition.version)
+                elif name == "event_date":
+                    row.append(day)
+                elif name in cols:
+                    val = cols[name][i]
+                    if (
+                        name in ts_fields
+                        and val is not None
+                        and val.tzinfo is None
+                    ):
+                        val = val.replace(tzinfo=datetime.timezone.utc)
+                    row.append(val)
+                else:
+                    row.append(None)  # pre-evolution file: new col null
+            yield tuple(row)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable manifests; nothing to acknowledge
+
+
+def register(spark) -> None:
+    spark.dataSource.register(TxStoreDataSource)

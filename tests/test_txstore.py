@@ -516,6 +516,81 @@ def test_stats_skipping_scan(spark, tmp_path):
         or t1 >= 1
 
 
+def test_txstore_streaming_source(spark, tmp_path):
+    """readStream.format('txstore'): manifest versions ARE the offsets.
+    A fresh query replays the seed snapshot + appends tagged with their
+    commit versions; a RESTARTED query (same checkpoint) emits ONLY the
+    versions committed since — exactly-once across restarts with no
+    side ledger; compaction contributes nothing; an upsert fails the
+    stream unless ignoreChanges."""
+    from maillogsentinel_spark.sources.txstore_datasource import register
+
+    register(spark)
+    path = str(tmp_path / "txstore")
+    ckpt = str(tmp_path / "ckpt")
+    tx_write_events(spark, path, spark.createDataFrame(
+        [_ev(1, 1, 10, 1.0), _ev(2, 2, 11, 2.0)]))                # v1 seed
+    tx_append_events(spark, path, spark.createDataFrame(
+        [_ev(3, 2, 12, 3.0)]))                                    # v2
+
+    def drain():
+        got = []
+
+        def sink(batch_df, _bid):
+            got.extend(
+                (r["event_id"], r["_commit_version"])
+                for r in batch_df.collect()
+            )
+
+        q = (
+            spark.readStream.format("txstore").option("path", path).load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(got)
+
+    assert drain() == [(1, 1), (2, 1), (3, 2)]
+
+    # compaction (row-preserving) + one more append, then RESTART from
+    # the same checkpoint: only v4's rows arrive
+    tx_compact_partitions(spark, path, target_files_per_day=1)    # v3
+    tx_append_events(spark, path, spark.createDataFrame(
+        [_ev(4, 3, 13, 4.0)]))                                    # v4
+    assert drain() == [(4, 4)]
+
+    # a row-changing op fails the NEXT batch planning loudly
+    tx_upsert_events(spark, path, spark.createDataFrame(
+        [_ev(1, 1, 10, 99.0)]))                                   # v5
+    q = (
+        spark.readStream.format("txstore").option("path", path).load()
+        .writeStream.foreachBatch(lambda df, bid: None)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="row-changing"):
+        q.awaitTermination(120)
+
+    # ignoreChanges: the rewritten day re-emits at-least-once, stream
+    # proceeds (fresh checkpoint so the failed offset isn't pinned)
+    q2 = (
+        spark.readStream.format("txstore").option("path", path)
+        .option("ignoreChanges", "true").load()
+        .writeStream.format("memory").queryName("tx_src_d")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = {(r["event_id"], r["_commit_version"])
+           for r in spark.table("tx_src_d").collect()}
+    assert (1, 5) in got  # the upserted row, tagged with its version
+
+
 def test_deletion_vectors_merge_on_read(spark, tmp_path):
     """tx_delete_where deletes rows WITHOUT touching data files: the
     (rel, row position) sidecar anti-joins into every read path
