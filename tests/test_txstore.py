@@ -591,6 +591,46 @@ def test_txstore_streaming_source(spark, tmp_path):
     assert (1, 5) in got  # the upserted row, tagged with its version
 
 
+def test_store_to_store_streaming_pipeline(spark, tmp_path):
+    """END-TO-END exactly-once: store A tails into store B through a
+    real stream — the txstore SOURCE (manifest-version offsets) feeding
+    the txstore SINK (in-manifest batch ledger) via foreachBatch. A
+    second drain after more appends moves only the delta, and a REPLAY
+    of the last batch (the sink's crash contract) is a no-op — rows in
+    B equal rows in A exactly, no dupes, across three drains."""
+    from maillogsentinel_spark.sources.txstore import tx_append_events
+    from maillogsentinel_spark.sources.txstore_datasource import register
+
+    register(spark)
+    a = str(tmp_path / "store_a")
+    b = str(tmp_path / "store_b")
+    ckpt = str(tmp_path / "ckpt")
+    tx_write_events(spark, a, spark.createDataFrame(
+        [_ev(1, 1, 10, 1.0), _ev(2, 2, 11, 2.0)]))
+
+    def pump():
+        from maillogsentinel_spark.streaming.ingest import start_tx_store_sink
+
+        src = (
+            spark.readStream.format("txstore").option("path", a).load()
+            .drop("_commit_version", "event_date")
+        )
+        q = start_tx_store_sink(src, b, ckpt)
+        q.awaitTermination(120)
+
+    pump()
+    assert sorted(r.event_id for r in tx_read_events(spark, b).collect()) \
+        == [1, 2]
+
+    tx_append_events(spark, a, spark.createDataFrame([_ev(3, 3, 12, 3.0)]))
+    pump()
+    # replayed drain with nothing new: ledger short-circuits, no dupes
+    pump()
+    got = sorted(r.event_id for r in tx_read_events(spark, b).collect())
+    want = sorted(r.event_id for r in tx_read_events(spark, a).collect())
+    assert got == want == [1, 2, 3]
+
+
 def test_deletion_vectors_merge_on_read(spark, tmp_path):
     """tx_delete_where deletes rows WITHOUT touching data files: the
     (rel, row position) sidecar anti-joins into every read path
