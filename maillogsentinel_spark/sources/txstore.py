@@ -305,15 +305,21 @@ def _file_stats(
     serialization on wide commits, no silent stats loss on hdfs/s3
     stores."""
     from pyspark.sql.types import (
-        DoubleType, FloatType, IntegerType, LongType, ShortType,
+        DoubleType, FloatType, IntegerType, LongType, ShortType, StringType,
     )
 
+    # numeric + STRING: parquet string stats order by unsigned UTF-8
+    # bytes, which equals code-point order, which equals Python str
+    # comparison — so the driver-side prune comparisons are sound; a
+    # writer-truncated max is still a valid upper bound by spec
+    # (parquet increments the truncation's last byte)
     numeric = {
         f.name
         for f in StructType.fromJson(json.loads(schema_json)).fields
         if isinstance(
             f.dataType,
-            (LongType, IntegerType, ShortType, DoubleType, FloatType),
+            (LongType, IntegerType, ShortType, DoubleType, FloatType,
+             StringType),
         )
     }
     rels = sorted(rel for v in files.values() for rel in v)
@@ -1067,7 +1073,7 @@ def tx_skipping_plan_eq(
             total += 1
             drop = False
             s = stats.get(rel, {}).get(col)
-            if s is not None and not isinstance(value, str):
+            if s is not None and isinstance(s[0], type(value)):
                 if s[1] < value or s[0] > value:
                     drop = True
             b = blooms.get(rel, {}).get(col)

@@ -905,6 +905,40 @@ def test_stats_survive_scheme_and_distribute(spark, tmp_path, monkeypatch):
     assert got == [i for i in range(64) if 0 <= i <= 3]
 
 
+def test_stats_skipping_string_ranges(spark, tmp_path):
+    """String columns carry footer min/max too (parquet orders them by
+    unsigned UTF-8 bytes == code points == Python str comparison), so
+    range scans AND equality probes prune on string-disjoint files."""
+    from maillogsentinel_spark.sources.txstore import (
+        tx_scan_events,
+        tx_skipping_plan,
+        tx_skipping_plan_eq,
+    )
+
+    path = str(tmp_path / "txstore")
+    rows = [
+        Row(event_id=i, ts=datetime.datetime(2025, 3, 1 + i % 3, 10, 0),
+            user_id=i, event_type=f"t{(1 + i % 3)}x{i:03d}",
+            value=float(i))
+        for i in range(48)
+    ]
+    # day k holds only event_type 't{k}...' → per-file string ranges
+    # are disjoint across days
+    tx_write_events(spark, path, spark.createDataFrame(rows))
+    _, total, kept = tx_skipping_plan(spark, path, "event_type",
+                                      "t2", "t2zzz")
+    assert total >= 3 and kept < total, (total, kept)
+    got = sorted(r["event_id"] for r in
+                 tx_scan_events(spark, path, "event_type",
+                                "t2", "t2zzz").collect())
+    assert got == [i for i in range(48) if i % 3 == 1]
+    # equality probe prunes via the same stats, no bloom needed
+    _, t2, k2 = tx_skipping_plan_eq(spark, path, "event_type", "t3x002")
+    assert k2 < t2
+    assert (tx_scan_events(spark, path, "event_type", "t3x002", "t3x002")
+            .count() == 1)
+
+
 def test_stats_skipping_float_nan_safe(spark, tmp_path):
     """Spark orders NaN greater than every value, but parquet footer
     min/max ignore NaN — so a lower-bound-only scan must NOT prune a
