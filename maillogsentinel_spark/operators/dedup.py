@@ -509,13 +509,11 @@ def minhash_lsh_pairs(
     return _verify_candidates(candidates, sh, threshold).orderBy("id_a", "id_b")
 
 
-def _band_candidates(with_sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
-    """LSH candidate pairs for one band geometry: explode the signature
-    into ``bands`` keys of num_perm/bands rows each, self-join on
-    (band, key) — a pair is a candidate iff some band's slice matches
-    exactly. Distinct (id_a < id_b) pairs."""
+def _banded_keys(with_sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(id, band, key) rows for one band geometry: the signature
+    exploded into ``bands`` keys of num_perm/bands rows each."""
     rows = num_perm // bands
-    banded = with_sig.select(
+    return with_sig.select(
         "id",
         F.explode(
             F.array(
@@ -535,9 +533,21 @@ def _band_candidates(with_sig: DataFrame, num_perm: int, bands: int) -> DataFram
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
-    # both sides of the band self-join read this; unpersisted, each
-    # branch would redo the 16-permutation minhash transform
-    banded = banded.persist()
+
+
+def _band_candidates(
+    with_sig: DataFrame, num_perm: int, bands: int, banded: DataFrame | None = None
+) -> DataFrame:
+    """LSH candidate pairs for one band geometry — a pair is a
+    candidate iff some band's signature slice matches exactly.
+    Distinct (id_a < id_b) pairs. Pass a pre-persisted ``banded``
+    (from _banded_keys) to control the cache lifetime yourself; left
+    to its own devices this persists one (and the session keeps it —
+    fine for the one-geometry pair pipeline, wrong for a sweep)."""
+    if banded is None:
+        # both sides of the band self-join read this; unpersisted, each
+        # branch would redo the 16-permutation minhash transform
+        banded = _banded_keys(with_sig, num_perm, bands).persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -627,12 +637,15 @@ def minhash_band_sweep(
     sh = _doc_shingles(docs, id_col, text_col, k, None, rows=raw_sh)
     out = []
     for bands in geometries:
-        cand = _band_candidates(with_sig, num_perm, bands).persist()
+        banded = _banded_keys(with_sig, num_perm, bands).persist()
+        cand = _band_candidates(with_sig, num_perm, bands, banded=banded)
+        cand = cand.persist()
         n_cand = cand.count()
         n_pairs = _verify_candidates(
             cand, sh, threshold, broadcast=n_cand <= 1_000_000
         ).count()
         cand.unpersist()
+        banded.unpersist()
         out.append((bands, num_perm // bands, n_cand, n_pairs))
     with_sig.unpersist()
     spark = docs.sparkSession

@@ -11418,7 +11418,6 @@ _NEXT = [
     "corpus_shard_packing",
     "dedup_graph_triangles",
     "docs_stratified_sample",
-    "embedding_centroids",
     "embedding_quantize_int8",
     "corpus_prepare_funnel",
     "corpus_quality_filter",

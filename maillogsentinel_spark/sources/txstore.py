@@ -1060,10 +1060,34 @@ def tx_skipping_plan_eq(
     skipping is an optimization, never a correctness filter."""
     import base64
 
+    from pyspark.sql.types import (
+        IntegerType, LongType, ShortType, StringType,
+    )
+
     manifest = _load_manifest(spark, path, version)
     blooms = manifest.get("blooms", {})
     stats = manifest.get("stats", {})
-    sval = str(value)
+    # canonicalize the probe to the BUILD side's cast-to-string
+    # rendering, or disable bloom pruning when the types cannot agree
+    # (e.g. a float probe on an integral column: Spark's row filter
+    # coerces and matches, but str(7.0) != "7" would false-negative
+    # every file) — skipping must never become a correctness filter
+    schema_t = StructType.fromJson(json.loads(manifest["schema"]))
+    ftype = next(
+        (f.dataType for f in schema_t.fields if f.name == col), None
+    )
+    probe = value
+    if isinstance(ftype, (LongType, IntegerType, ShortType)):
+        if isinstance(probe, bool) or not isinstance(probe, (int, float)):
+            probe = None
+        elif isinstance(probe, float):
+            probe = int(probe) if probe.is_integer() else None
+    elif isinstance(ftype, StringType):
+        if not isinstance(probe, str):
+            probe = None
+    else:
+        probe = None  # un-bloomable column type: stats may still prune
+    sval = str(probe) if probe is not None else None
     pruned: dict[str, list[str]] = {}
     total = kept = 0
     pos_cache: dict[tuple[int, int], list[int]] = {}
@@ -1073,11 +1097,15 @@ def tx_skipping_plan_eq(
             total += 1
             drop = False
             s = stats.get(rel, {}).get(col)
-            if s is not None and isinstance(s[0], type(value)):
-                if s[1] < value or s[0] > value:
+            if (
+                s is not None
+                and probe is not None
+                and isinstance(s[0], type(probe))
+            ):
+                if s[1] < probe or s[0] > probe:
                     drop = True
             b = blooms.get(rel, {}).get(col)
-            if not drop and b is not None:
+            if not drop and b is not None and sval is not None:
                 key = (b["m"], b["k"])
                 pos = pos_cache.get(key)
                 if pos is None:
@@ -1409,8 +1437,9 @@ def tx_vacuum(
     retention_ms: int = 600_000,
 ) -> int:
     """Delete data files not referenced by the newest ``keep_versions``
-    manifests, orphaned staging dirs, and older manifests. Returns the
-    number of deleted data files. Safe concurrently with readers of
+    manifests, orphaned staging dirs, unreferenced deletion-vector
+    sidecars, and older manifests. Returns the number of deleted data
+    files plus swept DV sidecar directories. Safe concurrently with readers of
     retained versions (a reader of a vacuumed version fails loudly, as
     in any table format).
 

@@ -119,10 +119,13 @@ class TxStoreDataSource(DataSource):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, rel: str, version: int, schema_json: str):
+    def __init__(self, rel: str, version: int, dv_rels: tuple = ()):
         self.rel = rel
         self.version = version
-        self.schema_json = schema_json
+        # deletion-vector sidecars applying to this file (seed-snapshot
+        # partitions only: an append's new files cannot carry a DV at
+        # their own commit) — read() anti-filters their row positions
+        self.dv_rels = tuple(dv_rels)
 
 
 class TxStoreStreamReader(DataSourceStreamReader):
@@ -146,14 +149,38 @@ class TxStoreStreamReader(DataSourceStreamReader):
         if hi <= lo:
             return parts
         if lo == 0:
-            prev_files: set[str] = set()
-            first = lo + 1
-        else:
+            # fresh query: seed from the EARLIEST RETAINED manifest's
+            # full snapshot, whatever operation committed it — on a
+            # vacuumed store (keep_versions manifests survive) there is
+            # no v1 to walk from, and the first retained file map IS
+            # the stream's starting state (Delta's starting-snapshot
+            # semantics)
+            versions = _list_versions(self._root)
+            seed_v = versions[0]
+            seed = _load_manifest(self._root, seed_v)
+            seed_dv = seed.get("dv", {})
             prev_files = {
-                r
-                for v in _load_manifest(self._root, lo)["files"].values()
-                for r in v
+                r for rels in seed["files"].values() for r in rels
             }
+            parts.extend(
+                _FilePartition(rel, seed_v, seed_dv.get(rel, ()))
+                for rel in sorted(prev_files)
+            )
+            first = seed_v + 1
+        else:
+            try:
+                prev_files = {
+                    r
+                    for v in _load_manifest(self._root, lo)["files"].values()
+                    for r in v
+                }
+            except FileNotFoundError:
+                raise FileNotFoundError(
+                    f"txstore stream: checkpointed offset version {lo} "
+                    "has been vacuumed — the cursor fell behind the "
+                    "retention window (same failure mode as log "
+                    "retention expiry); restart with a fresh checkpoint"
+                )
             first = lo + 1
         for v in range(first, hi + 1):
             m = _load_manifest(self._root, v)
@@ -163,12 +190,7 @@ class TxStoreStreamReader(DataSourceStreamReader):
             prev_files = files_v
             if op in _ROW_PRESERVING:
                 continue
-            # a fresh query's first batch may be the store's initial
-            # snapshot (the version-1 'overwrite' tx_write_events
-            # commits) — that's the stream's SEED; any later
-            # row-changing op breaks append-only tailing
-            is_seed = lo == 0 and v == 1 and op == "overwrite"
-            if op != "append" and not is_seed and not self._ignore_changes:
+            if op != "append" and not self._ignore_changes:
                 raise ValueError(
                     f"txstore stream: version {v} is a row-changing "
                     f"{op!r}; append-only tailing stops here — "
@@ -177,7 +199,7 @@ class TxStoreStreamReader(DataSourceStreamReader):
                     "rows"
                 )
             parts.extend(
-                _FilePartition(rel, v, m["schema"]) for rel in sorted(entered)
+                _FilePartition(rel, v) for rel in sorted(entered)
             )
         return parts
 
@@ -189,6 +211,18 @@ class TxStoreStreamReader(DataSourceStreamReader):
             f"{base}/{_DATA_DIR}/{partition.rel}"
         ) as f:
             table = pq.read_table(f)
+        deleted: set = set()
+        for dv_rel in partition.dv_rels:
+            from pyarrow import fs as pafs
+            import pyarrow.dataset as pads
+
+            ds = pads.dataset(
+                f"{base}/_deletes/{dv_rel}", format="parquet", filesystem=fs
+            )
+            dv_tab = ds.to_table(
+                filter=pads.field("rel") == partition.rel, columns=["pos"]
+            )
+            deleted.update(dv_tab.column("pos").to_pylist())
         day = None
         dirname = partition.rel.split("/")[0]
         if dirname.startswith("event_date="):
@@ -209,6 +243,8 @@ class TxStoreStreamReader(DataSourceStreamReader):
             if isinstance(f.dataType, TimestampType)
         }
         for i in range(n):
+            if i in deleted:
+                continue
             row = []
             for name in names:
                 if name == "_commit_version":

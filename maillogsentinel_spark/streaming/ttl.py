@@ -25,6 +25,11 @@ from __future__ import annotations
 import warnings
 
 
+import itertools
+
+_STATEFUL_SEQ = itertools.count()
+
+
 class UnboundedStateWarning(UserWarning):
     """A stateful streaming operator was built with no state TTL."""
 
@@ -92,6 +97,10 @@ def start_stateful(
             "or pass allow_unbounded_state=True if the key domain is "
             "provably bounded."
         )
+    if query_name is None and sink_format == "memory":
+        # the memory sink REQUIRES a query name; the documented default
+        # invocation must not crash on it
+        query_name = f"stateful_{next(_STATEFUL_SEQ)}"
     writer = (
         df.writeStream.outputMode(output_mode)
         .format(sink_format)

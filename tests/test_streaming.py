@@ -350,6 +350,10 @@ def test_start_stateful_guards_continuous_trigger(spark, tmp_path):
                         available_now=False, processing_time="1 second",
                         query_name="ttl_t")
     q3.stop()
+    # the documented DEFAULT invocation (memory sink, no query_name)
+    # must run — the name is auto-generated
+    q4 = start_stateful(bounded, str(tmp_path / "ck7"))
+    q4.awaitTermination(120)
     # trigger argument hygiene
     with pytest.raises(ValueError, match="not both"):
         start_stateful(bounded, str(tmp_path / "ck5"),

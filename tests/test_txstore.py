@@ -631,6 +631,69 @@ def test_store_to_store_streaming_pipeline(spark, tmp_path):
     assert got == want == [1, 2, 3]
 
 
+def test_txstore_stream_seeds_from_vacuumed_store(spark, tmp_path):
+    """A FRESH streaming query on a store whose early manifests were
+    vacuumed must seed from the earliest RETAINED snapshot (Delta's
+    starting-snapshot semantics) instead of dying on a missing v1 —
+    and a seed snapshot carrying deletion vectors must NOT leak the
+    deleted rows."""
+    from maillogsentinel_spark.sources.txstore import tx_delete_where
+    from maillogsentinel_spark.sources.txstore_datasource import register
+
+    register(spark)
+    path = _store(spark, tmp_path)                                 # v1
+    tx_append_events(spark, path, spark.createDataFrame(
+        [_ev(5, 2, 13, 5.0)]))                                     # v2
+    tx_delete_where(spark, path, "event_id = 2")                   # v3
+    tx_vacuum(spark, path, keep_versions=1, retention_ms=0)        # v3 only
+    got = []
+
+    def sink(batch_df, _bid):
+        got.extend((r["event_id"], r["_commit_version"])
+                   for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("txstore").option("path", path).load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == [(1, 3), (3, 3), (4, 3), (5, 3)]  # no key 2
+
+    # a checkpointed cursor BEHIND the retained window fails loudly
+    from maillogsentinel_spark.sources import txstore_datasource as tds
+    rdr = tds.TxStoreStreamReader(path, None, False)
+    with pytest.raises(FileNotFoundError, match="retention"):
+        rdr.partitions({"version": 1}, {"version": 3})
+
+
+def test_bloom_probe_type_mismatch_never_prunes_wrong(spark, tmp_path):
+    """A probe whose type cannot reproduce the build side's
+    cast-to-string rendering (float on an integral column) must fall
+    back to unpruned-but-correct, never to a false-negative empty
+    result."""
+    from maillogsentinel_spark.sources.txstore import (
+        tx_add_bloom_filters,
+        tx_scan_events_eq,
+        tx_skipping_plan_eq,
+    )
+
+    path = _store(spark, tmp_path)
+    tx_add_bloom_filters(spark, path, "user_id")
+    # int probe: prunes AND finds
+    _, t1, k1 = tx_skipping_plan_eq(spark, path, "user_id", 12)
+    assert k1 < t1
+    assert tx_scan_events_eq(spark, path, "user_id", 12).count() == 1
+    # integral float probe: canonicalized to the build rendering
+    assert tx_scan_events_eq(spark, path, "user_id", 12.0).count() == 1
+    # non-integral float probe: blooms disabled, row filter decides
+    _, t2, k2 = tx_skipping_plan_eq(spark, path, "user_id", 11.5)
+    assert k2 == t2  # nothing pruned — correctness over cleverness
+    assert tx_scan_events_eq(spark, path, "user_id", 11.5).count() == 0
+
+
 def test_deletion_vectors_merge_on_read(spark, tmp_path):
     """tx_delete_where deletes rows WITHOUT touching data files: the
     (rel, row position) sidecar anti-joins into every read path
