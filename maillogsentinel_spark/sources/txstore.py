@@ -406,36 +406,50 @@ def _snapshot_df(
     ]
     dved = [rel for rels in fmap.values() for rel in rels if rel in dv_map]
 
-    def _read(paths: list[str]) -> DataFrame:
+    def _read(paths: list[str], tag: bool) -> DataFrame:
         df = (
             spark.read.option("basePath", f"{root}/{_DATA_DIR}")
             .schema(schema)
             .parquet(*paths)
         )
-        return df.withColumn("__rel", _rel_expr()).withColumn(
-            "__pos", F.col("_metadata.row_index")
-        )
+        if tag:
+            # ONLY when the row identity is actually consumed — the
+            # hidden _metadata struct survives a later drop() in the
+            # physical plan (measured: every scan otherwise pays
+            # per-row file_path strings + struct construction)
+            df = df.withColumn("__rel", _rel_expr()).withColumn(
+                "__pos", F.col("_metadata.row_index")
+            )
+        return df
 
     out = None
     if plain:
-        out = _read([f"{root}/{_DATA_DIR}/{rel}" for rel in plain])
+        out = _read(
+            [f"{root}/{_DATA_DIR}/{rel}" for rel in plain], tag=with_pos
+        )
     if dved:
         dv_rels = sorted({d for rel in dved for d in dv_map[rel]})
         dv = spark.read.parquet(
             *[f"{root}/{_DELETES_DIR}/{d}" for d in dv_rels]
         ).select(F.col("rel").alias("__dv_rel"), F.col("pos").alias("__dv_pos"))
-        kept = _read([f"{root}/{_DATA_DIR}/{rel}" for rel in dved]).join(
+        kept = _read(
+            [f"{root}/{_DATA_DIR}/{rel}" for rel in dved], tag=True
+        ).join(
             F.broadcast(dv),
             (F.col("__rel") == F.col("__dv_rel"))
             & (F.col("__pos") == F.col("__dv_pos")),
             "left_anti",
         )
+        if not with_pos:
+            kept = kept.drop("__rel", "__pos")
         out = kept if out is None else out.unionByName(kept)
     if out is None:
-        out = spark.createDataFrame([], schema).withColumn(
-            "__rel", F.lit(None).cast("string")
-        ).withColumn("__pos", F.lit(None).cast("long"))
-    return out if with_pos else out.drop("__rel", "__pos")
+        out = spark.createDataFrame([], schema)
+        if with_pos:
+            out = out.withColumn(
+                "__rel", F.lit(None).cast("string")
+            ).withColumn("__pos", F.lit(None).cast("long"))
+    return out
 
 
 def _with_day(df: DataFrame) -> DataFrame:
