@@ -11144,8 +11144,13 @@ GRADED_PREFIX: list[str] = [
     # multimodal_jpeg_decode retires r10 (green r7-r9; JPEG evidence
     # stays via the strictly-harder pjpeg/420/frac decodes in-window)
     "events_scd2_type_history",
-    "knn_pq_adc",
-    "store_maintenance_roundtrip",
+    # knn_pq_adc retires r11 (green r7-r10; PQ/ANN evidence stays via
+    # knn_recall_ladder in-window, which composes IVF/LSH/multiprobe
+    # against its own exact baseline arm)
+    # store_maintenance_roundtrip retires r11 (green r7-r10; the
+    # maintenance surface — MERGE, compaction, vacuum — stays graded
+    # via store_tx_roundtrip in-window, whose tx path exercises the
+    # same ops plus the aborted poison transaction)
     # round-9 rotation IN (the r8 verdict's #1 item, verbatim): the
     # transactional store's three oracles — the manifest-swap commit
     # protocol with an aborted poison transaction, the exactly-once
@@ -11162,6 +11167,19 @@ GRADED_PREFIX: list[str] = [
     # it also carries events_zorder_layout's retired evidence)
     "tx_schema_evolution",
     "tx_stats_skipping",
+    # round-11 rotation IN (r10 verdict #1, verbatim): the five
+    # mid-round-10 tx-store flagships, each with zero driver-side
+    # oracle evidence until now — change data feed derived on-read
+    # from manifest diffs, bloom-filter equality skipping,
+    # cursor-based incremental tailing (compaction-leaks-nothing
+    # negative), merge-on-read deletion vectors (zero-rewrite
+    # asserted), and the store as a NATIVE Structured Streaming
+    # source (offsets = manifest versions)
+    "tx_cdc_changes",
+    "tx_bloom_skipping",
+    "tx_incremental_tail",
+    "tx_deletion_vectors",
+    "events_stream_tx_source",
     # windows / custom operators — §2.5, §2.7, as-of (round-9 rotation:
     # events_sessionize + sasl_bruteforce_windows — graded green since
     # rounds 1-2 — retire; window evidence stays via per_user_topk,
@@ -11249,12 +11267,17 @@ GRADED_PREFIX: list[str] = [
     # decodes stay graded via the gate registry's bmp rows
     # multimodal_gif_decode retires r10 (green r5-r9; the compressed-
     # codec family keeps seven REAL-decode reps in-window below)
+    # round-11 rotation OUT: multimodal_jpeg420_decode,
+    # multimodal_alaw_decode, multimodal_adpcm_stereo_decode retire
+    # (each green r9-r10; the family held NINE in-window reps — JPEG
+    # evidence stays via the progressive SOF2 + fractional-sampling
+    # decodes, G.711 evidence via the recurrence-oracled ADPCM pair,
+    # stereo/mono ADPCM via multimodal_adpcm_decode +
+    # multimodal_ms_adpcm_decode below, and every retired codec stays
+    # policy-graded via multimodal_gate_registry's rows)
     "multimodal_pjpeg_decode",
-    "multimodal_jpeg420_decode",
     "multimodal_jpeg_frac_decode",
     "multimodal_png_subbyte_decode",
-    "multimodal_alaw_decode",
-    "multimodal_adpcm_stereo_decode",
     # round-8 rotation IN: the two lossy-codec recurrence oracles — the
     # adaptive ADPCM predictor chains replayed value-exact by DuckDB
     # recursive CTEs (one wrong step-table entry diverges the whole
@@ -11310,27 +11333,26 @@ GRADED_PREFIX: list[str] = [
 # After the prefix: remaining beyond-reference ops by family value, then the
 # TPC-H long tail.
 _NEXT = [
-    # NEW mid-round-10, first in line for the round-11 rotation: the
-    # tx store's CHANGE DATA FEED (tx_changes — manifest-file-diff CDF
-    # with no written change log), census-pinned across MERGE +
-    # delete-by-overwrite incl. the unchanged-row-suppression negative
-    "tx_cdc_changes",
-    # NEW mid-round-10: bloom-filter equality skipping — the point-
-    # lookup complement of the min/max stats, metadata-only commit,
-    # build-vs-probe hash parity pinned by the oracle's scalar probes
-    "tx_bloom_skipping",
-    # NEW mid-round-10: cursor-based incremental tailing — appends
-    # stream out version-tagged; the compaction-leaks-nothing negative
-    # is the load-bearing assertion
-    "tx_incremental_tail",
-    # NEW mid-round-10: merge-on-read deletion vectors — row-level
-    # delete with zero file rewrites (asserted), time travel to the
-    # pre-delete state pinned in the same census
-    "tx_deletion_vectors",
-    # NEW mid-round-10: the tx store as a NATIVE streaming source
-    # (Python DataSource, offsets = manifest versions) — the seed/
-    # append/compaction-emits-nothing protocol census-pinned
-    "events_stream_tx_source",
+    # head of the line for the round-12 rotation (r10 verdict #7): the
+    # never-driver-graded ANN tail — the only similarity variants with
+    # no driver evidence after ten rounds — plus SemDeDup
+    "knn_lsh_multiprobe",
+    "knn_lsh_multitable",
+    "knn_ivf_kmeans",
+    "knn_label_classify",
+    "dedup_semantic",
+    # round-11 rotation OUT: five long-green rows retired to admit the
+    # five mid-round-10 tx-store flagships (now graded in-window) —
+    # knn_pq_adc (green r7-r10; ANN evidence stays via
+    # knn_recall_ladder), store_maintenance_roundtrip (green r7-r10;
+    # maintenance evidence stays via store_tx_roundtrip), and three of
+    # the nine multimodal reps (each green r9-r10; family evidence per
+    # the GRADED_PREFIX note)
+    "knn_pq_adc",
+    "store_maintenance_roundtrip",
+    "multimodal_jpeg420_decode",
+    "multimodal_alaw_decode",
+    "multimodal_adpcm_stereo_decode",
     # round-10 rotation OUT: eleven long-green rows (each graded green
     # 3-9 consecutive rounds) retired to admit the five round-9
     # newcomers (now graded above) and the six never-driver-graded
@@ -11394,15 +11416,10 @@ _NEXT = [
     "multimodal_frames",            # frame-sampling rep rotated out
     "multimodal_wav_decode",        # real-codec twin of the in-window BMP rep
     "dedup_segments_corpus",        # C4-style segment dedup + reassembly
-    "knn_ivf_kmeans",               # trained-quantizer twin of in-window knn_ivf
-    "knn_label_classify",           # kNN majority-vote label evaluation
-    "dedup_semantic",               # SemDeDup: cluster-blocked cosine pairs
     "embedding_dim_stats",          # per-dimension whitening diagnostic
     "tpch_q5",                      # TPC-H representative (all 22 green in r1)
     "embedding_cosine_pairs_gemm",  # rows-only scale twin of the exact query
     "events_mad_outliers",
-    "knn_lsh_multiprobe",
-    "knn_lsh_multitable",
     "docs_weighted_sample",
     "doc_bigram_logprob",
     "docs_train_val_split",

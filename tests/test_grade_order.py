@@ -29,33 +29,37 @@ def test_prefix_families_covered():
             "dedup_graph_pagerank_slice",
             "dedup_incremental_new_docs_slice"} <= p
     # similarity: knn_recall_ladder composes IVF/LSH/multiprobe against
-    # its own exact top-5 baseline arm; PQ-ADC graded since round 7
-    assert {"knn_recall_ladder", "knn_pq_adc"} <= p
+    # its own exact top-5 baseline arm (knn_pq_adc retired r11 after
+    # four green rounds — PQ evidence stays in the full local gate)
+    assert {"knn_recall_ladder"} <= p
     # text (text_lang_quality retired r10; quality evidence stays via
     # pii_scrub + corpus_gopher_rules; contamination via the CDC
     # cross-source matrix)
     assert {"pii_scrub", "corpus_gopher_rules"} <= p
-    # multimodal: every graded row is a REAL decode; gif_decode and
-    # baseline jpeg_decode retired r10 (JPEG evidence stays via the
-    # strictly-harder progressive/420/fractional-sampling decodes)
+    # multimodal: every graded row is a REAL decode; jpeg420 / alaw /
+    # adpcm_stereo retired r11 (the family held nine reps — JPEG
+    # evidence stays via progressive + fractional-sampling, ADPCM via
+    # the two recurrence-oracled decodes, policy via the gate registry)
     assert {"multimodal_adpcm_decode", "multimodal_ms_adpcm_decode",
             "multimodal_gate_registry", "multimodal_pjpeg_decode",
-            "multimodal_jpeg420_decode", "multimodal_jpeg_frac_decode",
-            "multimodal_png_subbyte_decode",
-            "multimodal_alaw_decode",
-            "multimodal_adpcm_stereo_decode"} <= p
+            "multimodal_jpeg_frac_decode",
+            "multimodal_png_subbyte_decode"} <= p
     # streaming: watermark_append retired r10 — the family keeps the
-    # full join-mode matrix (all watermark-driven) + the tx sink
+    # full join-mode matrix (all watermark-driven) + the tx sink, and
+    # r11 adds the tx store as a NATIVE streaming source
     assert {"events_stream_stream_join",
             "events_stream_full_outer_join",
             "events_stream_left_outer_join",
-            "events_stream_tx_sink"} <= p
-    # transactional store: the round-9 flagships join r10 —
-    # tx_stats_skipping also carries events_zorder_layout's retired
-    # z-order evidence (it asserts the z-ordered store pruned files)
-    assert {"store_maintenance_roundtrip", "store_tx_roundtrip",
+            "events_stream_tx_sink",
+            "events_stream_tx_source"} <= p
+    # transactional store: the round-9 flagships joined r10; r11 adds
+    # the five mid-round-10 flagships (CDF, bloom skipping,
+    # incremental tail, deletion vectors) — store_maintenance_roundtrip
+    # retired r11 (maintenance evidence stays via store_tx_roundtrip)
+    assert {"store_tx_roundtrip",
             "tx_time_travel_diff", "tx_schema_evolution",
-            "tx_stats_skipping"} <= p
+            "tx_stats_skipping", "tx_cdc_changes", "tx_bloom_skipping",
+            "tx_incremental_tail", "tx_deletion_vectors"} <= p
     # TPC-H correlated/semi/anti evidence (never driver-graded r1-r9)
     assert {"tpch_q2_min_cost_supp", "tpch_q11_important_parts",
             "tpch_q16_supplier_cnt", "tpch_q17_small_qty",
