@@ -63,12 +63,16 @@ LINE_BUDGET = 1900  # driver tail capture is ~2000 chars; stay under
 # regression flags when the canary says the box was busy (>1.5x), which
 # round 3 showed can otherwise cost a whole re-adjudication cycle.
 #
-# IO — a write+fsync+read loop in the same temp space the streaming
-# checkpoints use. Round 9's driver bench ran on a DISK-loaded box: the
-# 14 fsync-bound stream/tx fixture queries inflated 2-3x while the CPU
-# canary, blind to disk, read near-idle (1.35 vs 1.44) — an invisible
-# +91 s. The IO leg closes that blind spot; bench_diff takes the max of
-# both cross-run load ratios.
+# IO — a write+fsync+read loop, run in TWO places: the default temp
+# dir (the device carrying RESIDUAL disk traffic — shuffle spill,
+# warehouse, the durability tests that deliberately stay on real disk)
+# and, when it differs, _scratch_dir() (the device the throwaway
+# stream-checkpoint / tx-store fixtures actually hit — /dev/shm since
+# round 10, so its leg is usually flat). Round 9's driver bench ran on
+# a DISK-loaded box: the 14 fsync-bound stream/tx fixture queries
+# inflated 2-3x while the CPU canary, blind to disk, read near-idle
+# (1.35 vs 1.44) — an invisible +91 s. bench_diff takes the max of the
+# CPU and disk cross-run load ratios.
 CANARY_REF_SEC = 0.85
 IO_CANARY_REF_SEC = 0.04  # idle-box warm time, measured round 10
 
@@ -83,17 +87,18 @@ def run_canary(spark) -> float:
     return best
 
 
-def run_io_canary() -> float:
+def run_io_canary(directory: str | None = None) -> float:
     """Fixed small write+fsync+read loop (64 fsyncs of 64 KiB + one
-    cold-ish readback) in the default temp dir — the same device the
-    throwaway stream checkpoints and tx-store fixtures hit."""
+    cold-ish readback) in ``directory`` (default temp dir if None)."""
     import tempfile
 
     best = float("inf")
     block = b"\x5a" * 65536
     for _ in range(2):
         t0 = time.perf_counter()
-        with tempfile.NamedTemporaryFile(prefix="mls-iocanary-") as f:
+        with tempfile.NamedTemporaryFile(
+            prefix="mls-iocanary-", dir=directory
+        ) as f:
             for _ in range(64):
                 f.write(block)
                 f.flush()
@@ -160,8 +165,13 @@ def main() -> None:
     except Exception as e:
         print(f"# bench warmup prebuild error: {e}", file=sys.stderr)
 
+    from maillogsentinel_spark.plans.queries import _scratch_dir
+
+    scratch = _scratch_dir()  # fixture device (tmpfs), None -> default tmp
+
     canary_start = run_canary(spark)
     io_start = run_io_canary()
+    scratch_start = run_io_canary(scratch) if scratch else io_start
 
     per_query: dict[str, float] = {}
     for name, fn in QUERIES.items():
@@ -188,6 +198,7 @@ def main() -> None:
 
     canary_end = run_canary(spark)
     io_end = run_io_canary()
+    scratch_end = run_io_canary(scratch) if scratch else io_end
     canary = {
         "sec": [round(canary_start, 3), round(canary_end, 3)],
         "ref": CANARY_REF_SEC,
@@ -195,6 +206,9 @@ def main() -> None:
         "io_sec": [round(io_start, 3), round(io_end, 3)],
         "io_ref": IO_CANARY_REF_SEC,
         "io_ratio": round(max(io_start, io_end) / IO_CANARY_REF_SEC, 2),
+        # the device the throwaway stream/tx fixtures hit (tmpfs when
+        # available — usually flat; equals io_sec when no tmpfs)
+        "scratch_io_sec": [round(scratch_start, 3), round(scratch_end, 3)],
     }
 
     full = {

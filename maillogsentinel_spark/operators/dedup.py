@@ -629,6 +629,7 @@ def minhash_band_sweep(
     from .signatures import doc_shingle_rows, minhash_table
 
     raw_sh = shingle_rows
+    own_raw_sh = raw_sh is None  # unpersist internally-built caches only
     if raw_sh is None:
         raw_sh = doc_shingle_rows(docs, id_col, text_col, k, distinct=True).persist()
     with_sig = minhash_table(
@@ -648,6 +649,8 @@ def minhash_band_sweep(
         banded.unpersist()
         out.append((bands, num_perm // bands, n_cand, n_pairs))
     with_sig.unpersist()
+    if own_raw_sh:
+        raw_sh.unpersist()
     spark = docs.sparkSession
     return spark.createDataFrame(
         out, "bands int, rows_per_band int, n_candidates long, n_pairs long"

@@ -7416,7 +7416,8 @@ def q_store_tx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pass
             finally:
                 txstore._fault = orig_fault
-            assert tx_current_version(spark, path) == 1
+            if tx_current_version(spark, path) != 1:  # survives python -O
+                raise RuntimeError("aborted txn must not advance version")
             # the real MERGE (same batch construction as the raw
             # roundtrip so the shared oracle closes over it)
             loser = upd_base.select(
@@ -7586,7 +7587,8 @@ def q_tx_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             tx_append_events(spark, path, batch, merge_schema=True)
             v1 = tx_read_events(spark, path, version=1)
             head = tx_read_events(spark, path)
-            assert "score" not in v1.columns  # time travel keeps shape
+            if "score" in v1.columns:  # survives python -O
+                raise RuntimeError("time travel must keep the v1 shape")
             agg = (
                 head.groupBy("event_date")
                 .agg(
@@ -7682,9 +7684,10 @@ def q_tx_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             _plan, total, kept = tx_skipping_plan(
                 spark, path, "user_id", 10, 40
             )
-            assert kept < total, (
-                f"z-ordered stats must prune files: kept {kept}/{total}"
-            )
+            if kept >= total:  # not assert: must survive python -O
+                raise RuntimeError(
+                    f"z-ordered stats must prune files: kept {kept}/{total}"
+                )
             agg = (
                 tx_scan_events(spark, path, "user_id", 10, 40)
                 .groupBy("event_date")
@@ -7767,7 +7770,8 @@ def q_tx_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value",
             )
             tx_upsert_events(spark, path, upd.unionByName(ins))
-            assert tx_current_version(spark, path) == 2
+            if tx_current_version(spark, path) != 2:  # survives python -O
+                raise RuntimeError("upsert must commit exactly one version")
             v1 = tx_read_events(spark, path, version=1)  # time travel
             v2 = tx_read_events(spark, path)             # live head
             a = v1.select(
@@ -8026,9 +8030,10 @@ def q_tx_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _plan, total, kept = tx_skipping_plan_eq(
                     spark, path, "tag", f"e{eid}"
                 )
-                assert kept < total, (
-                    f"bloom must prune for e{eid}: kept {kept}/{total}"
-                )
+                if kept >= total:  # not assert: must survive python -O
+                    raise RuntimeError(
+                        f"bloom must prune for e{eid}: kept {kept}/{total}"
+                    )
                 h = tx_scan_events_eq(spark, path, "tag", f"e{eid}").select(
                     "event_id", "tag", "user_id",
                     F.round(
@@ -8181,9 +8186,10 @@ def q_tx_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             tx_delete_where(spark, path, "user_id % 7 = 3")
             m1 = _load_manifest(spark, path, 1)
             m2 = _load_manifest(spark, path, 2)
-            assert m2["files"] == m1["files"], (
-                "deletion vectors must not rewrite data files"
-            )
+            if m2["files"] != m1["files"]:  # survives python -O
+                raise RuntimeError(
+                    "deletion vectors must not rewrite data files"
+                )
             before = (
                 tx_read_events(spark, path, version=1)
                 .groupBy("event_date")

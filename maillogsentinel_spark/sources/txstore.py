@@ -325,29 +325,48 @@ def _file_stats(
     rels = sorted(rel for v in files.values() for rel in v)
     if not numeric or not rels:
         return {}
-    if spark is not None and len(rels) > _stats_driver_max(root):
-        data_root, data_dir = root, _DATA_DIR
+    # Stats are an OPTIMIZATION: a root whose scheme pyarrow cannot
+    # resolve (no s3/hdfs build, bad credentials) must degrade to a
+    # stats-less commit — never fail the commit itself. Per-file footer
+    # errors already degrade inside _footer_minmax; this guard covers
+    # filesystem resolution and the fan-out job as a whole.
+    try:
+        if spark is not None and len(rels) > _stats_driver_max(root):
+            data_root, data_dir = root, _DATA_DIR
 
-        def _part(it):
-            fs, base = _resolve_pafs(data_root)
-            for rel in it:
-                per = _footer_minmax(fs, f"{base}/{data_dir}/{rel}", numeric)
-                if per is not None:
-                    yield rel, per
+            def _part(it):
+                try:
+                    fs, base = _resolve_pafs(data_root)
+                except Exception:
+                    return
+                for rel in it:
+                    per = _footer_minmax(
+                        fs, f"{base}/{data_dir}/{rel}", numeric
+                    )
+                    if per is not None:
+                        yield rel, per
 
-        slices = min(len(rels), spark.sparkContext.defaultParallelism)
-        return dict(
-            spark.sparkContext.parallelize(rels, slices)
-            .mapPartitions(_part)
-            .collect()
+            slices = min(len(rels), spark.sparkContext.defaultParallelism)
+            return dict(
+                spark.sparkContext.parallelize(rels, slices)
+                .mapPartitions(_part)
+                .collect()
+            )
+        fs, base = _resolve_pafs(root)
+        out: dict[str, dict[str, list]] = {}
+        for rel in rels:
+            per = _footer_minmax(fs, f"{base}/{_DATA_DIR}/{rel}", numeric)
+            if per is not None:
+                out[rel] = per
+        return out
+    except Exception as exc:  # pragma: no cover - environment-specific
+        import warnings
+
+        warnings.warn(
+            f"txstore: footer-stats harvest failed ({exc!r}); committing "
+            "without per-file stats (files will not be pruned)"
         )
-    fs, base = _resolve_pafs(root)
-    out: dict[str, dict[str, list]] = {}
-    for rel in rels:
-        per = _footer_minmax(fs, f"{base}/{_DATA_DIR}/{rel}", numeric)
-        if per is not None:
-            out[rel] = per
-    return out
+        return {}
 
 
 def _carry_stats(
@@ -659,10 +678,11 @@ def tx_append_events(
             stale = {
                 c for per in fresh_stats.values() for c in per
             } - re_evolved
-            assert not stale, (
-                f"rebase dropped stats columns {sorted(stale)} from the "
-                "re-evolved schema — recompute fresh_stats"
-            )
+            if stale:  # not assert: must survive python -O
+                raise RuntimeError(
+                    f"rebase dropped stats columns {sorted(stale)} from "
+                    "the re-evolved schema — recompute fresh_stats"
+                )
     raise AssertionError("unreachable")
 
 
@@ -946,6 +966,24 @@ def _bloom_positions(value: str, m_bits: int, k: int) -> list[int]:
     return out
 
 
+_BLOOM_M_MAX = 1 << 17  # 128 Kib / 16 KiB per file per column, sizing cap
+
+
+def _bloom_m_for(n_distinct: int, k: int, m_min: int) -> tuple[int, bool]:
+    """(bits, saturated) so the EXPECTED fill factor stays <=50% for
+    ``n_distinct`` values with ``k`` probes (fill = 1-exp(-kn/m) <= 0.5
+    -> m >= kn/ln2), rounded up to a power of two, floored at ``m_min``
+    and capped at ``_BLOOM_M_MAX``; ``saturated`` flags a file whose
+    distinct count exceeds even the capped size's 50%-fill capacity."""
+    import math
+
+    need = int(math.ceil(k * max(n_distinct, 1) / math.log(2)))
+    m = m_min
+    while m < need and m < _BLOOM_M_MAX:
+        m *= 2
+    return m, need > m
+
+
 def tx_add_bloom_filters(
     spark: SparkSession,
     path: str,
@@ -957,21 +995,30 @@ def tx_add_bloom_filters(
     equality skipping on ``col`` — the point-lookup complement of the
     min/max range stats (a high-cardinality string column's min/max
     box covers almost any probe; its bloom excludes almost every
-    file). Files already carrying a bloom with the same (m, k) keep
-    it; only missing files are scanned. Data files are untouched — the
-    commit adds a ``blooms`` map (base64 bitsets, m_bits/8 bytes per
-    file) to the manifest, and maintenance operations carry entries
-    for retained files exactly like stats.
+    file). Files already carrying a bloom with the same k and adequate
+    size keep it; only missing files are scanned. Data files are
+    untouched — the commit adds a ``blooms`` map (base64 bitsets, m/8
+    bytes per file) to the manifest, and maintenance operations carry
+    entries for retained files exactly like stats.
+
+    Sizing: ``m_bits`` is the MINIMUM size; each file's bitset is
+    sized from its own approx-distinct count so the expected fill
+    factor stays <=50% (a saturated all-ones bloom is correct but
+    prunes nothing) — per-file ``m`` rides in the manifest entry, so
+    readers probe each file at its own size. Files whose distinct
+    count exceeds the ``_BLOOM_M_MAX`` cap get the capped bitset plus
+    a warning: saturation is visible, never silent.
 
     Build: ONE Spark job — the missing files are read with
     ``input_file_name()``, each distinct (file, value) emits its k bit
     positions via the DuckDB-portable hash64 (salt ``bloom{i}``), and
     an ``applyInPandas`` per file packs the bitset executor-side, so
-    the driver receives m_bits/8 bytes per file, never the value set.
+    the driver receives m/8 bytes per file, never the value set.
     Restricted to string and integral columns (float equality is not a
     meaningful probe, and its cast-to-string rendering differs between
     build and probe sides)."""
     import base64
+    import warnings
 
     from pyspark.sql.types import (
         IntegerType, LongType, ShortType, StringType,
@@ -994,7 +1041,7 @@ def tx_add_bloom_filters(
         rel
         for rels in prev["files"].values()
         for rel in rels
-        if blooms.get(rel, {}).get(col, {}).get("m") != m_bits
+        if blooms.get(rel, {}).get(col, {}).get("m", 0) < m_bits
         or blooms.get(rel, {}).get(col, {}).get("k") != k
     ]
     if missing:
@@ -1003,43 +1050,72 @@ def tx_add_bloom_filters(
             spark.read.option("basePath", f"{path}/{_DATA_DIR}")
             .schema(schema)
             .parquet(*paths)
-        )
+        ).where(F.col(col).isNotNull())
         sval = F.col(col).cast("string")
+        # pass 1 (cheap agg): per-file approx distinct count -> per-file
+        # bitset size with expected fill <=50%
+        counts = (
+            src.groupBy(F.input_file_name().alias("f"))
+            .agg(F.approx_count_distinct(col).alias("nd"))
+            .collect()
+        )
+        sized, n_saturated = {}, 0
+        for r in counts:
+            sized[r["f"]], sat = _bloom_m_for(r["nd"], k, m_bits)
+            n_saturated += sat
+        if n_saturated:
+            warnings.warn(
+                f"txstore: bloom on {col!r} hit the {_BLOOM_M_MAX}-bit "
+                f"cap for {n_saturated} file(s); expected fill >50% — "
+                "these blooms will prune weakly (consider smaller files "
+                "or a different skipping column)"
+            )
+        mdf = F.broadcast(
+            spark.createDataFrame(
+                [(f, m) for f, m in sized.items()], "f string, m int"
+            )
+        )
         pos = F.array(
-            *[hash64(sval, salt=f"bloom{i}") % m_bits for i in range(k)]
+            *[
+                hash64(sval, salt=f"bloom{i}") % F.col("m").cast("bigint")
+                for i in range(k)
+            ]
         )
         fp = (
-            src.where(F.col(col).isNotNull())
-            .select(
-                F.input_file_name().alias("f"),
-                F.explode(pos).alias("p"),
-            )
+            src.select(F.input_file_name().alias("f"), F.col(col))
+            .join(mdf, "f")
+            .select("f", "m", F.explode(pos).alias("p"))
             .distinct()
         )
-
-        nbytes = m_bits // 8
 
         def pack(pdf):
             import numpy as np
             import pandas as pd
 
-            bits = np.zeros(nbytes, dtype=np.uint8)
+            m = int(pdf["m"].iloc[0])
+            bits = np.zeros(m // 8, dtype=np.uint8)
             p = pdf["p"].to_numpy()
             # bitwise_or.at, NOT fancy-index |= — the buffered form
             # applies ONE update per distinct byte index, silently
             # dropping every other bit that lands in the same byte
             np.bitwise_or.at(bits, p // 8, (1 << (p % 8)).astype(np.uint8))
             return pd.DataFrame(
-                {"f": [pdf["f"].iloc[0]], "bits": [bits.tobytes()]}
+                {
+                    "f": [pdf["f"].iloc[0]],
+                    "m": [m],
+                    "bits": [bits.tobytes()],
+                }
             )
 
-        built = fp.groupBy("f").applyInPandas(pack, "f string, bits binary")
+        built = fp.groupBy("f").applyInPandas(
+            pack, "f string, m int, bits binary"
+        )
         for row in built.collect():
             parts = row["f"].rstrip("/").split("/")
             rel = f"{parts[-2]}/{parts[-1]}"
             ent = blooms.setdefault(rel, {})
             ent[col] = {
-                "m": m_bits,
+                "m": int(row["m"]),
                 "k": k,
                 "bits": base64.b64encode(row["bits"]).decode("ascii"),
             }
