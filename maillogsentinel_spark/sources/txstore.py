@@ -150,6 +150,220 @@ def _manifest_path(root: str, version: int) -> str:
     return f"{root}/{_MANIFEST_DIR}/v{version:010d}.json"
 
 
+# ---------------------------------------------------------------------------
+# Manifest log scaling (Delta's model): each commit's v{N}.json is a
+# DELTA against its parent (the files/stats/blooms/dv that changed,
+# plus every scalar field verbatim), and every _CKPT_INTERVAL commits a
+# parquet CHECKPOINT v{N}.ckpt.parquet materializes the full state.
+# Readers reconstruct: nearest checkpoint-or-full-JSON base at-or-below
+# the target version, then apply the delta tail in order. This removes
+# the O(files) driver-side JSON serialization per commit AND the
+# O(files) parse per snapshot read that the full-snapshot log had —
+# the one structural ceiling at the 100 TB design point (10^5-10^6
+# files, inline base64 bloom bitsets at ~1 KiB/file/column). Legacy
+# full-snapshot JSONs (no "kind" key) act as bases, so pre-existing
+# stores read unchanged. _load_manifest's RETURN CONTRACT is
+# untouched: the reconstructed dict is bit-identical to what the old
+# full-snapshot log would have stored — _commit verifies that by
+# round-tripping the delta before writing it (falling back to a full
+# JSON on any mismatch), so every reader (_snapshot_df, skipping, CDF,
+# DV, incremental, streaming source) is provably unaffected.
+# ---------------------------------------------------------------------------
+
+_CKPT_INTERVAL = 10  # Delta's default checkpoint cadence
+_META_MAPS = ("stats", "blooms", "dv")  # rel-keyed manifest maps
+_DELTA_ONLY_KEYS = frozenset(
+    ["kind", "_has", "files_add", "files_remove"]
+    + [f"{k}_set" for k in _META_MAPS]
+    + [f"{k}_del" for k in _META_MAPS]
+)
+
+
+def _delta_doc(prev: dict, manifest: dict) -> dict:
+    """Delta JSON for ``manifest`` against its parent state ``prev``:
+    scalar fields verbatim (version/parent/txid/operation/schema/
+    last_batch_id — schema is small and must survive vacuumed
+    parents), per-day file adds/removes, and per-rel upserts/deletes
+    for each metadata map. ``_has`` records which metadata maps the
+    manifest carries at all, so reconstruction preserves key
+    presence/absence exactly."""
+    doc = {
+        k: v
+        for k, v in manifest.items()
+        if k != "files" and k not in _META_MAPS
+    }
+    doc["kind"] = "delta"
+    doc["_has"] = [k for k in _META_MAPS if k in manifest]
+    pf, nf = prev.get("files", {}), manifest.get("files", {})
+    fa: dict[str, list[str]] = {}
+    fr: dict[str, list[str]] = {}
+    for day in set(pf) | set(nf):
+        ps, ns = set(pf.get(day, [])), set(nf.get(day, []))
+        add = sorted(ns - ps)
+        rem = sorted(ps - ns)
+        if add:
+            fa[day] = add
+        if rem:
+            fr[day] = rem
+    doc["files_add"], doc["files_remove"] = fa, fr
+    for key in _META_MAPS:
+        pm, nm = prev.get(key, {}), manifest.get(key, {})
+        doc[f"{key}_set"] = {r: v for r, v in nm.items() if pm.get(r) != v}
+        doc[f"{key}_del"] = sorted(set(pm) - set(nm))
+    return doc
+
+
+def _apply_delta(state: dict, doc: dict) -> dict:
+    """Parent state + delta doc -> child state (the full manifest
+    dict). Inverse of _delta_doc; _commit asserts the round trip."""
+    out = {k: v for k, v in doc.items() if k not in _DELTA_ONLY_KEYS}
+    add_map = doc.get("files_add", {})
+    rem_map = doc.get("files_remove", {})
+    files: dict[str, list[str]] = {}
+    for day in set(state.get("files", {})) | set(add_map):
+        rem = set(rem_map.get(day, []))
+        keep = [r for r in state.get("files", {}).get(day, []) if r not in rem]
+        keep.extend(add_map.get(day, []))
+        if keep:
+            files[day] = sorted(keep)
+    out["files"] = files
+    for key in _META_MAPS:
+        if key not in doc.get("_has", []):
+            continue
+        m = dict(state.get(key, {}))
+        for r in doc.get(f"{key}_del", []):
+            m.pop(r, None)
+        m.update(doc.get(f"{key}_set", {}))
+        out[key] = m
+    return out
+
+
+def _ckpt_path(base: str, version: int) -> str:
+    return f"{base}/{_MANIFEST_DIR}/v{version:010d}.ckpt.parquet"
+
+
+_CKPT_CHUNK = 10_000  # map entries per checkpoint row (C-speed parse)
+
+
+def _write_ckpt(root: str, state: dict) -> None:
+    """Materialize the full manifest state as a parquet checkpoint
+    (columnar (section, key, val-JSON) rows: one per day file-list,
+    one per _CKPT_CHUNK-entry slice of each metadata map — chunked so
+    a 10^5-file read is a handful of big C-speed json.loads calls, not
+    10^5 tiny ones) via tmp + move. Checkpoints are DERIVED data — any
+    reader that misses one replays the JSON chain — except after
+    vacuum trims the chain, where vacuum itself guarantees a base at
+    the earliest retained version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fs, base = _resolve_pafs(root)
+    sections, keys, vals = ["meta"], ["doc"], []
+    meta = {
+        k: v
+        for k, v in state.items()
+        if k != "files" and k not in _META_MAPS
+    }
+    meta["_has"] = [k for k in _META_MAPS if k in state]
+    vals.append(json.dumps(meta, sort_keys=True))
+    for day, rels in state.get("files", {}).items():
+        sections.append("files")
+        keys.append(day)
+        vals.append(json.dumps(rels))
+    for key in _META_MAPS:
+        items = sorted(state.get(key, {}).items())
+        for c in range(0, len(items), _CKPT_CHUNK):
+            sections.append(key)
+            keys.append(f"c{c // _CKPT_CHUNK:06d}")
+            vals.append(json.dumps(dict(items[c:c + _CKPT_CHUNK])))
+    table = pa.table({"section": sections, "key": keys, "val": vals})
+    tmp = f"{base}/{_MANIFEST_DIR}/_tmpckpt-{state['txid']}.parquet"
+    try:
+        with fs.open_output_stream(tmp) as out:
+            pq.write_table(table, out)
+        fs.move(tmp, _ckpt_path(base, state["version"]))
+    except Exception:
+        try:
+            fs.delete_file(tmp)
+        except Exception:
+            pass
+        raise
+
+
+def _read_ckpt(root: str, version: int) -> dict:
+    """Full manifest state from a parquet checkpoint."""
+    import pyarrow.parquet as pq
+
+    fs, base = _resolve_pafs(root)
+    with fs.open_input_file(_ckpt_path(base, version)) as f:
+        t = pq.read_table(f)
+    state: dict = {}
+    files: dict = {}
+    maps: dict[str, dict] = {k: {} for k in _META_MAPS}
+    for s, k, v in zip(
+        t.column("section").to_pylist(),
+        t.column("key").to_pylist(),
+        t.column("val").to_pylist(),
+    ):
+        if s == "meta":
+            state = json.loads(v)
+        elif s == "files":
+            files[k] = json.loads(v)
+        else:
+            maps[s].update(json.loads(v))
+    has = state.pop("_has", [])
+    state["files"] = files
+    for k in _META_MAPS:
+        if k in has:
+            state[k] = maps[k]
+    return state
+
+
+def _list_ckpt_versions(spark: SparkSession, root: str) -> list[int]:
+    fs, mdir, _ = _jfs(spark, f"{root}/{_MANIFEST_DIR}")
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".ckpt.parquet"):
+            try:
+                out.append(int(name[1:11]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _reconstruct(version, read_json, ckpt_versions, read_ckpt) -> dict:
+    """Full manifest state at ``version``: nearest base (checkpoint or
+    full JSON) at-or-below it, then the delta tail applied in order.
+    An unreadable checkpoint degrades to walking further down the JSON
+    chain — wrong results are impossible, only extra reads."""
+    if version in ckpt_versions:
+        try:
+            return read_ckpt(version)
+        except Exception:
+            pass
+    pending: list[dict] = []
+    w = version
+    while True:
+        doc = read_json(w)
+        if doc.get("kind") != "delta":
+            state = doc
+            break
+        pending.append(doc)
+        w -= 1
+        if w in ckpt_versions:
+            try:
+                state = read_ckpt(w)
+                break
+            except Exception:
+                continue
+    for doc in reversed(pending):
+        state = _apply_delta(state, doc)
+    return state
+
+
 def _load_manifest(spark: SparkSession, root: str, version: int | None = None) -> dict:
     versions = _list_versions(spark, root)
     if not versions:
@@ -157,17 +371,47 @@ def _load_manifest(spark: SparkSession, root: str, version: int | None = None) -
     v = max(versions) if version is None else version
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions}")
-    return json.loads(_read_file(spark, _manifest_path(root, v)))
+    have = set(versions)
+
+    def read_json(w: int) -> dict:
+        if w not in have:
+            raise FileNotFoundError(
+                f"version {w} (delta-chain base) not in {versions}"
+            )
+        return json.loads(_read_file(spark, _manifest_path(root, w)))
+
+    ckpts = set(_list_ckpt_versions(spark, root))
+    return _reconstruct(v, read_json, ckpts, lambda w: _read_ckpt(root, w))
 
 
-def _commit(spark: SparkSession, root: str, manifest: dict) -> int:
+def _commit(
+    spark: SparkSession, root: str, manifest: dict, prev: dict | None = None
+) -> int:
     """Write the manifest to a temp name, then atomically rename it to
-    the next version slot — THE commit point."""
+    the next version slot — THE commit point.
+
+    ``prev`` (the parent's full state, which every writer already
+    holds) turns the committed JSON into a DELTA — O(changed files)
+    instead of O(all files) driver-side serialization. The delta is
+    round-tripped against ``prev`` before writing; any mismatch falls
+    back to the full snapshot, so reconstruction is exact by
+    construction. Every _CKPT_INTERVAL-th version also writes a
+    parquet checkpoint (best-effort — readers replay the JSON chain
+    when it is missing)."""
     version = manifest["version"]
     fs, mdir, jvm = _jfs(spark, f"{root}/{_MANIFEST_DIR}")
     fs.mkdirs(mdir)
+    doc = manifest
+    if (
+        prev is not None
+        and prev.get("version") == manifest.get("parent")
+        and manifest.get("operation") != "overwrite"
+    ):
+        delta = _delta_doc(prev, manifest)
+        if _apply_delta(prev, delta) == manifest:
+            doc = delta
     tmp = f"{root}/{_MANIFEST_DIR}/_tmp-{manifest['txid']}.json"
-    _write_file(spark, tmp, json.dumps(manifest, sort_keys=True))
+    _write_file(spark, tmp, json.dumps(doc, sort_keys=True))
     _fault("pre-commit")
     src = jvm.org.apache.hadoop.fs.Path(tmp)
     dst = jvm.org.apache.hadoop.fs.Path(_manifest_path(root, version))
@@ -176,7 +420,53 @@ def _commit(spark: SparkSession, root: str, manifest: dict) -> int:
         raise ConcurrentCommitError(
             f"version {version} already committed under {root}"
         )
+    if version % _CKPT_INTERVAL == 0:
+        try:
+            _write_ckpt(root, manifest)
+        except Exception as exc:  # pragma: no cover - environment-specific
+            import warnings
+
+            warnings.warn(
+                f"txstore: checkpoint write failed at v{version} "
+                f"({exc!r}); readers will replay the JSON delta chain"
+            )
     return version
+
+
+def _iter_manifests(
+    spark: SparkSession, root: str, from_version: int, to_version: int
+):
+    """Yield ``(v, full state)`` for every version in
+    ``[from_version, to_version]`` — ONE base reconstruction, then the
+    delta chain rolled forward, so a range walk (incremental reads,
+    CDF) costs O(range) JSON reads instead of O(range × chain)."""
+    have = set(_list_versions(spark, root))
+    missing = [
+        v for v in range(from_version, to_version + 1) if v not in have
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"version {missing[0]} not in {sorted(have)}"
+        )
+    state = _load_manifest(spark, root, from_version)
+    yield from_version, state
+    for v in range(from_version + 1, to_version + 1):
+        doc = json.loads(_read_file(spark, _manifest_path(root, v)))
+        state = (
+            _apply_delta(state, doc) if doc.get("kind") == "delta" else doc
+        )
+        yield v, state
+
+
+def tx_checkpoint(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int:
+    """Force a parquet checkpoint of the manifest state at ``version``
+    (default: head). Returns the checkpointed version. Idempotent —
+    checkpoint content at a version is deterministic."""
+    state = _load_manifest(spark, path, version)
+    _write_ckpt(path, state)
+    return state["version"]
 
 
 def _stage_and_publish(
@@ -649,7 +939,7 @@ def tx_append_events(
         elif "last_batch_id" in prev:
             manifest["last_batch_id"] = prev["last_batch_id"]
         try:
-            return _commit(spark, path, manifest)
+            return _commit(spark, path, manifest, prev)
         except ConcurrentCommitError:
             if attempt == max_rebase_attempts - 1:
                 raise
@@ -851,7 +1141,7 @@ def tx_delete_where(
     }
     if "last_batch_id" in prev:
         manifest["last_batch_id"] = prev["last_batch_id"]
-    return _commit(spark, path, manifest)
+    return _commit(spark, path, manifest, prev)
 
 
 def tx_read_incremental(
@@ -891,12 +1181,12 @@ def tx_read_incremental(
     cur = _load_manifest(spark, path, to_version)
     to_version = cur["version"]
     frames: list[DataFrame] = []
+    walk = _iter_manifests(spark, path, since_version, to_version)
+    _, since_state = next(walk)
     prev_files = {
-        r for v in _load_manifest(spark, path, since_version)["files"].values()
-        for r in v
+        r for rels in since_state["files"].values() for r in rels
     }
-    for v in range(since_version + 1, to_version + 1):
-        m = _load_manifest(spark, path, v)
+    for v, m in walk:
         op = m.get("operation", "?")
         files_v = {r for rels in m["files"].values() for r in rels}
         entered = files_v - prev_files
@@ -1133,7 +1423,7 @@ def tx_add_bloom_filters(
     }
     if "last_batch_id" in prev:
         manifest["last_batch_id"] = prev["last_batch_id"]
-    return _commit(spark, path, manifest)
+    return _commit(spark, path, manifest, prev)
 
 
 def tx_skipping_plan_eq(
@@ -1417,7 +1707,7 @@ def tx_upsert_events(
     }
     if "last_batch_id" in prev:  # carry the streaming ledger forward
         manifest["last_batch_id"] = prev["last_batch_id"]
-    return _commit(spark, path, manifest)
+    return _commit(spark, path, manifest, prev)
 
 
 def _select_days(
@@ -1517,7 +1807,7 @@ def tx_compact_partitions(
     }
     if "last_batch_id" in prev:  # carry the streaming ledger forward
         manifest["last_batch_id"] = prev["last_batch_id"]
-    return _commit(spark, path, manifest)
+    return _commit(spark, path, manifest, prev)
 
 
 def tx_vacuum(
@@ -1551,8 +1841,13 @@ def tx_vacuum(
     keep = versions[-max(keep_versions, 1):]
     live: set[str] = set()
     live_dv: set[str] = set()
+    earliest_state: dict | None = None
     for v in keep:
-        m = json.loads(_read_file(spark, _manifest_path(path, v)))
+        # reconstruct through _load_manifest — a kept version may be a
+        # DELTA whose raw JSON carries only the changed files
+        m = _load_manifest(spark, path, v)
+        if v == keep[0]:
+            earliest_state = m
         for rels in m["files"].values():
             live.update(rels)
         for ents in m.get("dv", {}).values():
@@ -1589,8 +1884,30 @@ def tx_vacuum(
             if name not in live_dv and st.getModificationTime() <= cutoff_ms:
                 fs.delete(st.getPath(), True)
                 deleted += 1
-    for v in versions[: len(versions) - len(keep)]:
-        fs.delete(Path(_manifest_path(path, v)), False)
+    # Before trimming the log: the earliest KEPT version must stay
+    # reconstructible without the versions about to be deleted. If its
+    # own JSON is a delta and no checkpoint exists at it, materialize
+    # one now; a failed checkpoint write keeps the old manifests (data
+    # files are already swept — that is always safe).
+    dropped = versions[: len(versions) - len(keep)]
+    if dropped:
+        ckpts = set(_list_ckpt_versions(spark, path))
+        raw = json.loads(_read_file(spark, _manifest_path(path, keep[0])))
+        if raw.get("kind") == "delta" and keep[0] not in ckpts:
+            try:
+                _write_ckpt(path, earliest_state)
+            except Exception:  # pragma: no cover - environment-specific
+                import warnings
+
+                warnings.warn(
+                    "txstore vacuum: base checkpoint write failed at "
+                    f"v{keep[0]}; keeping the full manifest log"
+                )
+                return deleted
+        for v in dropped:
+            fs.delete(Path(_manifest_path(path, v)), False)
+            if v in ckpts:
+                fs.delete(Path(_ckpt_path(path, v)), False)
     return deleted
 
 
@@ -1663,4 +1980,4 @@ def tx_optimize_zorder(
     }
     if "last_batch_id" in prev:  # carry the streaming ledger forward
         manifest["last_batch_id"] = prev["last_batch_id"]
-    return _commit(spark, path, manifest)
+    return _commit(spark, path, manifest, prev)

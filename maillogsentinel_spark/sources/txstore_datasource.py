@@ -78,11 +78,47 @@ def _list_versions(root: str) -> list[int]:
     return sorted(out)
 
 
-def _load_manifest(root: str, version: int) -> dict:
+def _list_ckpts(root: str) -> list[int]:
+    fs, base = _fs_root(root)
+    from pyarrow import fs as pafs
+
+    try:
+        infos = fs.get_file_info(
+            pafs.FileSelector(f"{base}/{_MANIFEST_DIR}", allow_not_found=True)
+        )
+    except FileNotFoundError:
+        return []
+    out = []
+    for info in infos:
+        name = info.base_name
+        if name.startswith("v") and name.endswith(".ckpt.parquet"):
+            try:
+                out.append(int(name[1:11]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_json(root: str, version: int) -> dict:
     fs, base = _fs_root(root)
     path = f"{base}/{_MANIFEST_DIR}/v{version:010d}.json"
     with fs.open_input_file(path) as f:
         return json.loads(f.read().decode("utf-8"))
+
+
+def _load_manifest(root: str, version: int) -> dict:
+    """Full state at ``version`` — same checkpoint + delta-chain
+    reconstruction as the batch reader (the logic is SHARED from
+    txstore so the two can never drift), through pyarrow's filesystem
+    layer instead of the JVM's."""
+    from .txstore import _read_ckpt, _reconstruct
+
+    return _reconstruct(
+        version,
+        lambda w: _read_json(root, w),
+        set(_list_ckpts(root)),
+        lambda w: _read_ckpt(root, w),
+    )
 
 
 class TxStoreDataSource(DataSource):
@@ -148,6 +184,8 @@ class TxStoreStreamReader(DataSourceStreamReader):
         parts: list[_FilePartition] = []
         if hi <= lo:
             return parts
+        from .txstore import _apply_delta
+
         if lo == 0:
             # fresh query: seed from the EARLIEST RETAINED manifest's
             # full snapshot, whatever operation committed it — on a
@@ -157,10 +195,10 @@ class TxStoreStreamReader(DataSourceStreamReader):
             # semantics)
             versions = _list_versions(self._root)
             seed_v = versions[0]
-            seed = _load_manifest(self._root, seed_v)
-            seed_dv = seed.get("dv", {})
+            state = _load_manifest(self._root, seed_v)
+            seed_dv = state.get("dv", {})
             prev_files = {
-                r for rels in seed["files"].values() for r in rels
+                r for rels in state["files"].values() for r in rels
             }
             parts.extend(
                 _FilePartition(rel, seed_v, seed_dv.get(rel, ()))
@@ -169,11 +207,7 @@ class TxStoreStreamReader(DataSourceStreamReader):
             first = seed_v + 1
         else:
             try:
-                prev_files = {
-                    r
-                    for v in _load_manifest(self._root, lo)["files"].values()
-                    for r in v
-                }
+                state = _load_manifest(self._root, lo)
             except FileNotFoundError:
                 raise FileNotFoundError(
                     f"txstore stream: checkpointed offset version {lo} "
@@ -181,9 +215,20 @@ class TxStoreStreamReader(DataSourceStreamReader):
                     "retention window (same failure mode as log "
                     "retention expiry); restart with a fresh checkpoint"
                 )
+            prev_files = {
+                r for rels in state["files"].values() for r in rels
+            }
             first = lo + 1
         for v in range(first, hi + 1):
-            m = _load_manifest(self._root, v)
+            # roll the delta chain forward from the seed state — one
+            # JSON read per version, no per-version reconstruction
+            doc = _read_json(self._root, v)
+            state = (
+                _apply_delta(state, doc)
+                if doc.get("kind") == "delta"
+                else doc
+            )
+            m = state
             op = m.get("operation", "?")
             files_v = {r for rels in m["files"].values() for r in rels}
             entered = files_v - prev_files

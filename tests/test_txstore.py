@@ -192,13 +192,13 @@ def test_concurrent_appends_both_commit_via_rebase(spark, tmp_path,
     real_commit = txstore._commit
     state = {"raced": False}
 
-    def racing_commit(spark_, root, manifest):
+    def racing_commit(spark_, root, manifest, prev=None):
         if not state["raced"] and manifest["operation"] == "append":
             state["raced"] = True  # guard before recursing
             tx_append_events(  # the competing writer wins the race
                 spark_, root, spark_.createDataFrame([_ev(6, 2, 14, 6.0)])
             )
-        return real_commit(spark_, root, manifest)
+        return real_commit(spark_, root, manifest, prev)
 
     monkeypatch.setattr(txstore, "_commit", racing_commit)
     v = tx_append_events(spark, path, spark.createDataFrame([_ev(5, 1, 13, 5.0)]))
@@ -218,12 +218,12 @@ def test_concurrent_append_rebase_carries_ledger(spark, tmp_path, monkeypatch):
     real_commit = txstore._commit
     state = {"raced": False}
 
-    def racing_commit(spark_, root, manifest):
+    def racing_commit(spark_, root, manifest, prev=None):
         if not state["raced"] and manifest.get("last_batch_id") == 1:
             state["raced"] = True
             tx_append_events(spark_, root,
                              spark_.createDataFrame([_ev(7, 2, 15, 7.0)]))
-        return real_commit(spark_, root, manifest)
+        return real_commit(spark_, root, manifest, prev)
 
     monkeypatch.setattr(txstore, "_commit", racing_commit)
     tx_append_events(spark, path, spark.createDataFrame([_ev(6, 2, 14, 6.0)]),
@@ -241,12 +241,12 @@ def test_concurrent_upsert_still_aborts(spark, tmp_path, monkeypatch):
     real_commit = txstore._commit
     state = {"raced": False}
 
-    def racing_commit(spark_, root, manifest):
+    def racing_commit(spark_, root, manifest, prev=None):
         if not state["raced"] and manifest["operation"] == "upsert":
             state["raced"] = True
             tx_append_events(spark_, root,
                              spark_.createDataFrame([_ev(6, 2, 14, 6.0)]))
-        return real_commit(spark_, root, manifest)
+        return real_commit(spark_, root, manifest, prev)
 
     monkeypatch.setattr(txstore, "_commit", racing_commit)
     with pytest.raises(ConcurrentCommitError):

@@ -1,0 +1,216 @@
+"""Manifest log scaling (sources/txstore.py): commits write DELTAS,
+every _CKPT_INTERVAL-th version writes a parquet CHECKPOINT, and
+readers reconstruct. The load-bearing contract: reconstruction through
+ANY route (checkpoint base, delta replay from a full JSON, the
+streaming source's pyarrow path) returns a dict EQUAL to what the old
+full-snapshot log would have stored — every reader downstream of
+_load_manifest is then provably unaffected.
+
+Replaces the O(files) driver-side JSON serialization per commit and
+O(files) parse per snapshot read that the full-snapshot log had — the
+one 100x-scale ceiling the round-10 audit flagged (at 10^5-10^6 files
+with inline bloom bitsets, each commit shipped megabytes of JSON
+through the driver)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from maillogsentinel_spark.sources import txstore
+from maillogsentinel_spark.sources.txstore import (
+    tx_add_bloom_filters,
+    tx_append_events,
+    tx_checkpoint,
+    tx_compact_partitions,
+    tx_current_version,
+    tx_delete_where,
+    tx_read_events,
+    tx_read_incremental,
+    tx_upsert_events,
+    tx_vacuum,
+    tx_write_events,
+)
+
+
+def _ev(eid, day, user, val):
+    return Row(
+        event_id=eid,
+        ts=datetime.datetime(2025, 3, day, 10, 0),
+        user_id=user,
+        event_type="click",
+        value=float(val),
+    )
+
+
+def _long_store(spark, tmp_path, n_appends=11):
+    """A store whose history CROSSES the checkpoint interval with every
+    delta-producing operation in the mix: appends, an upsert, a DV
+    delete, a bloom attach, a compaction."""
+    path = str(tmp_path / "ckptstore")
+    tx_write_events(
+        spark, path, spark.createDataFrame([_ev(1, 1, 10, 1.0), _ev(2, 2, 11, 2.0)])
+    )  # v1 (full)
+    for i in range(n_appends):  # v2..v(n+1)
+        tx_append_events(
+            spark, path,
+            spark.createDataFrame([_ev(10 + i, 1 + (i % 3), 20 + i, float(i))]),
+        )
+    tx_upsert_events(
+        spark, path, spark.createDataFrame([_ev(1, 1, 10, 99.0)])
+    )
+    tx_delete_where(spark, path, "event_id = 11")
+    tx_add_bloom_filters(spark, path, "user_id")
+    tx_compact_partitions(spark, path, target_files_per_day=1)
+    return path
+
+
+def _raw_doc(spark, path, v):
+    return json.loads(
+        txstore._read_file(spark, txstore._manifest_path(path, v))
+    )
+
+
+def _replay_json_only(spark, path, v):
+    """Reference reconstruction that NEVER touches a checkpoint: walk
+    the raw JSON chain down to a full doc, apply deltas up."""
+    have = set(txstore._list_versions(spark, path))
+    assert v in have
+    return txstore._reconstruct(
+        v, lambda w: _raw_doc(spark, path, w), set(), None
+    )
+
+
+def test_deltas_written_and_checkpoint_exists(spark, tmp_path):
+    path = _long_store(spark, tmp_path)
+    head = tx_current_version(spark, path)
+    assert head == 16
+    # v1 is full (no parent), later commits are deltas
+    assert _raw_doc(spark, path, 1).get("kind") != "delta"
+    d5 = _raw_doc(spark, path, 5)
+    assert d5["kind"] == "delta"
+    # the delta carries ONLY the changed files — one append file, not
+    # the whole snapshot
+    assert sum(len(v) for v in d5["files_add"].values()) >= 1
+    assert "files" not in d5
+    # the interval checkpoint landed at v10
+    assert os.path.exists(
+        txstore._ckpt_path(path, 10)
+    ), "expected the v10 interval checkpoint"
+    # every version reconstructs to the same dict the pure-JSON replay
+    # produces — with and without the checkpoint in play
+    for v in range(1, head + 1):
+        via_api = txstore._load_manifest(spark, path, v)
+        via_json = _replay_json_only(spark, path, v)
+        assert via_api == via_json, f"v{v} reconstruction drift"
+        assert via_api["version"] == v
+
+
+def test_checkpoint_read_equals_delta_replay(spark, tmp_path):
+    path = _long_store(spark, tmp_path)
+    state = txstore._read_ckpt(path, 10)
+    assert state == _replay_json_only(spark, path, 10)
+
+
+def test_missing_checkpoint_degrades_to_replay(spark, tmp_path):
+    path = _long_store(spark, tmp_path)
+    before = {
+        v: txstore._load_manifest(spark, path, v)
+        for v in txstore._list_versions(spark, path)
+    }
+    os.remove(txstore._ckpt_path(path, 10))
+    for v, want in before.items():
+        assert txstore._load_manifest(spark, path, v) == want
+
+
+def test_forced_checkpoint_roundtrip(spark, tmp_path):
+    path = _long_store(spark, tmp_path)
+    v = tx_checkpoint(spark, path, 7)
+    assert v == 7
+    assert txstore._read_ckpt(path, 7) == _replay_json_only(spark, path, 7)
+    # head checkpoint too
+    head = tx_checkpoint(spark, path)
+    assert txstore._read_ckpt(path, head) == _replay_json_only(
+        spark, path, head
+    )
+
+
+def test_readers_unchanged_through_delta_log(spark, tmp_path):
+    """End-to-end: snapshot reads, time travel and incremental tailing
+    all read through reconstruction and must agree with the store's
+    actual content."""
+    path = _long_store(spark, tmp_path)
+    head = tx_read_events(spark, path)
+    ids = sorted(r.event_id for r in head.collect())
+    assert 11 not in ids  # DV delete applied
+    assert 1 in ids
+    v1_ids = sorted(
+        r.event_id for r in tx_read_events(spark, path, version=1).collect()
+    )
+    assert v1_ids == [1, 2]
+    inc = tx_read_incremental(spark, path, since_version=2, to_version=12)
+    inc_ids = sorted(r.event_id for r in inc.collect())
+    assert inc_ids == [11 + i for i in range(10)]  # appends v3..v12
+
+
+def test_vacuum_writes_base_and_trims_log(spark, tmp_path):
+    path = _long_store(spark, tmp_path)
+    states = {
+        v: txstore._load_manifest(spark, path, v)
+        for v in txstore._list_versions(spark, path)
+    }
+    # remove the interval checkpoint so vacuum MUST create the base
+    os.remove(txstore._ckpt_path(path, 10))
+    tx_vacuum(spark, path, keep_versions=3, retention_ms=0)
+    kept = txstore._list_versions(spark, path)
+    assert kept == [14, 15, 16]
+    # the earliest kept version (a delta) got a base checkpoint
+    assert os.path.exists(txstore._ckpt_path(path, 14))
+    for v in kept:
+        assert txstore._load_manifest(spark, path, v) == states[v]
+    with pytest.raises(FileNotFoundError):
+        txstore._load_manifest(spark, path, 5)
+    # dropped versions' checkpoints are swept with their manifests
+    assert not os.path.exists(txstore._ckpt_path(path, 10))
+
+
+def test_streaming_source_reconstruction_matches_jvm_path(spark, tmp_path):
+    """The pyarrow-side reconstruction the streaming source uses must
+    agree bit-for-bit with the JVM-side batch reader's."""
+    from maillogsentinel_spark.sources import txstore_datasource as ds
+
+    path = _long_store(spark, tmp_path)
+    for v in txstore._list_versions(spark, path):
+        assert ds._load_manifest(path, v) == txstore._load_manifest(
+            spark, path, v
+        )
+
+
+def test_concurrent_append_rebase_still_deltas(spark, tmp_path, monkeypatch):
+    """The rebase path recomputes its delta against the NEW head — the
+    loser's committed delta must reconstruct the merged state."""
+    path = str(tmp_path / "racestore")
+    tx_write_events(spark, path, spark.createDataFrame([_ev(1, 1, 10, 1.0)]))
+    real_commit = txstore._commit
+    state = {"raced": False}
+
+    def racing_commit(spark_, root, manifest, prev=None):
+        if not state["raced"] and manifest["operation"] == "append":
+            state["raced"] = True
+            tx_append_events(
+                spark_, root, spark_.createDataFrame([_ev(6, 2, 14, 6.0)])
+            )
+        return real_commit(spark_, root, manifest, prev)
+
+    monkeypatch.setattr(txstore, "_commit", racing_commit)
+    tx_append_events(spark, path, spark.createDataFrame([_ev(5, 1, 13, 5.0)]))
+    monkeypatch.setattr(txstore, "_commit", real_commit)
+    ids = sorted(r.event_id for r in tx_read_events(spark, path).collect())
+    assert ids == [1, 5, 6]
+    assert txstore._load_manifest(spark, path, 3) == _replay_json_only(
+        spark, path, 3
+    )
