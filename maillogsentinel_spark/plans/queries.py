@@ -10300,6 +10300,31 @@ def _stream_run(spark: SparkSession):
             yield ckpt
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+        # terminated queries otherwise accumulate in spark.streams for
+        # the session's lifetime (a 188-query bench run terminates
+        # dozens) — clear the ledger with the checkpoint
+        try:
+            spark.streams.resetTerminated()
+        except Exception:
+            pass
+
+
+def _drain_memory_sink(spark: SparkSession, name: str, df: DataFrame) -> DataFrame:
+    """Materialize a memory-sink-backed result and DROP the sink's
+    registered table. Every memory-sink replay registers one
+    driver-resident table under a fresh _STREAM_SEQ name; across a
+    188-query session with best-of-2 bench passes those tables (and
+    their buffered rows) accumulate in the driver JVM — part of the
+    round-10 close snapshot's unexplained 2x on the stream-join trio.
+    The result is re-wrapped over the collected rows, so callers keep
+    a normal DataFrame."""
+    rows = df.collect()
+    schema = df.schema
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    return spark.createDataFrame(rows, schema)
 
 
 @query(
@@ -10422,7 +10447,9 @@ def q_events_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFra
             .start()
         )
         q.awaitTermination()
-    return (
+    return _drain_memory_sink(
+        spark,
+        name,
         spark.table(name)
         .select(
             F.col("window.start").alias("wstart"),
@@ -10476,7 +10503,10 @@ def q_events_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
             .start()
         )
         q.awaitTermination()
-    return spark.table(name).select("event_type", "n_users").orderBy("event_type")
+    return _drain_memory_sink(
+        spark, name,
+        spark.table(name).select("event_type", "n_users").orderBy("event_type"),
+    )
 
 
 @query(
@@ -10527,7 +10557,9 @@ def q_events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return (
+    return _drain_memory_sink(
+        spark,
+        name,
         spark.table(name)
         .select(
             F.col("c_nationkey").alias("nationkey"),
@@ -10597,7 +10629,9 @@ def q_events_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFra
             .start()
         )
         q.awaitTermination()
-    return (
+    return _drain_memory_sink(
+        spark,
+        name,
         spark.table(name)
         .select(
             "user_id",
@@ -10662,7 +10696,9 @@ def q_events_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFr
             .start()
         )
         q.awaitTermination()
-    return (
+    return _drain_memory_sink(
+        spark,
+        name,
         spark.table(name)
         .select(F.col("window.start").alias("wstart"), "event_type", "n_events")
         .orderBy("wstart", "event_type")
@@ -10732,7 +10768,9 @@ def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return (
+    return _drain_memory_sink(
+        spark,
+        name,
         spark.table(name)
         .select(
             F.col("c_user").alias("user_id"), "click_id", "purchase_id"
@@ -10989,7 +11027,9 @@ def q_events_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
             .start()
         )
         q.awaitTermination()
-    return (
+    return _drain_memory_sink(
+        spark,
+        name,
         spark.table(name)
         .select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
         .orderBy("user_id", "click_id", "purchase_id")
@@ -11095,7 +11135,9 @@ def q_events_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
             .start()
         )
         q.awaitTermination()
-    return (
+    return _drain_memory_sink(
+        spark,
+        name,
         spark.table(name)
         .select(
             F.coalesce("c_user", "p_user").alias("user_id"),

@@ -1087,12 +1087,20 @@ def _carry_dv(prev: dict, newmap: dict[str, list[str]]) -> dict:
     return {rel: d for rel, d in prior.items() if rel in live}
 
 
+_DV_SHARD_ROWS = 4_000_000  # matched rows per sidecar shard file
+
+
 def tx_delete_where(
-    spark: SparkSession, path: str, predicate: str
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    max_fraction: float = 0.8,
+    shard_rows: int = _DV_SHARD_ROWS,
+    max_rebase_attempts: int = 5,
 ) -> int:
     """ROW-LEVEL DELETE without rewriting a single data file — Delta's
     deletion-vector merge-on-read: the matching rows' (file rel, row
-    position) pairs are written as ONE parquet sidecar under
+    position) pairs are written as a parquet sidecar under
     ``_deletes/<txid>`` and the manifest's ``dv`` map points each
     touched data file at it; readers anti-join the sidecar during the
     scan (_snapshot_df), so the delete is visible atomically with the
@@ -1100,21 +1108,65 @@ def tx_delete_where(
     file to drop 10 rows) is deferred to the next compaction/zorder of
     that day, which reads through the DV and folds it in.
 
+    Scale guards (both directions):
+    - the sidecar is SHARDED above ``shard_rows`` matched rows
+      (hash-partitioned on rel, so each data file's positions cluster
+      in few shards and the parquet rel-column stats prune the rest) —
+      a predicate matching 10^8 rows no longer funnels through one
+      task; readers are untouched (they read the sidecar DIRECTORY).
+    - a delete matching more than ``max_fraction`` of the snapshot
+      raises: merge-on-read would tax every future scan to avoid
+      rewriting files that are mostly dead — at that point
+      copy-on-write (tx_write_events of the survivors, or upsert) is
+      strictly better, Delta's same heuristic. Pass 1.0 to disable.
+
+    Concurrency: losing the manifest rename race to an APPEND (or any
+    commit that keeps every touched file alive — a compaction of other
+    days, another DV delete, a bloom attach) REBASES: the sidecar
+    references immutable files by (rel, pos), so re-pointing the new
+    head's unchanged entries at it is logically the same delete. Only
+    a commit that REPLACED one of the touched files (upsert/overwrite/
+    compaction of those days) aborts with ConcurrentCommitError.
+
     The sidecar is invisible until the manifest references it — a
     crash after the sidecar write leaves an orphan that tx_vacuum
     sweeps, never a half-applied delete. Row positions come from the
     scan's ``_metadata.row_index`` (stable for immutable files).
     Returns the committed version; a predicate matching nothing
     commits nothing and returns the current version."""
+    import math
+
     txid = uuid.uuid4().hex
     prev = _load_manifest(spark, path)
     snap = _snapshot_df(spark, path, prev, with_pos=True)  # DVs apply
-    matched = (
-        snap.where(predicate)
-        .select(F.col("__rel").alias("rel"), F.col("__pos").alias("pos"))
+    pred = F.expr(predicate)
+    # ONE pass for both scalars: total snapshot rows and matched rows
+    counts = snap.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(pred.cast("int")).alias("matched"),
+    ).collect()[0]
+    total, n_matched = int(counts["total"]), int(counts["matched"] or 0)
+    if n_matched == 0:
+        return prev["version"]
+    if total and n_matched / total > max_fraction:
+        raise ValueError(
+            f"tx_delete_where: predicate matches {n_matched}/{total} rows "
+            f"(> {max_fraction:.0%}); merge-on-read would tax every scan "
+            "to keep mostly-dead files — rewrite instead (tx_write_events "
+            "of the survivors, or tx_upsert_events), or pass "
+            "max_fraction=1.0 to force a deletion vector"
+        )
+    matched = snap.where(pred).select(
+        F.col("__rel").alias("rel"), F.col("__pos").alias("pos")
     )
     dv_rel = txid
-    matched.coalesce(1).write.parquet(f"{path}/{_DELETES_DIR}/{dv_rel}")
+    n_shards = max(1, min(math.ceil(n_matched / max(shard_rows, 1)), 256))
+    writer = (
+        matched.repartition(n_shards, "rel")
+        if n_shards > 1
+        else matched.coalesce(1)
+    )
+    writer.write.parquet(f"{path}/{_DELETES_DIR}/{dv_rel}")
     touched = [
         r["rel"]
         for r in spark.read.parquet(f"{path}/{_DELETES_DIR}/{dv_rel}")
@@ -1124,24 +1176,42 @@ def tx_delete_where(
         fs, p, _ = _jfs(spark, f"{path}/{_DELETES_DIR}/{dv_rel}")
         fs.delete(p, True)
         return prev["version"]
-    dv = {rel: list(ents) for rel, ents in prev.get("dv", {}).items()}
-    for rel in touched:
-        dv.setdefault(rel, []).append(dv_rel)
-    manifest = {
-        "format": _FORMAT,
-        "version": prev["version"] + 1,
-        "parent": prev["version"],
-        "txid": txid,
-        "operation": "delete",
-        "schema": prev["schema"],
-        "files": prev["files"],
-        "stats": prev.get("stats", {}),
-        "blooms": prev.get("blooms", {}),
-        "dv": dv,
-    }
-    if "last_batch_id" in prev:
-        manifest["last_batch_id"] = prev["last_batch_id"]
-    return _commit(spark, path, manifest, prev)
+    for attempt in range(max_rebase_attempts):
+        dv = {rel: list(ents) for rel, ents in prev.get("dv", {}).items()}
+        for rel in touched:
+            dv.setdefault(rel, []).append(dv_rel)
+        manifest = {
+            "format": _FORMAT,
+            "version": prev["version"] + 1,
+            "parent": prev["version"],
+            "txid": txid,
+            "operation": "delete",
+            "schema": prev["schema"],
+            "files": prev["files"],
+            "stats": prev.get("stats", {}),
+            "blooms": prev.get("blooms", {}),
+            "dv": dv,
+        }
+        if "last_batch_id" in prev:
+            manifest["last_batch_id"] = prev["last_batch_id"]
+        try:
+            return _commit(spark, path, manifest, prev)
+        except ConcurrentCommitError:
+            if attempt == max_rebase_attempts - 1:
+                raise
+            head = _load_manifest(spark, path)
+            head_rels = {
+                r for rels in head["files"].values() for r in rels
+            }
+            gone = sorted(set(touched) - head_rels)
+            if gone:
+                raise ConcurrentCommitError(
+                    "tx_delete_where rebase impossible: a concurrent "
+                    f"commit replaced touched file(s) {gone[:3]} — the "
+                    "deletion vector's row positions no longer apply"
+                )
+            prev = head  # append/metadata-only winner: re-point and retry
+    raise AssertionError("unreachable")
 
 
 def tx_read_incremental(
@@ -1409,21 +1479,49 @@ def tx_add_bloom_filters(
                 "k": k,
                 "bits": base64.b64encode(row["bits"]).decode("ascii"),
             }
-    manifest = {
-        "format": _FORMAT,
-        "version": prev["version"] + 1,
-        "parent": prev["version"],
-        "txid": txid,
-        "operation": "bloom",
-        "schema": prev["schema"],
-        "files": prev["files"],
-        "stats": prev.get("stats", {}),
-        "blooms": blooms,
-        "dv": prev.get("dv", {}),
+    # the freshly built entries, keyed by rel — the rebase re-points
+    # them at whatever head wins the race, as long as the rel is live
+    built_entries = {
+        rel: dict(per) for rel, per in blooms.items()
     }
-    if "last_batch_id" in prev:
-        manifest["last_batch_id"] = prev["last_batch_id"]
-    return _commit(spark, path, manifest, prev)
+    for attempt in range(5):
+        manifest = {
+            "format": _FORMAT,
+            "version": prev["version"] + 1,
+            "parent": prev["version"],
+            "txid": txid,
+            "operation": "bloom",
+            "schema": prev["schema"],
+            "files": prev["files"],
+            "stats": prev.get("stats", {}),
+            "blooms": blooms,
+            "dv": prev.get("dv", {}),
+        }
+        if "last_batch_id" in prev:
+            manifest["last_batch_id"] = prev["last_batch_id"]
+        try:
+            return _commit(spark, path, manifest, prev)
+        except ConcurrentCommitError:
+            if attempt == 4:
+                raise
+            # Metadata-only commit racing anything: blooms describe
+            # IMMUTABLE files, so re-pointing the new head's still-live
+            # entries at them is always sound — entries whose file a
+            # replacing op removed simply fall away (a bloom is an
+            # optimization, never a correctness filter).
+            prev = _load_manifest(spark, path)
+            head_rels = {
+                r for rels in prev["files"].values() for r in rels
+            }
+            blooms = {
+                rel: {c: dict(e) for c, e in per.items()}
+                for rel, per in prev.get("blooms", {}).items()
+            }
+            for rel, per in built_entries.items():
+                if rel in head_rels:
+                    ent = blooms.setdefault(rel, {})
+                    ent.update(per)
+    raise AssertionError("unreachable")
 
 
 def tx_skipping_plan_eq(

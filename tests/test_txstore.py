@@ -759,6 +759,135 @@ def test_deletion_vectors_merge_on_read(spark, tmp_path):
     assert _glob.glob(os.path.join(path, "_deletes", "*")) == []
 
 
+def test_delete_sidecar_shards_above_threshold(spark, tmp_path):
+    """A many-row delete must NOT funnel through one task: above
+    shard_rows the sidecar is hash-partitioned on rel into multiple
+    parquet files, and the census is identical to the unsharded
+    semantics (readers read the sidecar DIRECTORY)."""
+    import glob as _glob
+
+    from maillogsentinel_spark.sources.txstore import tx_delete_where
+
+    path = str(tmp_path / "shardstore")
+    rows = [_ev(i, 1 + (i % 3), 10 + (i % 5), float(i)) for i in range(60)]
+    tx_write_events(spark, path, spark.createDataFrame(rows))
+    # 20 matched rows, shard_rows=8 -> 3 shards
+    v = tx_delete_where(spark, path, "event_id % 3 = 0", shard_rows=8)
+    assert v == 2
+    m = txstore._load_manifest(spark, path)
+    (dv_rel,) = {e for ents in m["dv"].values() for e in ents}
+    shards = _glob.glob(os.path.join(path, "_deletes", dv_rel, "*.parquet"))
+    assert len(shards) > 1, "expected a sharded sidecar"
+    got = sorted(r.event_id for r in tx_read_events(spark, path).collect())
+    assert got == [i for i in range(60) if i % 3 != 0]
+
+
+def test_delete_fraction_gate_raises(spark, tmp_path):
+    """Deleting (almost) everything via merge-on-read is the wrong
+    tool — every future scan pays the anti-join to keep mostly-dead
+    files. Above max_fraction the delete raises toward copy-on-write;
+    max_fraction=1.0 force-allows it."""
+    from maillogsentinel_spark.sources.txstore import tx_delete_where
+
+    path = _store(spark, tmp_path)  # keys 1..4
+    with pytest.raises(ValueError, match="rewrite instead"):
+        tx_delete_where(spark, path, "event_id <= 4")
+    assert tx_current_version(spark, path) == 1
+    v = tx_delete_where(spark, path, "event_id <= 4", max_fraction=1.0)
+    assert v == 2
+    assert tx_read_events(spark, path).count() == 0
+
+
+def test_delete_rebases_onto_concurrent_append(spark, tmp_path,
+                                               monkeypatch):
+    """DV delete losing the rename race to a pure APPEND is logically
+    mergeable (the append's new files cannot match the already-
+    materialized (rel,pos) sidecar): both must commit, census equals
+    sequential application."""
+    from maillogsentinel_spark.sources.txstore import tx_delete_where
+
+    path = _store(spark, tmp_path)  # v1: keys 1..4
+    real_commit = txstore._commit
+    state = {"raced": False}
+
+    def racing_commit(spark_, root, manifest, prev=None):
+        if not state["raced"] and manifest["operation"] == "delete":
+            state["raced"] = True
+            tx_append_events(  # the competing append wins the race
+                spark_, root, spark_.createDataFrame([_ev(9, 2, 19, 9.0)])
+            )
+        return real_commit(spark_, root, manifest, prev)
+
+    monkeypatch.setattr(txstore, "_commit", racing_commit)
+    v = tx_delete_where(spark, path, "event_id in (2, 3)")
+    monkeypatch.setattr(txstore, "_commit", real_commit)
+    assert v == 3  # append took v2; the delete rebased onto it
+    got = sorted(r.event_id for r in tx_read_events(spark, path).collect())
+    assert got == [1, 4, 9]
+    m = txstore._load_manifest(spark, path)
+    assert m["operation"] == "delete" and m["parent"] == 2
+
+
+def test_delete_aborts_when_racer_replaced_touched_file(spark, tmp_path,
+                                                        monkeypatch):
+    """A racer that REPLACED a touched file (upsert rewrites the day)
+    invalidates the sidecar's row positions — the delete must abort,
+    never commit a DV against files that no longer exist."""
+    from maillogsentinel_spark.sources.txstore import tx_delete_where
+
+    path = _store(spark, tmp_path)  # v1: keys 1..4 (key 2 on day 1)
+    real_commit = txstore._commit
+    state = {"raced": False}
+
+    def racing_commit(spark_, root, manifest, prev=None):
+        if not state["raced"] and manifest["operation"] == "delete":
+            state["raced"] = True
+            tx_upsert_events(  # rewrites day 1 -> touched rel replaced
+                spark_, root, spark_.createDataFrame([_ev(2, 1, 11, 22.0)])
+            )
+        return real_commit(spark_, root, manifest, prev)
+
+    monkeypatch.setattr(txstore, "_commit", racing_commit)
+    with pytest.raises(ConcurrentCommitError, match="rebase impossible"):
+        tx_delete_where(spark, path, "event_id = 2")
+    monkeypatch.setattr(txstore, "_commit", real_commit)
+    by_id = {r.event_id: r.value for r in tx_read_events(spark, path).collect()}
+    assert by_id[2] == 22.0  # the upsert won; the delete left no trace
+
+
+def test_bloom_attach_rebases_onto_concurrent_append(spark, tmp_path,
+                                                     monkeypatch):
+    """A metadata-only bloom attach losing the race to an append
+    re-points its (immutable-file) entries at the new head and
+    commits; both operations land."""
+    from maillogsentinel_spark.sources.txstore import (
+        tx_add_bloom_filters,
+        tx_skipping_plan_eq,
+    )
+
+    path = _store(spark, tmp_path)  # v1
+    real_commit = txstore._commit
+    state = {"raced": False}
+
+    def racing_commit(spark_, root, manifest, prev=None):
+        if not state["raced"] and manifest["operation"] == "bloom":
+            state["raced"] = True
+            tx_append_events(
+                spark_, root, spark_.createDataFrame([_ev(9, 2, 19, 9.0)])
+            )
+        return real_commit(spark_, root, manifest, prev)
+
+    monkeypatch.setattr(txstore, "_commit", racing_commit)
+    v = tx_add_bloom_filters(spark, path, "user_id")
+    monkeypatch.setattr(txstore, "_commit", real_commit)
+    assert v == 3  # append took v2; the bloom attach rebased
+    got = sorted(r.event_id for r in tx_read_events(spark, path).collect())
+    assert got == [1, 2, 3, 4, 9]
+    # the rebased blooms still prune (user 10 lives on days 1-2 only)
+    _plan, total, kept = tx_skipping_plan_eq(spark, path, "user_id", 12)
+    assert kept < total
+
+
 def test_incremental_read_tails_appends(spark, tmp_path):
     """tx_read_incremental tails appended rows by version cursor:
     appends stream out tagged with their commit version, layout/
