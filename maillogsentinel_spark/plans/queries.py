@@ -7623,15 +7623,26 @@ def q_tx_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TX_SKIP_ORACLE = """
 WITH base AS (
-  SELECT event_id, ts, user_id, value FROM events
+  SELECT event_id, ts, user_id, value,
+         strftime(ts, '%Y-%m-%d') AS dtag
+  FROM events
   WHERE event_id % 3 = 0 AND day(ts) <= 12
+),
+days AS (SELECT DISTINCT dtag FROM base),
+bounds AS (
+  SELECT (SELECT dtag FROM days ORDER BY dtag OFFSET 3 LIMIT 1) AS lo,
+         (SELECT dtag FROM days ORDER BY dtag OFFSET 7 LIMIT 1) AS hi
 ),
 hit AS (SELECT * FROM base WHERE user_id BETWEEN 10 AND 40)
 SELECT ts::DATE AS event_date,
        count(*)::BIGINT AS n_rows,
        count(DISTINCT user_id)::BIGINT AS n_users,
        sum(event_id)::BIGINT AS sum_eid,
-       round(sum(value::DECIMAL(21,6))::DOUBLE, 4) AS value_sum
+       round(sum(value::DECIMAL(21,6))::DOUBLE, 4) AS value_sum,
+       (SELECT count(*) FROM days)::BIGINT AS total_days,
+       (SELECT count(*) FROM days, bounds
+        WHERE dtag BETWEEN lo AND hi)::BIGINT AS str_kept_days,
+       1::BIGINT AS eq_kept_days
 FROM hit GROUP BY 1 ORDER BY 1
 """
 
@@ -7651,6 +7662,17 @@ def q_tx_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows and fails the hash; a stats bug that inflates boxes fails the
     skip assertion instead of silently degrading.
 
+    STRING-column skipping is pinned in the SAME hash-verified row
+    (round-11, covering 152c51e at driver level): a ``dtag``
+    date-string column rides in the store (per-file min=max=its day,
+    since files are day-partitioned), a string RANGE plan over the
+    4th..8th distinct day must keep exactly those days' files
+    (``str_kept_days``, value-pinned by the oracle's own day count),
+    and a string EQUALITY plan on the range's low bound must prune to
+    exactly ONE day (``eq_kept_days``). Parquet string footer stats
+    order by unsigned UTF-8 bytes = code-point order = Python str
+    comparison, which is what makes the driver-side prune sound.
+
     Scale shape: pruning is O(files) driver-side dict work over the
     manifest; the scan then touches only surviving files' bytes."""
     import shutil
@@ -7660,11 +7682,13 @@ def q_tx_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx_optimize_zorder,
         tx_scan_events,
         tx_skipping_plan,
+        tx_skipping_plan_eq,
         tx_write_events,
     )
 
     ev = _t(spark, sf_dir, "events", repartition=False).select(
-        "event_id", "ts", "user_id", "event_type", "value"
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("dtag"),
     )
     # 12 days × 4 target files: the smallest store whose z-order boxes
     # still demonstrably prune (the asserted behavior) — the fixture
@@ -7688,6 +7712,29 @@ def q_tx_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise RuntimeError(
                     f"z-ordered stats must prune files: kept {kept}/{total}"
                 )
+            # STRING-range + string-equality pruning, day-count-pinned
+            days = sorted(
+                r["dtag"]
+                for r in base.select("dtag").distinct().collect()
+            )
+            lo, hi = days[3], days[7]
+            plan_s, total_s, kept_s = tx_skipping_plan(
+                spark, path, "dtag", lo, hi
+            )
+            if not 0 < kept_s < total_s:  # survives python -O
+                raise RuntimeError(
+                    f"string range must prune: kept {kept_s}/{total_s}"
+                )
+            str_kept_days = len(plan_s["files"])
+            plan_e, _total_e, kept_e = tx_skipping_plan_eq(
+                spark, path, "dtag", lo
+            )
+            eq_kept_days = len(plan_e["files"])
+            if eq_kept_days != 1:  # survives python -O
+                raise RuntimeError(
+                    "string equality must prune to one day, kept "
+                    f"{eq_kept_days} ({kept_e} files)"
+                )
             agg = (
                 tx_scan_events(spark, path, "user_id", 10, 40)
                 .groupBy("event_date")
@@ -7701,6 +7748,12 @@ def q_tx_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ),
                         4,
                     ).alias("value_sum"),
+                )
+                .select(
+                    "*",
+                    F.lit(len(days)).cast("long").alias("total_days"),
+                    F.lit(str_kept_days).cast("long").alias("str_kept_days"),
+                    F.lit(eq_kept_days).cast("long").alias("eq_kept_days"),
                 )
                 .orderBy("event_date")
             )
