@@ -8188,6 +8188,185 @@ def q_tx_incremental_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_TX_COUNT_ORACLE = """
+WITH ev AS (
+  SELECT event_id, ts, user_id, value FROM events WHERE day(ts) <= 12
+),
+v1 AS (SELECT * FROM ev WHERE day(ts) <= 9),
+v2 AS (SELECT * FROM ev),
+v3 AS (SELECT * FROM ev WHERE event_id % 7 != 0)
+SELECT * FROM (
+  SELECT 1 AS version, count(*)::BIGINT AS n_rows, TRUE AS metadata_only
+  FROM v1
+  UNION ALL SELECT 2, count(*)::BIGINT, TRUE FROM v2
+  UNION ALL SELECT 3, count(*)::BIGINT, TRUE FROM v3
+) ORDER BY version
+"""
+
+
+@query("tx_metadata_count", oracle=_TX_COUNT_ORACLE)
+def q_tx_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY COUNT(*), hash-verified across three snapshot
+    shapes: a base write (v1), an append (v2), and a deletion-vector
+    delete (v3) — ``tx_count_events`` answers each from the manifest's
+    per-file ``rows`` map (Delta's numRecords: exact counts harvested
+    from parquet footers at publish time) with ZERO scan tasks for
+    v1/v2 and only the tiny DV sidecars read for v3 (a delete
+    predicate runs on the DV-applied snapshot, so sidecars are
+    disjoint per (rel,pos) and subtract exactly). The query RAISES if
+    any live file lacks its rows entry — the metadata path, not the
+    scan fallback, is what's being graded — and the DuckDB oracle
+    re-derives all three counts relationally."""
+    import shutil
+    import tempfile
+
+    from ..sources.txstore import (
+        _load_manifest,
+        tx_append_events,
+        tx_count_events,
+        tx_delete_where,
+        tx_write_events,
+    )
+
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "value"
+    ).where(F.dayofmonth("ts") <= 12)
+    tmp = tempfile.mkdtemp(prefix="mls_store_count_", dir=_scratch_dir())
+    path = f"{tmp}/store"
+    try:
+        with _stream_state_parts(spark, 8):
+            tx_write_events(
+                spark, path,
+                ev.where(F.dayofmonth("ts") <= 9)
+                .repartition(F.to_date("ts")),
+            )
+            tx_append_events(
+                spark, path,
+                ev.where(F.dayofmonth("ts").between(10, 12))
+                .repartition(F.to_date("ts")),
+            )
+            tx_delete_where(spark, path, "event_id % 7 = 0")
+            out = []
+            for v in (1, 2, 3):
+                m = _load_manifest(spark, path, v)
+                rows_map = m.get("rows", {})
+                rels = [r for fl in m["files"].values() for r in fl]
+                if not all(r in rows_map for r in rels):
+                    # survives python -O; the graded contract is the
+                    # METADATA path, not the scan fallback
+                    raise RuntimeError(
+                        f"v{v}: live file missing its rows entry — "
+                        "metadata count would silently degrade to a scan"
+                    )
+                out.append((v, tx_count_events(spark, path, v), True))
+            return spark.createDataFrame(
+                out, "version int, n_rows long, metadata_only boolean"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_TX_RESTORE_ORACLE = """
+WITH base AS (
+  SELECT event_id, ts, user_id, value FROM events
+  WHERE event_id % 5 = 0 AND day(ts) <= 12
+)
+SELECT ts::DATE AS event_date,
+       count(*)::BIGINT AS n_rows,
+       sum(event_id)::BIGINT AS sum_eid,
+       round(sum(value::DECIMAL(21,6))::DOUBLE, 4) AS value_sum,
+       4::BIGINT AS head_version
+FROM base GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("tx_restore_roundtrip", oracle=_TX_RESTORE_ORACLE)
+def q_tx_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE as a new commit, hash-verified: v1 snapshot write → v2
+    upsert (updates + inserts) → v3 deletion-vector delete → v4
+    ``tx_restore(version=1)``. The head census must equal v1's EXACTLY
+    (the DuckDB oracle re-derives the base state), the restore must be
+    metadata-only (v4 is a new manifest pointing at v1's untouched
+    files), history must survive (time travel to v3 still shows the
+    deleted state — asserted by count), and the head version must be 4
+    (restore appends to history, never rewrites it). A restore that
+    leaked a v2/v3 file, dropped a v1 file, or resurrected the deleted
+    rows flips the hash or the in-query checks."""
+    import shutil
+    import tempfile
+
+    from ..sources.txstore import (
+        tx_current_version,
+        tx_delete_where,
+        tx_read_events,
+        tx_restore,
+        tx_upsert_events,
+        tx_write_events,
+    )
+
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    base = ev.where(
+        (F.col("event_id") % 5 == 0) & (F.dayofmonth("ts") <= 12)
+    )
+    tmp = tempfile.mkdtemp(prefix="mls_store_restore_", dir=_scratch_dir())
+    path = f"{tmp}/store"
+    try:
+        with _stream_state_parts(spark, 8):
+            tx_write_events(spark, path, base.repartition(F.to_date("ts")))
+            upd = base.where(F.col("event_id") % 20 == 0).select(
+                "event_id", "ts", "user_id",
+                (F.col("value") + 500).alias("value"),
+            )
+            ins = base.where(F.col("event_id") % 50 == 35).select(
+                (-F.col("event_id") - 1).alias("event_id"),
+                (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("ts"),
+                "user_id", "value",
+            )
+            tx_upsert_events(spark, path, upd.unionByName(ins))   # v2
+            tx_delete_where(spark, path, "event_id % 40 = 0")     # v3
+            v4 = tx_restore(spark, path, 1)                       # v4
+            if v4 != 4 or tx_current_version(spark, path) != 4:
+                raise RuntimeError("restore must commit as version 4")
+            hist = "event_id % 40 = 0 AND event_id >= 0"
+            del_v1 = (
+                tx_read_events(spark, path, version=1).where(hist).count()
+            )
+            del_v3 = (
+                tx_read_events(spark, path, version=3).where(hist).count()
+            )
+            if del_v1 == 0 or del_v3 != 0:  # survives python -O
+                raise RuntimeError(
+                    "history must survive restore: v3 must still show "
+                    f"the delete (v1 had {del_v1} doomed rows, v3 kept "
+                    f"{del_v3})"
+                )
+            agg = (
+                tx_read_events(spark, path)  # head == restored v1
+                .groupBy("event_date")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("event_id").cast("long").alias("sum_eid"),
+                    F.round(
+                        F.sum(F.col("value").cast("decimal(21,6)")).cast(
+                            "double"
+                        ),
+                        4,
+                    ).alias("value_sum"),
+                )
+                .select(
+                    "*",
+                    F.lit(4).cast("long").alias("head_version"),
+                )
+                .orderBy("event_date")
+            )
+            rows = agg.collect()
+            return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _TX_DV_ORACLE = """
 WITH base AS (
   SELECT event_id, ts, user_id, value FROM events WHERE day(ts) <= 12
@@ -11442,6 +11621,12 @@ _NEXT = [
     "knn_ivf_kmeans",
     "knn_label_classify",
     "dedup_semantic",
+    # NEW mid-round-11: metadata-only COUNT(*) from the manifest's
+    # per-file row counts (Delta's numRecords; DV sidecars subtract
+    # exactly) and RESTORE-as-a-new-commit (history preserved,
+    # census-pinned against the v1 oracle)
+    "tx_metadata_count",
+    "tx_restore_roundtrip",
     # round-11 rotation OUT: five long-green rows retired to admit the
     # five mid-round-10 tx-store flagships (now graded in-window) —
     # knn_pq_adc (green r7-r10; ANN evidence stays via

@@ -171,7 +171,11 @@ def _manifest_path(root: str, version: int) -> str:
 # ---------------------------------------------------------------------------
 
 _CKPT_INTERVAL = 10  # Delta's default checkpoint cadence
-_META_MAPS = ("stats", "blooms", "dv")  # rel-keyed manifest maps
+# rel-keyed manifest maps (generic across delta diffs and checkpoints):
+# per-file column [min,max] stats, bloom bitsets, deletion-vector
+# pointers, and exact per-file ROW COUNTS (Delta's numRecords — what
+# makes COUNT(*) a metadata-only operation, tx_count_events)
+_META_MAPS = ("stats", "blooms", "dv", "rows")
 _DELTA_ONLY_KEYS = frozenset(
     ["kind", "_has", "files_add", "files_remove"]
     + [f"{k}_set" for k in _META_MAPS]
@@ -524,18 +528,21 @@ def _resolve_pafs(root: str):
     return pafs.LocalFileSystem(), root
 
 
-def _footer_minmax(fs, full_path: str, numeric: set) -> dict | None:
-    """[min, max] per numeric column from ONE parquet footer (row-group
-    metadata — no data scan). Returns None when the footer is
-    unreadable or carries no usable stats: the file then simply prunes
-    nothing — graceful degradation, never a wrong result."""
+def _footer_minmax(
+    fs, full_path: str, numeric: set
+) -> tuple[dict | None, int | None]:
+    """([min, max] per numeric column, exact row count) from ONE
+    parquet footer (row-group metadata — no data scan). Either element
+    is None when the footer is unreadable or carries no usable stats:
+    the file then simply prunes nothing (and counts fall back to a
+    scan) — graceful degradation, never a wrong result."""
     import pyarrow.parquet as pq
 
     try:
         with fs.open_input_file(full_path) as f:
             md = pq.read_metadata(f)
     except Exception:
-        return None
+        return None, None
     per: dict[str, list] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -553,7 +560,7 @@ def _footer_minmax(fs, full_path: str, numeric: set) -> dict | None:
             else:
                 cur[0] = min(cur[0], st.min)
                 cur[1] = max(cur[1], st.max)
-    return per or None
+    return per or None, int(md.num_rows)
 
 
 # Above this many new files the publish-time footer reads run as a
@@ -580,12 +587,14 @@ def _file_stats(
     files: dict[str, list[str]],
     schema_json: str,
     spark: SparkSession | None = None,
-) -> dict[str, dict[str, list]]:
-    """Per-file [min, max] for every NUMERIC column, read from the
-    parquet FOOTERS: the manifest's data-skipping index, the same
-    design as Delta's per-file stats / Iceberg's column bounds.
+) -> tuple[dict[str, dict[str, list]], dict[str, int]]:
+    """(per-file [min, max] for every NUMERIC column, per-file exact
+    ROW COUNT), read from the parquet FOOTERS: the manifest's
+    data-skipping index plus Delta's numRecords, the same design as
+    Delta's per-file stats / Iceberg's column bounds.
     Computed once at publish time, O(new files) footer reads; readers
-    prune files driver-side before any scan (tx_scan_events).
+    prune files driver-side before any scan (tx_scan_events) and
+    answer COUNT(*) without scanning (tx_count_events).
 
     Execution: small commits read footers on the driver (a Spark job
     costs more than a handful of metadata reads); commits above
@@ -613,8 +622,8 @@ def _file_stats(
         )
     }
     rels = sorted(rel for v in files.values() for rel in v)
-    if not numeric or not rels:
-        return {}
+    if not rels:
+        return {}, {}
     # Stats are an OPTIMIZATION: a root whose scheme pyarrow cannot
     # resolve (no s3/hdfs build, bad credentials) must degrade to a
     # stats-less commit — never fail the commit itself. Per-file footer
@@ -630,25 +639,30 @@ def _file_stats(
                 except Exception:
                     return
                 for rel in it:
-                    per = _footer_minmax(
+                    per, nrows = _footer_minmax(
                         fs, f"{base}/{data_dir}/{rel}", numeric
                     )
-                    if per is not None:
-                        yield rel, per
+                    if per is not None or nrows is not None:
+                        yield rel, per, nrows
 
             slices = min(len(rels), spark.sparkContext.defaultParallelism)
-            return dict(
+            harvested = (
                 spark.sparkContext.parallelize(rels, slices)
                 .mapPartitions(_part)
                 .collect()
             )
-        fs, base = _resolve_pafs(root)
-        out: dict[str, dict[str, list]] = {}
-        for rel in rels:
-            per = _footer_minmax(fs, f"{base}/{_DATA_DIR}/{rel}", numeric)
-            if per is not None:
-                out[rel] = per
-        return out
+        else:
+            fs, base = _resolve_pafs(root)
+            harvested = []
+            for rel in rels:
+                per, nrows = _footer_minmax(
+                    fs, f"{base}/{_DATA_DIR}/{rel}", numeric
+                )
+                if per is not None or nrows is not None:
+                    harvested.append((rel, per, nrows))
+        stats = {rel: per for rel, per, _ in harvested if per is not None}
+        rows = {rel: n for rel, _, n in harvested if n is not None}
+        return stats, rows
     except Exception as exc:  # pragma: no cover - environment-specific
         import warnings
 
@@ -656,16 +670,20 @@ def _file_stats(
             f"txstore: footer-stats harvest failed ({exc!r}); committing "
             "without per-file stats (files will not be pruned)"
         )
-        return {}
+        return {}, {}
 
 
 def _carry_stats(
-    prev: dict, newmap: dict[str, list[str]], fresh: dict[str, dict]
-) -> dict[str, dict]:
-    """Stats for the new manifest: fresh entries for newly published
-    files, prior entries carried for retained files, entries of
-    replaced/dropped files fall away with their rels."""
-    prior = prev.get("stats", {})
+    prev: dict,
+    newmap: dict[str, list[str]],
+    fresh: dict,
+    key: str = "stats",
+) -> dict:
+    """Per-file metadata (``stats`` or ``rows``) for the new manifest:
+    fresh entries for newly published files, prior entries carried for
+    retained files, entries of replaced/dropped files fall away with
+    their rels."""
+    prior = prev.get(key, {})
     live = {rel for rels in newmap.values() for rel in rels}
     out = {rel: s for rel, s in prior.items() if rel in live}
     out.update(fresh)
@@ -789,6 +807,7 @@ def tx_write_events(
     except FileNotFoundError:
         parent = 0
     schema_json = _schema_json(df)
+    stats, rows = _file_stats(path, files, schema_json, spark)
     manifest = {
         "format": _FORMAT,
         "version": parent + 1,
@@ -797,7 +816,8 @@ def tx_write_events(
         "operation": "overwrite",
         "schema": schema_json,
         "files": files,
-        "stats": _file_stats(path, files, schema_json, spark),
+        "stats": stats,
+        "rows": rows,
     }
     if batch_id is not None:
         manifest["last_batch_id"] = batch_id
@@ -916,7 +936,7 @@ def tx_append_events(
         return prev["version"]  # replayed batch: already committed
     schema_json = _check_schema(prev, events, "append", merge=merge_schema)
     files = _stage_and_publish(spark, path, _with_day(events), txid)
-    fresh_stats = _file_stats(path, files, schema_json, spark)
+    fresh_stats, fresh_rows = _file_stats(path, files, schema_json, spark)
     for attempt in range(max_rebase_attempts):
         merged = {d: list(v) for d, v in prev["files"].items()}
         for d, v in files.items():
@@ -931,6 +951,7 @@ def tx_append_events(
             "schema": schema_json,
             "files": merged,
             "stats": _carry_stats(prev, merged, fresh_stats),
+            "rows": _carry_stats(prev, merged, fresh_rows, key="rows"),
             "blooms": _carry_blooms(prev, merged),
             "dv": _carry_dv(prev, merged),
         }
@@ -1074,6 +1095,81 @@ def tx_current_version(spark: SparkSession, path: str) -> int:
     return _load_manifest(spark, path)["version"]
 
 
+def tx_count_events(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int:
+    """Exact COUNT(*) of a snapshot, METADATA-ONLY when possible —
+    Delta's numRecords path: every commit harvests each new file's
+    exact row count from its parquet footer into the manifest's
+    ``rows`` map, so the snapshot count is a driver-side sum with zero
+    tasks. Deletion vectors subtract exactly: a delete predicate runs
+    on the DV-applied snapshot, so no two sidecars can hold the same
+    (rel, pos) — the DV row count per live file is an exact subtrahend
+    read from the tiny sidecars. Falls back to a full scan count when
+    any live file is missing its rows entry (legacy store, unreadable
+    footer at publish time) — never a wrong count, only a slower one."""
+    manifest = _load_manifest(spark, path, version)
+    rows = manifest.get("rows", {})
+    rels = [r for v in manifest["files"].values() for r in v]
+    if all(r in rows for r in rels):
+        base = sum(rows[r] for r in rels)
+        dv = manifest.get("dv", {})
+        live_dv = {rel: ents for rel, ents in dv.items() if rel in set(rels)}
+        if not live_dv:
+            return base
+        deleted = 0
+        seen_dirs: set[str] = set()
+        pairs = {
+            (rel, ent) for rel, ents in live_dv.items() for ent in ents
+        }
+        dirs = sorted({ent for _, ent in pairs})
+        for d in dirs:
+            seen_dirs.add(d)
+            side = spark.read.parquet(f"{path}/{_DELETES_DIR}/{d}")
+            wanted = [rel for rel, ent in pairs if ent == d]
+            deleted += side.where(F.col("rel").isin(wanted)).count()
+        return base - deleted
+    return _snapshot_df(spark, path, manifest).count()
+
+
+def tx_restore(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE the store to a retained older version as a NEW commit
+    (Delta's RESTORE): the head manifest becomes a copy of the target
+    version's state — files, stats, blooms, deletion vectors, schema —
+    under a new version number, so history is preserved (time travel
+    still reads every intermediate version) and the restore itself is
+    undoable. Metadata-only: no data file is read, written or moved;
+    the target's files are guaranteed present because the target
+    version is retained (vacuum keeps every file referenced by a
+    retained manifest). The streaming ledger (last_batch_id) carries
+    forward from the CURRENT head, not the target — batch-id
+    monotonicity must survive a restore or the exactly-once sink would
+    see a regression. Restore is a row-changing operation for
+    incremental consumers (tails raise without ignoreChanges, exactly
+    like overwrite). Restoring to the current version is a no-op."""
+    prev = _load_manifest(spark, path)
+    target = _load_manifest(spark, path, version)
+    if target["version"] == prev["version"]:
+        return prev["version"]
+    txid = uuid.uuid4().hex
+    manifest = {
+        "format": _FORMAT,
+        "version": prev["version"] + 1,
+        "parent": prev["version"],
+        "txid": txid,
+        "operation": "restore",
+        "schema": target["schema"],
+        "files": target["files"],
+        "stats": target.get("stats", {}),
+        "rows": target.get("rows", {}),
+        "blooms": target.get("blooms", {}),
+        "dv": target.get("dv", {}),
+    }
+    if "last_batch_id" in prev:
+        manifest["last_batch_id"] = prev["last_batch_id"]
+    return _commit(spark, path, manifest, prev)
+
+
 def _carry_dv(prev: dict, newmap: dict[str, list[str]]) -> dict:
     """DV map for the new manifest: entries carried for retained files
     only. A rewriting op (upsert/compact/zorder) reads through
@@ -1189,6 +1285,7 @@ def tx_delete_where(
             "schema": prev["schema"],
             "files": prev["files"],
             "stats": prev.get("stats", {}),
+            "rows": prev.get("rows", {}),
             "blooms": prev.get("blooms", {}),
             "dv": dv,
         }
@@ -1494,6 +1591,7 @@ def tx_add_bloom_filters(
             "schema": prev["schema"],
             "files": prev["files"],
             "stats": prev.get("stats", {}),
+            "rows": prev.get("rows", {}),
             "blooms": blooms,
             "dv": prev.get("dv", {}),
         }
@@ -1789,6 +1887,7 @@ def tx_upsert_events(
     files = _stage_and_publish(spark, path, merged, txid)
     newmap = {d: v for d, v in prev["files"].items() if d not in days}
     newmap.update(files)
+    fresh_stats, fresh_rows = _file_stats(path, files, prev["schema"], spark)
     manifest = {
         "format": _FORMAT,
         "version": prev["version"] + 1,
@@ -1797,9 +1896,8 @@ def tx_upsert_events(
         "operation": "upsert",
         "schema": prev["schema"],
         "files": newmap,
-        "stats": _carry_stats(
-            prev, newmap, _file_stats(path, files, prev["schema"], spark)
-        ),
+        "stats": _carry_stats(prev, newmap, fresh_stats),
+        "rows": _carry_stats(prev, newmap, fresh_rows, key="rows"),
         "blooms": _carry_blooms(prev, newmap),
         "dv": _carry_dv(prev, newmap),
     }
@@ -1889,6 +1987,7 @@ def tx_compact_partitions(
     files = _stage_and_publish(spark, path, compacted, txid)
     newmap = {d: v for d, v in prev["files"].items() if d not in days}
     newmap.update(files)
+    fresh_stats, fresh_rows = _file_stats(path, files, prev["schema"], spark)
     manifest = {
         "format": _FORMAT,
         "version": prev["version"] + 1,
@@ -1897,9 +1996,8 @@ def tx_compact_partitions(
         "operation": "compact",
         "schema": prev["schema"],
         "files": newmap,
-        "stats": _carry_stats(
-            prev, newmap, _file_stats(path, files, prev["schema"], spark)
-        ),
+        "stats": _carry_stats(prev, newmap, fresh_stats),
+        "rows": _carry_stats(prev, newmap, fresh_rows, key="rows"),
         "blooms": _carry_blooms(prev, newmap),
         "dv": _carry_dv(prev, newmap),
     }
@@ -2062,6 +2160,7 @@ def tx_optimize_zorder(
     files = _stage_and_publish(spark, path, clustered, txid)
     newmap = {d: v for d, v in prev["files"].items() if d not in days}
     newmap.update(files)
+    fresh_stats, fresh_rows = _file_stats(path, files, prev["schema"], spark)
     manifest = {
         "format": _FORMAT,
         "version": prev["version"] + 1,
@@ -2070,9 +2169,8 @@ def tx_optimize_zorder(
         "operation": "zorder",
         "schema": prev["schema"],
         "files": newmap,
-        "stats": _carry_stats(
-            prev, newmap, _file_stats(path, files, prev["schema"], spark)
-        ),
+        "stats": _carry_stats(prev, newmap, fresh_stats),
+        "rows": _carry_stats(prev, newmap, fresh_rows, key="rows"),
         "blooms": _carry_blooms(prev, newmap),
         "dv": _carry_dv(prev, newmap),
     }

@@ -190,6 +190,82 @@ def test_streaming_source_reconstruction_matches_jvm_path(spark, tmp_path):
         )
 
 
+def test_metadata_count_exact_with_dv(spark, tmp_path):
+    """tx_count_events must answer from the manifest's rows map (zero
+    scan) and subtract deletion vectors exactly; a store missing rows
+    entries falls back to a scan count, never a wrong number."""
+    from maillogsentinel_spark.sources.txstore import (
+        tx_count_events,
+        tx_delete_where,
+    )
+
+    path = str(tmp_path / "cntstore")
+    rows = [_ev(i, 1 + i % 3, 10 + i % 4, float(i)) for i in range(40)]
+    tx_write_events(spark, path, spark.createDataFrame(rows))
+    m = txstore._load_manifest(spark, path)
+    rels = [r for fl in m["files"].values() for r in fl]
+    assert all(r in m["rows"] for r in rels)
+    assert sum(m["rows"].values()) == 40
+    assert tx_count_events(spark, path) == 40
+    tx_append_events(
+        spark, path, spark.createDataFrame([_ev(100, 1, 9, 1.0)])
+    )
+    assert tx_count_events(spark, path) == 41
+    tx_delete_where(spark, path, "event_id % 4 = 0")  # 11 of 41
+    assert tx_count_events(spark, path) == 30
+    assert tx_count_events(spark, path, version=2) == 41  # time travel
+    # legacy store (no rows map): scan fallback still exact
+    m3 = txstore._load_manifest(spark, path)
+    legacy = {k: v for k, v in m3.items() if k != "rows"}
+    legacy["version"] = m3["version"] + 1
+    legacy["parent"] = m3["version"]
+    legacy["txid"] = "legacy" + "0" * 26
+    txstore._commit(spark, path, legacy)
+    assert tx_count_events(spark, path) == 30
+
+
+def test_restore_preserves_history_and_ledger(spark, tmp_path):
+    """tx_restore commits the target's state as a NEW version: head
+    census equals the target's, intermediate versions stay readable,
+    the streaming ledger carries from the current head (monotone batch
+    ids survive the restore), and restore-to-current is a no-op."""
+    from maillogsentinel_spark.sources.txstore import tx_restore
+
+    path = str(tmp_path / "reststore")
+    tx_write_events(
+        spark, path,
+        spark.createDataFrame([_ev(1, 1, 10, 1.0), _ev(2, 2, 11, 2.0)]),
+    )  # v1
+    tx_append_events(
+        spark, path, spark.createDataFrame([_ev(3, 3, 12, 3.0)]),
+        batch_id=7,
+    )  # v2 + ledger
+    tx_upsert_events(
+        spark, path, spark.createDataFrame([_ev(1, 1, 10, 99.0)])
+    )  # v3
+    v = tx_restore(spark, path, 1)
+    assert v == 4
+    ids = sorted(
+        (r.event_id, r.value)
+        for r in tx_read_events(spark, path).collect()
+    )
+    assert ids == [(1, 1.0), (2, 2.0)]  # exactly v1
+    # history intact: v3 still shows the upsert
+    v3 = {r.event_id: r.value
+          for r in tx_read_events(spark, path, version=3).collect()}
+    assert v3[1] == 99.0
+    # ledger carried from HEAD (v2's batch 7), not reset to v1's absence
+    m = txstore._load_manifest(spark, path)
+    assert m["last_batch_id"] == 7
+    # restore-to-current is a no-op
+    assert tx_restore(spark, path, 4) == 4
+    assert tx_current_version(spark, path) == 4
+    # incremental tailing treats restore as row-changing
+    from maillogsentinel_spark.sources.txstore import tx_read_incremental
+    with pytest.raises(ValueError, match="restore"):
+        tx_read_incremental(spark, path, 3)
+
+
 def test_concurrent_append_rebase_still_deltas(spark, tmp_path, monkeypatch):
     """The rebase path recomputes its delta against the NEW head — the
     loser's committed delta must reconstruct the merged state."""
