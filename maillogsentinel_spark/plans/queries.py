@@ -8266,6 +8266,126 @@ def q_tx_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_TX_MERGE_ORACLE = """
+WITH base AS (
+  SELECT event_id, ts, user_id, value FROM events
+  WHERE event_id % 5 = 0 AND day(ts) <= 12
+),
+upd AS (
+  SELECT event_id, ts, user_id, value + 1000 AS value
+  FROM base WHERE event_id % 15 = 0
+),
+ins AS (
+  SELECT -event_id - 1 AS event_id, ts + INTERVAL 6 HOUR AS ts,
+         user_id, value
+  FROM base WHERE event_id % 25 = 0
+),
+src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+kept_targets AS (
+  -- matched + delete-cond (t.event_id % 45 = 0) dropped; matched +
+  -- update-cond (t.user_id % 3 != 0) replaced by the source row;
+  -- matched otherwise / unmatched targets kept
+  SELECT t.event_id,
+         CASE WHEN s.event_id IS NOT NULL AND t.user_id % 3 != 0
+              THEN s.ts ELSE t.ts END AS ts,
+         t.user_id,
+         CASE WHEN s.event_id IS NOT NULL AND t.user_id % 3 != 0
+              THEN s.value ELSE t.value END AS value
+  FROM base t LEFT JOIN src s ON t.event_id = s.event_id
+  WHERE NOT (s.event_id IS NOT NULL AND t.event_id % 45 = 0)
+),
+inserted AS (
+  -- unmatched source + insert-cond (s.user_id % 2 = 0)
+  SELECT s.* FROM src s LEFT JOIN base t ON s.event_id = t.event_id
+  WHERE t.event_id IS NULL AND s.user_id % 2 = 0
+),
+merged AS (SELECT * FROM kept_targets UNION ALL SELECT * FROM inserted)
+SELECT ts::DATE AS event_date,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT event_id)::BIGINT AS n_keys,
+       sum(event_id)::BIGINT AS sum_eid,
+       round(sum(value::DECIMAL(21,6))::DOUBLE, 4) AS value_sum
+FROM merged GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("tx_merge_clauses", oracle=_TX_MERGE_ORACLE)
+def q_tx_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERAL MERGE with Delta's clause semantics, hash-verified: one
+    ``tx_merge`` call carries a CONDITIONAL update (only targets with
+    ``t.user_id % 3 != 0`` are replaced), a matched DELETE
+    (``t.event_id % 45 = 0`` — strictly inside the matched set since
+    45 = 3x15), and a CONDITIONAL insert (only even-user source rows
+    land; odd-user unmatched rows are discarded) — all five action
+    branches (update / keep / delete / insert / discard) exercised in
+    one atomic commit, and the DuckDB oracle re-derives the exact
+    survivor census relationally (LEFT joins + the same CASE logic).
+    An action-resolution bug — delete checked after update, a
+    discarded insert leaking, the keep branch picking source columns —
+    shifts rows between branches and flips the hash. The insert batch
+    lands +6 h, so rows crossing midnight also pin that merged days
+    come from the SOURCE rows' days, including brand-new days."""
+    import shutil
+    import tempfile
+
+    from ..sources.txstore import (
+        tx_current_version,
+        tx_merge,
+        tx_write_events,
+    )
+
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    base = ev.where(
+        (F.col("event_id") % 5 == 0) & (F.dayofmonth("ts") <= 12)
+    )
+    upd = base.where(F.col("event_id") % 15 == 0).select(
+        "event_id", "ts", "user_id",
+        (F.col("value") + 1000).alias("value"),
+    )
+    ins = base.where(F.col("event_id") % 25 == 0).select(
+        (-F.col("event_id") - 1).alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("ts"),
+        "user_id", "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="mls_store_merge_", dir=_scratch_dir())
+    path = f"{tmp}/store"
+    try:
+        with _stream_state_parts(spark, 8):
+            tx_write_events(spark, path, base.repartition(F.to_date("ts")))
+            tx_merge(
+                spark, path, upd.unionByName(ins),
+                when_matched_update="t.user_id % 3 != 0",
+                when_matched_delete="t.event_id % 45 = 0",
+                when_not_matched_insert="s.user_id % 2 = 0",
+            )
+            if tx_current_version(spark, path) != 2:  # survives -O
+                raise RuntimeError("merge must commit exactly one version")
+            from ..sources.txstore import tx_read_events
+
+            agg = (
+                tx_read_events(spark, path)
+                .groupBy("event_date")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.countDistinct("event_id").alias("n_keys"),
+                    F.sum("event_id").cast("long").alias("sum_eid"),
+                    F.round(
+                        F.sum(F.col("value").cast("decimal(21,6)")).cast(
+                            "double"
+                        ),
+                        4,
+                    ).alias("value_sum"),
+                )
+                .orderBy("event_date")
+            )
+            rows = agg.collect()
+            return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _TX_RESTORE_ORACLE = """
 WITH base AS (
   SELECT event_id, ts, user_id, value FROM events
@@ -11623,10 +11743,13 @@ _NEXT = [
     "dedup_semantic",
     # NEW mid-round-11: metadata-only COUNT(*) from the manifest's
     # per-file row counts (Delta's numRecords; DV sidecars subtract
-    # exactly) and RESTORE-as-a-new-commit (history preserved,
-    # census-pinned against the v1 oracle)
+    # exactly), RESTORE-as-a-new-commit (history preserved,
+    # census-pinned against the v1 oracle), and general MERGE with
+    # Delta's clause semantics (conditional update / matched delete /
+    # conditional insert — all five action branches in one commit)
     "tx_metadata_count",
     "tx_restore_roundtrip",
+    "tx_merge_clauses",
     # round-11 rotation OUT: five long-green rows retired to admit the
     # five mid-round-10 tx-store flagships (now graded in-window) —
     # knn_pq_adc (green r7-r10; ANN evidence stays via

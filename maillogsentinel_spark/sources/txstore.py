@@ -1906,6 +1906,133 @@ def tx_upsert_events(
     return _commit(spark, path, manifest, prev)
 
 
+def tx_merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str = "event_id",
+    when_matched_update: str | bool = True,
+    when_matched_delete: str | None = None,
+    when_not_matched_insert: str | bool = True,
+) -> int:
+    """General MERGE with Delta's clause semantics, committed
+    atomically through the manifest: the source joins the touched
+    days' snapshot on ``key``, and each row resolves to exactly one
+    action —
+
+    - matched + ``when_matched_delete`` condition true  -> row dropped
+    - matched + ``when_matched_update`` true (checked after delete)
+      -> target row replaced by the source row
+    - matched, neither condition                        -> target kept
+    - unmatched source + ``when_not_matched_insert``    -> inserted
+    - unmatched source, condition false                 -> discarded
+    - unmatched target                                  -> kept as-is
+
+    Conditions are SQL boolean expressions over the pair namespace
+    (``s.col`` = source side, ``t.col`` = target side), e.g.
+    ``when_matched_update="s.value > t.value"`` — Delta's conditional
+    clause forms. ``True``/``None`` mean unconditional / clause absent.
+
+    Execution is the upsert's relational shape (this IS tx_upsert with
+    clause logic in place of replace-always): dedupe the source to one
+    deterministic winner per key, FULL OUTER join against only the
+    source days' snapshot (manifest file pruning scopes the read), one
+    action column decides each row map-side, and the touched days flip
+    to their new file sets in ONE manifest rename — crash-atomic like
+    every other write. Inherits the upsert's day-scoping contract: a
+    key moving days needs a losing row on its old day, or the stale
+    old-day row survives (only the source's days are rewritten).
+
+    The losing race aborts with ConcurrentCommitError (merge replaces
+    files — a true conflict), exactly like upsert."""
+    from pyspark.sql import Window
+
+    txid = uuid.uuid4().hex
+    src0 = _with_day(source)
+    days = sorted(
+        str(r["event_date"])
+        for r in src0.select("event_date").distinct().collect()
+    )
+    if not days:
+        return tx_current_version(spark, path)
+    prev = _load_manifest(spark, path)
+    _check_schema(prev, source, "merge")
+    tiebreak = [
+        F.col(f.name).desc_nulls_last()
+        for f in src0.schema.fields
+        if f.name not in (key, "ts", "event_date")
+        and not _contains_map(f.dataType)
+    ]
+    w = Window.partitionBy(key).orderBy(
+        F.col("ts").desc_nulls_last(), *tiebreak
+    )
+    src = (
+        src0.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    snap = _snapshot_df(spark, path, prev, days)
+    cols = snap.columns
+    t = snap.alias("t")
+    s = src.select(cols).alias("s")
+    joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+
+    def _cond(c, default):
+        if c is True:
+            return F.lit(True)
+        if c is None or c is False:
+            return F.lit(False)
+        return F.expr(c)
+
+    matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
+    action = (
+        F.when(
+            F.col(f"t.{key}").isNull(),
+            F.when(
+                _cond(when_not_matched_insert, False), F.lit("i")
+            ).otherwise(F.lit("x")),
+        )
+        .when(F.col(f"s.{key}").isNull(), F.lit("k"))
+        .when(_cond(when_matched_delete, False), F.lit("x"))
+        .when(_cond(when_matched_update, False), F.lit("u"))
+        .otherwise(F.lit("k"))
+    )
+    resolved = (
+        joined.withColumn("__action", action)
+        .where(F.col("__action") != "x")
+        .select(
+            *[
+                F.when(
+                    F.col("__action") == "k", F.col(f"t.{c}")
+                ).otherwise(F.col(f"s.{c}")).alias(c)
+                for c in cols
+                if c != "event_date"
+            ]
+        )
+    )
+    merged = _with_day(resolved)
+    files = _stage_and_publish(spark, path, merged, txid)
+    newmap = {d: v for d, v in prev["files"].items() if d not in days}
+    newmap.update(files)
+    fresh_stats, fresh_rows = _file_stats(path, files, prev["schema"], spark)
+    manifest = {
+        "format": _FORMAT,
+        "version": prev["version"] + 1,
+        "parent": prev["version"],
+        "txid": txid,
+        "operation": "merge",
+        "schema": prev["schema"],
+        "files": newmap,
+        "stats": _carry_stats(prev, newmap, fresh_stats),
+        "rows": _carry_stats(prev, newmap, fresh_rows, key="rows"),
+        "blooms": _carry_blooms(prev, newmap),
+        "dv": _carry_dv(prev, newmap),
+    }
+    if "last_batch_id" in prev:  # carry the streaming ledger forward
+        manifest["last_batch_id"] = prev["last_batch_id"]
+    return _commit(spark, path, manifest, prev)
+
+
 def _select_days(
     spark: SparkSession, path: str, prev: dict, predicate: str | None
 ) -> list[str]:

@@ -855,6 +855,74 @@ def test_delete_aborts_when_racer_replaced_touched_file(spark, tmp_path,
     assert by_id[2] == 22.0  # the upsert won; the delete left no trace
 
 
+def test_merge_clause_semantics(spark, tmp_path):
+    """tx_merge resolves every row to exactly one action: matched
+    delete (checked FIRST), matched conditional update, matched keep,
+    unmatched-source conditional insert / discard, unmatched-target
+    keep. Conditions see both sides (s.*, t.*)."""
+    from maillogsentinel_spark.sources.txstore import tx_merge
+
+    path = _store(spark, tmp_path)  # keys 1..4 (values 1..4)
+    src = spark.createDataFrame([
+        _ev(1, 1, 10, 100.0),   # matched, update cond true -> replaced
+        _ev(2, 1, 11, 0.5),     # matched, update cond false -> kept
+        _ev(3, 2, 10, 300.0),   # matched, delete cond -> dropped
+        _ev(7, 2, 14, 7.0),     # unmatched, insert cond true -> inserted
+        _ev(8, 2, 15, 8.0),     # unmatched, insert cond false -> discarded
+    ])
+    v = tx_merge(
+        spark, path, src,
+        when_matched_update="s.value > t.value",
+        when_matched_delete="t.event_id = 3",
+        when_not_matched_insert="s.user_id = 14",
+    )
+    assert v == 2
+    got = {r.event_id: r.value for r in tx_read_events(spark, path).collect()}
+    assert got == {1: 100.0, 2: 2.0, 4: 4.0, 7: 7.0}
+    # unconditional forms: update always, no delete, insert always
+    tx_merge(spark, path, spark.createDataFrame(
+        [_ev(2, 1, 11, 22.0), _ev(9, 3, 16, 9.0)]))
+    got = {r.event_id: r.value for r in tx_read_events(spark, path).collect()}
+    assert got == {1: 100.0, 2: 22.0, 4: 4.0, 7: 7.0, 9: 9.0}
+    # empty source: no-op, no commit
+    empty = spark.createDataFrame([], src.schema)
+    assert tx_merge(spark, path, empty) == 3
+    # insert-only merge with update disabled keeps targets
+    tx_merge(spark, path, spark.createDataFrame([_ev(2, 1, 11, 999.0)]),
+             when_matched_update=False)
+    got = {r.event_id: r.value for r in tx_read_events(spark, path).collect()}
+    assert got[2] == 22.0
+    # time travel: pre-merge state intact
+    v1 = {r.event_id: r.value
+          for r in tx_read_events(spark, path, version=1).collect()}
+    assert v1 == {1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0}
+
+
+def test_merge_loses_race_aborts(spark, tmp_path, monkeypatch):
+    """MERGE replaces files — losing the rename race is a true
+    conflict and must abort, never rebase (same contract as upsert)."""
+    from maillogsentinel_spark.sources.txstore import tx_merge
+
+    path = _store(spark, tmp_path)
+    real_commit = txstore._commit
+    state = {"raced": False}
+
+    def racing_commit(spark_, root, manifest, prev=None):
+        if not state["raced"] and manifest["operation"] == "merge":
+            state["raced"] = True
+            tx_append_events(spark_, root,
+                             spark_.createDataFrame([_ev(6, 2, 14, 6.0)]))
+        return real_commit(spark_, root, manifest, prev)
+
+    monkeypatch.setattr(txstore, "_commit", racing_commit)
+    with pytest.raises(ConcurrentCommitError):
+        tx_merge(spark, path, spark.createDataFrame([_ev(1, 1, 10, 50.0)]))
+    monkeypatch.setattr(txstore, "_commit", real_commit)
+    by_id = {r.event_id: r.value for r in tx_read_events(spark, path).collect()}
+    assert by_id[1] == 1.0  # aborted merge left no trace
+    assert 6 in by_id       # the racing append won
+
+
 def test_bloom_attach_rebases_onto_concurrent_append(spark, tmp_path,
                                                      monkeypatch):
     """A metadata-only bloom attach losing the race to an append
