@@ -8487,6 +8487,129 @@ def q_tx_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_TX_HISTORY_ORACLE = """
+WITH ev AS (
+  SELECT event_id, ts, user_id, value FROM events WHERE day(ts) <= 12
+),
+v1 AS (SELECT * FROM ev WHERE day(ts) <= 9),
+v3 AS (SELECT * FROM ev WHERE event_id % 7 != 0),
+d1 AS (SELECT count(DISTINCT ts::DATE)::INT AS nd, count(*)::BIGINT AS n
+       FROM v1),
+d2 AS (SELECT count(DISTINCT ts::DATE)::INT AS nd, count(*)::BIGINT AS n
+       FROM ev),
+d3 AS (SELECT count(*)::BIGINT AS n FROM v3)
+SELECT * FROM (
+  SELECT 1 AS version, 0 AS parent, 'overwrite' AS operation,
+         nd AS n_days, n AS n_rows_physical, n AS n_rows_logical
+  FROM d1
+  UNION ALL
+  SELECT 2, 1, 'append', nd, n, n FROM d2
+  UNION ALL
+  SELECT 3, 2, 'delete', (SELECT nd FROM d2), (SELECT n FROM d2), n
+  FROM d3
+  UNION ALL
+  SELECT 4, 3, 'restore', nd, n, n FROM d2
+) ORDER BY version
+"""
+
+
+@query("tx_history_audit", oracle=_TX_HISTORY_ORACLE)
+def q_tx_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY + timestamp time travel, hash-verified over a
+    four-operation log (overwrite → append → DV delete → restore):
+    ``tx_history`` must report each version's parent, operation, day
+    count and PHYSICAL row total (the delete keeps physical rows — its
+    DV is metadata), while ``tx_count_events`` pins the LOGICAL count
+    per version (the delete subtracts, the restore brings v2's count
+    back). In-query contracts that survive python -O: commit
+    timestamps are monotone non-decreasing, ``tx_version_at`` resolves
+    the head's own timestamp to the head and raises for a timestamp
+    before the first commit, and every version's file count equals its
+    day count (the fixture writes one file per day). The DuckDB oracle
+    re-derives all twelve counts relationally."""
+    import shutil
+    import tempfile
+
+    from ..sources.txstore import (
+        tx_append_events,
+        tx_count_events,
+        tx_delete_where,
+        tx_history,
+        tx_restore,
+        tx_version_at,
+        tx_write_events,
+    )
+
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "value"
+    ).where(F.dayofmonth("ts") <= 12)
+    tmp = tempfile.mkdtemp(prefix="mls_store_hist_", dir=_scratch_dir())
+    path = f"{tmp}/store"
+    try:
+        with _stream_state_parts(spark, 8):
+            tx_write_events(
+                spark, path,
+                ev.where(F.dayofmonth("ts") <= 9)
+                .repartition(F.to_date("ts")),
+            )
+            tx_append_events(
+                spark, path,
+                ev.where(F.dayofmonth("ts").between(10, 12))
+                .repartition(F.to_date("ts")),
+            )
+            tx_delete_where(spark, path, "event_id % 7 = 0")
+            tx_restore(spark, path, 2)
+            hist = sorted(
+                tx_history(spark, path).collect(),
+                key=lambda r: r["version"],
+            )
+            from ..sources.txstore import _load_manifest
+
+            # epoch millis straight from the manifests — collected
+            # TimestampType values round-trip through the session TZ
+            stamps = [
+                _load_manifest(spark, path, r["version"])["committed_at_ms"]
+                for r in hist
+            ]
+            if stamps != sorted(stamps):  # survives python -O
+                raise RuntimeError("commit timestamps must be monotone")
+            if tx_version_at(spark, path, stamps[-1]) != hist[-1]["version"]:
+                raise RuntimeError(
+                    "head timestamp must resolve to the head version"
+                )
+            try:
+                tx_version_at(spark, path, stamps[0] - 1)
+                raise RuntimeError(
+                    "pre-history timestamp must raise, not resolve"
+                )
+            except ValueError:
+                pass
+            out = []
+            for r in hist:
+                if r["n_files"] != r["n_days"]:  # one file per day here
+                    raise RuntimeError(
+                        f"v{r['version']}: {r['n_files']} files != "
+                        f"{r['n_days']} days"
+                    )
+                out.append(
+                    (
+                        r["version"],
+                        r["parent"],
+                        r["operation"],
+                        r["n_days"],
+                        r["n_rows_physical"],
+                        tx_count_events(spark, path, r["version"]),
+                    )
+                )
+            return spark.createDataFrame(
+                out,
+                "version int, parent int, operation string, n_days int, "
+                "n_rows_physical long, n_rows_logical long",
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _TX_DV_ORACLE = """
 WITH base AS (
   SELECT event_id, ts, user_id, value FROM events WHERE day(ts) <= 12
@@ -11750,6 +11873,11 @@ _NEXT = [
     "tx_metadata_count",
     "tx_restore_roundtrip",
     "tx_merge_clauses",
+    # NEW mid-round-11: DESCRIBE HISTORY + timestampAsOf (commit
+    # wall-time stamped in the manifest; monotonicity, head round-trip
+    # and pre-history raise pinned in-query; physical vs logical row
+    # counts per version pinned by the oracle)
+    "tx_history_audit",
     # round-11 rotation OUT: five long-green rows retired to admit the
     # five mid-round-10 tx-store flagships (now graded in-window) —
     # knn_pq_adc (green r7-r10; ANN evidence stays via

@@ -80,6 +80,7 @@ matrix lives in its module docstring.
 
 from __future__ import annotations
 
+import datetime
 import json
 import uuid
 
@@ -402,7 +403,13 @@ def _commit(
     construction. Every _CKPT_INTERVAL-th version also writes a
     parquet checkpoint (best-effort — readers replay the JSON chain
     when it is missing)."""
+    import time as _time
+
     version = manifest["version"]
+    # commit wall-time: what tx_history reports and timestamp-based
+    # time travel (tx_version_at) resolves against — stamped before
+    # the delta diff so it rides every log form identically
+    manifest.setdefault("committed_at_ms", int(_time.time() * 1000))
     fs, mdir, jvm = _jfs(spark, f"{root}/{_MANIFEST_DIR}")
     fs.mkdirs(mdir)
     doc = manifest
@@ -1130,6 +1137,95 @@ def tx_count_events(
             deleted += side.where(F.col("rel").isin(wanted)).count()
         return base - deleted
     return _snapshot_df(spark, path, manifest).count()
+
+
+def tx_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per retained version — version,
+    parent, operation, txid, commit wall-time, file/day counts, and
+    the physical row total from the manifest's rows map (None for
+    files a legacy writer published without footer counts). Walks the
+    retained log with ONE base reconstruction (the delta chain rolls
+    forward), so the cost is O(retained versions) small JSON reads."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    versions = _list_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed manifest under {path}")
+    out = []
+    for v, m in _iter_manifests(spark, path, versions[0], versions[-1]):
+        rels = [r for fl in m["files"].values() for r in fl]
+        rows_map = m.get("rows", {})
+        n_rows = (
+            sum(rows_map[r] for r in rels)
+            if all(r in rows_map for r in rels)
+            else None
+        )
+        ts_ms = m.get("committed_at_ms")
+        out.append(
+            (
+                v,
+                m.get("parent"),
+                m.get("operation", "?"),
+                m.get("txid"),
+                (
+                    datetime.datetime.fromtimestamp(
+                        ts_ms / 1000.0, tz=datetime.timezone.utc
+                    )
+                    if ts_ms is not None
+                    else None
+                ),
+                len(rels),
+                len(m["files"]),
+                n_rows,
+            )
+        )
+    schema = StructType(
+        [
+            StructField("version", IntegerType()),
+            StructField("parent", IntegerType()),
+            StructField("operation", StringType()),
+            StructField("txid", StringType()),
+            StructField("committed_at", TimestampType()),
+            StructField("n_files", IntegerType()),
+            StructField("n_days", IntegerType()),
+            StructField("n_rows_physical", LongType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def tx_version_at(spark: SparkSession, path: str, ts_ms: int) -> int:
+    """Timestamp-based time travel (Delta's timestampAsOf): the
+    LATEST retained version whose commit wall-time is <= ``ts_ms``.
+    Raises when the timestamp predates the earliest retained commit
+    (that history has been vacuumed) or when no retained manifest
+    carries a timestamp (legacy log)."""
+    versions = _list_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed manifest under {path}")
+    best = None
+    stamped = False
+    for v, m in _iter_manifests(spark, path, versions[0], versions[-1]):
+        t = m.get("committed_at_ms")
+        if t is None:
+            continue
+        stamped = True
+        if t <= ts_ms:
+            best = v
+    if not stamped:
+        raise ValueError(
+            f"no retained manifest under {path} carries a commit "
+            "timestamp (legacy log) — use version-based time travel"
+        )
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts_ms} predates the earliest retained commit "
+            f"of {path} — that history has been vacuumed"
+        )
+    return best
 
 
 def tx_restore(spark: SparkSession, path: str, version: int) -> int:
@@ -2138,6 +2234,7 @@ def tx_vacuum(
     path: str,
     keep_versions: int = 2,
     retention_ms: int = 600_000,
+    dry_run: bool = False,
 ) -> int:
     """Delete data files not referenced by the newest ``keep_versions``
     manifests, orphaned staging dirs, unreferenced deletion-vector
@@ -2145,6 +2242,12 @@ def tx_vacuum(
     files plus swept DV sidecar directories. Safe concurrently with readers of
     retained versions (a reader of a vacuumed version fails loudly, as
     in any table format).
+
+    ``dry_run=True`` (Delta's VACUUM DRY RUN) computes and returns the
+    SAME count — what a real vacuum would delete right now, under the
+    same retention window — without touching a single file, sidecar,
+    staging dir, manifest or checkpoint: the audit step before an
+    irreversible sweep.
 
     Writer concurrency: an IN-FLIGHT transaction's files are not yet
     referenced by any manifest — a vacuum that raced it could sweep
@@ -2190,10 +2293,11 @@ def tx_vacuum(
             if rel not in live and st.getModificationTime() <= cutoff_ms:
                 doomed.append(f)
         for f in doomed:
-            fs.delete(f, False)
+            if not dry_run:
+                fs.delete(f, False)
             deleted += 1
     sroot = Path(f"{path}/{_STAGING_DIR}")
-    if fs.exists(sroot):
+    if fs.exists(sroot) and not dry_run:
         for st in fs.listStatus(sroot):
             if st.getModificationTime() <= cutoff_ms:
                 fs.delete(st.getPath(), True)
@@ -2205,8 +2309,11 @@ def tx_vacuum(
         for st in fs.listStatus(dvroot):
             name = st.getPath().getName()
             if name not in live_dv and st.getModificationTime() <= cutoff_ms:
-                fs.delete(st.getPath(), True)
+                if not dry_run:
+                    fs.delete(st.getPath(), True)
                 deleted += 1
+    if dry_run:
+        return deleted
     # Before trimming the log: the earliest KEPT version must stay
     # reconstructible without the versions about to be deleted. If its
     # own JSON is a delta and no checkpoint exists at it, materialize

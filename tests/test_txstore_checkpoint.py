@@ -266,6 +266,61 @@ def test_restore_preserves_history_and_ledger(spark, tmp_path):
         tx_read_incremental(spark, path, 3)
 
 
+def test_vacuum_dry_run_touches_nothing(spark, tmp_path):
+    """dry_run must report exactly what a real vacuum would delete —
+    and delete none of it: same file census, same manifests, and the
+    subsequent real vacuum removes the reported count."""
+    import glob as _glob
+
+    path = str(tmp_path / "drystore")
+    tx_write_events(spark, path, spark.createDataFrame([_ev(1, 1, 10, 1.0)]))
+    tx_write_events(  # overwrite: v1's files become unreferenced
+        spark, path, spark.createDataFrame([_ev(2, 2, 11, 2.0)])
+    )
+    files_before = sorted(_glob.glob(os.path.join(path, "data", "*", "*")))
+    manifests_before = sorted(
+        _glob.glob(os.path.join(path, "_manifests", "*"))
+    )
+    dry = tx_vacuum(spark, path, keep_versions=1, retention_ms=0,
+                    dry_run=True)
+    assert dry >= 1
+    assert sorted(_glob.glob(os.path.join(path, "data", "*", "*"))) \
+        == files_before
+    assert sorted(_glob.glob(os.path.join(path, "_manifests", "*"))) \
+        == manifests_before
+    real = tx_vacuum(spark, path, keep_versions=1, retention_ms=0)
+    assert real == dry
+    assert len(_glob.glob(os.path.join(path, "data", "*", "*"))) \
+        == len(files_before) - dry
+
+
+def test_history_and_timestamp_travel(spark, tmp_path):
+    """tx_history walks the retained log; tx_version_at resolves
+    commit wall-times to versions with Delta's timestampAsOf rule
+    (latest version committed at-or-before the timestamp)."""
+    from maillogsentinel_spark.sources.txstore import (
+        tx_history,
+        tx_version_at,
+    )
+
+    path = str(tmp_path / "histstore")
+    tx_write_events(spark, path, spark.createDataFrame([_ev(1, 1, 10, 1.0)]))
+    tx_append_events(spark, path, spark.createDataFrame([_ev(2, 2, 11, 2.0)]))
+    tx_upsert_events(spark, path, spark.createDataFrame([_ev(1, 1, 10, 9.0)]))
+    hist = {r["version"]: r for r in tx_history(spark, path).collect()}
+    assert set(hist) == {1, 2, 3}
+    assert hist[1]["operation"] == "overwrite"
+    assert hist[2]["operation"] == "append" and hist[2]["parent"] == 1
+    assert hist[3]["operation"] == "upsert"
+    assert hist[2]["n_rows_physical"] == 2
+    assert hist[2]["committed_at"] is not None
+    ts3 = txstore._load_manifest(spark, path, 3)["committed_at_ms"]
+    assert tx_version_at(spark, path, ts3 + 10_000) == 3
+    ts1 = txstore._load_manifest(spark, path, 1)["committed_at_ms"]
+    with pytest.raises(ValueError, match="predates"):
+        tx_version_at(spark, path, ts1 - 1)
+
+
 def test_concurrent_append_rebase_still_deltas(spark, tmp_path, monkeypatch):
     """The rebase path recomputes its delta against the NEW head — the
     loser's committed delta must reconstruct the merged state."""
