@@ -8487,6 +8487,109 @@ def q_tx_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_TX_CONSTRAINTS_ORACLE = """
+WITH c AS (SELECT count(*)::BIGINT AS n FROM events WHERE day(ts) <= 9)
+SELECT * FROM (
+  SELECT 1 AS step, 'add_constraint' AS action,
+         'committed' AS outcome, 2 AS version,
+         (SELECT n FROM c) AS n_rows
+  UNION ALL SELECT 2, 'append_valid', 'committed', 3,
+         (SELECT n FROM c) + 1
+  UNION ALL SELECT 3, 'append_violating', 'rejected', 3,
+         (SELECT n FROM c) + 1
+  UNION ALL SELECT 4, 'add_violated_by_existing', 'rejected', 3,
+         (SELECT n FROM c) + 1
+  UNION ALL SELECT 5, 'drop_constraint', 'committed', 4,
+         (SELECT n FROM c) + 1
+  UNION ALL SELECT 6, 'append_after_drop', 'committed', 5,
+         (SELECT n FROM c) + 2
+) ORDER BY step
+"""
+
+
+@query("tx_constraints_gate", oracle=_TX_CONSTRAINTS_ORACLE)
+def q_tx_constraints_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints as a POLICY contract, oracle-pinned (the
+    multimodal_gate_registry precedent: the raise-instead-of-commit
+    behavior is itself the graded row set). Six steps: ADD a
+    constraint the data satisfies (metadata-only commit), a valid
+    append lands, a VIOLATING append is REJECTED with nothing
+    committed (version and metadata-only row count both pinned
+    unchanged), ADDing a constraint the existing snapshot violates is
+    rejected (Delta validates existing data first), DROP commits, and
+    the previously-rejected row then lands. Row counts come from
+    tx_count_events — the metadata path — so the gate also re-pins
+    numRecords across constraint commits."""
+    import shutil
+    import tempfile
+
+    from ..sources.txstore import (
+        ConstraintViolationError,
+        tx_add_constraint,
+        tx_append_events,
+        tx_count_events,
+        tx_current_version,
+        tx_drop_constraint,
+        tx_write_events,
+    )
+
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "value"
+    ).where(F.dayofmonth("ts") <= 9)
+    tmp = tempfile.mkdtemp(prefix="mls_store_cons_", dir=_scratch_dir())
+    path = f"{tmp}/store"
+
+    def good_row(eid):
+        return ev.limit(1).select(
+            F.lit(eid).cast("long").alias("event_id"), "ts",
+            "user_id", "value",
+        )
+
+    out = []
+
+    def record(step, action, outcome):
+        out.append(
+            (
+                step, action, outcome,
+                tx_current_version(spark, path),
+                tx_count_events(spark, path),
+            )
+        )
+
+    try:
+        with _stream_state_parts(spark, 8):
+            tx_write_events(spark, path, ev.repartition(F.to_date("ts")))
+            tx_add_constraint(
+                spark, path, "eid_floor", "event_id > -1000000"
+            )
+            record(1, "add_constraint", "committed")
+            tx_append_events(spark, path, good_row(-1))
+            record(2, "append_valid", "committed")
+            try:
+                tx_append_events(spark, path, good_row(-2000000))
+                record(3, "append_violating", "LEAKED")
+            except ConstraintViolationError:
+                record(3, "append_violating", "rejected")
+            try:
+                tx_add_constraint(
+                    spark, path, "impossible", "event_id > 100000000"
+                )
+                record(4, "add_violated_by_existing", "LEAKED")
+            except ConstraintViolationError:
+                record(4, "add_violated_by_existing", "rejected")
+            tx_drop_constraint(spark, path, "eid_floor")
+            record(5, "drop_constraint", "committed")
+            tx_append_events(spark, path, good_row(-2000000))
+            record(6, "append_after_drop", "committed")
+            return spark.createDataFrame(
+                out,
+                "step int, action string, outcome string, version int, "
+                "n_rows long",
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _TX_HISTORY_ORACLE = """
 WITH ev AS (
   SELECT event_id, ts, user_id, value FROM events WHERE day(ts) <= 12
@@ -11878,6 +11981,10 @@ _NEXT = [
     # and pre-history raise pinned in-query; physical vs logical row
     # counts per version pinned by the oracle)
     "tx_history_audit",
+    # NEW mid-round-11: CHECK constraints with writer-side enforcement
+    # (ADD validates existing data; violating batches are rejected
+    # before staging — the raise policy is itself the oracle row set)
+    "tx_constraints_gate",
     # round-11 rotation OUT: five long-green rows retired to admit the
     # five mid-round-10 tx-store flagships (now graded in-window) —
     # knn_pq_adc (green r7-r10; ANN evidence stays via

@@ -808,11 +808,15 @@ def tx_write_events(
     tx_append_events)."""
     txid = uuid.uuid4().hex
     df = _with_day(events)
-    files = _stage_and_publish(spark, path, df, txid)
     try:
-        parent = _load_manifest(spark, path)["version"]
+        prev = _load_manifest(spark, path)
+        parent = prev["version"]
     except FileNotFoundError:
-        parent = 0
+        prev, parent = None, 0
+    cons = (prev or {}).get("constraints", {})
+    if cons:  # CHECK constraints survive overwrite (table property)
+        _check_constraints(prev, df, "overwrite")
+    files = _stage_and_publish(spark, path, df, txid)
     schema_json = _schema_json(df)
     stats, rows = _file_stats(path, files, schema_json, spark)
     manifest = {
@@ -825,6 +829,7 @@ def tx_write_events(
         "files": files,
         "stats": stats,
         "rows": rows,
+        "constraints": cons,
     }
     if batch_id is not None:
         manifest["last_batch_id"] = batch_id
@@ -879,6 +884,100 @@ def _check_schema(
         + [StructField(f.name, f.dataType, nullable=True) for f in new_cols]
     )
     return json.dumps(evolved.jsonValue())
+
+
+class ConstraintViolationError(ValueError):
+    """A batch (or the existing snapshot, on ADD) violates a CHECK
+    constraint; nothing was committed."""
+
+
+def _check_constraints(prev: dict, df: DataFrame, op: str) -> None:
+    """Enforce the store's CHECK constraints on a batch BEFORE any
+    file is staged — Delta's semantics: a row violates when the
+    expression evaluates to FALSE (NULL passes, like SQL CHECK). One
+    pass counts violations for every constraint together; the error
+    names each violated constraint with its row count."""
+    cons = prev.get("constraints", {})
+    if not cons:
+        return
+    names = sorted(cons)
+    aggs = [
+        F.sum(
+            (~F.coalesce(F.expr(cons[n]), F.lit(True))).cast("long")
+        ).alias(n)
+        for n in names
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {n: int(row[n] or 0) for n in names if (row[n] or 0) > 0}
+    if bad:
+        detail = "; ".join(
+            f"{n!r} ({cons[n]}): {c} row(s)" for n, c in sorted(bad.items())
+        )
+        raise ConstraintViolationError(
+            f"{op} batch violates CHECK constraint(s): {detail}"
+        )
+
+
+def tx_add_constraint(
+    spark: SparkSession, path: str, name: str, expression: str
+) -> int:
+    """ADD a CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT) as
+    a METADATA-ONLY commit. The EXISTING snapshot is validated first —
+    a constraint the current data already violates raises
+    ConstraintViolationError and commits nothing. Every subsequent
+    write (overwrite / append / upsert / merge, including the
+    streaming sink, which is an append) enforces it batch-side before
+    staging a single file."""
+    prev = _load_manifest(spark, path)
+    cons = dict(prev.get("constraints", {}))
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists on {path}")
+    trial = dict(prev, constraints={name: expression})
+    _check_constraints(trial, tx_read_events(spark, path), "existing data")
+    cons[name] = expression
+    manifest = {
+        "format": _FORMAT,
+        "version": prev["version"] + 1,
+        "parent": prev["version"],
+        "txid": uuid.uuid4().hex,
+        "operation": "add_constraint",
+        "schema": prev["schema"],
+        "files": prev["files"],
+        "stats": prev.get("stats", {}),
+        "rows": prev.get("rows", {}),
+        "blooms": prev.get("blooms", {}),
+        "dv": prev.get("dv", {}),
+        "constraints": cons,
+    }
+    if "last_batch_id" in prev:
+        manifest["last_batch_id"] = prev["last_batch_id"]
+    return _commit(spark, path, manifest, prev)
+
+
+def tx_drop_constraint(spark: SparkSession, path: str, name: str) -> int:
+    """DROP a CHECK constraint (metadata-only commit)."""
+    prev = _load_manifest(spark, path)
+    cons = dict(prev.get("constraints", {}))
+    if name not in cons:
+        raise ValueError(f"no constraint {name!r} on {path}")
+    del cons[name]
+    manifest = {
+        "format": _FORMAT,
+        "version": prev["version"] + 1,
+        "parent": prev["version"],
+        "txid": uuid.uuid4().hex,
+        "operation": "drop_constraint",
+        "schema": prev["schema"],
+        "files": prev["files"],
+        "stats": prev.get("stats", {}),
+        "rows": prev.get("rows", {}),
+        "blooms": prev.get("blooms", {}),
+        "dv": prev.get("dv", {}),
+        "constraints": cons,
+    }
+    if "last_batch_id" in prev:
+        manifest["last_batch_id"] = prev["last_batch_id"]
+    return _commit(spark, path, manifest, prev)
 
 
 def _ledger_replayed(prev: dict, batch_id: int | None) -> bool:
@@ -942,6 +1041,7 @@ def tx_append_events(
     if _ledger_replayed(prev, batch_id):
         return prev["version"]  # replayed batch: already committed
     schema_json = _check_schema(prev, events, "append", merge=merge_schema)
+    _check_constraints(prev, _with_day(events), "append")
     files = _stage_and_publish(spark, path, _with_day(events), txid)
     fresh_stats, fresh_rows = _file_stats(path, files, schema_json, spark)
     for attempt in range(max_rebase_attempts):
@@ -961,6 +1061,7 @@ def tx_append_events(
             "rows": _carry_stats(prev, merged, fresh_rows, key="rows"),
             "blooms": _carry_blooms(prev, merged),
             "dv": _carry_dv(prev, merged),
+            "constraints": prev.get("constraints", {}),
         }
         if batch_id is not None:
             manifest["last_batch_id"] = batch_id
@@ -1260,6 +1361,7 @@ def tx_restore(spark: SparkSession, path: str, version: int) -> int:
         "rows": target.get("rows", {}),
         "blooms": target.get("blooms", {}),
         "dv": target.get("dv", {}),
+        "constraints": target.get("constraints", {}),
     }
     if "last_batch_id" in prev:
         manifest["last_batch_id"] = prev["last_batch_id"]
@@ -1384,6 +1486,7 @@ def tx_delete_where(
             "rows": prev.get("rows", {}),
             "blooms": prev.get("blooms", {}),
             "dv": dv,
+            "constraints": prev.get("constraints", {}),
         }
         if "last_batch_id" in prev:
             manifest["last_batch_id"] = prev["last_batch_id"]
@@ -1690,6 +1793,7 @@ def tx_add_bloom_filters(
             "rows": prev.get("rows", {}),
             "blooms": blooms,
             "dv": prev.get("dv", {}),
+            "constraints": prev.get("constraints", {}),
         }
         if "last_batch_id" in prev:
             manifest["last_batch_id"] = prev["last_batch_id"]
@@ -1980,6 +2084,7 @@ def tx_upsert_events(
         F.broadcast(up.select(key)), key, "left_anti"
     )
     merged = old.unionByName(up.select(old.columns))
+    _check_constraints(prev, merged, "upsert")
     files = _stage_and_publish(spark, path, merged, txid)
     newmap = {d: v for d, v in prev["files"].items() if d not in days}
     newmap.update(files)
@@ -1996,6 +2101,7 @@ def tx_upsert_events(
         "rows": _carry_stats(prev, newmap, fresh_rows, key="rows"),
         "blooms": _carry_blooms(prev, newmap),
         "dv": _carry_dv(prev, newmap),
+        "constraints": prev.get("constraints", {}),
     }
     if "last_batch_id" in prev:  # carry the streaming ledger forward
         manifest["last_batch_id"] = prev["last_batch_id"]
@@ -2107,6 +2213,7 @@ def tx_merge(
         )
     )
     merged = _with_day(resolved)
+    _check_constraints(prev, merged, "merge")
     files = _stage_and_publish(spark, path, merged, txid)
     newmap = {d: v for d, v in prev["files"].items() if d not in days}
     newmap.update(files)
@@ -2123,6 +2230,7 @@ def tx_merge(
         "rows": _carry_stats(prev, newmap, fresh_rows, key="rows"),
         "blooms": _carry_blooms(prev, newmap),
         "dv": _carry_dv(prev, newmap),
+        "constraints": prev.get("constraints", {}),
     }
     if "last_batch_id" in prev:  # carry the streaming ledger forward
         manifest["last_batch_id"] = prev["last_batch_id"]
@@ -2223,6 +2331,7 @@ def tx_compact_partitions(
         "rows": _carry_stats(prev, newmap, fresh_rows, key="rows"),
         "blooms": _carry_blooms(prev, newmap),
         "dv": _carry_dv(prev, newmap),
+        "constraints": prev.get("constraints", {}),
     }
     if "last_batch_id" in prev:  # carry the streaming ledger forward
         manifest["last_batch_id"] = prev["last_batch_id"]
@@ -2407,6 +2516,7 @@ def tx_optimize_zorder(
         "rows": _carry_stats(prev, newmap, fresh_rows, key="rows"),
         "blooms": _carry_blooms(prev, newmap),
         "dv": _carry_dv(prev, newmap),
+        "constraints": prev.get("constraints", {}),
     }
     if "last_batch_id" in prev:  # carry the streaming ledger forward
         manifest["last_batch_id"] = prev["last_batch_id"]

@@ -43,7 +43,7 @@ def _ev(eid, day, user, val):
         ts=datetime.datetime(2025, 3, day, 10, 0),
         user_id=user,
         event_type="click",
-        value=float(val),
+        value=float(val) if val is not None else None,
     )
 
 
@@ -319,6 +319,58 @@ def test_history_and_timestamp_travel(spark, tmp_path):
     ts1 = txstore._load_manifest(spark, path, 1)["committed_at_ms"]
     with pytest.raises(ValueError, match="predates"):
         tx_version_at(spark, path, ts1 - 1)
+
+
+def test_check_constraints_enforced_on_every_writer(spark, tmp_path):
+    """CHECK constraints gate overwrite, append, upsert AND merge
+    (output rows, not just the batch), survive overwrite like a table
+    property, pass NULLs (SQL CHECK semantics), and validate existing
+    data on ADD."""
+    from maillogsentinel_spark.sources.txstore import (
+        ConstraintViolationError,
+        tx_add_constraint,
+        tx_drop_constraint,
+        tx_merge,
+    )
+
+    path = str(tmp_path / "consstore")
+    tx_write_events(
+        spark, path,
+        spark.createDataFrame([_ev(1, 1, 10, 1.0), _ev(2, 2, 11, 2.0)]),
+    )
+    tx_add_constraint(spark, path, "pos_value", "value >= 0")
+    # ADD that existing data violates: rejected, version unchanged
+    with pytest.raises(ConstraintViolationError, match="existing data"):
+        tx_add_constraint(spark, path, "big", "value > 100")
+    assert tx_current_version(spark, path) == 2
+    # append / upsert / merge violations all reject before staging
+    bad = spark.createDataFrame([_ev(3, 1, 12, -5.0)])
+    with pytest.raises(ConstraintViolationError, match="pos_value"):
+        tx_append_events(spark, path, bad)
+    with pytest.raises(ConstraintViolationError, match="pos_value"):
+        tx_upsert_events(spark, path, bad)
+    with pytest.raises(ConstraintViolationError, match="pos_value"):
+        tx_merge(spark, path, bad)
+    assert tx_current_version(spark, path) == 2
+    # a merge whose violating source row is DISCARDED by the insert
+    # condition passes — enforcement is on the OUTPUT rows
+    v = tx_merge(spark, path, bad, when_not_matched_insert="s.value >= 0")
+    assert v == 3 and tx_read_events(spark, path).count() == 2
+    # constraints survive overwrite (table property semantics)
+    with pytest.raises(ConstraintViolationError, match="pos_value"):
+        tx_write_events(spark, path, bad)
+    # NULL passes (SQL CHECK); drop lifts the gate
+    tx_write_events(
+        spark, path,
+        spark.createDataFrame([_ev(9, 1, 10, None)], bad.schema),
+    )
+    tx_drop_constraint(spark, path, "pos_value")
+    tx_append_events(spark, path, spark.createDataFrame([_ev(3, 1, 12, -5.0)]))
+    vals = sorted(
+        (r.event_id, r.value)
+        for r in tx_read_events(spark, path).collect()
+    )
+    assert vals == [(3, -5.0), (9, None)]
 
 
 def test_concurrent_append_rebase_still_deltas(spark, tmp_path, monkeypatch):
