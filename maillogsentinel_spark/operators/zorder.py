@@ -101,3 +101,37 @@ def sql_z_interleave(u: str, v: str, bits: int = 16) -> str:
         terms.append(f"(((({u}) >> {i}) & 1) << {2 * i + 1})")
         terms.append(f"(((({v}) >> {i}) & 1) << {2 * i})")
     return "(" + " + ".join(terms) + ")"
+
+
+def z_prefix_int(col: Column, nbytes: int = 7) -> Column:
+    """Order-embedding int64 key for a STRING dimension: the first
+    ``nbytes`` characters packed base-256 (7 chars × 8 bits = 56 bits,
+    safely inside int64). Missing positions read 0 — the same
+    pad-with-\\x00 rule parquet's truncated string stats use — and
+    codepoints are clamped to 255, so multibyte characters stay
+    DETERMINISTIC (identical on the Spark and DuckDB sides, which is
+    what the oracle needs) even though only single-byte text keeps the
+    strict order-embedding. For ASCII data the mapping is strictly
+    monotone wrt string order, so a z-box over the packed key prunes
+    string RANGES exactly like an integer dimension — what
+    tx_optimize_zorder uses to cluster a store by a string column.
+    Flat codegen'd arithmetic: no UDF, no shuffle."""
+    total = F.lit(0).cast("long")
+    for i in range(1, nbytes + 1):
+        cp = F.least(
+            F.coalesce(F.ascii(F.substring(col, i, 1)), F.lit(0)),
+            F.lit(255),
+        ).cast("long")
+        total = total + cp * F.lit(256 ** (nbytes - i)).cast("long")
+    return total
+
+
+def sql_z_prefix_int(expr: str, nbytes: int = 7) -> str:
+    """DuckDB mirror of z_prefix_int (ascii('') is 0 in DuckDB, so the
+    short-string rule matches Spark's empty-substring behavior)."""
+    terms = " + ".join(
+        f"LEAST(COALESCE(ascii(substr({expr}, {i}, 1)), 0), 255)"
+        f" * {256 ** (nbytes - i)}"
+        for i in range(1, nbytes + 1)
+    )
+    return f"CAST({terms} AS BIGINT)"

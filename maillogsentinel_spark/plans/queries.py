@@ -8487,6 +8487,95 @@ def q_tx_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_TX_ZSTR_ORACLE = """
+WITH base AS (
+  SELECT event_id, ts, user_id, value,
+         'user' || lpad(user_id::VARCHAR, 4, '0') AS utag
+  FROM events WHERE event_id % 3 = 1 AND day(ts) <= 12
+),
+hit AS (SELECT * FROM base WHERE utag BETWEEN 'user0010' AND 'user0040')
+SELECT ts::DATE AS event_date,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT utag)::BIGINT AS n_users,
+       sum(event_id)::BIGINT AS sum_eid,
+       round(sum(value::DECIMAL(21,6))::DOUBLE, 4) AS value_sum
+FROM hit GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("tx_zorder_string_skipping", oracle=_TX_ZSTR_ORACLE)
+def q_tx_zorder_string_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER BY A STRING COLUMN, hash-verified end-to-end: the store
+    carries a username-like string (utag = 'user' || lpad(user_id)),
+    OPTIMIZE ZORDER clusters on (utag, ts) — the string dimension maps
+    through the 7-char base-256 prefix key (operators/zorder.
+    z_prefix_int), strictly order-embedding for ASCII, so every
+    rewritten file carries a TIGHT string min/max box — and a string
+    RANGE scan ('user0010'..'user0040') must then PRUNE files from the
+    manifest's string footer stats (asserted in-query) and return
+    exactly the census the DuckDB oracle re-derives. This composes the
+    two round-10/11 string capabilities (string footer stats + string
+    range planning) with the layout kernel: without the z-order the
+    utag boxes span every file and nothing prunes; without sound
+    string stats the scan drops or leaks rows and the hash flips."""
+    import shutil
+    import tempfile
+
+    from ..sources.txstore import (
+        tx_optimize_zorder,
+        tx_scan_events,
+        tx_skipping_plan,
+        tx_write_events,
+    )
+
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "value",
+        F.concat(
+            F.lit("user"),
+            F.lpad(F.col("user_id").cast("string"), 4, "0"),
+        ).alias("utag"),
+    )
+    base = ev.where(
+        (F.col("event_id") % 3 == 1) & (F.dayofmonth("ts") <= 12)
+    )
+    tmp = tempfile.mkdtemp(prefix="mls_store_zstr_", dir=_scratch_dir())
+    path = f"{tmp}/store"
+    try:
+        with _stream_state_parts(spark, 8):
+            tx_write_events(spark, path, base.repartition(F.to_date("ts")))
+            tx_optimize_zorder(
+                spark, path, dims=("utag", "ts"), target_files_per_day=4
+            )
+            _plan, total, kept = tx_skipping_plan(
+                spark, path, "utag", "user0010", "user0040"
+            )
+            if kept >= total:  # survives python -O
+                raise RuntimeError(
+                    "string z-order must prune string ranges: kept "
+                    f"{kept}/{total}"
+                )
+            agg = (
+                tx_scan_events(spark, path, "utag", "user0010", "user0040")
+                .groupBy("event_date")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.countDistinct("utag").alias("n_users"),
+                    F.sum("event_id").cast("long").alias("sum_eid"),
+                    F.round(
+                        F.sum(F.col("value").cast("decimal(21,6)")).cast(
+                            "double"
+                        ),
+                        4,
+                    ).alias("value_sum"),
+                )
+                .orderBy("event_date")
+            )
+            rows = agg.collect()
+            return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _TX_CONSTRAINTS_ORACLE = """
 WITH c AS (SELECT count(*)::BIGINT AS n FROM events WHERE day(ts) <= 9)
 SELECT * FROM (
@@ -11985,6 +12074,10 @@ _NEXT = [
     # (ADD validates existing data; violating batches are rejected
     # before staging — the raise policy is itself the oracle row set)
     "tx_constraints_gate",
+    # NEW mid-round-11: z-order BY A STRING column (7-char base-256
+    # prefix key, order-embedding for ASCII) composed with string
+    # footer stats — a string range scan must prune files (asserted)
+    "tx_zorder_string_skipping",
     # round-11 rotation OUT: five long-green rows retired to admit the
     # five mid-round-10 tx-store flagships (now graded in-window) —
     # knn_pq_adc (green r7-r10; ANN evidence stays via

@@ -2471,7 +2471,9 @@ def tx_optimize_zorder(
     scalars per dim). Day selection is manifest-driven for
     event_date-only predicates (see _select_days). Returns the
     committed version."""
-    from ..operators.zorder import z_interleave, z_normalize
+    from pyspark.sql.types import StringType, TimestampType
+
+    from ..operators.zorder import z_interleave, z_normalize, z_prefix_int
 
     txid = uuid.uuid4().hex
     prev = _load_manifest(spark, path)
@@ -2480,8 +2482,22 @@ def tx_optimize_zorder(
         return prev["version"]
     df = _snapshot_df(spark, path, prev, days)
     d0, d1 = dims
-    a = F.col(d0).cast("long")
-    b = F.unix_micros(F.col(d1)) if d1 == "ts" else F.col(d1).cast("long")
+    # each dimension maps to an int64 key: timestamps via epoch-micros,
+    # STRINGS via the 7-char base-256 prefix key (order-embedding for
+    # single-byte text — the packed key's z-box prunes string ranges
+    # exactly like an integer's), everything else by cast
+    types = {f.name: f.dataType for f in df.schema.fields}
+
+    def _dim_expr(name: str) -> Column:
+        t = types.get(name)
+        if isinstance(t, StringType):
+            return z_prefix_int(F.col(name))
+        if isinstance(t, TimestampType):
+            return F.unix_micros(F.col(name))
+        return F.col(name).cast("long")
+
+    a = _dim_expr(d0)
+    b = _dim_expr(d1)
     lo0, hi0, lo1, hi1 = df.select(a.alias("a"), b.alias("b")).agg(
         F.min("a"), F.max("a"), F.min("b"), F.max("b")
     ).collect()[0]

@@ -10,6 +10,7 @@ from __future__ import annotations
 import json
 
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from maillogsentinel_spark.sources import txstore
 
@@ -106,3 +107,31 @@ def test_checkpoint_roundtrip_exact(state, tmp_path_factory):
     os.makedirs(f"{root}/{txstore._MANIFEST_DIR}")
     txstore._write_ckpt(root, state)
     assert txstore._read_ckpt(root, state["version"]) == state
+
+
+def test_z_prefix_int_matches_duckdb_mirror(spark):
+    """The string z-order kernel and its DuckDB mirror must agree
+    value-exactly — short strings, empties, nulls-as-empty, multibyte
+    clamping, and order-embedding for ASCII."""
+    import duckdb
+
+    from maillogsentinel_spark.operators.zorder import (
+        sql_z_prefix_int,
+        z_prefix_int,
+    )
+
+    vals = ["", "a", "user0001", "user0040", "zzzzzzzzz", "ab",
+            "Ωmega", "user", "USER0001", "~~~~~~~"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: r["k"]
+        for r in df.select("s", z_prefix_int(F.col("s")).alias("k")).collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        lit = "'" + v.replace("'", "''") + "'"
+        want = con.execute(f"SELECT {sql_z_prefix_int(lit)}").fetchone()[0]
+        assert got[v] == want, (v, got[v], want)
+    # order-embedding for ASCII: packed keys sort like the strings
+    ascii_vals = [v for v in vals if v.isascii()]
+    assert sorted(ascii_vals) == sorted(ascii_vals, key=lambda v: got[v])
