@@ -174,7 +174,17 @@ def main() -> None:
     scratch_start = run_io_canary(scratch) if scratch else io_start
 
     per_query: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    # Mid-run IO samples: the start/end canaries are blind to TRANSIENT
+    # host load in the middle of a ~20-minute run (round 11 caught a
+    # +120 s smear across unrelated queries with both endpoint canaries
+    # reading near-idle). One sample every _IO_SAMPLE_EVERY queries
+    # costs ~0.1 s each and makes that window visible; io_ratio takes
+    # the max over ALL samples.
+    _IO_SAMPLE_EVERY = 24
+    io_samples: list[float] = []
+    for qi, (name, fn) in enumerate(QUERIES.items()):
+        if qi % _IO_SAMPLE_EVERY == 0:
+            io_samples.append(round(run_io_canary(), 3))
         # best-of-2: the first pass pays per-query codegen/JIT; the min
         # reflects steady-state plan cost rather than compiler noise
         dt = float("nan")
@@ -205,7 +215,12 @@ def main() -> None:
         "ratio": round(max(canary_start, canary_end) / CANARY_REF_SEC, 2),
         "io_sec": [round(io_start, 3), round(io_end, 3)],
         "io_ref": IO_CANARY_REF_SEC,
-        "io_ratio": round(max(io_start, io_end) / IO_CANARY_REF_SEC, 2),
+        # max over endpoints AND the mid-run samples — transient load
+        # in the middle of the run must not read as idle
+        "io_ratio": round(
+            max([io_start, io_end] + io_samples) / IO_CANARY_REF_SEC, 2
+        ),
+        "io_samples": io_samples,
         # the device the throwaway stream/tx fixtures hit (tmpfs when
         # available — usually flat; equals io_sec when no tmpfs)
         "scratch_io_sec": [round(scratch_start, 3), round(scratch_end, 3)],
