@@ -11842,9 +11842,15 @@ GRADED_PREFIX: list[str] = [
     # dedup_lsh_recall) and the six never-driver-graded TPC-H queries
     # that carry the engine's only correlated-subquery/semi/anti
     # evidence (q2, q11, q16, q17, q20, q21).
-    "sasl_parse",
-    "geo_range_join",
-    "rdns_status_counts",
+    # second round-11 rotation (drains the never-driver-graded tail —
+    # r10 verdict "What's missing #1" at double cadence): sasl_parse,
+    # geo_range_join and rdns_status_counts retire after TEN green
+    # rounds each (r1-r10). Their code paths stay driver-graded via
+    # mail_report_top10_today, which composes the SAME operators
+    # end-to-end: parse_sasl_lines (P1-P4/S1), enrich_rdns (J2/U1),
+    # the bucketed geo range join ×2 (J1/J3) and the day-filter top-10
+    # (P6/A2/T1); the standalone single-operator oracles stay in the
+    # full local gate.
     "mail_report_top10_today",
     # json_props_agg retires r10 (green r1-r9; F-json evidence stays in
     # the full gate)
@@ -11855,7 +11861,9 @@ GRADED_PREFIX: list[str] = [
     # (huffman/zigzag/IDCT), SCD-2 windowed type history, PQ-ADC ANN —
     # plus the NEW maintenance-surface gate (upsert dup-key MERGE +
     # predicate-scoped compaction re-derived relationally by DuckDB)
-    "dedup_exact_substring",
+    # dedup_exact_substring retires in the second r11 rotation (green
+    # r7-r10; the dedup family keeps SEVEN in-window reps incl. the
+    # incoming dedup_semantic below; ExactSubstr stays in the full gate)
     # multimodal_jpeg_decode retires r10 (green r7-r9; JPEG evidence
     # stays via the strictly-harder pjpeg/420/frac decodes in-window)
     "events_scd2_type_history",
@@ -11873,8 +11881,14 @@ GRADED_PREFIX: list[str] = [
     # and the NEW hash-verified time-travel diff (v1 read back EXACTLY
     # after v2's MERGE committed)
     "store_tx_roundtrip",
-    "events_stream_tx_sink",
-    "tx_time_travel_diff",
+    # events_stream_tx_sink retires in the second r11 rotation (green
+    # r9-r10; exactly-once delivery stays graded via
+    # events_stream_tx_source in-window, which replays across restarts
+    # against the same manifest-version ledger; the sink oracle stays
+    # in the full gate). tx_time_travel_diff retires likewise (green
+    # r9-r10; time-travel evidence stays via the incoming
+    # tx_restore_roundtrip — census-pinned against the v1 oracle — and
+    # tx_history_audit's timestampAsOf round-trip).
     # round-10 rotation IN (r9 verdict #1): the tx store's two newest
     # flagships — atomic mergeSchema evolution (v1/v2 shapes pinned
     # through time travel) and per-file min/max stats + file skipping
@@ -11895,6 +11909,20 @@ GRADED_PREFIX: list[str] = [
     "tx_incremental_tail",
     "tx_deletion_vectors",
     "events_stream_tx_source",
+    # second round-11 rotation IN: the six mid-round-11 table-format
+    # capabilities, graded on arrival — metadata-only COUNT(*) from
+    # manifest row counts (DV sidecars subtract exactly), RESTORE as a
+    # new commit (v1 census re-pinned), general MERGE with Delta's five
+    # clause branches, DESCRIBE HISTORY + timestampAsOf, CHECK
+    # constraints with writer-side enforcement (the raise policy is the
+    # oracle row set), and string-key z-order composed with string
+    # footer stats (a string range scan must prune files)
+    "tx_metadata_count",
+    "tx_restore_roundtrip",
+    "tx_merge_clauses",
+    "tx_history_audit",
+    "tx_constraints_gate",
+    "tx_zorder_string_skipping",
     # windows / custom operators — §2.5, §2.7, as-of (round-9 rotation:
     # events_sessionize + sasl_bruteforce_windows — graded green since
     # rounds 1-2 — retire; window evidence stays via per_user_topk,
@@ -11903,7 +11931,10 @@ GRADED_PREFIX: list[str] = [
     # per_user_topk_event_types + events_set_ops retire r10 (green
     # r1-r9; ranked-window evidence stays via events_scd2_type_history
     # in-window, set-op evidence in the full gate)
-    "events_asof_join",
+    # events_asof_join retires in the second r11 rotation after TEN
+    # green rounds (r1-r10; the as-of composition stays in the full
+    # gate; windowed-operator evidence stays via
+    # events_scd2_type_history in-window)
     # quantiles / UDAF (round-9: lineitem_percentiles + hll_daily —
     # green since round 1 — retire; exact-quantile evidence stays via
     # the median UDAF, sketch evidence via events_heavy_hitters_exact
@@ -11949,7 +11980,18 @@ GRADED_PREFIX: list[str] = [
     # recall ladder keeps centroid-assignment evidence in-window)
     "knn_recall_ladder",        # composes IVF/LSH/multiprobe vs exact —
     # carries knn_ivf's AND knn_lsh's in-window evidence (r5 rotation);
-    # knn_pq_adc (r7 rotation) is graded above
+    # knn_pq_adc (r7 rotation) retired r11
+    # second round-11 rotation IN (r10 verdict #7, pulled forward from
+    # the round-12 staging): the never-driver-graded ANN tail — probe-
+    # sequence LSH (multiprobe), OR-amplified multi-table LSH, IVF over
+    # Lloyd-trained centroids, distance-weighted kNN label vote — plus
+    # SemDeDup (embedding-cosine near-dup pruning), the one dedup arm
+    # with zero driver evidence
+    "knn_lsh_multiprobe",
+    "knn_lsh_multitable",
+    "knn_ivf_kmeans",
+    "knn_label_classify",
+    "dedup_semantic",
     # graph / entity resolution / security / embeddings — one rep each so
     # EVERY family lands inside the graded window (round-1 gap: these four
     # families sat just past the cap); pagerank's rep is now the sliced
@@ -11966,7 +12008,9 @@ GRADED_PREFIX: list[str] = [
     # text_lang_quality retires r10 (green r1-r9; text-quality evidence
     # stays via pii_scrub + corpus_gopher_rules in-window)
     "pii_scrub",
-    "corpus_gopher_rules",
+    # corpus_gopher_rules retires in the second r11 rotation (green
+    # r2-r10, nine rounds; corpus-quality evidence stays via pii_scrub
+    # in-window and the Gopher oracle in the full gate)
     # corpus_contamination retires r10 (green r2-r9; contamination
     # evidence stays via dedup_cdc_cross_source in-window)
     # multimodal — round-5 rotation: the COMPRESSED-codec decode (GIF89a
@@ -11990,16 +12034,20 @@ GRADED_PREFIX: list[str] = [
     # stereo/mono ADPCM via multimodal_adpcm_decode +
     # multimodal_ms_adpcm_decode below, and every retired codec stays
     # policy-graded via multimodal_gate_registry's rows)
+    # second r11 rotation: multimodal_png_subbyte_decode (green r9-r10)
+    # and multimodal_ms_adpcm_decode (green r8-r10) retire — PNG
+    # evidence stays via the gate registry's png rows + full gate, the
+    # ADPCM recurrence stays via multimodal_adpcm_decode below; the
+    # family keeps four in-window reps (two hard JPEG decodes, one
+    # ADPCM recurrence, the gate-policy registry)
     "multimodal_pjpeg_decode",
     "multimodal_jpeg_frac_decode",
-    "multimodal_png_subbyte_decode",
     # round-8 rotation IN: the two lossy-codec recurrence oracles — the
     # adaptive ADPCM predictor chains replayed value-exact by DuckDB
     # recursive CTEs (one wrong step-table entry diverges the whole
     # chain) — plus the honest-gate POLICY row, whose contract changed
     # again this round as more formats became decodable
     "multimodal_adpcm_decode",
-    "multimodal_ms_adpcm_decode",
     "multimodal_gate_registry",
     # structured streaming, ORACLE-PINNED — round-5 rotation swaps the
     # two easiest topologies (tumbling agg, stateful distinct — graded
@@ -12016,10 +12064,12 @@ GRADED_PREFIX: list[str] = [
     # live <1% threshold boundary; the z-order layout oracle pins all
     # 64 interleave bits (dedup_simhash, knn_lsh, events_cms_user_counts
     # rotated just past the window — each family keeps a graded rep)
-    "events_stream_full_outer_join",
-    # round-8 rotation IN: the LEFT-outer join — the only row of the
-    # join-mode matrix never driver-graded (its null-padding eviction
-    # boundary is one-sided, unlike the graded full-outer's)
+    # events_stream_full_outer_join retires in the second r11 rotation
+    # (green r5-r10, six rounds; the join-mode matrix keeps the inner
+    # join above and the one-sided left-outer below in-window, and the
+    # full-outer's asymmetric eviction boundaries stay in the full gate)
+    # round-8 rotation IN: the LEFT-outer join (its null-padding
+    # eviction boundary is one-sided, unlike the full-outer's)
     "events_stream_left_outer_join",
     "events_heavy_hitters_exact",
     # events_zorder_layout retires r10 (green r5-r9; z-order evidence
@@ -12048,36 +12098,22 @@ GRADED_PREFIX: list[str] = [
 # After the prefix: remaining beyond-reference ops by family value, then the
 # TPC-H long tail.
 _NEXT = [
-    # head of the line for the round-12 rotation (r10 verdict #7): the
-    # never-driver-graded ANN tail — the only similarity variants with
-    # no driver evidence after ten rounds — plus SemDeDup
-    "knn_lsh_multiprobe",
-    "knn_lsh_multitable",
-    "knn_ivf_kmeans",
-    "knn_label_classify",
-    "dedup_semantic",
-    # NEW mid-round-11: metadata-only COUNT(*) from the manifest's
-    # per-file row counts (Delta's numRecords; DV sidecars subtract
-    # exactly), RESTORE-as-a-new-commit (history preserved,
-    # census-pinned against the v1 oracle), and general MERGE with
-    # Delta's clause semantics (conditional update / matched delete /
-    # conditional insert — all five action branches in one commit)
-    "tx_metadata_count",
-    "tx_restore_roundtrip",
-    "tx_merge_clauses",
-    # NEW mid-round-11: DESCRIBE HISTORY + timestampAsOf (commit
-    # wall-time stamped in the manifest; monotonicity, head round-trip
-    # and pre-history raise pinned in-query; physical vs logical row
-    # counts per version pinned by the oracle)
-    "tx_history_audit",
-    # NEW mid-round-11: CHECK constraints with writer-side enforcement
-    # (ADD validates existing data; violating batches are rejected
-    # before staging — the raise policy is itself the oracle row set)
-    "tx_constraints_gate",
-    # NEW mid-round-11: z-order BY A STRING column (7-char base-256
-    # prefix key, order-embedding for ASCII) composed with string
-    # footer stats — a string range scan must prune files (asserted)
-    "tx_zorder_string_skipping",
+    # (the ANN tail and the six mid-round-11 tx capabilities were
+    # pulled INTO the window by the second round-11 rotation above)
+    # second round-11 rotation OUT: eleven long-green rows retired to
+    # admit them — each with 2-10 consecutive green rounds and family
+    # evidence kept in-window (per-row notes in GRADED_PREFIX)
+    "sasl_parse",
+    "geo_range_join",
+    "rdns_status_counts",
+    "events_asof_join",
+    "dedup_exact_substring",
+    "tx_time_travel_diff",
+    "events_stream_tx_sink",
+    "events_stream_full_outer_join",
+    "multimodal_png_subbyte_decode",
+    "multimodal_ms_adpcm_decode",
+    "corpus_gopher_rules",
     # round-11 rotation OUT: five long-green rows retired to admit the
     # five mid-round-10 tx-store flagships (now graded in-window) —
     # knn_pq_adc (green r7-r10; ANN evidence stays via

@@ -13,65 +13,67 @@ def test_prefix_is_first_and_exactly_50():
 
 def test_prefix_families_covered():
     p = set(GRADED_PREFIX)
-    # §2 core surface (json_props_agg retired r10 — F-json stays in the
-    # full local gate)
-    assert {"sasl_parse", "geo_range_join", "rdns_status_counts",
-            "anonymize_users", "sql_cast_normalize",
+    # §2 core surface: sasl_parse / geo_range_join / rdns_status_counts
+    # retired in the second r11 rotation after TEN green rounds each —
+    # their operators stay driver-graded composed end-to-end inside
+    # mail_report_top10_today (parse → rDNS → geo range join ×2 → day
+    # filter → top-10), standalone oracles in the full local gate
+    assert {"anonymize_users", "sql_cast_normalize",
             "mail_report_top10_today"} <= p
-    # dedup: ngram_jaccard + minhash_lsh retired r10 — BOTH arms stay
-    # graded via dedup_lsh_recall, whose oracle re-derives the
-    # exact-jaccard truth set and the banded-LSH candidate set side by
-    # side; exact-dedup evidence stays via dedup_clusters' survivor
-    # set; CDC chunking + its cross-source consumer join r10
+    # dedup: ngram_jaccard + minhash_lsh retired r10 (both arms stay
+    # graded via dedup_lsh_recall's side-by-side oracle);
+    # dedup_exact_substring retired in the second r11 rotation (green
+    # r7-r10) — the family keeps seven reps incl. the newly graded
+    # SemDeDup arm
     assert {"dedup_clusters", "dedup_lsh_recall", "dedup_lsh_band_sweep",
-            "dedup_cdc_chunks",
-            "dedup_cdc_cross_source", "dedup_exact_substring",
+            "dedup_cdc_chunks", "dedup_cdc_cross_source",
             "dedup_graph_pagerank_slice",
-            "dedup_incremental_new_docs_slice"} <= p
-    # similarity: knn_recall_ladder composes IVF/LSH/multiprobe against
-    # its own exact top-5 baseline arm (knn_pq_adc retired r11 after
-    # four green rounds — PQ evidence stays in the full local gate)
-    assert {"knn_recall_ladder"} <= p
-    # text (text_lang_quality retired r10; quality evidence stays via
-    # pii_scrub + corpus_gopher_rules; contamination via the CDC
-    # cross-source matrix)
-    assert {"pii_scrub", "corpus_gopher_rules"} <= p
-    # multimodal: every graded row is a REAL decode; jpeg420 / alaw /
-    # adpcm_stereo retired r11 (the family held nine reps — JPEG
-    # evidence stays via progressive + fractional-sampling, ADPCM via
-    # the two recurrence-oracled decodes, policy via the gate registry)
-    assert {"multimodal_adpcm_decode", "multimodal_ms_adpcm_decode",
-            "multimodal_gate_registry", "multimodal_pjpeg_decode",
-            "multimodal_jpeg_frac_decode",
-            "multimodal_png_subbyte_decode"} <= p
-    # streaming: watermark_append retired r10 — the family keeps the
-    # full join-mode matrix (all watermark-driven) + the tx sink, and
-    # r11 adds the tx store as a NATIVE streaming source
+            "dedup_incremental_new_docs_slice",
+            "dedup_semantic"} <= p
+    # similarity: the recall ladder plus the formerly never-graded ANN
+    # tail (second r11 rotation): multiprobe / multi-table LSH, IVF
+    # over trained centroids, distance-weighted kNN classify
+    assert {"knn_recall_ladder", "knn_lsh_multiprobe",
+            "knn_lsh_multitable", "knn_ivf_kmeans",
+            "knn_label_classify"} <= p
+    # text (corpus_gopher_rules retired in the second r11 rotation
+    # after nine green rounds; quality evidence stays via pii_scrub)
+    assert {"pii_scrub"} <= p
+    # multimodal: every graded row is a REAL decode; png_subbyte +
+    # ms_adpcm retired in the second r11 rotation — JPEG evidence via
+    # progressive + fractional-sampling, ADPCM via the recurrence-
+    # oracled mono decode, policy via the gate registry
+    assert {"multimodal_adpcm_decode", "multimodal_gate_registry",
+            "multimodal_pjpeg_decode",
+            "multimodal_jpeg_frac_decode"} <= p
+    # streaming: full_outer + tx_sink retired in the second r11
+    # rotation — the join matrix keeps inner + left-outer in-window,
+    # exactly-once delivery stays graded via the NATIVE tx source
     assert {"events_stream_stream_join",
-            "events_stream_full_outer_join",
             "events_stream_left_outer_join",
-            "events_stream_tx_sink",
             "events_stream_tx_source"} <= p
-    # transactional store: the round-9 flagships joined r10; r11 adds
-    # the five mid-round-10 flagships (CDF, bloom skipping,
-    # incremental tail, deletion vectors) — store_maintenance_roundtrip
-    # retired r11 (maintenance evidence stays via store_tx_roundtrip)
-    assert {"store_tx_roundtrip",
-            "tx_time_travel_diff", "tx_schema_evolution",
+    # transactional store: the five round-10 flagships plus the six
+    # mid-round-11 capabilities (metadata count, restore, MERGE
+    # clauses, history audit, CHECK constraints, string z-order
+    # skipping); tx_time_travel_diff retired (restore + history carry
+    # time-travel evidence)
+    assert {"store_tx_roundtrip", "tx_schema_evolution",
             "tx_stats_skipping", "tx_cdc_changes", "tx_bloom_skipping",
-            "tx_incremental_tail", "tx_deletion_vectors"} <= p
+            "tx_incremental_tail", "tx_deletion_vectors",
+            "tx_metadata_count", "tx_restore_roundtrip",
+            "tx_merge_clauses", "tx_history_audit",
+            "tx_constraints_gate", "tx_zorder_string_skipping"} <= p
     # TPC-H correlated/semi/anti evidence (never driver-graded r1-r9)
     assert {"tpch_q2_min_cost_supp", "tpch_q11_important_parts",
             "tpch_q16_supplier_cnt", "tpch_q17_small_qty",
             "tpch_q20_qty_suppliers", "tpch_q21_waiting_supp"} <= p
-    # sketches / windows / UDAF-UDTF / IR / graph-ER / security /
-    # embeddings each keep a rep
+    # sketches / windows / UDAF-UDTF / IR / graph-ER / security each
+    # keep a rep (events_asof_join retired in the second r11 rotation
+    # after ten green rounds — windowed evidence via SCD-2)
     assert {"events_heavy_hitters_exact", "events_scd2_type_history",
-            "events_asof_join", "events_median_by_type",
+            "events_median_by_type",
             "udtf_bigrams_topk", "doc_bm25_search",
             "entity_resolution_usernames", "ip_risk_scores"} <= p
-    # embedding_centroids retired r10 for the band sweep — embedding-
-    # table evidence stays via knn_recall_ladder + knn_pq_adc in-window
 
 
 def test_prefix_is_fully_oracle_checked():
