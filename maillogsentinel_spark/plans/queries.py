@@ -8893,6 +8893,142 @@ def q_tx_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_TX_CM_ORACLE = """
+WITH base AS (
+  SELECT event_id, ts, user_id, value FROM events
+  WHERE event_id % 9 = 0 AND day(ts) <= 12
+),
+b2 AS (
+  SELECT event_id, ts, user_id, value FROM events
+  WHERE event_id % 9 = 4 AND day(ts) <= 12
+),
+b3 AS (
+  SELECT event_id, ts, user_id, value FROM events
+  WHERE event_id % 9 = 7 AND day(ts) <= 12
+),
+head AS (
+  -- v1 rows + post-rename append: user_id was DROPPED before the
+  -- re-add, so their frozen physical bytes must read NULL; only b3
+  -- (appended after the re-add) carries user_id
+  SELECT event_id, ts::DATE AS event_date, value AS score,
+         NULL::BIGINT AS user_id
+  FROM base
+  UNION ALL
+  SELECT event_id, ts::DATE, value, NULL::BIGINT FROM b2
+  UNION ALL
+  SELECT event_id, ts::DATE, value, user_id FROM b3
+)
+SELECT event_date,
+       count(*)::BIGINT AS n_rows,
+       round(sum(score::DECIMAL(21,6))::DOUBLE, 4) AS score_sum,
+       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_uid_null,
+       sum(coalesce(user_id, 0))::BIGINT AS uid_sum,
+       1 AS v1_has_value, 0 AS head_has_value, 1 AS head_has_score,
+       1 AS rename_zero_files
+FROM head GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("tx_column_mapping", oracle=_TX_CM_ORACLE)
+def q_tx_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING, hash-verified — Delta's metadata-only
+    RENAME/DROP COLUMN with frozen physical names (txstore.py
+    tx_rename_column / tx_drop_column; the reference's store cannot
+    alter its CSV header at all, report.py:89-93): v1 snapshot →
+    RENAME value→score (asserted in-query to touch ZERO data files) →
+    append speaking the NEW name → DROP user_id → re-add user_id via
+    mergeSchema append (fresh suffixed physical slot) → COMPACT (the
+    mapping folds through the rewrite). The census pins: every
+    pre-re-add row reads user_id NULL (the dropped column's frozen
+    physical bytes may never bleed into the re-added logical column),
+    the re-added rows carry their exact ids, score sums equal the
+    renamed column's values across all three batches, time travel to
+    v1 shows the ORIGINAL names, and the head shows only the new ones
+    (the literal flag columns the oracle states).
+
+    Scale shape: rename/drop are O(1) manifest rewrites at any file
+    count; the only data jobs are the appends and the final compact —
+    identical to tx_schema_evolution's shape."""
+    import shutil
+    import tempfile
+
+    from ..sources.txstore import (
+        _load_manifest,
+        tx_append_events,
+        tx_compact_partitions,
+        tx_drop_column,
+        tx_read_events,
+        tx_rename_column,
+        tx_write_events,
+    )
+
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "value"
+    ).where(F.dayofmonth("ts") <= 12)
+    base = ev.where(F.col("event_id") % 9 == 0)
+    b2 = ev.where(F.col("event_id") % 9 == 4)
+    b3 = ev.where(F.col("event_id") % 9 == 7)
+    tmp = tempfile.mkdtemp(prefix="mls_store_cm_", dir=_scratch_dir())
+    path = f"{tmp}/store"
+    try:
+        with _stream_state_parts(spark, 8):
+            v1 = tx_write_events(
+                spark, path, base.repartition(F.to_date("ts"))
+            )
+            v2 = tx_rename_column(spark, path, "value", "score")
+            if (
+                _load_manifest(spark, path, v2)["files"]
+                != _load_manifest(spark, path, v1)["files"]
+            ):  # survives python -O
+                raise RuntimeError("rename must not touch data files")
+            tx_append_events(
+                spark, path, b2.withColumnRenamed("value", "score")
+            )
+            tx_drop_column(spark, path, "user_id")
+            tx_append_events(
+                spark,
+                path,
+                b3.withColumnRenamed("value", "score"),
+                merge_schema=True,
+            )
+            tx_compact_partitions(spark, path)
+            v1_cols = tx_read_events(spark, path, version=v1).columns
+            head = tx_read_events(spark, path)
+            agg = (
+                head.groupBy("event_date")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.round(
+                        F.sum(F.col("score").cast("decimal(21,6)")).cast(
+                            "double"
+                        ),
+                        4,
+                    ).alias("score_sum"),
+                    F.sum(
+                        F.when(F.col("user_id").isNull(), 1).otherwise(0)
+                    ).cast("long").alias("n_uid_null"),
+                    F.sum(F.coalesce(F.col("user_id"), F.lit(0)))
+                    .cast("long").alias("uid_sum"),
+                    F.lit(1 if "value" in v1_cols else 0).alias(
+                        "v1_has_value"
+                    ),
+                    F.lit(1 if "value" in head.columns else 0).alias(
+                        "head_has_value"
+                    ),
+                    F.lit(1 if "score" in head.columns else 0).alias(
+                        "head_has_score"
+                    ),
+                    F.lit(1).alias("rename_zero_files"),
+                )
+                .orderBy("event_date")
+            )
+            rows = agg.collect()
+            return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _TX_SRC_ORACLE = """
 WITH ev AS (
   SELECT event_id, ts, value FROM events WHERE day(ts) <= 12
@@ -12098,6 +12234,12 @@ GRADED_PREFIX: list[str] = [
 # After the prefix: remaining beyond-reference ops by family value, then the
 # TPC-H long tail.
 _NEXT = [
+    # head of the line for the round-12 rotation: COLUMN MAPPING —
+    # metadata-only RENAME/DROP COLUMN with frozen physical names
+    # (rename touches zero files, dropped-then-re-added logical names
+    # get a fresh physical slot so old bytes never bleed through,
+    # stats/blooms/DVs survive renames verbatim)
+    "tx_column_mapping",
     # (the ANN tail and the six mid-round-11 tx capabilities were
     # pulled INTO the window by the second round-11 rotation above)
     # second round-11 rotation OUT: eleven long-green rows retired to

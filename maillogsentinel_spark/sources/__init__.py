@@ -9,8 +9,11 @@ from .store import (  # noqa: F401
 from .txstore import (  # noqa: F401
     tx_append_events,
     tx_compact_partitions,
+    tx_drop_column,
+    tx_logical_schema,
     tx_optimize_zorder,
     tx_read_events,
+    tx_rename_column,
     tx_upsert_events,
     tx_vacuum,
     tx_write_events,

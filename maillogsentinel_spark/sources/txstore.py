@@ -25,8 +25,12 @@ skipping (executor-side footer harvest on wide commits), bloom-filter
 equality skipping, OPTIMIZE ZORDER, exactly-once streaming sink
 (in-manifest batch ledger), change data feed (tx_changes — file-diff
 CDF, no written log), cursor-based incremental tailing
-(tx_read_incremental), and merge-on-read deletion vectors
-(tx_delete_where).
+(tx_read_incremental), merge-on-read deletion vectors
+(tx_delete_where), and COLUMN MAPPING — metadata-only RENAME/DROP
+COLUMN with frozen physical names (tx_rename_column, tx_drop_column):
+zero files rewritten, all physically-keyed indexes (stats, blooms,
+DVs, row counts) survive verbatim, per-version logical schemas ride
+the time-travel log.
 
 Commit protocol (single writer):
 
@@ -95,6 +99,15 @@ _DATA_DIR = "data"
 _STAGING_DIR = "_staging"
 _DELETES_DIR = "_deletes"
 _FORMAT = 1
+
+# operations that preserve BOTH the row set and the column shape —
+# incremental tailing and the streaming source skip them silently.
+# rename_column / drop_column are row-preserving but SHAPE-changing,
+# so they are deliberately NOT here (tailing raises, like Delta's
+# source on a schema change); delete (DV) changes rows and raises.
+_ROW_AND_SHAPE_PRESERVING = (
+    "compact", "zorder", "bloom", "add_constraint", "drop_constraint"
+)
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -713,6 +726,7 @@ def _snapshot_df(
     manifest: dict,
     days: list[str] | None = None,
     with_pos: bool = False,
+    logical: bool = True,
 ) -> DataFrame:
     """Materialize a snapshot (optionally day-sliced) from the manifest
     FILE LIST — no directory listing; file-level pruning for the slice.
@@ -729,7 +743,13 @@ def _snapshot_df(
     ``with_pos=True`` keeps (__rel, __pos) — the physical row identity
     — on every output row; tx_delete_where needs it, and it must be
     materialized INSIDE each scan branch because the hidden
-    ``_metadata`` column does not survive the union."""
+    ``_metadata`` column does not survive the union.
+
+    ``logical=True`` (default) presents the manifest's COLUMN MAPPING
+    view: physical columns aliased to their logical names, dropped
+    columns hidden — a no-op select on stores that never renamed.
+    ``logical=False`` (tx_changes) keeps the physical space, whose
+    names are stable across renames."""
     fmap = manifest["files"]
     if days is not None:
         fmap = {d: fmap[d] for d in days if d in fmap}
@@ -783,6 +803,8 @@ def _snapshot_df(
             out = out.withColumn(
                 "__rel", F.lit(None).cast("string")
             ).withColumn("__pos", F.lit(None).cast("long"))
+    if logical:
+        out = _to_logical(out, schema, extras=("__rel", "__pos"))
     return out
 
 
@@ -794,6 +816,128 @@ def _with_day(df: DataFrame) -> DataFrame:
 
 def _schema_json(df: DataFrame) -> str:
     return json.dumps(_with_day(df).schema.jsonValue())
+
+
+# ---------------------------------------------------------------------------
+# COLUMN MAPPING (Delta's column-mapping mode, name-based): RENAME and
+# DROP COLUMN as METADATA-ONLY commits — no data file is ever rewritten.
+# The physical column name is FROZEN when the column first enters the
+# store schema; the manifest's schema JSON carries the logical identity
+# as StructField METADATA (``cm_logical`` = visible logical name when it
+# differs from the physical, ``cm_dropped`` = true for a dropped
+# column, whose physical field stays so old files keep reading).
+# Riding inside the schema JSON means every existing manifest
+# construction site, the delta log, parquet checkpoints, time travel
+# and RESTORE carry the mapping with zero extra plumbing — and because
+# per-file stats, blooms, DV sidecars and row counts are all keyed by
+# PHYSICAL name or (rel, pos), every skipping index survives a rename
+# untouched. Stores that never rename/drop have identity mapping and
+# take the zero-cost fast path everywhere.
+# ---------------------------------------------------------------------------
+
+
+def _cm_visible(schema: StructType) -> list[tuple[str, str]]:
+    """[(logical, physical)] for every visible (non-dropped) field, in
+    physical schema order."""
+    out = []
+    for f in schema.fields:
+        md = f.metadata or {}
+        if md.get("cm_dropped"):
+            continue
+        out.append((md.get("cm_logical", f.name), f.name))
+    return out
+
+
+def _cm_identity(schema: StructType) -> bool:
+    vis = _cm_visible(schema)
+    return len(vis) == len(schema.fields) and all(
+        lg == ph for lg, ph in vis
+    )
+
+
+def _cm_phys(schema: StructType, logical: str, strict: bool = False) -> str:
+    """Physical name for a logical column. Non-strict lookup returns
+    the input unchanged when the logical name is unknown — skipping
+    planners treat an unknown column as 'no stats, keep every file',
+    so leniency can never drop data."""
+    for lg, ph in _cm_visible(schema):
+        if lg == logical:
+            return ph
+    if strict:
+        raise ValueError(
+            f"no column {logical!r} in the store schema "
+            f"(visible: {[lg for lg, _ in _cm_visible(schema)]})"
+        )
+    return logical
+
+
+def _logical_struct(schema: StructType) -> StructType:
+    """The store's LOGICAL schema: visible fields renamed to their
+    logical names, mapping metadata stripped."""
+    from pyspark.sql.types import StructField
+
+    fields = []
+    for f in schema.fields:
+        md = dict(f.metadata or {})
+        if md.get("cm_dropped"):
+            continue
+        logical = md.pop("cm_logical", f.name)
+        fields.append(StructField(logical, f.dataType, f.nullable, md))
+    return StructType(fields)
+
+
+def _to_logical(
+    df: DataFrame, schema: StructType, extras: tuple[str, ...] = ()
+) -> DataFrame:
+    """Physical-space frame -> logical view: visible physical columns
+    aliased to their logical names (dropped physicals vanish), named
+    ``extras`` passed through when present."""
+    if _cm_identity(schema):
+        return df
+    have = set(df.columns)
+    cols = [
+        F.col(ph).alias(lg)
+        for lg, ph in _cm_visible(schema)
+        if ph in have
+    ]
+    cols.extend(F.col(e) for e in extras if e in have)
+    return df.select(*cols)
+
+
+def _to_physical(df: DataFrame, schema: StructType) -> DataFrame:
+    """Logical-space frame -> physical write shape: logical columns
+    renamed back to their frozen physical names. Columns the frame
+    omits (mergeSchema) stay omitted; dropped columns cannot appear
+    (the logical view never exposes them)."""
+    if _cm_identity(schema):
+        return df
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(lg).alias(ph)
+            for lg, ph in _cm_visible(schema)
+            if lg in have
+        ]
+    )
+
+
+def _expr_refs(spark: SparkSession, expression: str) -> set[str] | None:
+    """Column names a SQL expression references (lower-cased), via
+    Catalyst's own parser; None when unparseable here (the caller then
+    degrades to its conservative path)."""
+    try:
+        parser = getattr(
+            getattr(spark._jvm.org.apache.spark.sql.catalyst.parser,
+                    "CatalystSqlParser$"),
+            "MODULE$",
+        )
+        it = parser.parseExpression(expression).references().iterator()
+        refs = set()
+        while it.hasNext():
+            refs.add(it.next().name().lower())
+        return refs
+    except Exception:
+        return None
 
 
 def tx_write_events(
@@ -860,7 +1004,14 @@ def _check_schema(
 
     want = StructType.fromJson(json.loads(prev["schema"]))
     got = _with_day(df).schema
-    want_types = {f.name: f.dataType for f in want.fields}
+    # batches speak LOGICAL names; the stored schema is physical with
+    # the mapping in field metadata (identity unless a rename/drop
+    # committed). Types compare logically; evolution appends PHYSICAL
+    # fields whose names are frozen forever after.
+    phys_types = {f.name: f.dataType for f in want.fields}
+    want_types = {
+        lg: phys_types[ph] for lg, ph in _cm_visible(want)
+    }
     got_types = {f.name: f.dataType for f in got.fields}
     if got_types == want_types:
         return prev["schema"]
@@ -874,15 +1025,27 @@ def _check_schema(
         raise ValueError(
             f"{op} batch schema does not match the store schema"
             + (f" (type conflicts: {sorted(conflicts)})" if conflicts else "")
-            + f": batch={got.simpleString()} store={want.simpleString()}"
+            + f": batch={got.simpleString()} "
+              f"store={_logical_struct(want).simpleString()}"
             + (" — pass merge_schema=True to add new nullable columns / "
                "omit existing ones"
                if not merge and op == "append" else "")
         )
-    evolved = StructType(
-        list(want.fields)
-        + [StructField(f.name, f.dataType, nullable=True) for f in new_cols]
-    )
+    # a NEW logical column's physical name is its logical name unless
+    # that physical slot is taken (a dropped or renamed-away column
+    # still owns its frozen physical field) — then a deterministic
+    # __c{n} suffix keeps the file schema collision-free
+    taken = set(phys_types)
+    appended = []
+    for f in new_cols:
+        ph, n = f.name, 0
+        while ph in taken:
+            n += 1
+            ph = f"{f.name}__c{n}"
+        taken.add(ph)
+        md = {"cm_logical": f.name} if ph != f.name else {}
+        appended.append(StructField(ph, f.dataType, True, md))
+    evolved = StructType(list(want.fields) + appended)
     return json.dumps(evolved.jsonValue())
 
 
@@ -980,6 +1143,182 @@ def tx_drop_constraint(spark: SparkSession, path: str, name: str) -> int:
     return _commit(spark, path, manifest, prev)
 
 
+_CM_PROTECTED = ("event_date", "ts")  # layout / day-derivation keys
+
+
+def _cm_guard(
+    spark: SparkSession, prev: dict, name: str, op: str
+) -> StructType:
+    """Shared preconditions for rename/drop: the column must be a
+    visible logical name, must not be a layout key, and must not be
+    referenced by any CHECK constraint (whose expressions are written
+    over logical names and would silently stop binding — Delta blocks
+    the same way). Returns the parsed physical schema."""
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    _cm_phys(schema, name, strict=True)
+    if name in _CM_PROTECTED:
+        raise ValueError(
+            f"cannot {op} {name!r}: it derives the store's day layout"
+        )
+    for cname, expr in prev.get("constraints", {}).items():
+        refs = _expr_refs(spark, expr)
+        hit = (
+            name.lower() in refs
+            if refs is not None
+            else name.lower() in expr.lower()  # conservative fallback
+        )
+        if hit:
+            raise ValueError(
+                f"cannot {op} {name!r}: CHECK constraint {cname!r} "
+                f"({expr}) references it — drop the constraint first"
+            )
+    return schema
+
+
+def _commit_mapping(
+    spark: SparkSession,
+    path: str,
+    prev: dict,
+    operation: str,
+    rewrite,  # (head manifest dict) -> StructType, re-run per rebase
+    max_rebase_attempts: int,
+) -> int:
+    """Commit a column-mapping change (metadata-only). Losing the
+    rename race to ANY commit rebases: the mapping rewrite touches no
+    files, so it composes with appends, deletes, maintenance and other
+    metadata commits — ``rewrite`` re-derives the new schema from the
+    FRESH head each attempt (schema AND constraints), so its own
+    preconditions re-validate against whatever the winner committed."""
+    for attempt in range(max_rebase_attempts):
+        new_schema = rewrite(prev)
+        manifest = {
+            "format": _FORMAT,
+            "version": prev["version"] + 1,
+            "parent": prev["version"],
+            "txid": uuid.uuid4().hex,
+            "operation": operation,
+            "schema": json.dumps(new_schema.jsonValue()),
+            "files": prev["files"],
+            "stats": prev.get("stats", {}),
+            "rows": prev.get("rows", {}),
+            "blooms": prev.get("blooms", {}),
+            "dv": prev.get("dv", {}),
+            "constraints": prev.get("constraints", {}),
+        }
+        if "last_batch_id" in prev:
+            manifest["last_batch_id"] = prev["last_batch_id"]
+        try:
+            return _commit(spark, path, manifest, prev)
+        except ConcurrentCommitError:
+            if attempt == max_rebase_attempts - 1:
+                raise
+            prev = _load_manifest(spark, path)
+    raise AssertionError("unreachable")
+
+
+def tx_rename_column(
+    spark: SparkSession,
+    path: str,
+    old: str,
+    new: str,
+    max_rebase_attempts: int = 5,
+) -> int:
+    """RENAME COLUMN as a METADATA-ONLY commit — Delta's column-mapping
+    semantics: the PHYSICAL column name is frozen in the data files
+    forever; this commit only rewrites the manifest schema's logical
+    identity (``cm_logical`` field metadata), so zero data files are
+    touched at any store size, and every physically-keyed index —
+    per-file min/max stats, bloom bitsets, deletion-vector (rel, pos)
+    sidecars, row counts — survives verbatim. Snapshot reads present
+    the logical name; TIME TRAVEL to an older version presents that
+    version's OWN names (the mapping rides in each manifest's schema).
+    Batches written after the rename must use the new name
+    (_check_schema compares logically). Forbidden while a CHECK
+    constraint references the column, and for the layout keys
+    ``event_date`` / ``ts``. Rebases over any concurrent commit."""
+    prev = _load_manifest(spark, path)
+
+    def rewrite(head: dict) -> StructType:
+        from pyspark.sql.types import StructField
+
+        schema = _cm_guard(spark, head, old, "rename")
+        visible = {lg for lg, _ in _cm_visible(schema)}
+        if new in visible:
+            raise ValueError(
+                f"cannot rename {old!r} -> {new!r}: {new!r} already "
+                "names a visible column"
+            )
+        fields = []
+        for f in schema.fields:
+            md = dict(f.metadata or {})
+            logical = md.get("cm_logical", f.name)
+            if not md.get("cm_dropped") and logical == old:
+                if f.name == new:
+                    md.pop("cm_logical", None)  # back to identity
+                else:
+                    md["cm_logical"] = new
+                fields.append(
+                    StructField(f.name, f.dataType, f.nullable, md)
+                )
+            else:
+                fields.append(f)
+        return StructType(fields)
+
+    return _commit_mapping(
+        spark, path, prev, "rename_column", rewrite, max_rebase_attempts
+    )
+
+
+def tx_drop_column(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    max_rebase_attempts: int = 5,
+) -> int:
+    """DROP COLUMN as a METADATA-ONLY commit (Delta's column-mapping
+    drop): the physical field stays in the manifest schema flagged
+    ``cm_dropped`` — old files keep reading, the logical view simply
+    stops exposing it, and time travel to a pre-drop version still
+    shows the data. A later ADD of the same logical name (mergeSchema
+    append) gets a fresh suffixed physical slot, so the old bytes can
+    never bleed into the new column. Same constraints/layout-key
+    guards and rebase behavior as tx_rename_column."""
+    prev = _load_manifest(spark, path)
+
+    def rewrite(head: dict) -> StructType:
+        from pyspark.sql.types import StructField
+
+        schema = _cm_guard(spark, head, name, "drop")
+        if len(_cm_visible(schema)) <= 2:
+            raise ValueError(
+                "cannot drop the store's last data column"
+            )
+        fields = []
+        for f in schema.fields:
+            md = dict(f.metadata or {})
+            logical = md.get("cm_logical", f.name)
+            if not md.get("cm_dropped") and logical == name:
+                md["cm_dropped"] = True
+                fields.append(
+                    StructField(f.name, f.dataType, f.nullable, md)
+                )
+            else:
+                fields.append(f)
+        return StructType(fields)
+
+    return _commit_mapping(
+        spark, path, prev, "drop_column", rewrite, max_rebase_attempts
+    )
+
+
+def tx_logical_schema(
+    spark: SparkSession, path: str, version: int | None = None
+) -> StructType:
+    """The logical (reader-visible) schema of a snapshot."""
+    m = _load_manifest(spark, path, version)
+    return _logical_struct(StructType.fromJson(json.loads(m["schema"])))
+
+
 def _ledger_replayed(prev: dict, batch_id: int | None) -> bool:
     """Exactly-once ledger check. ``batch_id == last_batch_id`` is the
     one legitimate foreachBatch replay (a crash between the sink write
@@ -1042,7 +1381,14 @@ def tx_append_events(
         return prev["version"]  # replayed batch: already committed
     schema_json = _check_schema(prev, events, "append", merge=merge_schema)
     _check_constraints(prev, _with_day(events), "append")
-    files = _stage_and_publish(spark, path, _with_day(events), txid)
+    files = _stage_and_publish(
+        spark,
+        path,
+        _to_physical(
+            _with_day(events), StructType.fromJson(json.loads(schema_json))
+        ),
+        txid,
+    )
     fresh_stats, fresh_rows = _file_stats(path, files, schema_json, spark)
     for attempt in range(max_rebase_attempts):
         merged = {d: list(v) for d, v in prev["files"].items()}
@@ -1145,6 +1491,7 @@ def tx_skipping_plan(
     manifest = _load_manifest(spark, path, version)
     stats = manifest.get("stats", {})
     schema = StructType.fromJson(json.loads(manifest["schema"]))
+    col = _cm_phys(schema, col)  # stats are keyed by PHYSICAL name
     is_float = any(
         f.name == col and isinstance(f.dataType, (FloatType, DoubleType))
         for f in schema.fields
@@ -1527,10 +1874,14 @@ def tx_read_incremental(
     - ``append``: the version's NEW files (file map minus parent's)
       are exactly its new rows — scanned and tagged
       ``_commit_version``; nothing else is read.
-    - ``compact`` / ``zorder`` / ``bloom``: layout- or metadata-only,
-      row set unchanged — SKIPPED. (Delta has to raise here unless
-      ignoreChanges, because its log entry doesn't prove row
+    - ``compact`` / ``zorder`` / ``bloom`` / ``add_constraint`` /
+      ``drop_constraint``: layout- or metadata-only, row set AND
+      column shape unchanged — SKIPPED. (Delta has to raise here
+      unless ignoreChanges, because its log entry doesn't prove row
       preservation; this manifest's operation field does.)
+      ``rename_column`` / ``drop_column`` preserve rows but change the
+      column SHAPE — they hit the raise below, like Delta's streaming
+      source on a schema change.
     - ``upsert`` / ``overwrite``: the row set genuinely changed —
       raises ValueError naming the version, unless
       ``ignore_changes=True``, which emits the version's entered
@@ -1557,13 +1908,16 @@ def tx_read_incremental(
         files_v = {r for rels in m["files"].values() for r in rels}
         entered = files_v - prev_files
         prev_files = files_v
-        if op in ("compact", "zorder", "bloom"):
+        if op in _ROW_AND_SHAPE_PRESERVING:
             continue
         if op != "append" and not ignore_changes:
             # upsert / overwrite / delete / anything future: the row
             # set (possibly) changed — raising is the default so an op
             # this walk doesn't understand can never be silently
-            # skipped as if it were row-preserving
+            # skipped as if it were row-preserving. rename_column /
+            # drop_column ALSO stop here: rows are preserved but the
+            # column shape changed mid-stream (Delta's streaming
+            # source raises on schema change for the same reason)
             raise ValueError(
                 f"version {v} is a row-changing {op!r}; incremental "
                 "append-tailing stops here — use tx_changes for a "
@@ -1586,7 +1940,9 @@ def tx_read_incremental(
             )
         )
     if not frames:
-        schema = StructType.fromJson(json.loads(cur["schema"]))
+        schema = _logical_struct(
+            StructType.fromJson(json.loads(cur["schema"]))
+        )
         return spark.createDataFrame([], schema).withColumn(
             "_commit_version", F.lit(None).cast("int")
         )
@@ -1685,6 +2041,7 @@ def tx_add_bloom_filters(
     txid = uuid.uuid4().hex
     prev = _load_manifest(spark, path)
     schema = StructType.fromJson(json.loads(prev["schema"]))
+    col = _cm_phys(schema, col)  # build/probe/storage keys are physical
     field = next((f for f in schema.fields if f.name == col), None)
     if field is None or not isinstance(
         field.dataType, (StringType, LongType, IntegerType, ShortType)
@@ -1849,6 +2206,7 @@ def tx_skipping_plan_eq(
     # coerces and matches, but str(7.0) != "7" would false-negative
     # every file) — skipping must never become a correctness filter
     schema_t = StructType.fromJson(json.loads(manifest["schema"]))
+    col = _cm_phys(schema_t, col)  # stats/blooms are keyed physically
     ftype = next(
         (f.dataType for f in schema_t.fields if f.name == col), None
     )
@@ -1977,20 +2335,29 @@ def tx_changes(
         }
         return dict(manifest, files={d: v for d, v in fmap.items() if v})
 
+    # both sides read PHYSICAL: physical names are frozen across
+    # renames (column mapping), so alignment by name stays sound even
+    # when the range crosses a rename; the output is presented in the
+    # TO version's LOGICAL names at the end
     old_side = _snapshot_df(
-        spark, path, _subset(prev, (prev_files - cur_files) | dv_changed)
+        spark, path, _subset(prev, (prev_files - cur_files) | dv_changed),
+        logical=False,
     )
     new_side = _snapshot_df(
-        spark, path, _subset(cur, (cur_files - prev_files) | dv_changed)
+        spark, path, _subset(cur, (cur_files - prev_files) | dv_changed),
+        logical=False,
     )
     to_schema = StructType.fromJson(json.loads(cur["schema"]))
-    cols = [f.name for f in to_schema.fields]
+    vis = _cm_visible(to_schema)  # [(logical, physical)] of TO version
+    phys_fields = {f.name: f for f in to_schema.fields}
+    cols = [ph for _, ph in vis]
+    key = _cm_phys(to_schema, key)
     old_cols = set(old_side.columns)
     old_side = old_side.select(
         *[
             F.col(c) if c in old_cols
-            else F.lit(None).cast(f.dataType).alias(c)
-            for c, f in zip(cols, to_schema.fields)
+            else F.lit(None).cast(phys_fields[c].dataType).alias(c)
+            for c in cols
         ]
     )
     data_cols = [c for c in cols if c != key]
@@ -2026,10 +2393,16 @@ def tx_changes(
         *[F.col(f"__post.{c}").alias(c) for c in cols],
         F.lit("update_postimage").alias("_change_type"),
     )
-    return (
+    out = (
         ins.unionByName(dele).unionByName(upd_pre).unionByName(upd_post)
         .withColumn("_commit_version", F.lit(to_version).cast("int"))
     )
+    if not _cm_identity(to_schema):
+        out = out.select(
+            *[F.col(ph).alias(lg) for lg, ph in vis],
+            "_change_type", "_commit_version",
+        )
+    return out
 
 
 def tx_upsert_events(
@@ -2085,7 +2458,12 @@ def tx_upsert_events(
     )
     merged = old.unionByName(up.select(old.columns))
     _check_constraints(prev, merged, "upsert")
-    files = _stage_and_publish(spark, path, merged, txid)
+    files = _stage_and_publish(
+        spark,
+        path,
+        _to_physical(merged, StructType.fromJson(json.loads(prev["schema"]))),
+        txid,
+    )
     newmap = {d: v for d, v in prev["files"].items() if d not in days}
     newmap.update(files)
     fresh_stats, fresh_rows = _file_stats(path, files, prev["schema"], spark)
@@ -2214,7 +2592,12 @@ def tx_merge(
     )
     merged = _with_day(resolved)
     _check_constraints(prev, merged, "merge")
-    files = _stage_and_publish(spark, path, merged, txid)
+    files = _stage_and_publish(
+        spark,
+        path,
+        _to_physical(merged, StructType.fromJson(json.loads(prev["schema"]))),
+        txid,
+    )
     newmap = {d: v for d, v in prev["files"].items() if d not in days}
     newmap.update(files)
     fresh_stats, fresh_rows = _file_stats(path, files, prev["schema"], spark)
@@ -2315,7 +2698,14 @@ def tx_compact_partitions(
         )
         .drop("__salt")
     )
-    files = _stage_and_publish(spark, path, compacted, txid)
+    files = _stage_and_publish(
+        spark,
+        path,
+        _to_physical(
+            compacted, StructType.fromJson(json.loads(prev["schema"]))
+        ),
+        txid,
+    )
     newmap = {d: v for d, v in prev["files"].items() if d not in days}
     newmap.update(files)
     fresh_stats, fresh_rows = _file_stats(path, files, prev["schema"], spark)
@@ -2516,7 +2906,14 @@ def tx_optimize_zorder(
         .sortWithinPartitions("event_date", "__z")
         .drop("__z")
     )
-    files = _stage_and_publish(spark, path, clustered, txid)
+    files = _stage_and_publish(
+        spark,
+        path,
+        _to_physical(
+            clustered, StructType.fromJson(json.loads(prev["schema"]))
+        ),
+        txid,
+    )
     newmap = {d: v for d, v in prev["files"].items() if d not in days}
     newmap.update(files)
     fresh_stats, fresh_rows = _file_stats(path, files, prev["schema"], spark)

@@ -48,7 +48,12 @@ from pyspark.sql.datasource import (
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
-_ROW_PRESERVING = ("compact", "zorder", "bloom")
+# row- AND shape-preserving commits the tail skips silently; a
+# rename_column/drop_column (shape change) or delete/upsert/overwrite
+# (row change) hits the raise-unless-ignoreChanges gate below
+_ROW_PRESERVING = (
+    "compact", "zorder", "bloom", "add_constraint", "drop_constraint"
+)
 
 
 def _fs_root(root: str):
@@ -140,17 +145,35 @@ class TxStoreDataSource(DataSource):
             raise FileNotFoundError(
                 f"no committed manifest under {self._root()}"
             )
+        from .txstore import _logical_struct
+
         m = _load_manifest(self._root(), versions[-1])
-        st = StructType.fromJson(json.loads(m["schema"]))
+        st = _logical_struct(StructType.fromJson(json.loads(m["schema"])))
         return StructType(
             st.fields + [StructField("_commit_version", IntegerType())]
         )
 
     def streamReader(self, schema) -> "TxStoreStreamReader":
+        from pyspark.sql.types import StructType
+
+        from .txstore import _cm_visible
+
+        versions = _list_versions(self._root())
+        log2phys = {}
+        if versions:
+            m = _load_manifest(self._root(), versions[-1])
+            st = StructType.fromJson(json.loads(m["schema"]))
+            log2phys = {
+                lg: ph for lg, ph in _cm_visible(st) if lg != ph
+            }
+        # physical names are FROZEN (column mapping), so the map taken
+        # at stream start stays valid for every later append; a rename
+        # or drop mid-stream hits the op gate in partitions() anyway
         return TxStoreStreamReader(
             self._root(),
             schema,
             str(self.options.get("ignorechanges", "false")).lower() == "true",
+            log2phys,
         )
 
 
@@ -165,10 +188,17 @@ class _FilePartition(InputPartition):
 
 
 class TxStoreStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, schema, ignore_changes: bool):
+    def __init__(
+        self,
+        root: str,
+        schema,
+        ignore_changes: bool,
+        log2phys: dict[str, str] | None = None,
+    ):
         self._root = root
         self._schema = schema
         self._ignore_changes = ignore_changes
+        self._log2phys = log2phys or {}
 
     def initialOffset(self) -> dict:
         # version 0 = before the first commit: a fresh query replays
@@ -296,8 +326,8 @@ class TxStoreStreamReader(DataSourceStreamReader):
                     row.append(partition.version)
                 elif name == "event_date":
                     row.append(day)
-                elif name in cols:
-                    val = cols[name][i]
+                elif self._log2phys.get(name, name) in cols:
+                    val = cols[self._log2phys.get(name, name)][i]
                     if (
                         name in ts_fields
                         and val is not None
