@@ -9029,6 +9029,128 @@ def q_tx_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_TX_CLONE_ORACLE = """
+WITH base AS (
+  SELECT event_id, ts, user_id, value FROM events
+  WHERE event_id % 11 = 0 AND day(ts) <= 12
+),
+kept AS (  -- DV delete on the SOURCE, pre-clone
+  SELECT * FROM base WHERE user_id % 5 <> 2
+),
+added AS (  -- appended to the CLONE only
+  SELECT event_id, ts, user_id, value FROM events
+  WHERE event_id % 11 = 5 AND day(ts) <= 12
+),
+clone AS (
+  SELECT event_id, ts::DATE AS event_date, value FROM kept
+  UNION ALL SELECT event_id, ts::DATE, value FROM added
+),
+srcd AS (SELECT event_id, ts::DATE AS event_date FROM kept)
+SELECT c.event_date,
+       (SELECT count(*) FROM srcd s WHERE s.event_date = c.event_date
+       )::BIGINT AS n_src,
+       count(*)::BIGINT AS n_clone,
+       sum(c.event_id)::BIGINT AS sum_eid_clone,
+       round(sum(c.value::DECIMAL(21,6))::DOUBLE, 4) AS value_sum_clone,
+       1 AS zero_copy, 1 AS src_untouched, 1 AS meta_count_ok
+FROM clone c GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("tx_shallow_clone", oracle=_TX_CLONE_ORACLE)
+def q_tx_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE, hash-verified — Delta's zero-copy CLONE
+    (txstore.py tx_clone; the reference has no table concept at all):
+    source store → DV delete (merge-on-read rows vanish) → CLONE →
+    append a batch to the clone only. The census pins, per day: the
+    source's row count (the clone's writes must never leak back), the
+    clone's full census (cloned-through deletion vectors must keep
+    suppressing rows read from the SOURCE's files via ext/ext_dv), and
+    three in-query-asserted flags the oracle states as literals —
+    zero_copy (not one parquet byte under the clone's data dir at
+    clone time), src_untouched (source head version unchanged after
+    the clone's append), meta_count_ok (metadata-only COUNT(*) off the
+    cloned rows map minus DV sidecars equals the scanned count).
+
+    Scale shape: the clone commit is ONE manifest write regardless of
+    table size; reads group files by base (source + local = 2 scans);
+    everything else is the standard per-day agg."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from ..sources.txstore import (
+        tx_append_events,
+        tx_clone,
+        tx_count_events,
+        tx_current_version,
+        tx_delete_where,
+        tx_read_events,
+        tx_write_events,
+    )
+
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "value"
+    ).where(F.dayofmonth("ts") <= 12)
+    base = ev.where(F.col("event_id") % 11 == 0)
+    added = ev.where(F.col("event_id") % 11 == 5)
+    tmp = tempfile.mkdtemp(prefix="mls_store_clone_", dir=_scratch_dir())
+    src_path, dst_path = f"{tmp}/src", f"{tmp}/dst"
+    try:
+        with _stream_state_parts(spark, 8):
+            tx_write_events(
+                spark, src_path, base.repartition(F.to_date("ts"))
+            )
+            tx_delete_where(spark, src_path, "user_id % 5 = 2")
+            tx_clone(spark, src_path, dst_path)
+            if _glob.glob(
+                f"{dst_path}/data/**/*.parquet", recursive=True
+            ):  # survives python -O
+                raise RuntimeError("shallow clone must copy zero data")
+            src_v = tx_current_version(spark, src_path)
+            tx_append_events(spark, dst_path, added)
+            if tx_current_version(spark, src_path) != src_v:
+                raise RuntimeError("clone writes must not touch source")
+            clone_head = tx_read_events(spark, dst_path)
+            n_clone_total = clone_head.count()
+            if tx_count_events(spark, dst_path) != n_clone_total:
+                raise RuntimeError("metadata count diverged on clone")
+            src_agg = (
+                tx_read_events(spark, src_path)
+                .groupBy("event_date")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_src"))
+            )
+            agg = (
+                clone_head.groupBy("event_date")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_clone"),
+                    F.sum("event_id").cast("long").alias("sum_eid_clone"),
+                    F.round(
+                        F.sum(F.col("value").cast("decimal(21,6)")).cast(
+                            "double"
+                        ),
+                        4,
+                    ).alias("value_sum_clone"),
+                )
+                .join(src_agg, "event_date", "left")
+                .select(
+                    "event_date",
+                    F.coalesce("n_src", F.lit(0)).alias("n_src"),
+                    "n_clone",
+                    "sum_eid_clone",
+                    "value_sum_clone",
+                    F.lit(1).alias("zero_copy"),
+                    F.lit(1).alias("src_untouched"),
+                    F.lit(1).alias("meta_count_ok"),
+                )
+                .orderBy("event_date")
+            )
+            rows = agg.collect()
+            return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _TX_SRC_ORACLE = """
 WITH ev AS (
   SELECT event_id, ts, value FROM events WHERE day(ts) <= 12
@@ -12238,8 +12360,13 @@ _NEXT = [
     # metadata-only RENAME/DROP COLUMN with frozen physical names
     # (rename touches zero files, dropped-then-re-added logical names
     # get a fresh physical slot so old bytes never bleed through,
-    # stats/blooms/DVs survive renames verbatim)
+    # stats/blooms/DVs survive renames verbatim) — and SHALLOW CLONE
+    # (zero-copy table clone via ext/ext_dv manifest refs: clone
+    # commit is one manifest write at any size, writes diverge
+    # locally, compaction localizes, DV/bloom/stats/meta-count all
+    # compose through the external bases)
     "tx_column_mapping",
+    "tx_shallow_clone",
     # (the ANN tail and the six mid-round-11 tx capabilities were
     # pulled INTO the window by the second round-11 rotation above)
     # second round-11 rotation OUT: eleven long-green rows retired to

@@ -8,6 +8,7 @@ from .store import (  # noqa: F401
 )
 from .txstore import (  # noqa: F401
     tx_append_events,
+    tx_clone,
     tx_compact_partitions,
     tx_drop_column,
     tx_logical_schema,

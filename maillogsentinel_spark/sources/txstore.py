@@ -187,9 +187,12 @@ def _manifest_path(root: str, version: int) -> str:
 _CKPT_INTERVAL = 10  # Delta's default checkpoint cadence
 # rel-keyed manifest maps (generic across delta diffs and checkpoints):
 # per-file column [min,max] stats, bloom bitsets, deletion-vector
-# pointers, and exact per-file ROW COUNTS (Delta's numRecords — what
-# makes COUNT(*) a metadata-only operation, tx_count_events)
-_META_MAPS = ("stats", "blooms", "dv", "rows")
+# pointers, exact per-file ROW COUNTS (Delta's numRecords — what
+# makes COUNT(*) a metadata-only operation, tx_count_events), and the
+# SHALLOW-CLONE external-reference maps: ``ext`` points a data rel at
+# the SOURCE store's data dir (tx_clone — zero-copy), ``ext_dv`` does
+# the same for cloned deletion-vector sidecar dirs
+_META_MAPS = ("stats", "blooms", "dv", "rows", "ext", "ext_dv")
 _DELTA_ONLY_KEYS = frozenset(
     ["kind", "_has", "files_add", "files_remove"]
     + [f"{k}_set" for k in _META_MAPS]
@@ -754,41 +757,55 @@ def _snapshot_df(
     if days is not None:
         fmap = {d: fmap[d] for d in days if d in fmap}
     dv_map = manifest.get("dv", {})
+    ext = manifest.get("ext", {})  # shallow-clone external data bases
+    ext_dv = manifest.get("ext_dv", {})
+    local_base = f"{root}/{_DATA_DIR}"
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     plain = [
         rel for rels in fmap.values() for rel in rels if rel not in dv_map
     ]
     dved = [rel for rels in fmap.values() for rel in rels if rel in dv_map]
 
-    def _read(paths: list[str], tag: bool) -> DataFrame:
-        df = (
-            spark.read.option("basePath", f"{root}/{_DATA_DIR}")
-            .schema(schema)
-            .parquet(*paths)
-        )
-        if tag:
-            # ONLY when the row identity is actually consumed — the
-            # hidden _metadata struct survives a later drop() in the
-            # physical plan (measured: every scan otherwise pays
-            # per-row file_path strings + struct construction)
-            df = df.withColumn("__rel", _rel_expr()).withColumn(
-                "__pos", F.col("_metadata.row_index")
+    def _read(rels: list[str], tag: bool) -> DataFrame:
+        # one scan per distinct base (the local store + each clone
+        # source — typically <=2): basePath must match for the
+        # event_date partition column to materialize from the dir name
+        by_base: dict[str, list[str]] = {}
+        for rel in rels:
+            by_base.setdefault(ext.get(rel, local_base), []).append(rel)
+        frames = []
+        for base, bre in sorted(by_base.items()):
+            df = (
+                spark.read.option("basePath", base)
+                .schema(schema)
+                .parquet(*[f"{base}/{rel}" for rel in bre])
             )
-        return df
+            if tag:
+                # ONLY when the row identity is actually consumed —
+                # the hidden _metadata struct survives a later drop()
+                # in the physical plan (measured: every scan otherwise
+                # pays per-row file_path strings + struct construction)
+                df = df.withColumn("__rel", _rel_expr()).withColumn(
+                    "__pos", F.col("_metadata.row_index")
+                )
+            frames.append(df)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     out = None
     if plain:
-        out = _read(
-            [f"{root}/{_DATA_DIR}/{rel}" for rel in plain], tag=with_pos
-        )
+        out = _read(plain, tag=with_pos)
     if dved:
         dv_rels = sorted({d for rel in dved for d in dv_map[rel]})
         dv = spark.read.parquet(
-            *[f"{root}/{_DELETES_DIR}/{d}" for d in dv_rels]
+            *[
+                f"{ext_dv.get(d, f'{root}/{_DELETES_DIR}')}/{d}"
+                for d in dv_rels
+            ]
         ).select(F.col("rel").alias("__dv_rel"), F.col("pos").alias("__dv_pos"))
-        kept = _read(
-            [f"{root}/{_DATA_DIR}/{rel}" for rel in dved], tag=True
-        ).join(
+        kept = _read(dved, tag=True).join(
             F.broadcast(dv),
             (F.col("__rel") == F.col("__dv_rel"))
             & (F.col("__pos") == F.col("__dv_pos")),
@@ -1112,6 +1129,7 @@ def tx_add_constraint(
         "dv": prev.get("dv", {}),
         "constraints": cons,
     }
+    manifest.update(_carry_ext(prev, prev["files"], manifest["dv"]))
     if "last_batch_id" in prev:
         manifest["last_batch_id"] = prev["last_batch_id"]
     return _commit(spark, path, manifest, prev)
@@ -1138,6 +1156,7 @@ def tx_drop_constraint(spark: SparkSession, path: str, name: str) -> int:
         "dv": prev.get("dv", {}),
         "constraints": cons,
     }
+    manifest.update(_carry_ext(prev, prev["files"], manifest["dv"]))
     if "last_batch_id" in prev:
         manifest["last_batch_id"] = prev["last_batch_id"]
     return _commit(spark, path, manifest, prev)
@@ -1205,6 +1224,7 @@ def _commit_mapping(
             "dv": prev.get("dv", {}),
             "constraints": prev.get("constraints", {}),
         }
+        manifest.update(_carry_ext(prev, prev["files"], manifest["dv"]))
         if "last_batch_id" in prev:
             manifest["last_batch_id"] = prev["last_batch_id"]
         try:
@@ -1409,6 +1429,7 @@ def tx_append_events(
             "dv": _carry_dv(prev, merged),
             "constraints": prev.get("constraints", {}),
         }
+        manifest.update(_carry_ext(prev, merged, manifest["dv"]))
         if batch_id is not None:
             manifest["last_batch_id"] = batch_id
         elif "last_batch_id" in prev:
@@ -1578,9 +1599,12 @@ def tx_count_events(
             (rel, ent) for rel, ents in live_dv.items() for ent in ents
         }
         dirs = sorted({ent for _, ent in pairs})
+        ext_dv = manifest.get("ext_dv", {})
         for d in dirs:
             seen_dirs.add(d)
-            side = spark.read.parquet(f"{path}/{_DELETES_DIR}/{d}")
+            side = spark.read.parquet(
+                f"{ext_dv.get(d, f'{path}/{_DELETES_DIR}')}/{d}"
+            )
             wanted = [rel for rel, ent in pairs if ent == d]
             deleted += side.where(F.col("rel").isin(wanted)).count()
         return base - deleted
@@ -1709,10 +1733,79 @@ def tx_restore(spark: SparkSession, path: str, version: int) -> int:
         "blooms": target.get("blooms", {}),
         "dv": target.get("dv", {}),
         "constraints": target.get("constraints", {}),
+        **_carry_ext(target, target["files"], target.get("dv", {})),
     }
     if "last_batch_id" in prev:
         manifest["last_batch_id"] = prev["last_batch_id"]
     return _commit(spark, path, manifest, prev)
+
+
+def tx_clone(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    version: int | None = None,
+) -> int:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``): the
+    destination's v1 manifest copies the source snapshot's schema
+    (column mapping included), file list, per-file stats and row
+    counts, bloom bitsets, deletion vectors and CHECK constraints —
+    and points every data rel at the SOURCE's data dir through the
+    ``ext`` map (DV sidecars through ``ext_dv``). ZERO bytes of data
+    are copied at any table size; the clone commit is one manifest
+    write. Clone-of-a-clone carries the ORIGINAL bases through, so
+    reads never chain.
+
+    After the clone: writes to the clone commit locally and NEVER
+    touch the source (appends publish under the clone's root; a
+    rewriting op — compact / upsert / zorder — folds external rels
+    into local files, so maintenance gradually localizes the clone);
+    time travel below v1 does not exist (the clone's history starts at
+    the clone, Delta's semantics); the streaming ledger does NOT carry
+    over (one checkpoint per store). CAVEAT, same as Delta's: VACUUM
+    on the SOURCE can delete files a live clone still references —
+    retaining a cloned source is the operator's contract, and the
+    clone's own vacuum only ever touches its local files (external
+    bases are outside its data root by construction)."""
+    import os
+
+    src_m = _load_manifest(spark, src, version)
+    if _list_versions(spark, dst):
+        raise ValueError(f"clone destination {dst} already exists")
+    src_abs = src if "://" in src else os.path.abspath(src)
+    data_base = f"{src_abs}/{_DATA_DIR}"
+    dv_base = f"{src_abs}/{_DELETES_DIR}"
+    src_ext = src_m.get("ext", {})
+    src_ext_dv = src_m.get("ext_dv", {})
+    ext = {
+        rel: src_ext.get(rel, data_base)
+        for rels in src_m["files"].values()
+        for rel in rels
+    }
+    ext_dv = {
+        d: src_ext_dv.get(d, dv_base)
+        for ents in src_m.get("dv", {}).values()
+        for d in ents
+    }
+    manifest = {
+        "format": _FORMAT,
+        "version": 1,
+        "parent": 0,
+        "txid": uuid.uuid4().hex,
+        "operation": "clone",
+        "schema": src_m["schema"],
+        "files": src_m["files"],
+        "stats": src_m.get("stats", {}),
+        "rows": src_m.get("rows", {}),
+        "blooms": src_m.get("blooms", {}),
+        "dv": src_m.get("dv", {}),
+        "constraints": src_m.get("constraints", {}),
+    }
+    if ext:
+        manifest["ext"] = ext
+    if ext_dv:
+        manifest["ext_dv"] = ext_dv
+    return _commit(spark, dst, manifest)
 
 
 def _carry_dv(prev: dict, newmap: dict[str, list[str]]) -> dict:
@@ -1726,6 +1819,27 @@ def _carry_dv(prev: dict, newmap: dict[str, list[str]]) -> dict:
         return {}
     live = {rel for rels in newmap.values() for rel in rels}
     return {rel: d for rel, d in prior.items() if rel in live}
+
+
+def _carry_ext(prev: dict, newmap: dict, dv: dict) -> dict:
+    """SHALLOW-CLONE reference maps for a new manifest, returned as a
+    dict to ``manifest.update(...)`` and OMITTED entirely when empty so
+    non-clone stores keep their exact manifest shape: ``ext`` entries
+    (rel -> source data dir) carried for retained rels — a rewritten
+    or dropped rel's external ref falls away, which is how a clone
+    gradually localizes under compaction — and ``ext_dv`` entries for
+    sidecar dirs some carried DV entry still references."""
+    out: dict = {}
+    ext = _carry_stats(prev, newmap, {}, key="ext")
+    if ext:
+        out["ext"] = ext
+    live_dv = {e for ents in dv.values() for e in ents}
+    ext_dv = {
+        k: v for k, v in prev.get("ext_dv", {}).items() if k in live_dv
+    }
+    if ext_dv:
+        out["ext_dv"] = ext_dv
+    return out
 
 
 _DV_SHARD_ROWS = 4_000_000  # matched rows per sidecar shard file
@@ -1835,6 +1949,7 @@ def tx_delete_where(
             "dv": dv,
             "constraints": prev.get("constraints", {}),
         }
+        manifest.update(_carry_ext(prev, prev["files"], dv))
         if "last_batch_id" in prev:
             manifest["last_batch_id"] = prev["last_batch_id"]
         try:
@@ -2058,12 +2173,25 @@ def tx_add_bloom_filters(
         or blooms.get(rel, {}).get(col, {}).get("k") != k
     ]
     if missing:
-        paths = [f"{path}/{_DATA_DIR}/{rel}" for rel in missing]
-        src = (
-            spark.read.option("basePath", f"{path}/{_DATA_DIR}")
+        # group by base (shallow-clone ext rels read from the source's
+        # data dir); file->rel mapping downstream is path-suffix-based,
+        # so mixed bases are transparent to the pack stage
+        ext = prev.get("ext", {})
+        by_base: dict[str, list[str]] = {}
+        for rel in missing:
+            by_base.setdefault(
+                ext.get(rel, f"{path}/{_DATA_DIR}"), []
+            ).append(rel)
+        frames = [
+            spark.read.option("basePath", base)
             .schema(schema)
-            .parquet(*paths)
-        ).where(F.col(col).isNotNull())
+            .parquet(*[f"{base}/{rel}" for rel in rels_b])
+            for base, rels_b in sorted(by_base.items())
+        ]
+        src = frames[0]
+        for fr in frames[1:]:
+            src = src.unionByName(fr)
+        src = src.where(F.col(col).isNotNull())
         sval = F.col(col).cast("string")
         # pass 1 (cheap agg): per-file approx distinct count -> per-file
         # bitset size with expected fill <=50%
@@ -2152,6 +2280,7 @@ def tx_add_bloom_filters(
             "dv": prev.get("dv", {}),
             "constraints": prev.get("constraints", {}),
         }
+        manifest.update(_carry_ext(prev, prev["files"], manifest["dv"]))
         if "last_batch_id" in prev:
             manifest["last_batch_id"] = prev["last_batch_id"]
         try:
@@ -2481,6 +2610,7 @@ def tx_upsert_events(
         "dv": _carry_dv(prev, newmap),
         "constraints": prev.get("constraints", {}),
     }
+    manifest.update(_carry_ext(prev, newmap, manifest["dv"]))
     if "last_batch_id" in prev:  # carry the streaming ledger forward
         manifest["last_batch_id"] = prev["last_batch_id"]
     return _commit(spark, path, manifest, prev)
@@ -2615,6 +2745,7 @@ def tx_merge(
         "dv": _carry_dv(prev, newmap),
         "constraints": prev.get("constraints", {}),
     }
+    manifest.update(_carry_ext(prev, newmap, manifest["dv"]))
     if "last_batch_id" in prev:  # carry the streaming ledger forward
         manifest["last_batch_id"] = prev["last_batch_id"]
     return _commit(spark, path, manifest, prev)
@@ -2723,6 +2854,7 @@ def tx_compact_partitions(
         "dv": _carry_dv(prev, newmap),
         "constraints": prev.get("constraints", {}),
     }
+    manifest.update(_carry_ext(prev, newmap, manifest["dv"]))
     if "last_batch_id" in prev:  # carry the streaming ledger forward
         manifest["last_batch_id"] = prev["last_batch_id"]
     return _commit(spark, path, manifest, prev)
@@ -2931,6 +3063,7 @@ def tx_optimize_zorder(
         "dv": _carry_dv(prev, newmap),
         "constraints": prev.get("constraints", {}),
     }
+    manifest.update(_carry_ext(prev, newmap, manifest["dv"]))
     if "last_batch_id" in prev:  # carry the streaming ledger forward
         manifest["last_batch_id"] = prev["last_batch_id"]
     return _commit(spark, path, manifest, prev)

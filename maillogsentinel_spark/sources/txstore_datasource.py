@@ -178,13 +178,25 @@ class TxStoreDataSource(DataSource):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, rel: str, version: int, dv_rels: tuple = ()):
+    def __init__(
+        self,
+        rel: str,
+        version: int,
+        dv_rels: tuple = (),
+        base: str | None = None,
+        dv_bases: tuple = (),
+    ):
         self.rel = rel
         self.version = version
         # deletion-vector sidecars applying to this file (seed-snapshot
         # partitions only: an append's new files cannot carry a DV at
         # their own commit) — read() anti-filters their row positions
         self.dv_rels = tuple(dv_rels)
+        # shallow-clone external bases: absolute data dir for this rel
+        # (None = the store's own data dir) and per-sidecar dirs
+        # aligned with dv_rels (None entries = the store's _deletes)
+        self.base = base
+        self.dv_bases = tuple(dv_bases) or (None,) * len(self.dv_rels)
 
 
 class TxStoreStreamReader(DataSourceStreamReader):
@@ -227,11 +239,21 @@ class TxStoreStreamReader(DataSourceStreamReader):
             seed_v = versions[0]
             state = _load_manifest(self._root, seed_v)
             seed_dv = state.get("dv", {})
+            seed_ext = state.get("ext", {})
+            seed_ext_dv = state.get("ext_dv", {})
             prev_files = {
                 r for rels in state["files"].values() for r in rels
             }
             parts.extend(
-                _FilePartition(rel, seed_v, seed_dv.get(rel, ()))
+                _FilePartition(
+                    rel,
+                    seed_v,
+                    seed_dv.get(rel, ()),
+                    seed_ext.get(rel),
+                    tuple(
+                        seed_ext_dv.get(d) for d in seed_dv.get(rel, ())
+                    ),
+                )
                 for rel in sorted(prev_files)
             )
             first = seed_v + 1
@@ -282,17 +304,20 @@ class TxStoreStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         fs, base = _fs_root(self._root)
+        data_dir = partition.base or f"{base}/{_DATA_DIR}"
         with fs.open_input_file(
-            f"{base}/{_DATA_DIR}/{partition.rel}"
+            f"{data_dir}/{partition.rel}"
         ) as f:
             table = pq.read_table(f)
         deleted: set = set()
-        for dv_rel in partition.dv_rels:
+        for dv_rel, dv_dir in zip(partition.dv_rels, partition.dv_bases):
             from pyarrow import fs as pafs
             import pyarrow.dataset as pads
 
             ds = pads.dataset(
-                f"{base}/_deletes/{dv_rel}", format="parquet", filesystem=fs
+                f"{dv_dir or f'{base}/_deletes'}/{dv_rel}",
+                format="parquet",
+                filesystem=fs,
             )
             dv_tab = ds.to_table(
                 filter=pads.field("rel") == partition.rel, columns=["pos"]
