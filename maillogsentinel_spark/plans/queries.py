@@ -9151,6 +9151,124 @@ def q_tx_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_TX_FMT_ORACLE = """
+WITH base AS (
+  SELECT event_id, ts, user_id, value FROM events
+  WHERE event_id % 13 = 0 AND day(ts) <= 12
+),
+added AS (
+  SELECT event_id, ts, user_id, value FROM events
+  WHERE event_id % 13 = 6 AND day(ts) <= 12
+),
+head AS (
+  SELECT event_id, ts::DATE AS event_date, value FROM base
+  WHERE user_id % 4 <> 1
+  UNION ALL
+  SELECT event_id, ts::DATE, value FROM added WHERE user_id % 4 <> 1
+),
+v1 AS (SELECT event_id, ts::DATE AS event_date, value FROM base)
+SELECT h.event_date,
+       (SELECT count(*) FROM v1 WHERE v1.event_date = h.event_date
+       )::BIGINT AS n_v1,
+       count(*)::BIGINT AS n_head,
+       sum(h.event_id)::BIGINT AS sum_eid,
+       round(sum(h.value::DECIMAL(21,6))::DOUBLE, 4) AS value_sum,
+       1 AS tagged_versions_ok
+FROM head h GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("tx_format_batch_read", oracle=_TX_FMT_ORACLE)
+def q_tx_format_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH READ THROUGH THE FORMAT API, hash-verified —
+    ``spark.read.format("txstore")`` with Delta's time-travel options
+    (txstore_datasource.py TxStoreBatchReader): v1 snapshot → append →
+    DV delete → the head read via the format API must equal the
+    predicate-derived truth (deletion vectors applied inside the
+    Arrow per-file transform), ``versionAsOf=1`` must return the
+    pre-append pre-delete census, and every head row must carry
+    ``_commit_version`` = the resolved snapshot version (asserted
+    in-query, stated as the oracle's literal flag). This grades the
+    whole Python DataSource batch path: version resolution, per-file
+    partitions, the RecordBatch transform, and DV masking.
+
+    Scale shape: one input partition per live file (the scan's
+    natural parallelism); planning is O(files) driver-side manifest
+    metadata; rows ship as whole Arrow batches, never python tuples."""
+    import shutil
+    import tempfile
+
+    from ..sources.txstore import (
+        tx_append_events,
+        tx_current_version,
+        tx_delete_where,
+        tx_write_events,
+    )
+    from ..sources.txstore_datasource import register
+
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "value"
+    ).where(F.dayofmonth("ts") <= 12)
+    base = ev.where(F.col("event_id") % 13 == 0)
+    added = ev.where(F.col("event_id") % 13 == 6)
+    tmp = tempfile.mkdtemp(prefix="mls_store_fmt_", dir=_scratch_dir())
+    path = f"{tmp}/store"
+    try:
+        with _stream_state_parts(spark, 8):
+            register(spark)
+            tx_write_events(spark, path, base.repartition(F.to_date("ts")))
+            tx_append_events(spark, path, added)
+            tx_delete_where(spark, path, "user_id % 4 = 1")
+            head_v = tx_current_version(spark, path)
+            head = (
+                spark.read.format("txstore").option("path", path).load()
+            )
+            v1 = (
+                spark.read.format("txstore")
+                .option("path", path)
+                .option("versionAsOf", "1")
+                .load()
+            )
+            bad_tags = head.where(
+                F.col("_commit_version") != F.lit(head_v)
+            ).count()
+            if bad_tags:  # survives python -O
+                raise RuntimeError(
+                    "_commit_version must be the resolved snapshot"
+                )
+            v1_agg = (
+                v1.groupBy("event_date")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_v1"))
+            )
+            agg = (
+                head.groupBy("event_date")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_head"),
+                    F.sum("event_id").cast("long").alias("sum_eid"),
+                    F.round(
+                        F.sum(F.col("value").cast("decimal(21,6)")).cast(
+                            "double"
+                        ),
+                        4,
+                    ).alias("value_sum"),
+                )
+                .join(v1_agg, "event_date", "left")
+                .select(
+                    "event_date",
+                    F.coalesce("n_v1", F.lit(0)).alias("n_v1"),
+                    "n_head",
+                    "sum_eid",
+                    "value_sum",
+                    F.lit(1).alias("tagged_versions_ok"),
+                )
+                .orderBy("event_date")
+            )
+            rows = agg.collect()
+            return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _TX_SRC_ORACLE = """
 WITH ev AS (
   SELECT event_id, ts, value FROM events WHERE day(ts) <= 12
@@ -12365,8 +12483,12 @@ _NEXT = [
     # commit is one manifest write at any size, writes diverge
     # locally, compaction localizes, DV/bloom/stats/meta-count all
     # compose through the external bases)
+    # — plus the FORMAT-API batch read (spark.read.format("txstore")
+    # with versionAsOf/timestampAsOf, DV-masked Arrow RecordBatch
+    # transform shared with the streaming source)
     "tx_column_mapping",
     "tx_shallow_clone",
+    "tx_format_batch_read",
     # (the ANN tail and the six mid-round-11 tx capabilities were
     # pulled INTO the window by the second round-11 rotation above)
     # second round-11 rotation OUT: eleven long-green rows retired to

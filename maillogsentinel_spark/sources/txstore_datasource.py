@@ -1,6 +1,21 @@
-"""Streaming Python DataSource (Spark 4 ``pyspark.sql.datasource``)
-over the transactional store: ``spark.readStream.format("txstore")
-.option("path", root).load()`` tails APPENDS exactly-once.
+"""Python DataSource (Spark 4 ``pyspark.sql.datasource``) over the
+transactional store, BOTH directions of the read API:
+
+- ``spark.read.format("txstore").option("path", root).load()`` — one
+  snapshot scan with ``versionAsOf`` / ``timestampAsOf`` time travel
+  (Delta's option names), deletion vectors applied, column mapping
+  presented logically, shallow-clone refs resolved, every row tagged
+  ``_commit_version`` = the resolved snapshot version. The fast path
+  for snapshot reads remains ``tx_read_events`` (a native parquet
+  scan); this reader is the format-API surface over the same state.
+- ``spark.readStream.format("txstore")...`` tails APPENDS
+  exactly-once (below).
+
+Both directions materialize files through ONE shared per-file
+transform (_read_partition) that yields whole Arrow RecordBatches —
+the scan stays columnar end-to-end (DV mask, physical→logical
+projection, constant columns and timestamp localization are Arrow
+compute), with a row-loop fallback that any unsafe cast degrades to.
 
 Offsets ARE manifest versions — the one thing the store already
 guarantees to be atomic, totally ordered and immutable — so the
@@ -42,6 +57,7 @@ import json
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -126,6 +142,146 @@ def _load_manifest(root: str, version: int) -> dict:
     )
 
 
+class _ArrowFallback(Exception):
+    """Raised when the columnar transform cannot guarantee the exact
+    Spark-facing types — the caller degrades to the row loop."""
+
+
+def _arrow_batches(table, schema, log2phys, deleted, day, version):
+    """The whole per-file transform as Arrow compute: DV row-position
+    mask, physical→logical projection, synthesized event_date /
+    _commit_version constants, NTZ→UTC timestamp localization, and a
+    cast to the exact Arrow type Spark expects for each field. Raises
+    _ArrowFallback before yielding anything if a cast is unsafe."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    if deleted:
+        mask = np.ones(table.num_rows, dtype=bool)
+        mask[np.fromiter(deleted, dtype=np.int64)] = False
+        table = table.filter(pa.array(mask))
+    n = table.num_rows
+    arrays, fields = [], []
+    try:
+        for f in schema.fields:
+            want = to_arrow_type(f.dataType)
+            name = f.name
+            if name == "_commit_version":
+                arr = pa.array([version] * n, type=want)
+            elif name == "event_date":
+                arr = pa.array([day] * n, type=want)
+            else:
+                phys = log2phys.get(name, name)
+                if phys in table.column_names:
+                    arr = table.column(phys)
+                    if (
+                        pa.types.is_timestamp(arr.type)
+                        and arr.type.tz is None
+                        and pa.types.is_timestamp(want)
+                    ):
+                        # NTZ physical under the session's UTC pin:
+                        # identity wall-clock→epoch, same contract as
+                        # the row loop
+                        arr = arr.cast(
+                            pa.timestamp(arr.type.unit, "UTC")
+                        )
+                    arr = arr.cast(want, safe=True)
+                else:
+                    arr = pa.nulls(n, type=want)
+            arrays.append(
+                arr.combine_chunks() if isinstance(arr, pa.ChunkedArray)
+                else arr
+            )
+            fields.append(pa.field(name, want, nullable=True))
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+            pa.ArrowTypeError, TypeError, ValueError) as exc:
+        raise _ArrowFallback(str(exc))
+    yield from pa.Table.from_arrays(
+        arrays, schema=pa.schema(fields)
+    ).to_batches()
+
+
+def _read_partition(root: str, schema, log2phys: dict, partition):
+    """Materialize one data file's rows under the given (logical)
+    schema — shared by the batch and stream readers so the two can
+    never drift: DV positions anti-filtered, event_date reconstructed
+    from the dir name, timestamps localized to UTC, logical names
+    resolved to frozen physical columns, _commit_version from the
+    partition tag."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.types import TimestampType
+
+    fs, base = _fs_root(root)
+    data_dir = partition.base or f"{base}/{_DATA_DIR}"
+    with fs.open_input_file(f"{data_dir}/{partition.rel}") as f:
+        table = pq.read_table(f)
+    deleted: set = set()
+    for dv_rel, dv_dir in zip(partition.dv_rels, partition.dv_bases):
+        ds = pads.dataset(
+            f"{dv_dir or f'{base}/_deletes'}/{dv_rel}",
+            format="parquet",
+            filesystem=fs,
+        )
+        dv_tab = ds.to_table(
+            filter=pads.field("rel") == partition.rel, columns=["pos"]
+        )
+        deleted.update(dv_tab.column("pos").to_pylist())
+    day = None
+    dirname = partition.rel.split("/")[0]
+    if dirname.startswith("event_date="):
+        day = datetime.date.fromisoformat(dirname.split("=", 1)[1])
+    # ARROW FAST PATH: hand Spark whole RecordBatches (the Python
+    # DataSource API accepts them) — the scan stays columnar end to
+    # end instead of materializing python tuples row by row, the
+    # difference between a metadata loop and a real data path at
+    # file sizes that matter. Any type-mapping surprise degrades to
+    # the row loop below, never to a wrong result.
+    try:
+        yield from _arrow_batches(table, schema, log2phys, deleted,
+                                  day, partition.version)
+        return
+    except _ArrowFallback:
+        pass
+    cols = {c: table.column(c).to_pylist() for c in table.column_names}
+    n = table.num_rows
+    names = [f.name for f in schema.fields]
+    # Spark's TIMESTAMP (LTZ) converter requires tz-AWARE datetimes;
+    # a parquet file whose timestamps read back naive (NTZ physical
+    # type under the session's UTC pin) is localized to UTC — the
+    # identity wall-clock→epoch map, same contract as
+    # plans.queries._norm_events_ts
+    ts_fields = {
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, TimestampType)
+    }
+    for i in range(n):
+        if i in deleted:
+            continue
+        row = []
+        for name in names:
+            if name == "_commit_version":
+                row.append(partition.version)
+            elif name == "event_date":
+                row.append(day)
+            elif log2phys.get(name, name) in cols:
+                val = cols[log2phys.get(name, name)][i]
+                if (
+                    name in ts_fields
+                    and val is not None
+                    and val.tzinfo is None
+                ):
+                    val = val.replace(tzinfo=datetime.timezone.utc)
+                row.append(val)
+            else:
+                row.append(None)  # pre-evolution file: new col null
+        yield tuple(row)
+
+
 class TxStoreDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -137,21 +293,75 @@ class TxStoreDataSource(DataSource):
             raise ValueError("txstore source requires a path option")
         return root
 
-    def schema(self):
-        from pyspark.sql.types import IntegerType, StructField, StructType
-
+    def _resolved_version(self) -> int:
+        """The snapshot version this read targets: ``versionAsOf``
+        wins, then ``timestampAsOf`` (epoch millis or ISO local
+        datetime — latest commit at-or-before it, tx_version_at's
+        contract via the committed_at_ms scalar every delta doc
+        carries), else head."""
         versions = _list_versions(self._root())
         if not versions:
             raise FileNotFoundError(
                 f"no committed manifest under {self._root()}"
             )
+        v_opt = self.options.get("versionasof")
+        if v_opt is not None:
+            v = int(v_opt)
+            if v not in versions:
+                raise ValueError(
+                    f"versionAsOf {v} not in retained versions {versions}"
+                )
+            return v
+        ts_opt = self.options.get("timestampasof")
+        if ts_opt is not None:
+            try:
+                ts_ms = int(ts_opt)
+            except ValueError:
+                ts_ms = int(
+                    datetime.datetime.fromisoformat(ts_opt).timestamp()
+                    * 1000
+                )
+            best = None
+            for v in versions:
+                doc = _read_json(self._root(), v)
+                at = doc.get("committed_at_ms")
+                if at is not None and at <= ts_ms:
+                    best = v
+            if best is None:
+                raise ValueError(
+                    f"timestampAsOf {ts_opt} precedes the store's history"
+                )
+            return best
+        return versions[-1]
+
+    def schema(self):
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
         from .txstore import _logical_struct
 
-        m = _load_manifest(self._root(), versions[-1])
+        m = _load_manifest(self._root(), self._resolved_version())
         st = _logical_struct(StructType.fromJson(json.loads(m["schema"])))
         return StructType(
             st.fields + [StructField("_commit_version", IntegerType())]
         )
+
+    def reader(self, schema) -> "TxStoreBatchReader":
+        """BATCH read — ``spark.read.format("txstore").option("path",
+        root).load()``: one snapshot scan, with ``versionAsOf`` /
+        ``timestampAsOf`` time travel through the same options Delta
+        uses. One input partition per live data file; DV positions
+        anti-filtered; shallow-clone external refs resolved; every row
+        tagged with the resolved snapshot version in
+        ``_commit_version``."""
+        from pyspark.sql.types import StructType
+
+        from .txstore import _cm_visible
+
+        v = self._resolved_version()
+        m = _load_manifest(self._root(), v)
+        st = StructType.fromJson(json.loads(m["schema"]))
+        log2phys = {lg: ph for lg, ph in _cm_visible(st) if lg != ph}
+        return TxStoreBatchReader(self._root(), schema, v, m, log2phys)
 
     def streamReader(self, schema) -> "TxStoreStreamReader":
         from pyspark.sql.types import StructType
@@ -197,6 +407,49 @@ class _FilePartition(InputPartition):
         # aligned with dv_rels (None entries = the store's _deletes)
         self.base = base
         self.dv_bases = tuple(dv_bases) or (None,) * len(self.dv_rels)
+
+
+class TxStoreBatchReader(DataSourceReader):
+    """One-snapshot batch scan: partitions are the resolved version's
+    live files with their DV sidecars and shallow-clone bases — the
+    same per-file shape (and the same _read_partition materializer) as
+    the stream reader's seed snapshot."""
+
+    def __init__(
+        self,
+        root: str,
+        schema,
+        version: int,
+        manifest: dict,
+        log2phys: dict[str, str],
+    ):
+        self._root = root
+        self._schema = schema
+        self._version = version
+        self._manifest = manifest
+        self._log2phys = log2phys
+
+    def partitions(self):
+        m = self._manifest
+        dv = m.get("dv", {})
+        ext = m.get("ext", {})
+        ext_dv = m.get("ext_dv", {})
+        rels = sorted(r for fl in m["files"].values() for r in fl)
+        return [
+            _FilePartition(
+                rel,
+                self._version,
+                dv.get(rel, ()),
+                ext.get(rel),
+                tuple(ext_dv.get(d) for d in dv.get(rel, ())),
+            )
+            for rel in rels
+        ]
+
+    def read(self, partition: _FilePartition):
+        return _read_partition(
+            self._root, self._schema, self._log2phys, partition
+        )
 
 
 class TxStoreStreamReader(DataSourceStreamReader):
@@ -301,68 +554,9 @@ class TxStoreStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: _FilePartition):
-        import pyarrow.parquet as pq
-
-        fs, base = _fs_root(self._root)
-        data_dir = partition.base or f"{base}/{_DATA_DIR}"
-        with fs.open_input_file(
-            f"{data_dir}/{partition.rel}"
-        ) as f:
-            table = pq.read_table(f)
-        deleted: set = set()
-        for dv_rel, dv_dir in zip(partition.dv_rels, partition.dv_bases):
-            from pyarrow import fs as pafs
-            import pyarrow.dataset as pads
-
-            ds = pads.dataset(
-                f"{dv_dir or f'{base}/_deletes'}/{dv_rel}",
-                format="parquet",
-                filesystem=fs,
-            )
-            dv_tab = ds.to_table(
-                filter=pads.field("rel") == partition.rel, columns=["pos"]
-            )
-            deleted.update(dv_tab.column("pos").to_pylist())
-        day = None
-        dirname = partition.rel.split("/")[0]
-        if dirname.startswith("event_date="):
-            day = datetime.date.fromisoformat(dirname.split("=", 1)[1])
-        from pyspark.sql.types import TimestampType
-
-        cols = {c: table.column(c).to_pylist() for c in table.column_names}
-        n = table.num_rows
-        names = [f.name for f in self._schema.fields]
-        # Spark's TIMESTAMP (LTZ) converter requires tz-AWARE datetimes;
-        # a parquet file whose timestamps read back naive (NTZ physical
-        # type under the session's UTC pin) is localized to UTC — the
-        # identity wall-clock→epoch map, same contract as
-        # plans.queries._norm_events_ts
-        ts_fields = {
-            f.name
-            for f in self._schema.fields
-            if isinstance(f.dataType, TimestampType)
-        }
-        for i in range(n):
-            if i in deleted:
-                continue
-            row = []
-            for name in names:
-                if name == "_commit_version":
-                    row.append(partition.version)
-                elif name == "event_date":
-                    row.append(day)
-                elif self._log2phys.get(name, name) in cols:
-                    val = cols[self._log2phys.get(name, name)][i]
-                    if (
-                        name in ts_fields
-                        and val is not None
-                        and val.tzinfo is None
-                    ):
-                        val = val.replace(tzinfo=datetime.timezone.utc)
-                    row.append(val)
-                else:
-                    row.append(None)  # pre-evolution file: new col null
-            yield tuple(row)
+        return _read_partition(
+            self._root, self._schema, self._log2phys, partition
+        )
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable manifests; nothing to acknowledge
