@@ -9151,6 +9151,132 @@ def q_tx_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_TX_CDFS_ORACLE = """
+WITH ev AS (
+  SELECT event_id, ts, user_id, value FROM events
+  WHERE event_id % 3 = 0 AND day(ts) <= 12
+),
+ins AS (
+  SELECT 'insert' AS change_type, ts::DATE AS event_date,
+         event_id, value
+  FROM ev
+),
+del AS (
+  SELECT 'delete' AS change_type, ts::DATE AS event_date,
+         event_id, value
+  FROM ev WHERE user_id % 6 = 4
+),
+feed AS (SELECT * FROM ins UNION ALL SELECT * FROM del)
+SELECT change_type, event_date,
+       count(*)::BIGINT AS n_rows,
+       sum(event_id)::BIGINT AS sum_eid,
+       round(sum(value::DECIMAL(21,6))::DOUBLE, 4) AS value_sum
+FROM feed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("events_stream_tx_cdf", oracle=_TX_CDFS_ORACLE)
+def q_events_stream_tx_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CHANGE DATA FEED, hash-verified —
+    ``readStream.format("txstore").option("readChangeFeed", "true")``
+    (txstore_datasource.py): the seed snapshot (v1) and an append (v2)
+    drain as ``insert`` rows; a COMPACTION (v3) rewrites every file
+    and must contribute NOTHING; a deletion-vector delete (v4) drains
+    its sidecar-masked rows as ``delete`` — the deleted rows' VALUES
+    read back from the compacted files at the masked positions, so a
+    wrong position map, a leaked compaction row, or a mis-tagged
+    change type each flips the census. The oracle re-derives the
+    insert set (every row, day formulas) and the delete set (the
+    predicate's rows) relationally.
+
+    Scale shape: identical to the plain tx source — one input
+    partition per entered file for inserts, one per DV-touched file
+    for deletes (reading ONLY those files); offsets are manifest
+    versions, exactly-once by construction."""
+    import shutil
+    import tempfile
+
+    from ..sources.txstore import (
+        tx_append_events,
+        tx_compact_partitions,
+        tx_delete_where,
+        tx_write_events,
+    )
+    from ..sources.txstore_datasource import register
+
+    register(spark)
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "value"
+    ).where((F.col("event_id") % 3 == 0) & (F.dayofmonth("ts") <= 12))
+    day = F.dayofmonth("ts")
+    tmp = tempfile.mkdtemp(prefix="mls_store_cdfs_", dir=_scratch_dir())
+    path = f"{tmp}/store"
+    try:
+        with _stream_run(spark) as ckpt:
+            tx_write_events(
+                spark, path,
+                ev.where(day <= 6).repartition(F.to_date("ts")),
+            )
+            tx_append_events(
+                spark, path,
+                ev.where(day.between(7, 12)).repartition(F.to_date("ts")),
+            )
+            tx_compact_partitions(spark, path, target_files_per_day=1)
+            tx_delete_where(spark, path, "user_id % 6 = 4")
+            batches: list = []
+
+            def sink(batch_df: DataFrame, _bid: int) -> None:
+                batches.extend(
+                    batch_df.groupBy("_change_type", "event_date")
+                    .agg(
+                        F.count(F.lit(1)).cast("long").alias("n_rows"),
+                        F.sum("event_id").cast("long").alias("sum_eid"),
+                        F.sum(
+                            F.col("value").cast("decimal(21,6)")
+                        ).alias("vsum"),
+                    )
+                    .collect()
+                )
+
+            q = (
+                spark.readStream.format("txstore")
+                .option("path", path)
+                .option("readChangeFeed", "true")
+                .load()
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            part = spark.createDataFrame(
+                [
+                    (
+                        r["_change_type"], r["event_date"],
+                        r["n_rows"], r["sum_eid"], r["vsum"],
+                    )
+                    for r in batches
+                ],
+                "change_type string, event_date date, n_rows long, "
+                "sum_eid long, vsum decimal(21,6)",
+            )
+            # multiple micro-batches may split one (type, day):
+            # re-aggregate the partials
+            return (
+                part.groupBy("change_type", "event_date")
+                .agg(
+                    F.sum("n_rows").cast("long").alias("n_rows"),
+                    F.sum("sum_eid").cast("long").alias("sum_eid"),
+                    F.round(
+                        F.sum("vsum").cast("double"), 4
+                    ).alias("value_sum"),
+                )
+                .orderBy("change_type", "event_date")
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _TX_FMT_ORACLE = """
 WITH base AS (
   SELECT event_id, ts, user_id, value FROM events
@@ -12486,9 +12612,13 @@ _NEXT = [
     # — plus the FORMAT-API batch read (spark.read.format("txstore")
     # with versionAsOf/timestampAsOf, DV-masked Arrow RecordBatch
     # transform shared with the streaming source)
+    # — and the STREAMING change data feed (readChangeFeed=true:
+    # appends as 'insert', DV deletes as 'delete' with the masked
+    # rows as payload, compaction silent, rewrites raise)
     "tx_column_mapping",
     "tx_shallow_clone",
     "tx_format_batch_read",
+    "events_stream_tx_cdf",
     # (the ANN tail and the six mid-round-11 tx capabilities were
     # pulled INTO the window by the second round-11 rotation above)
     # second round-11 rotation OUT: eleven long-green rows retired to

@@ -147,7 +147,10 @@ class _ArrowFallback(Exception):
     Spark-facing types — the caller degrades to the row loop."""
 
 
-def _arrow_batches(table, schema, log2phys, deleted, day, version):
+def _arrow_batches(
+    table, schema, log2phys, deleted, day, version,
+    change_type="insert", emit_deleted=False,
+):
     """The whole per-file transform as Arrow compute: DV row-position
     mask, physical→logical projection, synthesized event_date /
     _commit_version constants, NTZ→UTC timestamp localization, and a
@@ -158,9 +161,12 @@ def _arrow_batches(table, schema, log2phys, deleted, day, version):
 
     from pyspark.sql.pandas.types import to_arrow_type
 
+    mask = np.ones(table.num_rows, dtype=bool)
     if deleted:
-        mask = np.ones(table.num_rows, dtype=bool)
         mask[np.fromiter(deleted, dtype=np.int64)] = False
+    if emit_deleted:
+        mask = ~mask  # CDF delete partition: the masked rows ARE the payload
+    if deleted or emit_deleted:
         table = table.filter(pa.array(mask))
     n = table.num_rows
     arrays, fields = [], []
@@ -170,6 +176,8 @@ def _arrow_batches(table, schema, log2phys, deleted, day, version):
             name = f.name
             if name == "_commit_version":
                 arr = pa.array([version] * n, type=want)
+            elif name == "_change_type":
+                arr = pa.array([change_type] * n, type=want)
             elif name == "event_date":
                 arr = pa.array([day] * n, type=want)
             else:
@@ -241,8 +249,10 @@ def _read_partition(root: str, schema, log2phys: dict, partition):
     # file sizes that matter. Any type-mapping surprise degrades to
     # the row loop below, never to a wrong result.
     try:
-        yield from _arrow_batches(table, schema, log2phys, deleted,
-                                  day, partition.version)
+        yield from _arrow_batches(
+            table, schema, log2phys, deleted, day, partition.version,
+            partition.change_type, partition.emit_deleted,
+        )
         return
     except _ArrowFallback:
         pass
@@ -260,12 +270,14 @@ def _read_partition(root: str, schema, log2phys: dict, partition):
         if isinstance(f.dataType, TimestampType)
     }
     for i in range(n):
-        if i in deleted:
+        if (i in deleted) != partition.emit_deleted:
             continue
         row = []
         for name in names:
             if name == "_commit_version":
                 row.append(partition.version)
+            elif name == "_change_type":
+                row.append(partition.change_type)
             elif name == "event_date":
                 row.append(day)
             elif log2phys.get(name, name) in cols:
@@ -341,8 +353,17 @@ class TxStoreDataSource(DataSource):
 
         m = _load_manifest(self._root(), self._resolved_version())
         st = _logical_struct(StructType.fromJson(json.loads(m["schema"])))
-        return StructType(
-            st.fields + [StructField("_commit_version", IntegerType())]
+        extra = [StructField("_commit_version", IntegerType())]
+        if self._cdf_opt():
+            from pyspark.sql.types import StringType
+
+            extra.insert(0, StructField("_change_type", StringType()))
+        return StructType(st.fields + extra)
+
+    def _cdf_opt(self) -> bool:
+        return (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
         )
 
     def reader(self, schema) -> "TxStoreBatchReader":
@@ -384,6 +405,7 @@ class TxStoreDataSource(DataSource):
             schema,
             str(self.options.get("ignorechanges", "false")).lower() == "true",
             log2phys,
+            cdf=self._cdf_opt(),
         )
 
 
@@ -395,6 +417,8 @@ class _FilePartition(InputPartition):
         dv_rels: tuple = (),
         base: str | None = None,
         dv_bases: tuple = (),
+        change_type: str = "insert",
+        emit_deleted: bool = False,
     ):
         self.rel = rel
         self.version = version
@@ -407,6 +431,12 @@ class _FilePartition(InputPartition):
         # aligned with dv_rels (None entries = the store's _deletes)
         self.base = base
         self.dv_bases = tuple(dv_bases) or (None,) * len(self.dv_rels)
+        # change-data-feed reads: the _change_type this partition's
+        # rows carry, and whether to emit ONLY the sidecar-matched
+        # positions (a CDF 'delete' partition inverts the DV mask —
+        # the deleted rows ARE the payload)
+        self.change_type = change_type
+        self.emit_deleted = emit_deleted
 
 
 class TxStoreBatchReader(DataSourceReader):
@@ -459,11 +489,17 @@ class TxStoreStreamReader(DataSourceStreamReader):
         schema,
         ignore_changes: bool,
         log2phys: dict[str, str] | None = None,
+        cdf: bool = False,
     ):
         self._root = root
         self._schema = schema
         self._ignore_changes = ignore_changes
         self._log2phys = log2phys or {}
+        # readChangeFeed=true: emit _change_type-tagged rows — appends
+        # as 'insert', DV deletes as 'delete' (the sidecar-masked rows
+        # read back as the payload); rewrites raise, the batch
+        # tx_changes feed being the precise alternative for those
+        self._cdf = cdf
 
     def initialOffset(self) -> dict:
         # version 0 = before the first commit: a fresh query replays
@@ -506,7 +542,7 @@ class TxStoreStreamReader(DataSourceStreamReader):
                     tuple(
                         seed_ext_dv.get(d) for d in seed_dv.get(rel, ())
                     ),
-                )
+                )  # CDF mode: the seed snapshot is all 'insert's
                 for rel in sorted(prev_files)
             )
             first = seed_v + 1
@@ -524,6 +560,9 @@ class TxStoreStreamReader(DataSourceStreamReader):
                 r for rels in state["files"].values() for r in rels
             }
             first = lo + 1
+        prev_dv = {
+            r: tuple(es) for r, es in state.get("dv", {}).items()
+        }
         for v in range(first, hi + 1):
             # roll the delta chain forward from the seed state — one
             # JSON read per version, no per-version reconstruction
@@ -538,15 +577,49 @@ class TxStoreStreamReader(DataSourceStreamReader):
             files_v = {r for rels in m["files"].values() for r in rels}
             entered = files_v - prev_files
             prev_files = files_v
+            cur_dv = {
+                r: tuple(es) for r, es in m.get("dv", {}).items()
+            }
+            if self._cdf and op == "delete":
+                # CHANGE FEED: a DV delete's payload is exactly the
+                # rows the NEW sidecars mask — one partition per
+                # touched file, reading ONLY those positions
+                ext = m.get("ext", {})
+                ext_dv = m.get("ext_dv", {})
+                for rel in sorted(cur_dv):
+                    new_sc = tuple(
+                        d for d in cur_dv[rel]
+                        if d not in prev_dv.get(rel, ())
+                    )
+                    if not new_sc:
+                        continue
+                    parts.append(
+                        _FilePartition(
+                            rel, v, new_sc, ext.get(rel),
+                            tuple(ext_dv.get(d) for d in new_sc),
+                            change_type="delete", emit_deleted=True,
+                        )
+                    )
+                prev_dv = cur_dv
+                continue
+            prev_dv = cur_dv
             if op in _ROW_PRESERVING:
                 continue
-            if op != "append" and not self._ignore_changes:
-                raise ValueError(
-                    f"txstore stream: version {v} is a row-changing "
-                    f"{op!r}; append-only tailing stops here — "
-                    "tx_changes gives the precise feed, or set "
+            if op != "append" and (self._cdf or not self._ignore_changes):
+                alt = (
+                    "the batch tx_changes feed derives precise "
+                    "update pre/post images"
+                    if self._cdf
+                    else "tx_changes gives the precise feed, or set "
                     "ignoreChanges=true for Delta-style at-least-once "
                     "rows"
+                )
+                raise ValueError(
+                    f"txstore stream: version {v} is a row-changing "
+                    f"{op!r}; "
+                    + ("the change feed stops here — " if self._cdf
+                       else "append-only tailing stops here — ")
+                    + alt
                 )
             parts.extend(
                 _FilePartition(rel, v) for rel in sorted(entered)
