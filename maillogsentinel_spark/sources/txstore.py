@@ -1772,7 +1772,12 @@ def tx_clone(
     src_m = _load_manifest(spark, src, version)
     if _list_versions(spark, dst):
         raise ValueError(f"clone destination {dst} already exists")
-    src_abs = src if "://" in src else os.path.abspath(src)
+    # absolute external bases: same scheme handling as _resolve_pafs —
+    # URIs kept verbatim, Hadoop-style file:/x treated as local
+    src_local = src[len("file:"):] if (
+        src.startswith("file:") and "://" not in src
+    ) else src
+    src_abs = src if "://" in src else os.path.abspath(src_local)
     data_base = f"{src_abs}/{_DATA_DIR}"
     dv_base = f"{src_abs}/{_DELETES_DIR}"
     src_ext = src_m.get("ext", {})
