@@ -112,6 +112,41 @@ def main() -> None:
             )
             delta_bytes = os.path.getsize(f"{tmp}/delta.json")
             full_bytes = os.path.getsize(f"{tmp}/full.json")
+            # round-11 metadata-only schema/table ops at the same N:
+            # RENAME COLUMN = a delta whose only payload is the schema
+            # scalar; SHALLOW CLONE = ONE v1 manifest carrying the file
+            # list + O(files) ext map
+            renamed = dict(
+                nxt,
+                version=nxt["version"] + 1,
+                parent=nxt["version"],
+                txid="benchren" + "0" * 24,
+                operation="rename_column",
+                schema=json.dumps({"type": "struct", "fields": [
+                    {"name": "value", "type": "double", "nullable": True,
+                     "metadata": {"cm_logical": "score"}}]}),
+            )
+            t0 = time.perf_counter()
+            rd = txstore._delta_doc(nxt, renamed)
+            if txstore._apply_delta(nxt, rd) != renamed:
+                raise RuntimeError("rename delta round-trip mismatch")
+            rename_doc = json.dumps(rd, sort_keys=True)
+            t_rename = time.perf_counter() - t0
+
+            ext = {
+                rel: "/elsewhere/src/data"
+                for rels in nxt["files"].values() for rel in rels
+            }
+            clone_m = dict(
+                nxt, version=1, parent=0, operation="clone", ext=ext,
+                txid="benchcln" + "0" * 24,
+            )
+            t0 = time.perf_counter()
+            clone_doc = json.dumps(clone_m, sort_keys=True)
+            with open(f"{tmp}/clone.json", "w") as f:
+                f.write(clone_doc)
+            t_clone = time.perf_counter() - t0
+
         amortized = t_delta_commit + t_ckpt_write / txstore._CKPT_INTERVAL
         print(
             json.dumps(
@@ -126,6 +161,10 @@ def main() -> None:
                     "new_commit_amortized_sec": round(amortized, 4),
                     "ckpt_write_sec": round(t_ckpt_write, 4),
                     "ckpt_read_sec": round(t_ckpt_read, 4),
+                    "rename_commit_sec": round(t_rename, 5),
+                    "rename_doc_bytes": len(rename_doc),
+                    "clone_commit_sec": round(t_clone, 4),
+                    "clone_json_bytes": len(clone_doc),
                 }
             )
         )
