@@ -12382,7 +12382,12 @@ GRADED_PREFIX: list[str] = [
     # streaming sink whose batch ledger rides in the data's own rename,
     # and the NEW hash-verified time-travel diff (v1 read back EXACTLY
     # after v2's MERGE committed)
-    "store_tx_roundtrip",
+    # store_tx_roundtrip retires in the THIRD r11 rotation (green
+    # r9-r10; the manifest-commit/maintenance composite — MERGE,
+    # compaction, vacuum, poison-abort — stays graded via
+    # tx_merge_clauses, tx_restore_roundtrip and the compaction legs
+    # inside tx_incremental_tail/tx_column_mapping in-window, and the
+    # full composite stays in the local gate)
     # events_stream_tx_sink retires in the second r11 rotation (green
     # r9-r10; exactly-once delivery stays graded via
     # events_stream_tx_source in-window, which replays across restarts
@@ -12425,6 +12430,17 @@ GRADED_PREFIX: list[str] = [
     "tx_history_audit",
     "tx_constraints_gate",
     "tx_zorder_string_skipping",
+    # THIRD round-11 rotation IN, graded on arrival: the session's four
+    # table-format capstones — COLUMN MAPPING (metadata-only
+    # rename/drop, frozen physical names, null-bleed pinned), SHALLOW
+    # CLONE (zero-copy ext refs, source-untouched + meta-count flags),
+    # the FORMAT-API batch read (versionAsOf census + per-row version
+    # tags through the Arrow transform), and the STREAMING CHANGE DATA
+    # FEED (insert/delete classification across a silent compaction)
+    "tx_column_mapping",
+    "tx_shallow_clone",
+    "tx_format_batch_read",
+    "events_stream_tx_cdf",
     # windows / custom operators — §2.5, §2.7, as-of (round-9 rotation:
     # events_sessionize + sasl_bruteforce_windows — graded green since
     # rounds 1-2 — retire; window evidence stays via per_user_topk,
@@ -12452,7 +12468,10 @@ GRADED_PREFIX: list[str] = [
     # both arms stay graded via dedup_lsh_recall below, whose oracle
     # re-derives the exact-jaccard truth set AND the banded-LSH
     # candidate set side by side)
-    "dedup_clusters",
+    # dedup_clusters retires in the THIRD r11 rotation after TEN green
+    # rounds (r1-r10; cluster/survivor evidence stays via
+    # dedup_graph_pagerank_slice's component survivors in-window and
+    # the clusters oracle in the full gate)
     # round-10 rotation IN (r9 verdict #1): the three round-9 dedup
     # newcomers — content-defined chunking (insert-robust sub-document
     # dedup), its cross-source shared-passage consumer (quoted-content
@@ -12480,9 +12499,11 @@ GRADED_PREFIX: list[str] = [
     # so the brute-force evidence stays in-window; round-9:
     # kmeans_assign retires — the trained-quantizer IVF inside the
     # recall ladder keeps centroid-assignment evidence in-window)
-    "knn_recall_ladder",        # composes IVF/LSH/multiprobe vs exact —
-    # carries knn_ivf's AND knn_lsh's in-window evidence (r5 rotation);
-    # knn_pq_adc (r7 rotation) retired r11
+    # knn_recall_ladder retires in the THIRD r11 rotation (green
+    # r4-r10, seven rounds; ANN evidence stays via the FOUR freshly
+    # graded variants below — multiprobe, multitable, trained-IVF,
+    # label-classify — and the ladder's exact-baseline recall contract
+    # stays in the full gate); knn_pq_adc (r7 rotation) retired r11
     # second round-11 rotation IN (r10 verdict #7, pulled forward from
     # the round-12 staging): the never-driver-graded ANN tail — probe-
     # sequence LSH (multiprobe), OR-amplified multi-table LSH, IVF over
@@ -12549,7 +12570,10 @@ GRADED_PREFIX: list[str] = [
     # recursive CTEs (one wrong step-table entry diverges the whole
     # chain) — plus the honest-gate POLICY row, whose contract changed
     # again this round as more formats became decodable
-    "multimodal_adpcm_decode",
+    # multimodal_adpcm_decode retires in the THIRD r11 rotation (green
+    # r8-r10; the family keeps the two hardest JPEG decodes + the
+    # gate-policy registry in-window, and both ADPCM recurrence
+    # oracles stay in the full gate)
     "multimodal_gate_registry",
     # structured streaming, ORACLE-PINNED — round-5 rotation swaps the
     # two easiest topologies (tumbling agg, stateful distinct — graded
@@ -12600,27 +12624,16 @@ GRADED_PREFIX: list[str] = [
 # After the prefix: remaining beyond-reference ops by family value, then the
 # TPC-H long tail.
 _NEXT = [
-    # head of the line for the round-12 rotation: COLUMN MAPPING —
-    # metadata-only RENAME/DROP COLUMN with frozen physical names
-    # (rename touches zero files, dropped-then-re-added logical names
-    # get a fresh physical slot so old bytes never bleed through,
-    # stats/blooms/DVs survive renames verbatim) — and SHALLOW CLONE
-    # (zero-copy table clone via ext/ext_dv manifest refs: clone
-    # commit is one manifest write at any size, writes diverge
-    # locally, compaction localizes, DV/bloom/stats/meta-count all
-    # compose through the external bases)
-    # — plus the FORMAT-API batch read (spark.read.format("txstore")
-    # with versionAsOf/timestampAsOf, DV-masked Arrow RecordBatch
-    # transform shared with the streaming source)
-    # — and the STREAMING change data feed (readChangeFeed=true:
-    # appends as 'insert', DV deletes as 'delete' with the masked
-    # rows as payload, compaction silent, rewrites raise)
-    "tx_column_mapping",
-    "tx_shallow_clone",
-    "tx_format_batch_read",
-    "events_stream_tx_cdf",
-    # (the ANN tail and the six mid-round-11 tx capabilities were
-    # pulled INTO the window by the second round-11 rotation above)
+    # (the ANN tail, the six mid-round-11 tx capabilities, and the
+    # four session capstones — column mapping, shallow clone, the
+    # format-API batch read, the streaming CDF — were all pulled INTO
+    # the window by the second and third round-11 rotations above)
+    # THIRD round-11 rotation OUT: four long-green rows (2-10 green
+    # rounds each; per-row family-evidence notes in GRADED_PREFIX)
+    "store_tx_roundtrip",
+    "dedup_clusters",
+    "multimodal_adpcm_decode",
+    "knn_recall_ladder",
     # second round-11 rotation OUT: eleven long-green rows retired to
     # admit them — each with 2-10 consecutive green rounds and family
     # evidence kept in-window (per-row notes in GRADED_PREFIX)

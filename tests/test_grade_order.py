@@ -22,28 +22,32 @@ def test_prefix_families_covered():
             "mail_report_top10_today"} <= p
     # dedup: ngram_jaccard + minhash_lsh retired r10 (both arms stay
     # graded via dedup_lsh_recall's side-by-side oracle);
-    # dedup_exact_substring retired in the second r11 rotation (green
-    # r7-r10) — the family keeps seven reps incl. the newly graded
-    # SemDeDup arm
-    assert {"dedup_clusters", "dedup_lsh_recall", "dedup_lsh_band_sweep",
+    # dedup_exact_substring (second r11 rotation) and dedup_clusters
+    # (third, after TEN green rounds — survivor evidence via the
+    # pagerank slice) retired; the family keeps six reps incl. the
+    # newly graded SemDeDup arm
+    assert {"dedup_lsh_recall", "dedup_lsh_band_sweep",
             "dedup_cdc_chunks", "dedup_cdc_cross_source",
             "dedup_graph_pagerank_slice",
             "dedup_incremental_new_docs_slice",
             "dedup_semantic"} <= p
-    # similarity: the recall ladder plus the formerly never-graded ANN
-    # tail (second r11 rotation): multiprobe / multi-table LSH, IVF
-    # over trained centroids, distance-weighted kNN classify
-    assert {"knn_recall_ladder", "knn_lsh_multiprobe",
+    # similarity: the formerly never-graded ANN tail (second r11
+    # rotation): multiprobe / multi-table LSH, IVF over trained
+    # centroids, distance-weighted kNN classify (knn_recall_ladder
+    # retired third r11 after seven green rounds — its exact-baseline
+    # recall contract stays in the full gate)
+    assert {"knn_lsh_multiprobe",
             "knn_lsh_multitable", "knn_ivf_kmeans",
             "knn_label_classify"} <= p
     # text (corpus_gopher_rules retired in the second r11 rotation
     # after nine green rounds; quality evidence stays via pii_scrub)
     assert {"pii_scrub"} <= p
     # multimodal: every graded row is a REAL decode; png_subbyte +
-    # ms_adpcm retired in the second r11 rotation — JPEG evidence via
-    # progressive + fractional-sampling, ADPCM via the recurrence-
-    # oracled mono decode, policy via the gate registry
-    assert {"multimodal_adpcm_decode", "multimodal_gate_registry",
+    # ms_adpcm (second r11 rotation) and adpcm (third) retired — JPEG
+    # evidence via progressive + fractional-sampling, every retired
+    # codec policy-graded via the gate registry, ADPCM recurrence
+    # oracles in the full gate
+    assert {"multimodal_gate_registry",
             "multimodal_pjpeg_decode",
             "multimodal_jpeg_frac_decode"} <= p
     # streaming: full_outer + tx_sink retired in the second r11
@@ -52,17 +56,21 @@ def test_prefix_families_covered():
     assert {"events_stream_stream_join",
             "events_stream_left_outer_join",
             "events_stream_tx_source"} <= p
-    # transactional store: the five round-10 flagships plus the six
+    # transactional store: the five round-10 flagships, the six
     # mid-round-11 capabilities (metadata count, restore, MERGE
     # clauses, history audit, CHECK constraints, string z-order
-    # skipping); tx_time_travel_diff retired (restore + history carry
-    # time-travel evidence)
-    assert {"store_tx_roundtrip", "tx_schema_evolution",
+    # skipping), and the four session capstones (column mapping,
+    # shallow clone, format-API batch read, streaming CDF);
+    # tx_time_travel_diff and store_tx_roundtrip retired (restore +
+    # history + merge + the compaction legs carry their evidence)
+    assert {"tx_schema_evolution",
             "tx_stats_skipping", "tx_cdc_changes", "tx_bloom_skipping",
             "tx_incremental_tail", "tx_deletion_vectors",
             "tx_metadata_count", "tx_restore_roundtrip",
             "tx_merge_clauses", "tx_history_audit",
-            "tx_constraints_gate", "tx_zorder_string_skipping"} <= p
+            "tx_constraints_gate", "tx_zorder_string_skipping",
+            "tx_column_mapping", "tx_shallow_clone",
+            "tx_format_batch_read", "events_stream_tx_cdf"} <= p
     # TPC-H correlated/semi/anti evidence (never driver-graded r1-r9)
     assert {"tpch_q2_min_cost_supp", "tpch_q11_important_parts",
             "tpch_q16_supplier_cnt", "tpch_q17_small_qty",
