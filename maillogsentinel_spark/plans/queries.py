@@ -12624,6 +12624,22 @@ GRADED_PREFIX: list[str] = [
 # After the prefix: remaining beyond-reference ops by family value, then the
 # TPC-H long tail.
 _NEXT = [
+    # head of the line for the ROUND-12 rotation: the training-data
+    # SAMPLING/MIXING family — the largest family with ZERO driver
+    # evidence after eleven rounds (none of docs_* or
+    # corpus_source_mixing has ever been in the window) — plus DSIR
+    # importance weighting, the quality-scoring pair, and the BPE arm
+    "docs_weighted_sample",
+    "docs_token_budget_pack",
+    "docs_stratified_sample",
+    "docs_train_val_split",
+    "corpus_source_mixing",
+    "dsir_importance_weights",
+    "quality_fasttext_score",
+    "quality_signal_agreement",
+    "bpe_train_merges",
+    "token_counts_bpe",
+    "doc_hybrid_rrf_search",
     # (the ANN tail, the six mid-round-11 tx capabilities, and the
     # four session capstones — column mapping, shallow clone, the
     # format-API batch read, the streaming CDF — were all pulled INTO

@@ -9,7 +9,11 @@ transactional store, BOTH directions of the read API:
   for snapshot reads remains ``tx_read_events`` (a native parquet
   scan); this reader is the format-API surface over the same state.
 - ``spark.readStream.format("txstore")...`` tails APPENDS
-  exactly-once (below).
+  exactly-once (below), and with ``readChangeFeed=true`` streams the
+  CHANGE DATA FEED (appends as ``insert``, DV deletes as ``delete``).
+- Pure SQL composes for free: ``CREATE TEMPORARY VIEW t USING txstore
+  OPTIONS (path '...')`` routes through the batch reader, so
+  ``spark.sql`` queries the DV-applied logical snapshot directly.
 
 Both directions materialize files through ONE shared per-file
 transform (_read_partition) that yields whole Arrow RecordBatches —

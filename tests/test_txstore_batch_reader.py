@@ -109,6 +109,20 @@ def test_batch_reads_clone(spark, store, tmp_path):
     assert sorted(r["event_id"] for r in got.collect()) == [1, 3, 4]
 
 
+def test_sql_using_txstore(spark, store):
+    """Pure-SQL access: CREATE TEMPORARY VIEW ... USING txstore routes
+    through the batch reader, so spark.sql sees the same DV-applied
+    logical snapshot."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW tx_sql_view USING txstore "
+        f"OPTIONS (path '{store}')"
+    )
+    got = spark.sql(
+        "SELECT count(*) AS n, sum(event_id) AS s FROM tx_sql_view"
+    ).collect()[0]
+    assert (got["n"], got["s"]) == (3, 8)  # ids 1,3,4 after the delete
+
+
 def test_reader_yields_arrow_batches(spark, store):
     """The shared transform must take the columnar path — a silent
     fallback to the row loop would be a 100x scan regression."""
