@@ -7117,6 +7117,142 @@ def q_events_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("cnt"), "event_type")
 
 
+@query(
+    "events_kmv_distinct_setops",
+    oracle=f"""
+    WITH vals AS (SELECT DISTINCT event_type, user_id FROM events
+                  WHERE event_type IS NOT NULL),
+    h AS (SELECT event_type,
+                 {_sql_hash64("CAST(user_id AS VARCHAR)", salt="kmv")} AS h
+          FROM vals),
+    rk AS (SELECT event_type, h,
+                  row_number() OVER (PARTITION BY event_type ORDER BY h)
+                    AS r
+           FROM h),
+    sk AS (SELECT * FROM rk WHERE r <= 64),
+    est AS (SELECT event_type, count(*) AS n, max(h) AS hk
+            FROM sk GROUP BY 1),
+    kmv AS (SELECT event_type,
+                   CASE WHEN n < 64 THEN n::DOUBLE
+                        ELSE 63.0 / (CAST(hk AS DOUBLE)
+                                     / 1152921504606846976.0) END AS kmv_est
+            FROM est),
+    exact AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+              FROM vals GROUP BY 1),
+    pair AS (SELECT min(event_type) AS t1,
+                    min(CASE WHEN event_type > (SELECT min(event_type)
+                                                FROM vals)
+                             THEN event_type END) AS t2
+             FROM vals),
+    ua AS (SELECT h FROM sk, pair WHERE event_type = t1),
+    ub AS (SELECT h FROM sk, pair WHERE event_type = t2),
+    um AS (SELECT DISTINCT h FROM (SELECT h FROM ua
+                                   UNION ALL SELECT h FROM ub)),
+    urk AS (SELECT h, row_number() OVER (ORDER BY h) AS r FROM um),
+    usk AS (SELECT * FROM urk WHERE r <= 64),
+    uest AS (SELECT CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                         ELSE 63.0 / (CAST(max(h) AS DOUBLE)
+                                      / 1152921504606846976.0) END
+               AS union_est
+             FROM usk),
+    jac AS (SELECT sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                            THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*)::DOUBLE AS jaccard_est
+            FROM usk u
+            LEFT JOIN ua a ON u.h = a.h
+            LEFT JOIN ub b ON u.h = b.h),
+    pexact AS (SELECT count(*) AS pair_exact_intersect
+               FROM (SELECT user_id FROM vals, pair
+                     WHERE event_type = t1
+                     INTERSECT
+                     SELECT user_id FROM vals, pair
+                     WHERE event_type = t2))
+    SELECT k.event_type,
+           round(k.kmv_est, 4) AS kmv_est,
+           e.exact_distinct,
+           round(uest.union_est, 4) AS pair_union_est,
+           round(jac.jaccard_est, 4) AS pair_jaccard_est,
+           round(jac.jaccard_est * uest.union_est, 4)
+             AS pair_intersect_est,
+           pexact.pair_exact_intersect
+    FROM kmv k JOIN exact e USING (event_type), uest, jac, pexact
+    ORDER BY event_type
+    """,
+)
+def q_events_kmv_distinct_setops(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KMV (bottom-k theta) sketch with SET OPERATIONS, value-pinned —
+    the distinct-count capability HLL cannot give (HLL unions compose,
+    intersections do not; theta sketches are why Druid/Pinot ship
+    both). Per event type: the k=64 bottom-k estimate next to the
+    exact distinct-user count; for the two smallest event types: the
+    union estimate, the bottom-k Jaccard, the intersection estimate
+    (jaccard × union), and the exact intersection. The sketch is
+    DETERMINISTIC given the portable hash, so the DuckDB oracle
+    re-derives the identical sketch and pins the ESTIMATOR ARITHMETIC
+    — (k-1)/u_(k), the union trim, the sample Jaccard — not just row
+    counts.
+
+    Scale shape: distinct (map-side combine) → per-group rank over
+    distinct hashes → k rows per group; every set operation is
+    arithmetic over O(groups×k)-row tables. At 10^5 groups the sketch
+    table is 6.4M tiny rows where the exact pairwise-intersection
+    matrix would be a self-join over the full corpus."""
+    from ..operators.sketches import (
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    sk = kmv_sketch(ev, "event_type", "user_id", k=64)
+    est = kmv_estimate(sk, "event_type", k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    types = sorted(
+        r["event_type"]
+        for r in ev.select("event_type").distinct().collect()
+    )[:2]
+    t1, t2 = types[0], types[1]
+    a = sk.where(F.col("event_type") == t1).withColumn(
+        "event_type", F.lit("pair")
+    )
+    b = sk.where(F.col("event_type") == t2).withColumn(
+        "event_type", F.lit("pair")
+    )
+    inter = kmv_intersect_estimate(a, b, "event_type", k=64)
+    prow = inter.collect()[0]
+    pexact = (
+        ev.where(F.col("event_type") == t1)
+        .select("user_id")
+        .intersect(
+            ev.where(F.col("event_type") == t2).select("user_id")
+        )
+        .count()
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round("kmv_est", 4).alias("kmv_est"),
+            "exact_distinct",
+            F.round(F.lit(prow["union_est"]), 4).alias("pair_union_est"),
+            F.round(F.lit(prow["jaccard_est"]), 4).alias(
+                "pair_jaccard_est"
+            ),
+            F.round(
+                F.lit(prow["jaccard_est"] * prow["union_est"]), 4
+            ).alias("pair_intersect_est"),
+            F.lit(pexact).cast("long").alias("pair_exact_intersect"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _zorder_oracle() -> str:
     from ..operators.zorder import sql_z_interleave
 
@@ -12640,6 +12776,10 @@ _NEXT = [
     "bpe_train_merges",
     "token_counts_bpe",
     "doc_hybrid_rrf_search",
+    # NEW this round, graded on arrival next rotation: KMV/theta
+    # sketch with set operations — the distinct-count intersection
+    # HLL cannot express; estimator arithmetic value-pinned
+    "events_kmv_distinct_setops",
     # (the ANN tail, the six mid-round-11 tx capabilities, and the
     # four session capstones — column mapping, shallow clone, the
     # format-API batch read, the streaming CDF — were all pulled INTO
