@@ -9413,6 +9413,101 @@ def q_events_stream_tx_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_TX_UPD_ORACLE = """
+WITH base AS (
+  SELECT event_id, ts, user_id, value FROM events
+  WHERE event_id % 17 = 0 AND day(ts) <= 12
+),
+head AS (
+  SELECT event_id, ts::DATE AS event_date, user_id,
+         CASE WHEN user_id % 3 = 1 THEN -value - 1.0 ELSE value END
+           AS value
+  FROM base
+)
+SELECT event_date,
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT AS n_updated,
+       round(sum(value::DECIMAL(21,6))::DOUBLE, 4) AS value_sum,
+       round((SELECT sum(value::DECIMAL(21,6)) FROM base b
+              WHERE b.ts::DATE = head.event_date)::DOUBLE, 4)
+         AS v1_value_sum
+FROM head GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("tx_update_where", oracle=_TX_UPD_ORACLE)
+def q_tx_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY-ON-WRITE UPDATE, hash-verified — Delta's
+    ``UPDATE ... SET ... WHERE`` (txstore.py tx_update): matching rows
+    get ``value = -value - 1`` (a transform no source row can already
+    satisfy), non-matching rows must pass through BYTE-identical, the
+    touched days' files are rewritten and flipped in one manifest
+    rename, and time travel to v1 must still return the pre-update
+    sums (the v1_value_sum column reads the OLD version AFTER the
+    update committed). A leaked unmatched row, a double-applied
+    transform, or an update visible at v1 each flips a sum.
+
+    Scale shape: reads and rewrites only the predicate's days
+    (manifest file-list scoping); one metadata rename commits all of
+    them."""
+    import shutil
+    import tempfile
+
+    from ..sources.txstore import (
+        tx_read_events,
+        tx_update,
+        tx_write_events,
+    )
+
+    ev = _t(spark, sf_dir, "events", repartition=False).select(
+        "event_id", "ts", "user_id", "value"
+    ).where((F.col("event_id") % 17 == 0) & (F.dayofmonth("ts") <= 12))
+    tmp = tempfile.mkdtemp(prefix="mls_store_upd_", dir=_scratch_dir())
+    path = f"{tmp}/store"
+    try:
+        with _stream_state_parts(spark, 8):
+            v1 = tx_write_events(
+                spark, path, ev.repartition(F.to_date("ts"))
+            )
+            tx_update(
+                spark, path, {"value": "-value - 1"}, "user_id % 3 = 1"
+            )
+            old = (
+                tx_read_events(spark, path, version=v1)
+                .groupBy("event_date")
+                .agg(
+                    F.round(
+                        F.sum(F.col("value").cast("decimal(21,6)")).cast(
+                            "double"
+                        ),
+                        4,
+                    ).alias("v1_value_sum")
+                )
+            )
+            agg = (
+                tx_read_events(spark, path)
+                .groupBy("event_date")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum(
+                        F.when(F.col("value") < 0, 1).otherwise(0)
+                    ).cast("long").alias("n_updated"),
+                    F.round(
+                        F.sum(F.col("value").cast("decimal(21,6)")).cast(
+                            "double"
+                        ),
+                        4,
+                    ).alias("value_sum"),
+                )
+                .join(old, "event_date")
+                .orderBy("event_date")
+            )
+            rows = agg.collect()
+            return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _TX_FMT_ORACLE = """
 WITH base AS (
   SELECT event_id, ts, user_id, value FROM events
@@ -12778,8 +12873,11 @@ _NEXT = [
     "doc_hybrid_rrf_search",
     # NEW this round, graded on arrival next rotation: KMV/theta
     # sketch with set operations — the distinct-count intersection
-    # HLL cannot express; estimator arithmetic value-pinned
+    # HLL cannot express; estimator arithmetic value-pinned — and
+    # copy-on-write UPDATE (Delta's UPDATE...SET...WHERE, day-scoped
+    # rewrite, time travel pinned)
     "events_kmv_distinct_setops",
+    "tx_update_where",
     # (the ANN tail, the six mid-round-11 tx capabilities, and the
     # four session capstones — column mapping, shallow clone, the
     # format-API batch read, the streaming CDF — were all pulled INTO

@@ -15,6 +15,7 @@ from .txstore import (  # noqa: F401
     tx_optimize_zorder,
     tx_read_events,
     tx_rename_column,
+    tx_update,
     tx_upsert_events,
     tx_vacuum,
     tx_write_events,

@@ -2756,6 +2756,94 @@ def tx_merge(
     return _commit(spark, path, manifest, prev)
 
 
+def tx_update(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    predicate: str,
+) -> int:
+    """UPDATE ... SET ... WHERE as COPY-ON-WRITE over the touched days
+    (Delta's UPDATE): the predicate's days are resolved
+    manifest-driven when it only references ``event_date``
+    (_select_days — zero data reads), those days' full content is
+    rewritten with ``set_exprs`` applied to matching rows, and one
+    manifest rename flips every touched day. ``set_exprs`` maps
+    logical column name -> SQL expression over the row's own columns
+    (e.g. ``{"value": "value * 2"}``). Updating the layout keys
+    ``ts`` / ``event_date`` is forbidden — a row changing days would
+    silently escape the day-scoped rewrite (use upsert for row
+    movement). CHECK constraints are enforced on the updated frame
+    before staging; deletion vectors on the touched days fold in
+    (_snapshot_df reads through them). Losing the rename race aborts
+    with ConcurrentCommitError (update replaces files — a true
+    conflict), exactly like upsert/merge. Returns the committed
+    version; a predicate matching no day commits nothing.
+
+    Scale shape: reads and rewrites ONLY the predicate's days (file-
+    list-scoped); the commit is one metadata rename at any fan-out."""
+    txid = uuid.uuid4().hex
+    prev = _load_manifest(spark, path)
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    visible = {lg for lg, _ in _cm_visible(schema)}
+    bad = set(set_exprs) - visible
+    if bad:
+        raise ValueError(
+            f"tx_update: unknown column(s) {sorted(bad)} "
+            f"(visible: {sorted(visible)})"
+        )
+    frozen = set(set_exprs) & set(_CM_PROTECTED)
+    if frozen:
+        raise ValueError(
+            f"tx_update: cannot update layout key(s) {sorted(frozen)} — "
+            "a row changing days would escape the day-scoped rewrite; "
+            "use tx_upsert_events to move rows"
+        )
+    days = _select_days(spark, path, prev, predicate)
+    if not days:
+        return prev["version"]
+    snap = _snapshot_df(spark, path, prev, days)
+    pred = F.expr(predicate)
+    updated = snap.select(
+        *[
+            F.when(pred, F.expr(set_exprs[c]))
+            .otherwise(F.col(c)).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in snap.columns
+        ]
+    )
+    _check_constraints(prev, updated, "update")
+    files = _stage_and_publish(
+        spark, path, _to_physical(updated, schema), txid
+    )
+    stray = sorted(set(files) - set(days))
+    if stray:  # survives python -O; unreachable given the ts guard
+        raise RuntimeError(
+            f"tx_update produced files outside the touched days: {stray}"
+        )
+    newmap = {d: v for d, v in prev["files"].items() if d not in days}
+    newmap.update(files)
+    fresh_stats, fresh_rows = _file_stats(path, files, prev["schema"], spark)
+    manifest = {
+        "format": _FORMAT,
+        "version": prev["version"] + 1,
+        "parent": prev["version"],
+        "txid": txid,
+        "operation": "update",
+        "schema": prev["schema"],
+        "files": newmap,
+        "stats": _carry_stats(prev, newmap, fresh_stats),
+        "rows": _carry_stats(prev, newmap, fresh_rows, key="rows"),
+        "blooms": _carry_blooms(prev, newmap),
+        "dv": _carry_dv(prev, newmap),
+        "constraints": prev.get("constraints", {}),
+    }
+    manifest.update(_carry_ext(prev, newmap, manifest["dv"]))
+    if "last_batch_id" in prev:  # carry the streaming ledger forward
+        manifest["last_batch_id"] = prev["last_batch_id"]
+    return _commit(spark, path, manifest, prev)
+
+
 def _select_days(
     spark: SparkSession, path: str, prev: dict, predicate: str | None
 ) -> list[str]:

@@ -232,3 +232,39 @@ def test_rename_rebases_over_concurrent_append(spark, store, monkeypatch):
     assert "score" in got.columns
     assert got.where(F.col("event_id") == 9).count() == 1
     assert got.count() == 5
+
+
+def test_tx_update_copy_on_write(spark, store):
+    from maillogsentinel_spark.sources.txstore import tx_update
+
+    tx_rename_column(spark, store, "value", "score")
+    v = tx_update(
+        spark, store, {"score": "score + 100"}, "event_id <= 2"
+    )
+    got = {r["event_id"]: r["score"]
+           for r in tx_read_events(spark, store).collect()}
+    assert got == {1: 101.0, 2: 102.0, 3: 3.0, 4: 4.0}
+    # time travel shows pre-update values
+    old = {r["event_id"]: r["score"]
+           for r in tx_read_events(spark, store, version=v - 1).collect()}
+    assert old[1] == 1.0
+    # layout keys are frozen
+    with pytest.raises(ValueError, match="layout key"):
+        tx_update(spark, store, {"ts": "ts"}, "event_id = 1")
+    with pytest.raises(ValueError, match="unknown column"):
+        tx_update(spark, store, {"value": "1"}, "event_id = 1")
+
+
+def test_tx_update_enforces_constraints(spark, store):
+    from maillogsentinel_spark.sources.txstore import (
+        ConstraintViolationError,
+        tx_update,
+    )
+
+    tx_add_constraint(spark, store, "val_pos", "value >= 0")
+    with pytest.raises(ConstraintViolationError):
+        tx_update(spark, store, {"value": "-5.0"}, "event_id = 1")
+    # nothing committed: value unchanged
+    assert tx_read_events(spark, store).where(
+        F.col("value") < 0
+    ).count() == 0
