@@ -9418,12 +9418,13 @@ WITH base AS (
   SELECT event_id, ts, user_id, value FROM events
   WHERE event_id % 17 = 0 AND day(ts) <= 12
 ),
-head AS (
+upd AS (
   SELECT event_id, ts::DATE AS event_date, user_id,
          CASE WHEN user_id % 3 = 1 THEN -value - 1.0 ELSE value END
            AS value
   FROM base
-)
+),
+head AS (SELECT * FROM upd WHERE user_id % 3 <> 2)
 SELECT event_date,
        count(*)::BIGINT AS n_rows,
        sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT AS n_updated,
@@ -9437,23 +9438,25 @@ FROM head GROUP BY 1 ORDER BY 1
 
 @query("tx_update_where", oracle=_TX_UPD_ORACLE)
 def q_tx_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COPY-ON-WRITE UPDATE, hash-verified — Delta's
-    ``UPDATE ... SET ... WHERE`` (txstore.py tx_update): matching rows
-    get ``value = -value - 1`` (a transform no source row can already
-    satisfy), non-matching rows must pass through BYTE-identical, the
-    touched days' files are rewritten and flipped in one manifest
-    rename, and time travel to v1 must still return the pre-update
-    sums (the v1_value_sum column reads the OLD version AFTER the
-    update committed). A leaked unmatched row, a double-applied
-    transform, or an update visible at v1 each flips a sum.
+    """COPY-ON-WRITE UPDATE + COPY-ON-WRITE DELETE, hash-verified —
+    Delta's ``UPDATE ... SET ... WHERE`` then ``DELETE`` as a rewrite
+    (txstore.py tx_update, tx_delete_rewrite): matching rows get
+    ``value = -value - 1`` (a transform no source row can already
+    satisfy), non-matching rows must pass through BYTE-identical, a
+    second predicate's rows are then deleted by rewriting their days
+    (no deletion vector — pure file replacement), and time travel to
+    v1 must still return the pre-update sums (the v1_value_sum column
+    reads the OLD version AFTER both commits). A leaked unmatched row,
+    a double-applied transform, an undeleted row, or history damage
+    each flips a sum.
 
-    Scale shape: reads and rewrites only the predicate's days
-    (manifest file-list scoping); one metadata rename commits all of
-    them."""
+    Scale shape: each op reads and rewrites only the predicate's days
+    (manifest file-list scoping); one metadata rename commits each."""
     import shutil
     import tempfile
 
     from ..sources.txstore import (
+        tx_delete_rewrite,
         tx_read_events,
         tx_update,
         tx_write_events,
@@ -9472,6 +9475,7 @@ def q_tx_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             tx_update(
                 spark, path, {"value": "-value - 1"}, "user_id % 3 = 1"
             )
+            tx_delete_rewrite(spark, path, "user_id % 3 = 2")
             old = (
                 tx_read_events(spark, path, version=v1)
                 .groupBy("event_date")

@@ -10,6 +10,7 @@ from .txstore import (  # noqa: F401
     tx_append_events,
     tx_clone,
     tx_compact_partitions,
+    tx_delete_rewrite,
     tx_drop_column,
     tx_logical_schema,
     tx_optimize_zorder,

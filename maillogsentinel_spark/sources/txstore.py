@@ -1912,8 +1912,8 @@ def tx_delete_where(
         raise ValueError(
             f"tx_delete_where: predicate matches {n_matched}/{total} rows "
             f"(> {max_fraction:.0%}); merge-on-read would tax every scan "
-            "to keep mostly-dead files — rewrite instead (tx_write_events "
-            "of the survivors, or tx_upsert_events), or pass "
+            "to keep mostly-dead files — use tx_delete_rewrite "
+            "(copy-on-write over the touched days), or pass "
             "max_fraction=1.0 to force a deletion vector"
         )
     matched = snap.where(pred).select(
@@ -2742,6 +2742,53 @@ def tx_merge(
         "parent": prev["version"],
         "txid": txid,
         "operation": "merge",
+        "schema": prev["schema"],
+        "files": newmap,
+        "stats": _carry_stats(prev, newmap, fresh_stats),
+        "rows": _carry_stats(prev, newmap, fresh_rows, key="rows"),
+        "blooms": _carry_blooms(prev, newmap),
+        "dv": _carry_dv(prev, newmap),
+        "constraints": prev.get("constraints", {}),
+    }
+    manifest.update(_carry_ext(prev, newmap, manifest["dv"]))
+    if "last_batch_id" in prev:  # carry the streaming ledger forward
+        manifest["last_batch_id"] = prev["last_batch_id"]
+    return _commit(spark, path, manifest, prev)
+
+
+def tx_delete_rewrite(
+    spark: SparkSession, path: str, predicate: str
+) -> int:
+    """COPY-ON-WRITE DELETE — the path ``tx_delete_where``'s
+    ``max_fraction`` guard points at when a delete would leave files
+    mostly dead: the predicate's days are rewritten WITHOUT the
+    matching rows (merge-on-read's inverse trade — pay the rewrite
+    once, tax no future scan). A day whose rows ALL match simply has
+    no entry in the new manifest (the emptied-partition case the
+    manifest design makes impossible to get wrong). Existing deletion
+    vectors on the touched days fold in during the read. Layout,
+    commit and conflict semantics are tx_update's; returns the
+    committed version, unchanged if no day matches."""
+    txid = uuid.uuid4().hex
+    prev = _load_manifest(spark, path)
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    days = _select_days(spark, path, prev, predicate)
+    if not days:
+        return prev["version"]
+    snap = _snapshot_df(spark, path, prev, days)
+    survivors = snap.where(~F.coalesce(F.expr(predicate), F.lit(False)))
+    files = _stage_and_publish(
+        spark, path, _to_physical(survivors, schema), txid
+    )
+    newmap = {d: v for d, v in prev["files"].items() if d not in days}
+    newmap.update(files)
+    fresh_stats, fresh_rows = _file_stats(path, files, prev["schema"], spark)
+    manifest = {
+        "format": _FORMAT,
+        "version": prev["version"] + 1,
+        "parent": prev["version"],
+        "txid": txid,
+        "operation": "delete_rewrite",
         "schema": prev["schema"],
         "files": newmap,
         "stats": _carry_stats(prev, newmap, fresh_stats),

@@ -268,3 +268,38 @@ def test_tx_update_enforces_constraints(spark, store):
     assert tx_read_events(spark, store).where(
         F.col("value") < 0
     ).count() == 0
+
+
+def test_tx_delete_rewrite_copy_on_write(spark, store):
+    from maillogsentinel_spark.sources.txstore import (
+        tx_delete_rewrite,
+        tx_vacuum,
+    )
+
+    # big-fraction delete: the DV path refuses, the rewrite path works
+    with pytest.raises(ValueError, match="tx_delete_rewrite"):
+        tx_delete_where(spark, store, "event_id <= 4")
+    v = tx_delete_rewrite(spark, store, "user_id = 10")  # rows 1, 3
+    got = tx_read_events(spark, store)
+    assert sorted(r["event_id"] for r in got.collect()) == [2, 4]
+    # no deletion vectors involved — pure file replacement
+    m = _load_manifest(spark, store)
+    assert not m.get("dv")
+    # a fully-emptied day vanishes from the manifest (day 2 held only
+    # event 3)
+    assert "2025-03-02" not in m["files"]
+    # time travel still shows everything; vacuum then reclaims
+    assert tx_read_events(spark, store, version=v - 1).count() == 4
+    tx_vacuum(spark, store, keep_versions=1, retention_ms=0)
+    assert tx_read_events(spark, store).count() == 2
+
+
+def test_tx_delete_rewrite_folds_dvs_and_mapping(spark, store):
+    from maillogsentinel_spark.sources.txstore import tx_delete_rewrite
+
+    tx_rename_column(spark, store, "value", "score")
+    tx_delete_where(spark, store, "event_id = 2")  # DV first
+    tx_delete_rewrite(spark, store, "event_id = 4")
+    got = tx_read_events(spark, store)
+    assert sorted(r["event_id"] for r in got.collect()) == [1, 3]
+    assert "score" in got.columns
