@@ -790,7 +790,7 @@ def test_delete_fraction_gate_raises(spark, tmp_path):
     from maillogsentinel_spark.sources.txstore import tx_delete_where
 
     path = _store(spark, tmp_path)  # keys 1..4
-    with pytest.raises(ValueError, match="rewrite instead"):
+    with pytest.raises(ValueError, match="tx_delete_rewrite"):
         tx_delete_where(spark, path, "event_id <= 4")
     assert tx_current_version(spark, path) == 1
     v = tx_delete_where(spark, path, "event_id <= 4", max_fraction=1.0)
