@@ -192,7 +192,7 @@ _CKPT_INTERVAL = 10  # Delta's default checkpoint cadence
 # SHALLOW-CLONE external-reference maps: ``ext`` points a data rel at
 # the SOURCE store's data dir (tx_clone — zero-copy), ``ext_dv`` does
 # the same for cloned deletion-vector sidecar dirs
-_META_MAPS = ("stats", "blooms", "dv", "rows", "ext", "ext_dv")
+_META_MAPS = ("stats", "blooms", "dv", "rows", "ext", "ext_dv", "sizes")
 _DELTA_ONLY_KEYS = frozenset(
     ["kind", "_has", "files_add", "files_remove"]
     + [f"{k}_set" for k in _META_MAPS]
@@ -498,10 +498,13 @@ def tx_checkpoint(
 
 def _stage_and_publish(
     spark: SparkSession, root: str, df: DataFrame, txid: str
-) -> dict[str, list[str]]:
+) -> tuple[dict[str, list[str]], dict[str, int]]:
     """Write ``df`` (must carry event_date) via a normal Spark job into
     the staging dir, then rename each staged file into the canonical
-    data layout under a txid-unique name. Returns {day: [relpaths]}.
+    data layout under a txid-unique name. Returns ({day: [relpaths]},
+    {rel: byte size}) — the sizes come free from the listing's
+    FileStatus, ride the manifest's ``sizes`` map, and make
+    size-targeted compaction and table-size reporting metadata-only.
     Nothing published here is reader-visible until the manifest commit.
     """
     stage = f"{root}/{_STAGING_DIR}/{txid}"
@@ -510,10 +513,12 @@ def _stage_and_publish(
     fs, sp, jvm = _jfs(spark, stage)
     Path = jvm.org.apache.hadoop.fs.Path
     files: dict[str, list[str]] = {}
+    sizes: dict[str, int] = {}
     it = fs.listFiles(sp, True)
     moved = 0
     while it.hasNext():
-        f = it.next().getPath()
+        st = it.next()
+        f = st.getPath()
         name = f.getName()
         if not name.endswith(".parquet"):
             continue
@@ -527,13 +532,14 @@ def _stage_and_publish(
         if not fs.rename(f, dst):
             raise IOError(f"publish rename failed: {f} -> {dst}")
         files.setdefault(day, []).append(rel)
+        sizes[rel] = int(st.getLen())
         moved += 1
         if moved == 1:
             _fault("mid-publish")
     fs.delete(sp, True)
     for v in files.values():
         v.sort()
-    return files
+    return files, sizes
 
 
 def _resolve_pafs(root: str):
@@ -977,7 +983,7 @@ def tx_write_events(
     cons = (prev or {}).get("constraints", {})
     if cons:  # CHECK constraints survive overwrite (table property)
         _check_constraints(prev, df, "overwrite")
-    files = _stage_and_publish(spark, path, df, txid)
+    files, sizes = _stage_and_publish(spark, path, df, txid)
     schema_json = _schema_json(df)
     stats, rows = _file_stats(path, files, schema_json, spark)
     manifest = {
@@ -990,6 +996,7 @@ def tx_write_events(
         "files": files,
         "stats": stats,
         "rows": rows,
+        "sizes": sizes,
         "constraints": cons,
     }
     if batch_id is not None:
@@ -1125,6 +1132,7 @@ def tx_add_constraint(
         "files": prev["files"],
         "stats": prev.get("stats", {}),
         "rows": prev.get("rows", {}),
+        "sizes": prev.get("sizes", {}),
         "blooms": prev.get("blooms", {}),
         "dv": prev.get("dv", {}),
         "constraints": cons,
@@ -1152,6 +1160,7 @@ def tx_drop_constraint(spark: SparkSession, path: str, name: str) -> int:
         "files": prev["files"],
         "stats": prev.get("stats", {}),
         "rows": prev.get("rows", {}),
+        "sizes": prev.get("sizes", {}),
         "blooms": prev.get("blooms", {}),
         "dv": prev.get("dv", {}),
         "constraints": cons,
@@ -1220,6 +1229,7 @@ def _commit_mapping(
             "files": prev["files"],
             "stats": prev.get("stats", {}),
             "rows": prev.get("rows", {}),
+            "sizes": prev.get("sizes", {}),
             "blooms": prev.get("blooms", {}),
             "dv": prev.get("dv", {}),
             "constraints": prev.get("constraints", {}),
@@ -1401,7 +1411,7 @@ def tx_append_events(
         return prev["version"]  # replayed batch: already committed
     schema_json = _check_schema(prev, events, "append", merge=merge_schema)
     _check_constraints(prev, _with_day(events), "append")
-    files = _stage_and_publish(
+    files, sizes = _stage_and_publish(
         spark,
         path,
         _to_physical(
@@ -1425,6 +1435,7 @@ def tx_append_events(
             "files": merged,
             "stats": _carry_stats(prev, merged, fresh_stats),
             "rows": _carry_stats(prev, merged, fresh_rows, key="rows"),
+            "sizes": _carry_stats(prev, merged, sizes, key="sizes"),
             "blooms": _carry_blooms(prev, merged),
             "dv": _carry_dv(prev, merged),
             "constraints": prev.get("constraints", {}),
@@ -1635,6 +1646,12 @@ def tx_history(spark: SparkSession, path: str) -> DataFrame:
             if all(r in rows_map for r in rels)
             else None
         )
+        sizes_map = m.get("sizes", {})
+        n_bytes = (
+            sum(sizes_map[r] for r in rels)
+            if rels and all(r in sizes_map for r in rels)
+            else None
+        )
         ts_ms = m.get("committed_at_ms")
         out.append(
             (
@@ -1652,6 +1669,7 @@ def tx_history(spark: SparkSession, path: str) -> DataFrame:
                 len(rels),
                 len(m["files"]),
                 n_rows,
+                n_bytes,
             )
         )
     schema = StructType(
@@ -1664,6 +1682,7 @@ def tx_history(spark: SparkSession, path: str) -> DataFrame:
             StructField("n_files", IntegerType()),
             StructField("n_days", IntegerType()),
             StructField("n_rows_physical", LongType()),
+            StructField("size_bytes", LongType()),
         ]
     )
     return spark.createDataFrame(out, schema)
@@ -1730,6 +1749,7 @@ def tx_restore(spark: SparkSession, path: str, version: int) -> int:
         "files": target["files"],
         "stats": target.get("stats", {}),
         "rows": target.get("rows", {}),
+        "sizes": target.get("sizes", {}),
         "blooms": target.get("blooms", {}),
         "dv": target.get("dv", {}),
         "constraints": target.get("constraints", {}),
@@ -1802,6 +1822,7 @@ def tx_clone(
         "files": src_m["files"],
         "stats": src_m.get("stats", {}),
         "rows": src_m.get("rows", {}),
+        "sizes": src_m.get("sizes", {}),
         "blooms": src_m.get("blooms", {}),
         "dv": src_m.get("dv", {}),
         "constraints": src_m.get("constraints", {}),
@@ -1950,6 +1971,7 @@ def tx_delete_where(
             "files": prev["files"],
             "stats": prev.get("stats", {}),
             "rows": prev.get("rows", {}),
+            "sizes": prev.get("sizes", {}),
             "blooms": prev.get("blooms", {}),
             "dv": dv,
             "constraints": prev.get("constraints", {}),
@@ -2281,6 +2303,7 @@ def tx_add_bloom_filters(
             "files": prev["files"],
             "stats": prev.get("stats", {}),
             "rows": prev.get("rows", {}),
+            "sizes": prev.get("sizes", {}),
             "blooms": blooms,
             "dv": prev.get("dv", {}),
             "constraints": prev.get("constraints", {}),
@@ -2592,7 +2615,7 @@ def tx_upsert_events(
     )
     merged = old.unionByName(up.select(old.columns))
     _check_constraints(prev, merged, "upsert")
-    files = _stage_and_publish(
+    files, sizes = _stage_and_publish(
         spark,
         path,
         _to_physical(merged, StructType.fromJson(json.loads(prev["schema"]))),
@@ -2611,6 +2634,7 @@ def tx_upsert_events(
         "files": newmap,
         "stats": _carry_stats(prev, newmap, fresh_stats),
         "rows": _carry_stats(prev, newmap, fresh_rows, key="rows"),
+        "sizes": _carry_stats(prev, newmap, sizes, key="sizes"),
         "blooms": _carry_blooms(prev, newmap),
         "dv": _carry_dv(prev, newmap),
         "constraints": prev.get("constraints", {}),
@@ -2727,7 +2751,7 @@ def tx_merge(
     )
     merged = _with_day(resolved)
     _check_constraints(prev, merged, "merge")
-    files = _stage_and_publish(
+    files, sizes = _stage_and_publish(
         spark,
         path,
         _to_physical(merged, StructType.fromJson(json.loads(prev["schema"]))),
@@ -2746,6 +2770,7 @@ def tx_merge(
         "files": newmap,
         "stats": _carry_stats(prev, newmap, fresh_stats),
         "rows": _carry_stats(prev, newmap, fresh_rows, key="rows"),
+        "sizes": _carry_stats(prev, newmap, sizes, key="sizes"),
         "blooms": _carry_blooms(prev, newmap),
         "dv": _carry_dv(prev, newmap),
         "constraints": prev.get("constraints", {}),
@@ -2777,7 +2802,7 @@ def tx_delete_rewrite(
         return prev["version"]
     snap = _snapshot_df(spark, path, prev, days)
     survivors = snap.where(~F.coalesce(F.expr(predicate), F.lit(False)))
-    files = _stage_and_publish(
+    files, sizes = _stage_and_publish(
         spark, path, _to_physical(survivors, schema), txid
     )
     newmap = {d: v for d, v in prev["files"].items() if d not in days}
@@ -2793,6 +2818,7 @@ def tx_delete_rewrite(
         "files": newmap,
         "stats": _carry_stats(prev, newmap, fresh_stats),
         "rows": _carry_stats(prev, newmap, fresh_rows, key="rows"),
+        "sizes": _carry_stats(prev, newmap, sizes, key="sizes"),
         "blooms": _carry_blooms(prev, newmap),
         "dv": _carry_dv(prev, newmap),
         "constraints": prev.get("constraints", {}),
@@ -2860,7 +2886,7 @@ def tx_update(
         ]
     )
     _check_constraints(prev, updated, "update")
-    files = _stage_and_publish(
+    files, sizes = _stage_and_publish(
         spark, path, _to_physical(updated, schema), txid
     )
     stray = sorted(set(files) - set(days))
@@ -2881,6 +2907,7 @@ def tx_update(
         "files": newmap,
         "stats": _carry_stats(prev, newmap, fresh_stats),
         "rows": _carry_stats(prev, newmap, fresh_rows, key="rows"),
+        "sizes": _carry_stats(prev, newmap, sizes, key="sizes"),
         "blooms": _carry_blooms(prev, newmap),
         "dv": _carry_dv(prev, newmap),
         "constraints": prev.get("constraints", {}),
@@ -2938,20 +2965,46 @@ def tx_compact_partitions(
     path: str,
     target_files_per_day: int = 1,
     predicate: str | None = None,
+    target_mb: float | None = None,
 ) -> int:
     """Layout-only compaction with an atomic commit: the predicate
     SELECTS days (never filters rows — store.py's round-6 lesson is
-    inherited); the selected days' full content is rewritten into
-    ``target_files_per_day`` files each; one rename swaps all touched
-    days at once. Day selection is manifest-driven for event_date-only
-    predicates (see _select_days) — no full-store scan to pick days.
-    Returns the committed version (unchanged store version if nothing
-    matched)."""
+    inherited); the selected days' full content is rewritten and one
+    rename swaps all touched days at once. Day selection is
+    manifest-driven for event_date-only predicates (see _select_days)
+    — no full-store scan to pick days. Returns the committed version
+    (unchanged store version if nothing matched).
+
+    File-count targeting, two modes:
+    - ``target_files_per_day`` (default 1): a fixed count per day.
+    - ``target_mb``: SIZE-TARGETED (Delta's OPTIMIZE target file
+      size) — each day's count is ceil(day bytes / target), read
+      METADATA-ONLY from the manifest's per-file ``sizes`` map
+      (harvested free at publish time from the listing's FileStatus);
+      a day whose files predate the sizes map falls back to the fixed
+      count. At 10^5 days this is arithmetic over the manifest, zero
+      file stats. The count is a bin-packing GOAL, not an exact
+      contract (range boundaries are sampled quantiles — adjacent
+      salt groups can merge into one file, the same approximation
+      Delta's OPTIMIZE makes)."""
+    import math
+
     txid = uuid.uuid4().hex
     prev = _load_manifest(spark, path)
     days = _select_days(spark, path, prev, predicate)
     if not days:
         return prev["version"]
+    sizes_map = prev.get("sizes", {})
+    day_n: dict[str, int] = {}
+    for d in days:
+        rels = prev["files"].get(d, [])
+        if target_mb is not None and all(r in sizes_map for r in rels):
+            day_bytes = sum(sizes_map[r] for r in rels)
+            day_n[d] = max(
+                1, int(math.ceil(day_bytes / (target_mb * 1024 * 1024)))
+            )
+        else:
+            day_n[d] = max(target_files_per_day, 1)
     df = _snapshot_df(spark, path, prev, days)
     if "event_id" in df.columns:
         salt_cols = [F.col("event_id")]
@@ -2961,15 +3014,21 @@ def tx_compact_partitions(
             for f in df.schema.fields
             if f.name != "event_date" and not _contains_map(f.dataType)
         ] or [F.monotonically_increasing_id()]
-    salt = F.pmod(F.xxhash64(*salt_cols), F.lit(target_files_per_day))
+    # per-day salt modulus: a literal day->count map, so one pass
+    # produces each day's own target file count
+    nmap = F.create_map(
+        *[F.lit(x) for d in days for x in (d, day_n[d])]
+    )
+    modulus = F.element_at(nmap, F.col("event_date").cast("string"))
+    salt = F.pmod(F.xxhash64(*salt_cols), modulus)
     compacted = (
         df.withColumn("__salt", salt)
         .repartitionByRange(
-            max(len(days) * target_files_per_day, 1), "event_date", "__salt"
+            max(sum(day_n.values()), 1), "event_date", "__salt"
         )
         .drop("__salt")
     )
-    files = _stage_and_publish(
+    files, sizes = _stage_and_publish(
         spark,
         path,
         _to_physical(
@@ -2990,6 +3049,7 @@ def tx_compact_partitions(
         "files": newmap,
         "stats": _carry_stats(prev, newmap, fresh_stats),
         "rows": _carry_stats(prev, newmap, fresh_rows, key="rows"),
+        "sizes": _carry_stats(prev, newmap, sizes, key="sizes"),
         "blooms": _carry_blooms(prev, newmap),
         "dv": _carry_dv(prev, newmap),
         "constraints": prev.get("constraints", {}),
@@ -3178,7 +3238,7 @@ def tx_optimize_zorder(
         .sortWithinPartitions("event_date", "__z")
         .drop("__z")
     )
-    files = _stage_and_publish(
+    files, sizes = _stage_and_publish(
         spark,
         path,
         _to_physical(
@@ -3199,6 +3259,7 @@ def tx_optimize_zorder(
         "files": newmap,
         "stats": _carry_stats(prev, newmap, fresh_stats),
         "rows": _carry_stats(prev, newmap, fresh_rows, key="rows"),
+        "sizes": _carry_stats(prev, newmap, sizes, key="sizes"),
         "blooms": _carry_blooms(prev, newmap),
         "dv": _carry_dv(prev, newmap),
         "constraints": prev.get("constraints", {}),

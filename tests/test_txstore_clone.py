@@ -185,3 +185,43 @@ def test_streaming_source_reads_clone(spark, src, tmp_path):
     # seed rows tagged with the clone's v1, the append with v2
     vers = {r["event_id"]: r["_commit_version"] for r in rows}
     assert vers[7] == 2 and vers[1] == 1
+
+
+def test_size_targeted_compaction_and_history_bytes(spark, tmp_path):
+    """target_mb: per-day file counts derive METADATA-ONLY from the
+    manifest's sizes map; DESCRIBE HISTORY reports the table bytes."""
+    import math
+
+    from maillogsentinel_spark.sources.txstore import (
+        _load_manifest,
+        tx_history,
+    )
+
+    path = str(tmp_path / "szstore")
+    rows = [_ev(i, (i % 2) + 1, i % 5, float(i)) for i in range(400)]
+    df = spark.createDataFrame(rows).repartition(8)
+    tx_write_events(spark, path, df)
+    m = _load_manifest(spark, path)
+    sizes = m["sizes"]
+    rels = [r for fl in m["files"].values() for r in fl]
+    assert set(sizes) == set(rels) and all(v > 0 for v in sizes.values())
+    # pick a target that forces >1 file for each day
+    day_bytes = {
+        d: sum(sizes[r] for r in fl) for d, fl in m["files"].items()
+    }
+    target_mb = max(day_bytes.values()) / 3 / (1024 * 1024)
+    tx_compact_partitions(spark, path, target_mb=target_mb)
+    m2 = _load_manifest(spark, path)
+    for d, fl in m2["files"].items():
+        want = max(1, math.ceil(
+            day_bytes[d] / (target_mb * 1024 * 1024)
+        ))
+        # the target is a bin-packing GOAL (range boundaries are
+        # sampled quantiles — Delta's OPTIMIZE is approximate too):
+        # the day must split into multiple files, near the target
+        assert 1 < len(fl) <= want, (d, len(fl), want)
+    assert tx_read_events(spark, path).count() == 400
+    # history reports metadata-only table bytes per version
+    h = {r["version"]: r for r in tx_history(spark, path).collect()}
+    assert h[1]["size_bytes"] == sum(sizes.values())
+    assert h[2]["size_bytes"] == sum(m2["sizes"].values()) > 0
