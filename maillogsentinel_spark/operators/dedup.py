@@ -621,11 +621,19 @@ def minhash_band_sweep(
     bucket-mates; the sweep measures that trade on the actual corpus
     instead of trusting the curve.
 
-    Execution: ONE minhash transform (persisted) feeds every geometry's
-    band-explode; per geometry the candidate count and verified count
-    are distributed jobs whose scalar results assemble the output row —
-    a bounded driver loop over len(geometries), same pattern as the
-    recall ladder."""
+    Execution: ONE minhash transform feeds ONE band-explode carrying
+    every geometry (each (id, geometry, band, key) row), so a single
+    self-join on (geometry, band, key) produces every geometry's
+    candidate set together, one aggregation counts them per geometry,
+    and the exact-Jaccard verification runs ONCE over the DISTINCT
+    union of candidate pairs (per-geometry verified counts then come
+    from the membership flags). The per-geometry loop it replaces ran
+    3 band-joins + 3 verification joins + 6 counting jobs; total band
+    -join work is unchanged (sum of band rows is the same), but each
+    pair is verified once instead of once per geometry that found it —
+    with nested slices (16 perms at 4/8/16 bands) the union equals the
+    finest geometry's candidates, so the two coarser verification
+    bills vanish outright."""
     from .signatures import doc_shingle_rows, minhash_table
 
     raw_sh = shingle_rows
@@ -634,23 +642,83 @@ def minhash_band_sweep(
         raw_sh = doc_shingle_rows(docs, id_col, text_col, k, distinct=True).persist()
     with_sig = minhash_table(
         docs, id_col, text_col, k, num_perm, shingle_rows=raw_sh
-    ).persist()
+    )
     sh = _doc_shingles(docs, id_col, text_col, k, None, rows=raw_sh)
-    out = []
-    for bands in geometries:
-        banded = _banded_keys(with_sig, num_perm, bands).persist()
-        cand = _band_candidates(with_sig, num_perm, bands, banded=banded)
-        cand = cand.persist()
-        n_cand = cand.count()
-        n_pairs = _verify_candidates(
-            cand, sh, threshold, broadcast=n_cand <= 1_000_000
-        ).count()
-        cand.unpersist()
-        banded.unpersist()
-        out.append((bands, num_perm // bands, n_cand, n_pairs))
-    with_sig.unpersist()
+    banded_all = with_sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bands).alias("g"),
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[
+                                    b * (num_perm // bands) + r
+                                ].cast("string")
+                                for r in range(num_perm // bands)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bands in geometries
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.g", "bk.band", "bk.key").persist()
+    a, b = banded_all.alias("a"), banded_all.alias("b")
+    cand_flags = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.g").alias("g"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.collect_set("g").alias("gs"))
+        .persist()
+    )
+    cand_counts = {
+        int(r["g"]): int(r["n"])
+        for r in cand_flags.select(
+            F.explode("gs").alias("g")
+        ).groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    verified = _verify_candidates(
+        cand_flags.select("id_a", "id_b"),
+        sh,
+        threshold,
+        broadcast=max(cand_counts.values(), default=0) <= 1_000_000,
+    )
+    pair_counts = {
+        int(r["g"]): int(r["n"])
+        for r in verified.join(cand_flags, ["id_a", "id_b"])
+        .select(F.explode("gs").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cand_flags.unpersist()
+    banded_all.unpersist()
     if own_raw_sh:
         raw_sh.unpersist()
+    out = [
+        (
+            bands,
+            num_perm // bands,
+            cand_counts.get(bands, 0),
+            pair_counts.get(bands, 0),
+        )
+        for bands in geometries
+    ]
     spark = docs.sparkSession
     return spark.createDataFrame(
         out, "bands int, rows_per_band int, n_candidates long, n_pairs long"
