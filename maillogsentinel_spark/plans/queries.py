@@ -1936,8 +1936,17 @@ def q_knn_recall_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the exact top-5 (50 rows) is eagerly checkpointed once
     and reused for both the denominator scalar and the hit join — the
     collect is a bounded scalar fetch, same pattern as the max-day
-    lookup in mail_report_top10_today."""
-    from ..operators.similarity import knn_bruteforce, knn_ivf, knn_lsh
+    lookup in mail_report_top10_today. The two LSH rungs share ONE
+    corpus bucket scan and ONE candidate join: the single-bucket
+    variant's candidates are exactly the probe-0 slice of the
+    multiprobe candidate set (probe 0 IS the query's own bucket), so
+    tagging each candidate with its probe index and ranking once per
+    (variant, query) reproduces both rungs bit-for-bit at half the
+    bucket-eval/join cost — the band-sweep unification pattern."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_similarity, to_double_array
+    from ..operators.similarity import _bucket_expr, knn_bruteforce, knn_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10).withColumnRenamed(
@@ -1949,20 +1958,49 @@ def q_knn_recall_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_exact = bf.count()
-    variants = [
-        ("ivf", knn_ivf(emb, queries_df, k=5, centroid_stride=23, nprobe=3)),
-        ("lsh", knn_lsh(emb, queries_df, k=5, n_planes=6, dims=64)),
-        (
-            "lsh_multiprobe",
-            knn_lsh(emb, queries_df, k=5, n_planes=6, dims=64, multiprobe=3),
+    # shared LSH candidates (n_planes=6, dims=64, same expr as knn_lsh)
+    bucket = _bucket_expr("embedding", 6, 64)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        to_double_array(F.col("embedding")).alias("cv"),
+        bucket.alias("bucket"),
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(3)],
+    )
+    q = queries_df.select(
+        "query_id",
+        to_double_array(F.col("embedding")).alias("qv"),
+        bucket.alias("bucket"),
+    ).select("query_id", "qv", F.posexplode(probes).alias("probe", "bucket"))
+    cand = c.join(F.broadcast(q), "bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = F.round(cosine_similarity(F.col("cv"), F.col("qv")), 6)
+    scored = cand.select(
+        "query_id", "neighbor_id", sim.alias("cosine"), "probe"
+    ).withColumn(
+        "variant",
+        F.explode(
+            F.when(
+                F.col("probe") == 0,
+                F.array(F.lit("lsh"), F.lit("lsh_multiprobe")),
+            ).otherwise(F.array(F.lit("lsh_multiprobe")))
         ),
-    ]
-    ann = None
-    for name, df in variants:
-        part = df.select(
-            F.lit(name).alias("variant"), "query_id", "neighbor_id"
-        ).distinct()
-        ann = part if ann is None else ann.unionAll(part)
+    )
+    w = Window.partitionBy("variant", "query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    lsh_both = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("variant", "query_id", "neighbor_id")
+    )
+    ivf = knn_ivf(emb, queries_df, k=5, centroid_stride=23, nprobe=3).select(
+        F.lit("ivf").alias("variant"), "query_id", "neighbor_id"
+    )
+    ann = ivf.unionAll(lsh_both)
     return (
         ann.join(bf.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
         .groupBy("variant")
