@@ -2624,29 +2624,44 @@ def tx_changes(
     j = a.join(b, "__k", "full_outer")
     pre_d = F.struct(*[F.col(f"__pre.{c}") for c in data_cols])
     post_d = F.struct(*[F.col(f"__post.{c}") for c in data_cols])
-    ins = j.where(F.col("__pre").isNull()).select(
-        *[F.col(f"__post.{c}").alias(c) for c in cols],
-        F.lit("insert").alias("_change_type"),
-    )
-    dele = j.where(F.col("__post").isNull()).select(
-        *[F.col(f"__pre.{c}").alias(c) for c in cols],
-        F.lit("delete").alias("_change_type"),
-    )
-    upd = j.where(
-        F.col("__pre").isNotNull()
-        & F.col("__post").isNotNull()
-        & ~pre_d.eqNullSafe(post_d)
-    )
-    upd_pre = upd.select(
-        *[F.col(f"__pre.{c}").alias(c) for c in cols],
-        F.lit("update_preimage").alias("_change_type"),
-    )
-    upd_post = upd.select(
-        *[F.col(f"__post.{c}").alias(c) for c in cols],
-        F.lit("update_postimage").alias("_change_type"),
+    # ONE pass classifies every joined key: a union of four filtered
+    # selections over the same join re-executed the full-outer join
+    # (and both file scans) four times — the per-row change set is
+    # instead built as a conditional array and exploded (an unchanged
+    # key's NULL array explodes to zero rows), so the join runs once
+    e = (
+        F.when(
+            F.col("__pre").isNull(),
+            F.array(F.struct(
+                F.lit("insert").alias("ct"), F.col("__post").alias("p"),
+            )),
+        )
+        .when(
+            F.col("__post").isNull(),
+            F.array(F.struct(
+                F.lit("delete").alias("ct"), F.col("__pre").alias("p"),
+            )),
+        )
+        .when(
+            ~pre_d.eqNullSafe(post_d),
+            F.array(
+                F.struct(
+                    F.lit("update_preimage").alias("ct"),
+                    F.col("__pre").alias("p"),
+                ),
+                F.struct(
+                    F.lit("update_postimage").alias("ct"),
+                    F.col("__post").alias("p"),
+                ),
+            ),
+        )
     )
     out = (
-        ins.unionByName(dele).unionByName(upd_pre).unionByName(upd_post)
+        j.select(F.explode(e).alias("__e"))
+        .select(
+            *[F.col(f"__e.p.{c}").alias(c) for c in cols],
+            F.col("__e.ct").alias("_change_type"),
+        )
         .withColumn("_commit_version", F.lit(to_version).cast("int"))
     )
     if not _cm_identity(to_schema):
