@@ -170,13 +170,24 @@ def pagerank(
     the (1−d)/N floor) — stated because the oracle implements the
     identical recurrence, unrolled. Scale: shuffles key on vertex ids;
     rank and degree tables are |V| rows; nothing is ever all-pairs."""
+    # edges and deg are loop INVARIANTS read by every iteration (edges
+    # twice per round: contrib join + deg join); persisted once, the
+    # pair-generation subtree and the degree shuffle run once instead
+    # of once per use per round — the same scoped persist
+    # connected_components applies to its undirected edge list. The
+    # final pr is localCheckpointed (materialized), so both caches can
+    # be dropped before returning.
     edges = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).unionAll(
         pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     n = nodes.count()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     pr = nodes.select(F.col(id_col).alias("id"), F.lit(1.0 / n).alias("pr"))
     for _ in range(iters):
         contrib = (
@@ -197,4 +208,6 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+    deg.unpersist()
+    edges.unpersist()
     return pr.select(F.col("id").alias(id_col), "pr")
