@@ -6052,6 +6052,8 @@ def q_doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg is THE big shuffle — keyed on high-cardinality strings, it
     spreads evenly; at 100 TB you'd hash the shingles to int64 first
     (same keys, 8-byte shuffle rows) exactly as signatures.py does."""
+    from pyspark.sql import Window
+
     from ..operators.textstats import shingles, tokens
 
     docs = _t(spark, sf_dir, "documents", repartition=True)
@@ -6061,9 +6063,15 @@ def q_doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(shingles(t, 3))
         ).alias("s"))
     )
-    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    # first-seen doc per shingle as a WINDOW MIN over the shingle
+    # partition instead of groupBy + join-back: identical value per
+    # row (min doc_id over the same key) and identical keying (the one
+    # big shuffle still hashes the shingle string), but the shingle
+    # explode — the expensive stage — now runs once, not once per join
+    # side, and the join's second exchange disappears.
+    first_doc = F.min("doc_id").over(Window.partitionBy("s"))
     per = (
-        sh.join(firsts, "s")
+        sh.withColumn("first_doc", first_doc)
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("n_sh"),
@@ -6113,6 +6121,8 @@ def q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark prunes the probe side to existence checks (no fan-out), and
     the test-set shingle list (distinct, one source) broadcasts when
     small; per-source rollup after a doc-level distinct."""
+    from pyspark.sql import Window
+
     from ..operators.textstats import shingles, tokens
 
     docs = _t(spark, sf_dir, "documents", repartition=True)
@@ -6121,10 +6131,18 @@ def q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source",
         F.explode(F.array_distinct(shingles(t, 3))).alias("s"),
     )
-    test_sh = sh.filter(F.col("source") == "src0").select("s").distinct()
+    # "shingle occurs in src0" as a WINDOW flag over the shingle
+    # partition instead of a self-semi-join: the old plan evaluated the
+    # shingle explode twice (build side + probe side) and exchanged
+    # both; one partition-max over the same shingle key flags exactly
+    # the rows the semi-join kept, with the explode and the shuffle
+    # each paid once.
+    in_test = F.max(
+        F.when(F.col("source") == "src0", 1).otherwise(0)
+    ).over(Window.partitionBy("s"))
     flagged = (
-        sh.filter(F.col("source") != "src0")
-        .join(test_sh, "s", "left_semi")
+        sh.withColumn("in_test", in_test)
+        .filter((F.col("source") != "src0") & (F.col("in_test") == 1))
         .select("doc_id", "source")
         .distinct()
     )
@@ -10985,22 +11003,31 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "lang", "source", (hash64(F.col("tk"), "dsir") % 64).alias("b")
     )
-    ac = f.groupBy("b").agg(F.count(F.lit(1)).alias("ac"))
-    tc = (
-        f.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("tc"))
+    # ONE partial-aggregating pass builds BOTH bucket models (raw count
+    # + target count as a conditional sum — a bucket with no 'en' rows
+    # gets tc=0, exactly what the old left-join's coalesce(tc,0) read),
+    # and the corpus totals are SUMS OF THE 64-ROW MODEL, not another
+    # pass. The token explode — the expensive stage — now evaluates
+    # twice (model build + fact side) instead of four times; same
+    # counts reach the identical logw arithmetic, so values are
+    # bit-equal.
+    g = f.groupBy("b").agg(
+        F.count(F.lit(1)).alias("ac"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
     )
-    tots = f.agg(
-        F.count(F.lit(1)).alias("ta"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tt"),
+    # corpus totals = token counts, which need no explode and no hash:
+    # one tokenize-only scan with a map-side 2-long partial aggregate
+    # (sum of per-doc token counts ≡ count of exploded token rows).
+    nt = F.size(F.coalesce(tokens(F.col("text")), F.array().cast("array<string>")))
+    tots = docs.agg(
+        F.sum(nt).alias("ta"),
+        F.sum(F.when(F.col("lang") == "en", nt).otherwise(0)).alias("tt"),
     )
     logw = F.log(
         (F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (F.col("tt") + 64.0)
     ) - F.log((F.col("ac") + 1.0) / (F.col("ta") + 64.0))
     dw = (
-        f.join(F.broadcast(ac), "b")
-        .join(F.broadcast(tc), "b", "left")
+        f.join(F.broadcast(g), "b")
         .crossJoin(F.broadcast(tots))
         .groupBy("doc_id", "source")
         .agg(F.round(F.avg(logw), 6).alias("w"))
