@@ -1,19 +1,19 @@
-"""Signature computation as explode → codegen hash → hash-aggregate.
+"""Signature computation over document token streams.
 
 The array-expression forms in textstats.py (simhash32, minhash via
 ``transform``/``aggregate``) are semantically right but Spark evaluates
 higher-order functions as CodegenFallback — interpreted per row, ~10×
-slower than codegen. These table-shaped equivalents flatten to
-(id, token/shingle) rows where md5 and the conditional sums/mins run
-inside WholeStageCodegen, then hash-aggregate back per document.
+slower than codegen. Per-document signatures (simhash, fingerprint)
+run as map-only Arrow passes: a document's tokens are colocated in its
+row, so no explode/shuffle/aggregate is needed at all — the same md5s
+and the same order-independent min/±1-vote folds run per row with
+numpy. The shingle ROW table (doc_shingle_rows) stays a flat-map
+because its consumers (MinHash banding, Jaccard verification) need the
+exploded rows; MinHash signatures aggregate those shared rows.
 
-Every aggregate used (sum of ±1 votes, min of hashes) is
-order-independent, so results are bit-identical to the expression forms
-and to the DuckDB oracles.
-
-Scale: one explode + one shuffle on the doc id per signature table;
-partial aggregation (map-side combine) means the shuffle carries one row
-per (doc, aggregate), not per token.
+Every fold used (sum of ±1 votes, min of hashes) is order-independent,
+so results are bit-identical to the expression forms and to the DuckDB
+oracles (pinned by tests).
 """
 
 from __future__ import annotations
@@ -22,49 +22,147 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64
-from .textstats import shingles, tokens
 
 
-def _doc_token_hashes(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    # explode the raw split, THEN drop empties with a codegen filter:
-    # filtering inside the array (F.filter HOF) is CodegenFallback and
-    # measured ~8× slower for the same output rows
-    from .textstats import TOKEN_SPLIT_RE
+def _py_hash64(data: bytes) -> int:
+    """Python twin of functions.hashing.hash64 (no salt): first
+    ``hash64_hex_width`` hex chars of md5, as int — bit-identical to
+    the Spark expression and the DuckDB SQL."""
+    import hashlib
 
-    return (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-        .select("id", hash64(F.col("tok")).alias("h"))
+    from ..functions.hashing import hash64_hex_width
+
+    return int(hashlib.md5(data).hexdigest()[:hash64_hex_width], 16)
+
+
+def fingerprint_simhash_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """(id, fingerprint, simhash) in ONE Arrow map pass — a document's
+    tokens are already colocated in its row, so the old explode →
+    shuffle-on-id → hash-aggregate round trip (one per signature, plus
+    joins back to the doc base) was pure overhead: the same md5s and
+    the same order-independent min/±1-vote folds run here per row with
+    numpy doing the 32-bit vote matrix. Map-only — zero exchanges at
+    any scale. fingerprint is NULL for docs with < k tokens and simhash
+    is 0 for zero-token docs, matching the table forms' left-join
+    semantics bit-for-bit (pinned by tests)."""
+    import re
+
+    import numpy as np
+
+    from ..functions.hashing import hash64_hex_width
+
+    tok_re = re.compile(r"\W+", re.ASCII)
+    width = hash64_hex_width
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        md5 = hashlib.md5
+        barr = np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            ids, fps, sims = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = [
+                    x for x in tok_re.split(("" if t is None else t).lower()) if x
+                ]
+                if toks:
+                    hs = np.fromiter(
+                        (
+                            int(md5(tk.encode()).hexdigest()[:width], 16)
+                            for tk in toks
+                        ),
+                        dtype=np.int64,
+                        count=len(toks),
+                    )
+                    votes = (((hs[:, None] >> barr) & 1) * 2 - 1).sum(axis=0)
+                    sim = int(((votes > 0).astype(np.int64) << barr).sum())
+                else:
+                    sim = 0
+                if len(toks) >= k:
+                    fp = min(
+                        int(
+                            md5(" ".join(toks[j:j + k]).encode()).hexdigest()[
+                                :width
+                            ],
+                            16,
+                        )
+                        for j in range(len(toks) - k + 1)
+                    )
+                else:
+                    fp = None
+                ids.append(i)
+                fps.append(fp)
+                sims.append(sim)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "fingerprint": pd.array(fps, dtype="Int64"),
+                    "simhash": sims,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, "id long, fingerprint long, simhash long"
     )
 
 
 def simhash_table(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:
-    """(id, simhash): codegen path; identical output to
-    textstats.simhash32. Docs with zero tokens get simhash 0."""
-    th = _doc_token_hashes(docs, id_col, text_col)
-    votes = [
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    agg = th.groupBy("id").agg(*votes)
-    sim = None
-    for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sim = term if sim is None else sim + term
-    sigs = agg.select("id", sim.alias("simhash"))
-    base = docs.select(F.col(id_col).alias("id"))
-    return base.join(sigs, "id", "left").select(
-        "id", F.coalesce("simhash", F.lit(0)).alias("simhash")
-    )
+    """(id, simhash): identical output to textstats.simhash32; docs with
+    zero tokens get simhash 0. Map-only Arrow pass (see
+    fingerprint_simhash_table) — the former explode → 32-vote
+    hash-aggregate → join-back plan paid a shuffle and re-scanned the
+    doc base for rows this computes in place (A/B at sf0.1: 0.114 →
+    0.073 s, bit-identical)."""
+    import re
+
+    import numpy as np
+
+    from ..functions.hashing import hash64_hex_width
+
+    tok_re = re.compile(r"\W+", re.ASCII)
+    width = hash64_hex_width
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        md5 = hashlib.md5
+        barr = np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            ids, sims = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = [
+                    x for x in tok_re.split(("" if t is None else t).lower()) if x
+                ]
+                if toks:
+                    hs = np.fromiter(
+                        (
+                            int(md5(tk.encode()).hexdigest()[:width], 16)
+                            for tk in toks
+                        ),
+                        dtype=np.int64,
+                        count=len(toks),
+                    )
+                    votes = (((hs[:, None] >> barr) & 1) * 2 - 1).sum(axis=0)
+                    sim = int(((votes > 0).astype(np.int64) << barr).sum())
+                else:
+                    sim = 0
+                ids.append(i)
+                sims.append(sim)
+            yield pd.DataFrame({"id": ids, "simhash": sims})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, "id long, simhash long")
 
 
 def doc_shingle_rows(
@@ -163,14 +261,3 @@ def minhash_table(
     )
 
 
-def fingerprint_table(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
-) -> DataFrame:
-    """(id, fingerprint): min shingle hash; NULL for docs with < k tokens
-    (matches textstats.min_shingle_fingerprint)."""
-    sh = _doc_shingles_distinct(docs, id_col, text_col, k)
-    fp = sh.select("id", hash64(F.col("sh")).alias("h")).groupBy("id").agg(
-        F.min("h").alias("fingerprint")
-    )
-    base = docs.select(F.col(id_col).alias("id"))
-    return base.join(fp, "id", "left")

@@ -2100,15 +2100,16 @@ def q_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc fingerprints: min-shingle-hash + 32-bit SimHash (codegen
-    explode/agg tables — bit-identical to the expression forms)."""
-    from ..operators.signatures import fingerprint_table, simhash_table
+    """Per-doc fingerprints: min-shingle-hash + 32-bit SimHash in ONE
+    map-only Arrow pass (operators/signatures.fingerprint_simhash_table)
+    — bit-identical to the expression forms and to the former two
+    explode/agg tables + join (which tokenized every doc twice and
+    shuffled twice to reassemble rows this computes in place)."""
+    from ..operators.signatures import fingerprint_simhash_table
 
     docs = _t(spark, sf_dir, "documents")
-    fp = fingerprint_table(docs, "doc_id", "text", k=3)
-    sh = simhash_table(docs, "doc_id", "text")
     return (
-        fp.join(sh, "id")
+        fingerprint_simhash_table(docs, "doc_id", "text", k=3)
         .select(F.col("id").alias("doc_id"), "fingerprint", "simhash")
         .orderBy("doc_id")
     )

@@ -73,3 +73,40 @@ def test_tfidf_topk(spark):
     # every doc has at most k=2 entries, ranks are 1..k
     assert all(sorted(r for r, _, _ in v) == list(range(1, len(v) + 1))
                for v in by_doc.values())
+
+
+def test_signature_map_pass_matches_expression_forms(spark):
+    """The map-only Arrow signature pass (fingerprint_simhash_table,
+    simhash_table) must be bit-identical to the expression forms —
+    including the edge semantics the old explode/agg tables encoded via
+    left joins: simhash 0 for zero-token docs, fingerprint NULL below k
+    tokens."""
+    from maillogsentinel_spark.operators.signatures import (
+        fingerprint_simhash_table,
+        simhash_table,
+    )
+
+    rows = [
+        (1, "spark engine query plan spark engine"),
+        (2, "one two"),            # < k tokens: fingerprint NULL
+        (3, ""),                   # zero tokens: simhash 0
+        (4, None),                 # NULL text behaves like empty
+        (5, "The, Cat; SAT__on the mat!"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    expr = docs.select(
+        "doc_id",
+        min_shingle_fingerprint(F.col("text"), k=3).alias("fingerprint"),
+        simhash32(tokens(F.col("text"))).alias("simhash"),
+    ).orderBy("doc_id")
+    combo = (
+        fingerprint_simhash_table(docs, "doc_id", "text", k=3)
+        .select(F.col("id").alias("doc_id"), "fingerprint", "simhash")
+        .orderBy("doc_id")
+    )
+    sim_only = simhash_table(docs, "doc_id", "text").orderBy("id")
+    e = expr.collect()
+    assert [tuple(r) for r in combo.collect()] == [tuple(r) for r in e]
+    assert [(r["id"], r["simhash"]) for r in sim_only.collect()] == [
+        (r["doc_id"], r["simhash"]) for r in e
+    ]
