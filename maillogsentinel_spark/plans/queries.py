@@ -308,6 +308,25 @@ def _t(
     return df
 
 
+def _barrier_sorted(df: DataFrame, *cols: str) -> DataFrame:
+    """Global sort whose child is an EXPENSIVE narrow stage (Arrow/Python
+    decode, heavy regex) — with a plain ``orderBy`` the range
+    partitioner's boundary-sampling pass executes that child once and
+    the shuffle-map stage executes it AGAIN, so the expensive stage runs
+    twice per action (measured: every multimodal decode query paid its
+    whole Python decode 2×; jobs 148/149 in the round-11 breakdown are
+    byte-identical 0.85 s twins). Inserting a hash exchange on the lead
+    sort key first makes the child a materialized shuffle stage the
+    sampler READS instead of re-executing: the expensive stage runs
+    once, and the extra exchange moves only the (small) result rows.
+    Rows and ordering are identical — this changes the physical plan
+    only. At the 100 TB design point the trade holds wherever the
+    barriered stage is more expensive per row than one shuffle hop of
+    its OUTPUT (true for codec decodes whose outputs are a handful of
+    scalar stats per media row)."""
+    return df.repartition(F.col(cols[0])).orderBy(*cols)
+
+
 # ---------------------------------------------------------------------------
 # Synthesized mail-log derivation (shared by the mail-pipeline queries).
 # Pure arithmetic over `events` so the DuckDB oracle can reproduce it
@@ -2108,11 +2127,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.signatures import fingerprint_simhash_table
 
     docs = _t(spark, sf_dir, "documents")
-    return (
-        fingerprint_simhash_table(docs, "doc_id", "text", k=3)
-        .select(F.col("id").alias("doc_id"), "fingerprint", "simhash")
-        .orderBy("doc_id")
+    sigs = fingerprint_simhash_table(docs, "doc_id", "text", k=3).select(
+        F.col("id").alias("doc_id"), "fingerprint", "simhash"
     )
+    return _barrier_sorted(sigs, "doc_id")
 
 
 @query(
@@ -2134,13 +2152,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = attach_binary(docs)
     feats = extract_features(media)
-    return feats.select(
+    sel = feats.select(
         "media_id",
         "n_bytes",
         F.col("features")[0].alias("f_len"),
         F.col("features")[1].alias("f_first"),
         F.col("features")[2].alias("f_last"),
-    ).orderBy("media_id")
+    )
+    return _barrier_sorted(sel, "media_id")
 
 
 @query(
@@ -2184,7 +2203,7 @@ def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
-    return image_stats(media).orderBy("media_id")
+    return _barrier_sorted(image_stats(media), "media_id")
 
 
 @query(
@@ -2232,7 +2251,7 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
-    return image_stats(media).orderBy("media_id")
+    return _barrier_sorted(image_stats(media), "media_id")
 
 
 @query(
@@ -2295,7 +2314,7 @@ def q_multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, payload binary, meta struct<mime:string,n_bytes:long>",
     )
     resized = resize_media(media, width=8, height=12, resizer=real_resizer)
-    return image_stats(resized).orderBy("media_id")
+    return _barrier_sorted(image_stats(resized), "media_id")
 
 
 @query(
@@ -2343,7 +2362,7 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
-    return image_stats(media).orderBy("media_id")
+    return _barrier_sorted(image_stats(media), "media_id")
 
 
 @query(
@@ -2398,7 +2417,7 @@ def q_multimodal_pjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
-    return image_stats(media).orderBy("media_id")
+    return _barrier_sorted(image_stats(media), "media_id")
 
 
 @query(
@@ -2462,7 +2481,7 @@ def q_multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
-    return image_stats(media).orderBy("media_id")
+    return _barrier_sorted(image_stats(media), "media_id")
 
 
 @query(
@@ -2519,7 +2538,7 @@ def q_multimodal_jpeg_frac_decode(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
-    return image_stats(media).orderBy("media_id")
+    return _barrier_sorted(image_stats(media), "media_id")
 
 
 @query(
@@ -2612,7 +2631,7 @@ def q_multimodal_png_subbyte_decode(spark: SparkSession, sf_dir: str) -> DataFra
 
     docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
-    return image_stats(media).orderBy("media_id")
+    return _barrier_sorted(image_stats(media), "media_id")
 
 
 @query(
@@ -2658,7 +2677,7 @@ def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
-    return image_stats(media).orderBy("media_id")
+    return _barrier_sorted(image_stats(media), "media_id")
 
 
 @query(
@@ -2712,7 +2731,7 @@ def q_multimodal_alaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
-    return audio_stats(media).orderBy("media_id")
+    return _barrier_sorted(audio_stats(media), "media_id")
 
 
 @query(
@@ -2759,7 +2778,7 @@ def q_multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
-    return audio_stats(media).orderBy("media_id")
+    return _barrier_sorted(audio_stats(media), "media_id")
 
 
 @query(
@@ -2991,7 +3010,7 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
-    return audio_stats(media).orderBy("media_id")
+    return _barrier_sorted(audio_stats(media), "media_id")
 
 
 _IMA_STEPS_SQL = (
@@ -3101,11 +3120,12 @@ def q_multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
-    return docs.mapInPandas(
+    decoded = docs.mapInPandas(
         synth_decode,
         "media_id long, sample_rate int, n_samples int, "
         "first_sample int, last_sample int, amp_sum long",
-    ).orderBy("media_id")
+    )
+    return _barrier_sorted(decoded, "media_id")
 
 
 _MS_ADAPT_SQL = (
@@ -3205,11 +3225,12 @@ def q_multimodal_ms_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
-    return docs.mapInPandas(
+    decoded = docs.mapInPandas(
         synth_decode,
         "media_id long, sample_rate int, n_samples int, "
         "first_sample int, last_sample int, amp_sum long",
-    ).orderBy("media_id")
+    )
+    return _barrier_sorted(decoded, "media_id")
 
 
 _ADPCM_STEREO_ORACLE = f"""
@@ -3326,12 +3347,13 @@ def q_multimodal_adpcm_stereo_decode(
             )
 
     docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
-    return docs.mapInPandas(
+    decoded = docs.mapInPandas(
         synth_decode,
         "media_id long, sample_rate int, n_frames int, "
         "first_l int, first_r int, last_l int, last_r int, "
         "amp_sum_l long, amp_sum_r long",
-    ).orderBy("media_id")
+    )
+    return _barrier_sorted(decoded, "media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -4363,11 +4385,12 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = attach_binary(docs)
     frames = sample_frames(media, every_nth=2, frame_size=16)
-    return frames.select(
+    sel = frames.select(
         "media_id",
         "frame_idx",
         F.octet_length("frame").cast("long").alias("frame_bytes"),
-    ).orderBy("media_id", "frame_idx")
+    )
+    return _barrier_sorted(sel, "media_id", "frame_idx")
 
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -9882,12 +9905,13 @@ def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_idx", "chunk"),
     )
-    return chunks.select(
+    sel = chunks.select(
         "doc_id",
         "chunk_idx",
         F.size("chunk").alias("n_tokens"),
         F.array_join("chunk", " ").alias("chunk_text"),
-    ).orderBy("doc_id", "chunk_idx")
+    )
+    return _barrier_sorted(sel, "doc_id", "chunk_idx")
 
 
 @query(
@@ -10337,17 +10361,15 @@ def q_quality_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm = (
         F.when(n == 0, F.lit(0)).otherwise(F.when(m < 0, -q).otherwise(q))
     ).cast("long")
-    return (
-        s.select(
-            "doc_id",
-            "n_tokens",
-            ppm.alias("score_ppm"),
-            F.when(m >= 0, F.lit("keep")).otherwise(F.lit("drop")).alias(
-                "ft_label"
-            ),
-        )
-        .orderBy("doc_id")
+    scored = s.select(
+        "doc_id",
+        "n_tokens",
+        ppm.alias("score_ppm"),
+        F.when(m >= 0, F.lit("keep")).otherwise(F.lit("drop")).alias(
+            "ft_label"
+        ),
     )
+    return _barrier_sorted(scored, "doc_id")
 
 
 @query(
@@ -11727,7 +11749,7 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents", repartition=True).select("doc_id")
     media = docs.mapInPandas(synth, "media_id long, payload binary")
-    return audio_features(media).orderBy("media_id")
+    return _barrier_sorted(audio_features(media), "media_id")
 
 
 _STREAM_SEQ = itertools.count()

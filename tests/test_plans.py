@@ -190,15 +190,19 @@ def test_events_store_day_filter_prunes_partitions(spark, tmp_path):
 
 def test_fasttext_scorer_is_scan_only(spark):
     """The hashed linear classifier is a per-row array fold: no joins, no
-    aggregations — the only Exchange allowed is the final presentation
-    sort's range partitioning."""
+    aggregations — the only Exchanges allowed are the final presentation
+    sort's range partitioning plus the hash barrier under it
+    (_barrier_sorted: the fold is a CodegenFallback HOF, so the sort's
+    boundary sampling must read a materialized shuffle rather than
+    re-execute the scoring pass — measured 0.63× at sf0.1)."""
     from maillogsentinel_spark.plans.queries import QUERIES
 
     df = QUERIES["quality_fasttext_score"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "HashAggregate" not in plan
-    assert plan.count("Exchange") <= 1  # rangepartitioning for orderBy only
+    # range exchange for orderBy + the materialization barrier, nothing else
+    assert plan.count("Exchange") <= 2
 
 
 def test_token_budget_pack_window_is_per_source(spark):
