@@ -122,7 +122,29 @@ def _doc_shingles_shared(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFr
     key = (spark.sparkContext.applicationId, sf_dir, k)
     df = _DOC_SHINGLES_CACHE.get(key)
     if df is None:
+        # The shingle generator is map-side-only, so with the testdata's
+        # one-row-group documents scan the WHOLE pipeline — build AND
+        # every narrow consumer of the persisted 1-partition cache
+        # (broadcast-join Jaccard verification, exact pair generation) —
+        # ran on a single core (profiled: 2.2 s and 2.0 s one-task
+        # stages inside dedup_lsh_band_sweep alone). Repartition to a
+        # CPU-work quantum (~64 KiB compressed input per task ≈ tens of
+        # ms of tokenize+shingle), capped at the core count: measured at
+        # sf0.1, 8-10 parts beats both 1 (serial) and 32 (per-stage
+        # scheduling overhead across the family's many short stages).
+        # At the 100 TB design point the scan has thousands of splits
+        # and the parts-gate keeps this a no-op.
         docs = _t(spark, sf_dir, "documents")
+        cpus = spark.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < max(2, cpus // 2):
+            try:
+                nbytes = os.path.getsize(
+                    os.path.join(sf_dir, "documents.parquet")
+                )
+                target = max(2, min(cpus, nbytes // (64 << 10) + 1))
+            except OSError:
+                target = cpus
+            docs = docs.repartition(target)
         df = doc_shingle_rows(docs, "doc_id", "text", k, distinct=True).persist(
             StorageLevel.MEMORY_AND_DISK
         )

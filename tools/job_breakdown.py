@@ -70,6 +70,7 @@ def main() -> None:
             v2, f"events_1_{app_id}"
         )
     jobs: dict[int, dict] = {}
+    stage_spans: dict[int, tuple] = {}
     stage_names: dict[int, str] = {}
     stage_tasks: dict[int, int] = {}
     with open(path) as f:
@@ -94,6 +95,16 @@ def main() -> None:
             elif ev == "SparkListenerJobEnd":
                 if e["Job ID"] in jobs:
                     jobs[e["Job ID"]]["end"] = e["Completion Time"]
+            elif ev == "SparkListenerStageCompleted":
+                si = e.get("Stage Info", {})
+                sid = si.get("Stage ID")
+                if sid is not None and "Completion Time" in si:
+                    stage_spans[sid] = (
+                        si.get("Submission Time", 0),
+                        si["Completion Time"],
+                        si.get("Stage Name", ""),
+                        si.get("Number of Tasks", 0),
+                    )
 
     for n in names:
         t0, t1 = spans[n]
@@ -114,6 +125,18 @@ def main() -> None:
                 f"job {jid:4d}  gap {gap:6.3f}  dur {dur:6.3f}  "
                 f"stages {len(j['stages']):2d}  tasks {ntasks:4d}  {sname[:60]}"
             )
+            if dur > 0.3:  # slow job: attribute time to its stages
+                for s_ in j["stages"]:
+                    sp = stage_spans.get(s_)
+                    if not sp:
+                        continue
+                    sdur = (sp[1] - sp[0]) / 1000
+                    if sdur < 0.1:
+                        continue
+                    print(
+                        f"      stage {s_:4d}  dur {sdur:6.3f}  "
+                        f"tasks {sp[3]:4d}  {sp[2][:70]}"
+                    )
         print(f"jobs busy {busy:.3f}s, driver gaps {(t1 - t0) / 1000 - busy:.3f}s")
 
 
