@@ -63,19 +63,34 @@ def _bucket_expr(vec_col: str, n_planes: int, dims: int, plane_offset: int = 0):
     every Catalyst rule traversal quadratic-ish and costs seconds of
     planning per run; the flat fold analyzes in milliseconds and the
     sequential sum matches the DuckDB oracle's list_reduce bit-for-bit."""
-    v = F.col(vec_col).cast("array<double>")
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        plane = F.array(
-            *[F.lit(hyperplane(plane_offset + p, d)) for d in range(dims)]
+    # The whole expression is built as ONE SQL string parsed JVM-side in
+    # a single py4j call. The per-component Column form (dims F.lit
+    # calls per plane, one HOF-builder call per fold) cost one py4j
+    # round-trip PER NODE — at 3 tables x 6 planes x 64 dims x 2 join
+    # sides that was ~2,300 round-trips, measured as 1.3-1.6 s of pure
+    # driver time per ANN query construction. The parsed tree is the
+    # same arithmetic: per plane the sequential zip_with/aggregate dot,
+    # then a (1 << p)-weighted sum of the sign bits (pow(2, p) is exact
+    # in double for these plane counts); repr() round-trips every
+    # hyperplane double exactly through the SQL parser's decimal-to-
+    # nearest-double literal, so buckets are bit-identical.
+    planes_sql = ",".join(
+        "array("
+        + ",".join(
+            f"{hyperplane(plane_offset + p, d)!r}D" for d in range(dims)
         )
-        dot = F.aggregate(
-            F.zip_with(v, plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+        + ")"
+        for p in range(n_planes)
+    )
+    return F.expr(
+        "aggregate(transform(array("
+        + planes_sql
+        + "), (plane, i) -> CASE WHEN aggregate(zip_with("
+        f"cast(`{vec_col}` as array<double>), plane, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x) > 0 "
+        "THEN cast(pow(2.0D, i) as int) ELSE 0 END), "
+        "0, (acc, x) -> acc + x)"
+    )
 
 
 def knn_lsh(
