@@ -27,6 +27,29 @@ def cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def _local_scratch_dir() -> str | None:
+    """Shuffle/spill scratch (``spark.local.dir``) for LOCAL-master runs.
+
+    Same policy as the throwaway-fixture scratch
+    (plans/queries._scratch_dir, round 10): local-mode shuffle files are
+    pure intra-run scratch — written, fetched, and deleted inside one
+    session — so on a box with tmpfs they belong there, not on a
+    (possibly externally contended) data disk. Measured effect: the
+    stream/tx micro-batch queries' wall tracked the host's disk-load
+    canary (io_ratio 3-4x => 2x query wall) purely through blockmgr
+    writes under /tmp; with shuffle scratch on tmpfs they decouple.
+
+    Override with $SPARK_GRAFT_LOCAL_DIR. On a real cluster (non-local
+    master) this is never applied — executors get their local dirs from
+    the cluster manager (YARN/k8s), where tmpfs sizing is an ops
+    decision, not a library default.
+    """
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        return env
+    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     master: str | None = None,
@@ -57,6 +80,10 @@ def get_spark(
     )
     if master is None:
         master = f"local[{cpus}]"
+    if master.startswith("local"):
+        scratch = _local_scratch_dir()
+        if scratch:
+            builder = builder.config("spark.local.dir", scratch)
     builder = builder.master(master)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
