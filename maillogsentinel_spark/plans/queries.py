@@ -27,6 +27,7 @@ from typing import Callable
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.ip import ip_to_long
 from ..operators.parse import parse_sasl_lines
@@ -9692,17 +9693,14 @@ def q_tx_format_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .option("versionAsOf", "1")
                 .load()
             )
-            bad_tags = head.where(
-                F.col("_commit_version") != F.lit(head_v)
-            ).count()
-            if bad_tags:  # survives python -O
-                raise RuntimeError(
-                    "_commit_version must be the resolved snapshot"
-                )
             v1_agg = (
                 v1.groupBy("event_date")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_v1"))
             )
+            # the _commit_version check rides the aggregation pass as a
+            # per-day bad-tag count instead of its own full scan of
+            # `head` through the Python datasource (the expensive kind
+            # of scan here) — one read of head, not two
             agg = (
                 head.groupBy("event_date")
                 .agg(
@@ -9714,6 +9712,10 @@ def q_tx_format_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ),
                         4,
                     ).alias("value_sum"),
+                    F.sum(
+                        (F.col("_commit_version") != F.lit(head_v))
+                        .cast("int")
+                    ).alias("_bad_tags"),
                 )
                 .join(v1_agg, "event_date", "left")
                 .select(
@@ -9723,11 +9725,21 @@ def q_tx_format_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "sum_eid",
                     "value_sum",
                     F.lit(1).alias("tagged_versions_ok"),
+                    "_bad_tags",
                 )
                 .orderBy("event_date")
             )
             rows = agg.collect()
-            return spark.createDataFrame(rows, agg.schema)
+            if any(r["_bad_tags"] for r in rows):  # survives python -O
+                raise RuntimeError(
+                    "_commit_version must be the resolved snapshot"
+                )
+            out_schema = T.StructType(
+                [f for f in agg.schema.fields if f.name != "_bad_tags"]
+            )
+            return spark.createDataFrame(
+                [tuple(r)[:-1] for r in rows], out_schema
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
