@@ -7327,30 +7327,36 @@ def q_events_kmv_distinct_setops(
     b = sk.where(F.col("event_type") == t2).withColumn(
         "event_type", F.lit("pair")
     )
-    inter = kmv_intersect_estimate(a, b, "event_type", k=64)
-    prow = inter.collect()[0]
+    # both pair-level stats ride the final plan as broadcast 1-row
+    # aggregates (cross join, hygiene-whitelisted) instead of their own
+    # sequential collect()/count() driver actions — same arithmetic
+    # (operator's intersect_est IS jaccard_est * union_est in double),
+    # two fewer driver round-trips
+    inter = kmv_intersect_estimate(a, b, "event_type", k=64).select(
+        "union_est", "jaccard_est", "intersect_est"
+    )
     pexact = (
         ev.where(F.col("event_type") == t1)
         .select("user_id")
         .intersect(
             ev.where(F.col("event_type") == t2).select("user_id")
         )
-        .count()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("pair_exact_intersect")
+        )
     )
     return (
         est.join(exact, "event_type")
+        .crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(pexact))
         .select(
             "event_type",
             F.round("kmv_est", 4).alias("kmv_est"),
             "exact_distinct",
-            F.round(F.lit(prow["union_est"]), 4).alias("pair_union_est"),
-            F.round(F.lit(prow["jaccard_est"]), 4).alias(
-                "pair_jaccard_est"
-            ),
-            F.round(
-                F.lit(prow["jaccard_est"] * prow["union_est"]), 4
-            ).alias("pair_intersect_est"),
-            F.lit(pexact).cast("long").alias("pair_exact_intersect"),
+            F.round("union_est", 4).alias("pair_union_est"),
+            F.round("jaccard_est", 4).alias("pair_jaccard_est"),
+            F.round("intersect_est", 4).alias("pair_intersect_est"),
+            "pair_exact_intersect",
         )
         .orderBy("event_type")
     )

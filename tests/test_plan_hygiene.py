@@ -43,6 +43,8 @@ ALLOWED = {
     ("tpch_q11_important_parts", "BroadcastNestedLoopJoin"),  # 1-row threshold,
     # inequality join — TPC-H Q11's scalar-subquery shape
     ("doc_bm25_search", "BroadcastNestedLoopJoin"),  # two 1-row stat broadcasts
+    ("events_kmv_distinct_setops", "BroadcastNestedLoopJoin"),  # two 1-row
+    # pair-sketch stats (union/jaccard estimate + exact intersect count)
     ("doc_hybrid_rrf_search", "BroadcastNestedLoopJoin"),  # same BM25 stats
     # broadcasts + the 1-row query-vector broadcast of the semantic arm
     ("doc_bigram_logprob", "BroadcastNestedLoopJoin"),  # 1-row vocab-size bcast
