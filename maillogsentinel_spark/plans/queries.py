@@ -9357,9 +9357,6 @@ def q_tx_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
             if tx_current_version(spark, src_path) != src_v:
                 raise RuntimeError("clone writes must not touch source")
             clone_head = tx_read_events(spark, dst_path)
-            n_clone_total = clone_head.count()
-            if tx_count_events(spark, dst_path) != n_clone_total:
-                raise RuntimeError("metadata count diverged on clone")
             src_agg = (
                 tx_read_events(spark, src_path)
                 .groupBy("event_date")
@@ -9391,6 +9388,13 @@ def q_tx_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy("event_date")
             )
             rows = agg.collect()
+            # meta_count_ok check: the scanned total IS the sum of the
+            # per-day counts the census just computed — no separate full
+            # scan of clone_head for a count (tx_count_events is
+            # metadata-only, off the cloned rows map minus DV sidecars)
+            n_clone_total = sum(r["n_clone"] for r in rows)
+            if tx_count_events(spark, dst_path) != n_clone_total:
+                raise RuntimeError("metadata count diverged on clone")
             return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
