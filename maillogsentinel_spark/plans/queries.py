@@ -8695,18 +8695,20 @@ def q_tx_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             if v4 != 4 or tx_current_version(spark, path) != 4:
                 raise RuntimeError("restore must commit as version 4")
             hist = "event_id % 40 = 0 AND event_id >= 0"
-            del_v1 = (
-                tx_read_events(spark, path, version=1).where(hist).count()
-            )
-            del_v3 = (
-                tx_read_events(spark, path, version=3).where(hist).count()
-            )
-            if del_v1 == 0 or del_v3 != 0:  # survives python -O
-                raise RuntimeError(
-                    "history must survive restore: v3 must still show "
-                    f"the delete (v1 had {del_v1} doomed rows, v3 kept "
-                    f"{del_v3})"
+            # the two history probes (v1 must still hold the doomed
+            # rows, v3 must still show the delete) ride the census job
+            # as broadcast 1-row aggregates instead of two sequential
+            # count() actions; checked after collect, same raise
+            chk = (
+                tx_read_events(spark, path, version=1)
+                .where(hist)
+                .agg(F.count(F.lit(1)).cast("long").alias("_del_v1"))
+                .crossJoin(
+                    tx_read_events(spark, path, version=3)
+                    .where(hist)
+                    .agg(F.count(F.lit(1)).cast("long").alias("_del_v3"))
                 )
+            )
             agg = (
                 tx_read_events(spark, path)  # head == restored v1
                 .groupBy("event_date")
@@ -8724,10 +8726,28 @@ def q_tx_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "*",
                     F.lit(4).cast("long").alias("head_version"),
                 )
+                .crossJoin(F.broadcast(chk))
                 .orderBy("event_date")
             )
             rows = agg.collect()
-            return spark.createDataFrame(rows, agg.schema)
+            del_v1 = rows[0]["_del_v1"] if rows else 0
+            del_v3 = rows[0]["_del_v3"] if rows else 0
+            if del_v1 == 0 or del_v3 != 0:  # survives python -O
+                raise RuntimeError(
+                    "history must survive restore: v3 must still show "
+                    f"the delete (v1 had {del_v1} doomed rows, v3 kept "
+                    f"{del_v3})"
+                )
+            out_schema = T.StructType(
+                [
+                    f
+                    for f in agg.schema.fields
+                    if not f.name.startswith("_del_")
+                ]
+            )
+            return spark.createDataFrame(
+                [tuple(r)[:-2] for r in rows], out_schema
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
