@@ -509,29 +509,31 @@ def minhash_lsh_pairs(
     return _verify_candidates(candidates, sh, threshold).orderBy("id_a", "id_b")
 
 
+def _band_key_sql(start: int, rows: int) -> str:
+    """SQL for one band key: comma-joined signature slice."""
+    elems = ", ".join(
+        f"cast(sig[{start + r}] as string)" for r in range(rows)
+    )
+    return f"concat_ws(',', {elems})"
+
+
 def _banded_keys(with_sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
     """(id, band, key) rows for one band geometry: the signature
-    exploded into ``bands`` keys of num_perm/bands rows each."""
+    exploded into ``bands`` keys of num_perm/bands rows each.
+
+    Built as ONE SQL string parsed JVM-side (same tree as the
+    per-element Column form it replaces): the struct-per-band /
+    element-per-slot Column construction cost one py4j round-trip per
+    node — measured 0.65-0.8 s of driver wall per call for the sweep's
+    28-struct variant — while a single ``F.expr`` parse is one call."""
     rows = num_perm // bands
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'key', "
+        f"{_band_key_sql(b * rows, rows)})"
+        for b in range(bands)
+    )
     return with_sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[b * rows + r].cast("string")
-                                for r in range(rows)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        "id", F.expr(f"explode(array({structs}))").alias("bk")
     ).select("id", "bk.band", "bk.key")
 
 
@@ -644,29 +646,18 @@ def minhash_band_sweep(
         docs, id_col, text_col, k, num_perm, shingle_rows=raw_sh
     )
     sh = _doc_shingles(docs, id_col, text_col, k, None, rows=raw_sh)
+    # one parsed SQL string, not per-element Columns — the 28-struct
+    # Column form cost 0.65-0.8 s of pure py4j construction per call
+    # (same fix as _banded_keys; job-breakdown showed it as the 1 s
+    # driver gap before the sweep's first job)
+    structs = ", ".join(
+        f"named_struct('g', {bands}, 'band', {b}, 'key', "
+        f"{_band_key_sql(b * (num_perm // bands), num_perm // bands)})"
+        for bands in geometries
+        for b in range(bands)
+    )
     banded_all = with_sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bands).alias("g"),
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[
-                                    b * (num_perm // bands) + r
-                                ].cast("string")
-                                for r in range(num_perm // bands)
-                            ],
-                        ).alias("key"),
-                    )
-                    for bands in geometries
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        "id", F.expr(f"explode(array({structs}))").alias("bk")
     ).select("id", "bk.g", "bk.band", "bk.key").persist()
     a, b = banded_all.alias("a"), banded_all.alias("b")
     cand_flags = (
