@@ -299,13 +299,26 @@ def _norm_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Unexecuted reader handles per (session, sf_dir, table). A plan object
+# only — no rows are cached — but `spark.read.parquet` resolves the file
+# index + schema JVM-side at ~0.1 s per call, and multi-table queries
+# (TPC-H joins) pay it up to 8× per build. Keyed on applicationId like
+# every other session-scoped cache here; inputs are immutable per
+# sf_dir, so the captured listing can never go stale within a session.
+_RAW_T_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _t(
     spark: SparkSession, sf_dir: str, name: str, repartition: bool | None = None
 ) -> DataFrame:
     _tune(spark, sf_dir)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = _norm_events_ts(df)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _RAW_T_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = _norm_events_ts(df)
+        _RAW_T_CACHE[key] = df
     # The driver's testdata parquet files each hold ONE row group, so a
     # scan is a single task regardless of core count and every per-row
     # stage above it runs serially. Round-robin repartition restores
