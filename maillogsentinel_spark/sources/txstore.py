@@ -127,24 +127,50 @@ def _jfs(spark: SparkSession, path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
 
 
-def _local_root(path: str) -> str | None:
-    """OS path when ``path`` lives on the local filesystem (bare path
-    or Hadoop-style ``file:`` prefix), else None. Gates the driver-side
-    metadata fast path: every manifest read/write/list/rename and the
-    publish/vacuum file walks otherwise pay one or more py4j->Hadoop
-    round-trips apiece (measured 5-50 ms each vs ~0.01 ms through
-    Python's os layer — a single _load_manifest was 115 ms, a vacuum
-    sweep 375 ms, on tmpfs). Remote schemes (hdfs://, s3a://, ...)
-    keep the Hadoop route unchanged."""
-    if "://" in path:
-        return None
+# fs.defaultFS locality per session (applicationId-keyed, like every
+# other session-scoped memo): ONE py4j conf read per session instead of
+# one per metadata operation.
+_DEFAULT_FS_LOCAL: dict[str, bool] = {}
+
+
+def _default_fs_is_local(spark: SparkSession) -> bool:
+    app = spark.sparkContext.applicationId
+    hit = _DEFAULT_FS_LOCAL.get(app)
+    if hit is None:
+        try:
+            dfs = spark._jsc.hadoopConfiguration().get("fs.defaultFS")
+        except Exception:
+            dfs = None
+        hit = dfs is None or str(dfs).startswith("file:")
+        _DEFAULT_FS_LOCAL[app] = hit
+    return hit
+
+
+def _local_root(spark: SparkSession, path: str) -> str | None:
+    """OS path when ``path`` lives on the local filesystem, else None.
+    Gates the driver-side metadata fast path: every manifest
+    read/write/list/rename and the publish/vacuum file walks otherwise
+    pay one or more py4j->Hadoop round-trips apiece (measured 5-50 ms
+    each vs ~0.01 ms through Python's os layer — a single
+    _load_manifest was 115 ms, a vacuum sweep 375 ms, on tmpfs).
+    Remote schemes (hdfs://, s3a://, ...) keep the Hadoop route
+    unchanged — and so does a BARE path when the session's
+    ``fs.defaultFS`` is non-local: Hadoop resolves scheme-less paths
+    against defaultFS, so on YARN/k8s-over-HDFS a bare root names an
+    HDFS location (where ``df.write.parquet`` puts the data files) and
+    taking the os-layer path here would split the store's brain —
+    data on HDFS, manifests (the commit point!) on the driver's local
+    disk. Only ``file:``-prefixed paths bypass that check: they are
+    explicitly local under any defaultFS."""
     if path.startswith("file:"):
         return path[len("file:"):] or "/"
-    return path
+    if "://" in path:
+        return None
+    return path if _default_fs_is_local(spark) else None
 
 
 def _write_file(spark: SparkSession, path: str, text: str) -> None:
-    lp = _local_root(path)
+    lp = _local_root(spark, path)
     if lp is not None:
         with open(lp, "wb") as f:
             f.write(text.encode("utf-8"))
@@ -161,7 +187,7 @@ def _write_file(spark: SparkSession, path: str, text: str) -> None:
 
 
 def _read_file(spark: SparkSession, path: str) -> str:
-    lp = _local_root(path)
+    lp = _local_root(spark, path)
     if lp is not None:
         with open(lp, encoding="utf-8") as f:
             return f.read()
@@ -174,7 +200,7 @@ def _read_file(spark: SparkSession, path: str) -> str:
 
 
 def _list_versions(spark: SparkSession, root: str) -> list[int]:
-    lp = _local_root(root)
+    lp = _local_root(spark, root)
     if lp is not None:
         try:
             names = os.listdir(f"{lp}/{_MANIFEST_DIR}")
@@ -376,7 +402,7 @@ def _read_ckpt(root: str, version: int) -> dict:
 
 
 def _list_ckpt_versions(spark: SparkSession, root: str) -> list[int]:
-    lp = _local_root(root)
+    lp = _local_root(spark, root)
     if lp is not None:
         try:
             names = os.listdir(f"{lp}/{_MANIFEST_DIR}")
@@ -468,7 +494,7 @@ def _commit(
     # time travel (tx_version_at) resolves against — stamped before
     # the delta diff so it rides every log form identically
     manifest.setdefault("committed_at_ms", int(_time.time() * 1000))
-    lp = _local_root(root)
+    lp = _local_root(spark, root)
     if lp is not None:
         os.makedirs(f"{lp}/{_MANIFEST_DIR}", exist_ok=True)
     else:
@@ -574,7 +600,7 @@ def _stage_and_publish(
     files: dict[str, list[str]] = {}
     sizes: dict[str, int] = {}
     moved = 0
-    lp = _local_root(root)
+    lp = _local_root(spark, root)
     if lp is not None:
         # local publish: os.walk + os.rename — same per-file rename
         # protocol as the Hadoop branch below, minus one py4j
@@ -2043,7 +2069,7 @@ def tx_delete_where(
         .select("rel").distinct().collect()
     ]
     if not touched:
-        lp = _local_root(path)
+        lp = _local_root(spark, path)
         if lp is not None:
             import shutil
 
@@ -3221,7 +3247,7 @@ def tx_vacuum(
             live_dv.update(ents)
     cutoff_ms = int(time.time() * 1000) - max(retention_ms, 0)
     deleted = 0
-    lp = _local_root(path)
+    lp = _local_root(spark, path)
     if lp is not None:
         # local sweep through the os layer — the py4j walk was pure
         # driver latency (375 ms measured on a 3-version tmpfs store)
