@@ -299,6 +299,23 @@ def _norm_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Raw (un-normalized) parquet schema per (session, sf_dir, table): the
+# nine streaming replays each need the file's RAW schema for
+# readStream.schema(...), and resolving it re-listed the file index
+# JVM-side (~0.1 s) on every call. Plain StructType value — no
+# DataFrame handle, nothing executable.
+_RAW_SCHEMA_CACHE: dict[tuple[str, str, str], T.StructType] = {}
+
+
+def _raw_schema(spark: SparkSession, sf_dir: str, name: str) -> T.StructType:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    st = _RAW_SCHEMA_CACHE.get(key)
+    if st is None:
+        st = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+        _RAW_SCHEMA_CACHE[key] = st
+    return st
+
+
 # Unexecuted reader handles per (session, sf_dir, table). A plan object
 # only — no rows are cached — but `spark.read.parquet` resolves the file
 # index + schema JVM-side at ~0.1 s per call, and multi-table queries
@@ -11938,7 +11955,7 @@ def q_events_stream_tx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         _load_manifest, tx_append_events, tx_read_events)
     from ..streaming.ingest import start_tx_store_sink
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _raw_schema(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="mls_stream_tx_", dir=_scratch_dir())
     store = f"{tmp}/store"
     try:
@@ -12002,7 +12019,7 @@ def q_events_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFra
     a watermark + append sink; nothing here is availableNow-specific
     except the drain trigger."""
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _raw_schema(spark, sf_dir, "events")
     # the file stream source requires a DIRECTORY; scope it to the one
     # events file with a glob filter (at scale: the events/ partition dir)
     src = _norm_events_ts(
@@ -12061,7 +12078,7 @@ def q_events_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
     on the dedup state (``dropDuplicatesWithinWatermark``) to bound it;
     the unbounded variant here is exact over the finite replay."""
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _raw_schema(spark, sf_dir, "events")
     src = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -12109,7 +12126,7 @@ def q_events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Must equal the batch join+GROUP BY bit-for-bit; decimal value sums
     for order-insensitive float parity."""
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _raw_schema(spark, sf_dir, "events")
     src = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -12189,7 +12206,7 @@ def q_events_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFra
     aggregation with a watermark in append mode and session state is
     evicted once the watermark passes a session's close."""
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _raw_schema(spark, sf_dir, "events")
     src = _norm_events_ts(
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -12255,7 +12272,7 @@ def q_events_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFr
     missing finalization batch each change the emitted row SET, not
     just values — the row-count check alone would catch it."""
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _raw_schema(spark, sf_dir, "events")
     src = _norm_events_ts(
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -12310,7 +12327,7 @@ def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, a watermark that evicts too early, or a boundary error in the
     range condition changes the set."""
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _raw_schema(spark, sf_dir, "events")
 
     def stream():
         return _norm_events_ts(
@@ -12568,7 +12585,7 @@ def q_events_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
     final no-new-data batch performs the eviction pass that flushes
     the null-padded rows."""
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _raw_schema(spark, sf_dir, "events")
 
     def stream():
         return _norm_events_ts(
@@ -12676,7 +12693,7 @@ def q_events_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
     The oracle states the full contract: inner range join ∪ two
     watermark-gated anti-joins with per-side boundaries."""
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _raw_schema(spark, sf_dir, "events")
 
     def stream():
         return _norm_events_ts(
