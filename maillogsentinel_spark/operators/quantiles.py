@@ -46,6 +46,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _ACCURACY = 10000  # approx_percentile accuracy → rank error ≤ n/_ACCURACY
 _Q_MARGIN = 0.01  # candidate half-window in q-units for large groups
@@ -145,6 +146,24 @@ def _quantiles_select(
         )
         sel += [vs.alias(f"_vs_{name}"), vb.alias(f"_vb_{name}")]
     bounds = stats.select(*sel)
+    return _select_from_bounds(src, group_cols, quantiles, bounds, vtype)
+
+
+def _select_from_bounds(
+    src: DataFrame,
+    group_cols: list[str],
+    quantiles: dict[str, float],
+    bounds: DataFrame,
+    vtype,
+) -> DataFrame:
+    """Passes 2+3 of the selection strategy over a prepared ``bounds``
+    table (group cols, ``_n``, ``_vs_<name>``/``_vb_<name>`` per
+    quantile). The result is EXACT for any bounds that cover the target
+    ranks (the bucket pass counts below-window rows exactly, so the
+    final ranks do not depend on where inside the window the bounds
+    landed) — which is what lets a caller derive a second selection's
+    window from the first pass's sketch instead of re-scanning
+    (median_mad below)."""
 
     # pass 2: one scan emits, per quantile window, either a below-marker
     # (array position 2i, constant value) or the candidate value
@@ -206,6 +225,94 @@ def _quantiles_select(
     return out.select(*_interpolate(group_cols, quantiles))
 
 
+def median_mad(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group EXACT median and EXACT median-absolute-deviation with
+    ONE stats pass over the data (three fact scans total) instead of
+    running the full selection scaffold twice (four).
+
+    The MAD selection needs a candidate window around the (unknown)
+    median of ``ad = |v - med|``. Running pass 1 again over ``ad`` is a
+    whole extra fact scan plus a second 1M-value approx-percentile
+    sketch — but the window can be DERIVED from the first pass's sketch
+    of ``v`` once ``med`` is known, because ranks in ad-space are
+    differences of ranks in v-space:
+
+        count(ad <= r) = count(v <= med + r) - count(v < med - r).
+
+    With the pass-1 sketch queried at {0.24, 0.40, 0.60, 0.76} (rank
+    error <= n·eps, eps = 1/_ACCURACY = 1e-4) and the target rank
+    L = floor(0.5·(n-1)), for n > _SMALL_N:
+
+    - upper bound  r_b = min(max(ap(.76) - med, med - ap(.24)),
+                             max(max - med, med - min)):
+      count(ad <= r_b) >= n(.76 - eps) - n(.24 + eps) = n(.52 - 2eps)
+      >= L + 2 whenever n(.0198) >= 2, i.e. n >= 102 — implied by the
+      n > _SMALL_N gate. (The max-deviation clamp keeps r_b finite and
+      is itself covering: count(ad <= max_dev) = n >= L + 2 for n >= 3.)
+    - lower bound  r_s = max(0, min(ap(.60) - med, med - ap(.40))):
+      count(ad < r_s) <= n(.60 + eps) - n(.40 - eps) = n(.20 + 2eps)
+      <= L for any n >= 3.
+
+    Groups at or below _SMALL_N use the whole [0, max_dev] window, the
+    same degenerate-window rule as _quantiles_select. Both target ranks
+    therefore always fall inside the candidate window, and the bucket
+    pass's exact below-counts make the result independent of where in
+    the window the sketch landed — the returned (med, mad) are
+    bit-identical to two independent exact_quantiles runs (pinned by
+    tests/test_quantiles.py)."""
+    vtype = df.schema[value_col].dataType
+    g = list(group_cols)
+    src = df.select(*g, F.col(value_col).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    fracs = [0.49, 0.51, 0.24, 0.40, 0.60, 0.76]
+    stats = src.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.percentile_approx("_v", fracs, F.lit(_ACCURACY)).alias("_ap"),
+        F.min("_v").alias("_min"),
+        F.max("_v").alias("_max"),
+    )
+    small = F.col("_n") <= _SMALL_N
+    med_bounds = stats.select(
+        *g,
+        "_n",
+        F.when(small, F.col("_min"))
+        .otherwise(F.element_at("_ap", 1)).alias("_vs_med"),
+        F.when(small, F.col("_max"))
+        .otherwise(F.element_at("_ap", 2)).alias("_vb_med"),
+    )
+    med = _select_from_bounds(src, g, {"med": 0.5}, med_bounds, vtype)
+
+    # derive the ad-space window per group (tiny join of per-group rows)
+    # per-group tables are tiny — broadcast so the derive/join
+    # steps add no shuffle stages to an already driver-latency-
+    # bound plan (sf0.1 breakdown: every job 1-4 tasks)
+    enr = stats.join(F.broadcast(med), g)
+    m = F.col("med")
+    dbl = lambda c: c.cast("double")  # noqa: E731 — local shorthand
+    max_dev = F.greatest(dbl(F.col("_max")) - m, m - dbl(F.col("_min")))
+    ap = lambda i: dbl(F.element_at("_ap", i))  # noqa: E731
+    r_s = F.greatest(F.lit(0.0), F.least(ap(5) - m, m - ap(3)))
+    r_b = F.least(F.greatest(ap(6) - m, m - ap(4)), max_dev)
+    mad_bounds = enr.select(
+        *g,
+        "_n",
+        F.when(small, F.lit(0.0)).otherwise(r_s).alias("_vs_mad"),
+        F.when(small, max_dev).otherwise(r_b).alias("_vb_mad"),
+    )
+    src_ad = src.join(F.broadcast(med), g).select(
+        *g, F.abs(dbl(F.col("_v")) - m).alias("_v")
+    )
+    mad = _select_from_bounds(
+        src_ad, g, {"mad": 0.5}, mad_bounds, T.DoubleType()
+    )
+    return med.join(F.broadcast(mad), g)
+
+
 # ---------------------------------------------------------------------------
 # sort strategy
 # ---------------------------------------------------------------------------
@@ -250,7 +357,7 @@ def _quantiles_sort(
     return out.select(*_interpolate(group_cols, quantiles))
 
 
-__all__ = ["exact_quantiles"]
+__all__ = ["exact_quantiles", "median_mad"]
 
 
 def gated_ntile(

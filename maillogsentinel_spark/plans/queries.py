@@ -7048,18 +7048,22 @@ def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape Spark's builtin percentile cannot give at 100 TB group sizes.
     robust_z uses the 1.4826 normal-consistency constant; rounded in
     both engines."""
-    from ..operators.quantiles import exact_quantiles
+    from ..operators.quantiles import median_mad
 
     ev = _t(spark, sf_dir, "events")
-    med = exact_quantiles(ev, ["event_type"], "value", {"med": 0.5})
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type", "event_id", "value", "med",
+    # fused scaffold (operators/quantiles.median_mad): the MAD
+    # selection's candidate window is derived from the median pass's
+    # sketch instead of re-running the stats pass over |v - med| —
+    # three fact scans instead of four, one approx-percentile sketch
+    # instead of two, (med, mad) bit-identical (coverage proof in the
+    # operator docstring, pinned by test_quantiles).
+    mm = median_mad(ev, ["event_type"], "value")
+    dev = ev.join(F.broadcast(mm), "event_type").select(
+        "event_type", "event_id", "value", "med", "mad",
         F.abs(F.col("value") - F.col("med")).alias("ad"),
     )
-    mad = exact_quantiles(dev, ["event_type"], "ad", {"mad": 0.5})
     return (
-        dev.join(F.broadcast(mad), "event_type")
-        .filter(F.col("ad") > 6 * 1.4826 * F.col("mad"))
+        dev.filter(F.col("ad") > 6 * 1.4826 * F.col("mad"))
         .select(
             "event_id", "event_type",
             F.round(

@@ -146,3 +146,45 @@ def test_gated_ntile_both_ways(spark):
 
     sizes = Counter(a.values())
     assert sizes == {1: 26, 2: 26, 3: 26, 4: 25}  # 103 = 26+26+26+25
+
+
+def test_median_mad_matches_two_pass_scaffold(spark):
+    """The fused median+MAD operator (one shared stats pass, MAD window
+    derived from the median pass's sketch) must be BIT-identical to two
+    independent exact_quantiles runs — both above and below the
+    _SMALL_N full-window gate, and under duplicate-heavy and constant
+    distributions (mad = 0)."""
+    import random
+
+    from maillogsentinel_spark.operators.quantiles import median_mad
+
+    rnd = random.Random(7)
+    rows = []
+    # group a: large (above _SMALL_N=1024), skewed continuous values
+    rows += [("a", rnd.expovariate(0.3)) for _ in range(3000)]
+    # group b: large, duplicate-heavy (integers from a narrow domain)
+    rows += [("b", float(rnd.randint(0, 9))) for _ in range(2000)]
+    # group c: small (below the gate), even count
+    rows += [("c", float(v)) for v in [1, 3, 2, 10]]
+    # group d: constant column — mad must be exactly 0
+    rows += [("d", 5.0) for _ in range(50)]
+    # group e: single row
+    rows += [("e", 42.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    fused = {
+        r["g"]: (r["med"], r["mad"])
+        for r in median_mad(df, ["g"], "v").collect()
+    }
+    med = exact_quantiles(df, ["g"], "v", {"med": 0.5})
+    dev = df.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("med")).alias("ad")
+    )
+    mad = exact_quantiles(dev, ["g"], "ad", {"mad": 0.5})
+    two_pass = {
+        r["g"]: (r["med"], r["mad"])
+        for r in med.join(mad, "g").collect()
+    }
+    assert fused == two_pass
+    assert fused["d"] == (5.0, 0.0)
+    assert fused["e"] == (42.0, 0.0)
