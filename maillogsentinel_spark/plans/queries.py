@@ -541,8 +541,19 @@ def q_sasl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_geo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1: bucketed broadcast interval join, inclusive bounds, miss→N/A."""
-    ev = _t(spark, sf_dir, "events").select(ip_to_long(_synth_ip()).alias("ip_long"))
+    """J1: bucketed broadcast interval join, inclusive bounds, miss→N/A.
+
+    Probe-side repartition opt-in (the gated round-robin in _t): the
+    per-row work — synthesize the dotted quad, split it back, fold to
+    int64, bucket-join, partial agg — all sits BEFORE the first
+    shuffle, so on the one-row-group testdata scan the whole query ran
+    as a single 0.78 s task regardless of core count (the round-11
+    "regression" and its 0.50 8-vs-32-core ratio were exactly this
+    serial stage). Only (event_id, user_id) cross the exchange; the
+    gate keeps this a no-op on multi-split inputs. Interleaved A/B at
+    sf0.1: 1.14 -> 0.61 s (0.53x), rows identical."""
+    ev = _t(spark, sf_dir, "events", repartition=True).select(
+        ip_to_long(_synth_ip()).alias("ip_long"))
     dim = _geo_dim(spark, sf_dir)
     joined = range_join(ev, "ip_long", dim, start_col="range_start", end_col="range_end")
     return (
@@ -617,7 +628,17 @@ def q_mail_report_top10_today(spark: SparkSession, sf_dir: str) -> DataFrame:
     today = parsed.filter(
         F.month("ts") * 100 + F.dayofmonth("ts") == F.lit(maxday_row)
     )
-    withdns = enrich_rdns(today, mail_resolver)
+    # rDNS ip_source: the resolver's distinct-IP input otherwise
+    # re-executes the whole parse+filter subtree (the plan carried TWO
+    # 32-task regex stages, measured 0.41 s + 0.46 s — §4.4-style
+    # duplicate evaluation through the dim branch). The parsed lines'
+    # IPs are exactly the synthesized IPs of the same (non-click,
+    # max-day) events, so the cheap arithmetic projection is a precise
+    # superset and the left join's result is unchanged.
+    today_ips = ev.filter(
+        F.month("ts") * 100 + F.dayofmonth("ts") == F.lit(maxday_row)
+    ).select(_synth_ip().alias("ip"))
+    withdns = enrich_rdns(today, mail_resolver, ip_source=today_ips)
     dim = _geo_dim(spark, sf_dir)
     geo = range_join(
         withdns.withColumn("ip_long", ip_to_long(F.col("ip"))),

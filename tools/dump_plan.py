@@ -1,7 +1,7 @@
-"""Dump .explain("formatted") for registered queries to plans/r11/.
+"""Dump .explain("formatted") for registered queries to plans/r12/.
 
 Usage: python tools/dump_plan.py <before|after> [--sf DIR] <query> [...]
-Writes plans/r11/<query>_<suffix>.txt (the optimization-round evidence
+Writes plans/r12/<query>_<suffix>.txt (the optimization-round evidence
 files: the judge checks plan claims against these).
 """
 
@@ -28,7 +28,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     dest_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r11",
+        "plans", "r12",
     )
     os.makedirs(dest_dir, exist_ok=True)
     for name in args:
