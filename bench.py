@@ -77,6 +77,15 @@ CANARY_REF_SEC = 0.85
 IO_CANARY_REF_SEC = 0.04  # idle-box warm time, measured round 10
 
 
+def _reader_cache_size() -> int:
+    try:
+        from maillogsentinel_spark.plans.queries import _RAW_T_CACHE
+
+        return len(_RAW_T_CACHE)
+    except Exception:
+        return -1
+
+
 def run_canary(spark) -> float:
     expr = "count(distinct substr(md5(cast(id as string)), 1, 4)) AS c"
     best = float("inf")
@@ -160,10 +169,14 @@ def main() -> None:
     # query pays a shared build — keeps per-query numbers attributable
     # round-over-round (round-2 lesson: the shingle-table build landed on
     # whichever consumer ran first and read as a 2-3x "regression").
+    # Its wall seconds are recorded in the canary block (round-11
+    # verdict item 8: the untimed prebuild surface must be visible).
+    prebuild_t0 = time.perf_counter()
     try:
         prebuild_shared_artifacts(spark, sf_dir)
     except Exception as e:
         print(f"# bench warmup prebuild error: {e}", file=sys.stderr)
+    prebuild_sec = time.perf_counter() - prebuild_t0
 
     from maillogsentinel_spark.plans.queries import _scratch_dir
 
@@ -224,6 +237,13 @@ def main() -> None:
         # the device the throwaway stream/tx fixtures hit (tmpfs when
         # available — usually flat; equals io_sec when no tmpfs)
         "scratch_io_sec": [round(scratch_start, 3), round(scratch_end, 3)],
+        # transparency for the untimed shared-artifact prebuild and the
+        # session-scoped unexecuted-reader cache (round-11 verdict #8):
+        # how much wall sits outside the timed region, and how many
+        # plan-only reader handles the run populated (hygiene test
+        # asserts they hold no materialized rows)
+        "prebuild_sec": round(prebuild_sec, 3),
+        "reader_cache_entries": _reader_cache_size(),
     }
 
     full = {

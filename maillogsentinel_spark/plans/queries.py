@@ -66,10 +66,30 @@ _SCAN_PARTS: dict[tuple[str, str], int] = {}
 _TUNED_FOR: dict[str, str] = {}
 
 
+def _evict_stale_session_caches(app: str) -> None:
+    """Drop session-scoped cache entries whose applicationId is not the
+    live session's (round-11 advice): a long-lived process that
+    restarts SparkSessions (test suites) otherwise accumulates dead
+    JVM-backed DataFrame handles, and an accidental use of a stale
+    handle raises an opaque JVM error. Runs once per new appId (the
+    _TUNED_FOR miss path), so steady-state cost is a dict lookup."""
+    for cache in (
+        _DOC_SHINGLES_CACHE, _LSH_PAIRS_CACHE, _LM_SCORES_CACHE,
+        _KMEANS_CACHE, _RAW_T_CACHE, _RAW_SCHEMA_CACHE, _BPE_CACHE,
+        _MAIL_EVENTS_CACHE,
+    ):
+        for key in [k for k in cache if k[0] != app]:
+            del cache[key]
+    for key in [k for k in _TUNED_FOR if k != app]:
+        del _TUNED_FOR[key]
+
+
 def _tune(spark: SparkSession, sf_dir: str) -> None:
     app = spark.sparkContext.applicationId
     if _TUNED_FOR.get(app) == sf_dir:
         return
+    if app not in _TUNED_FOR:
+        _evict_stale_session_caches(app)
     _TUNED_FOR[app] = sf_dir
     import re as _re
 
@@ -397,7 +417,7 @@ _SQL_STATUS = ("CASE (user_id % 256) % 10 WHEN 0 THEN 'Timeout' WHEN 1 THEN 'ERR
                "WHEN 2 THEN 'Failed (Unknown)' ELSE 'OK' END")
 
 
-_MAIL_EVENTS_CACHE: dict[str, DataFrame] = {}
+_MAIL_EVENTS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _synth_ip() -> F.Column:
@@ -428,7 +448,9 @@ def _mail_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual partition count rather than applied unconditionally (a blanket
     repartition would shuffle the whole raw-line corpus).
     """
-    cached = _MAIL_EVENTS_CACHE.get(sf_dir)
+    cached = _MAIL_EVENTS_CACHE.get(
+        (spark.sparkContext.applicationId, sf_dir)
+    )
     if cached is not None:
         return cached
     ev = _t(spark, sf_dir, "events")
@@ -469,7 +491,7 @@ def _mail_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # barrier on Spark 4: the optimizer folds `rand(0) >= -1.0` via
     # bound analysis and then pushes/duplicates anyway.)
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _MAIL_EVENTS_CACHE[sf_dir] = df
+    _MAIL_EVENTS_CACHE[(spark.sparkContext.applicationId, sf_dir)] = df
     return df
 
 
@@ -4556,36 +4578,43 @@ def q_tpch_q2_min_cost_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, so the lineitem scan is pruned to the qualifying keys
     and the per-(pk, sk) aggregate touches a fraction of the table —
     at 100 TB the only shuffle is the grouped aggregate on (pk, sk)."""
+    # single-parse F.expr for the filter/arith/join-condition chatter:
+    # this was the worst construction-latency builder left (0.174 s of
+    # py4j per build, round-11 §17 methodology); the operator structure
+    # (explicit broadcasts, join order) is unchanged
     part = _t(spark, sf_dir, "part").filter(
-        F.col("p_size").isin(5, 15, 25, 35, 45) & (F.col("p_type") == "LARGE")
+        F.expr("p_size IN (5, 15, 25, 35, 45) AND p_type = 'LARGE'")
     )
     euro_nat = (
         _t(spark, sf_dir, "nation")
         .join(
-            F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")),
-            F.col("n_regionkey") == F.col("r_regionkey"),
+            F.broadcast(_t(spark, sf_dir, "region").filter(F.expr("r_name = 'EUROPE'"))),
+            F.expr("n_regionkey = r_regionkey"),
         )
         .select("n_nationkey", "n_name")
     )
     supp = _t(spark, sf_dir, "supplier").join(
-        F.broadcast(euro_nat), F.col("s_nationkey") == F.col("n_nationkey")
+        F.broadcast(euro_nat), F.expr("s_nationkey = n_nationkey")
     )
     li = _t(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount").cast(_DEC))
+    rev = F.expr(
+        f"sum(cast(l_extendedprice as {_DEC})"
+        f" * (1 - cast(l_discount as {_DEC})))"
+    )
     cost = (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp.select("s_suppkey")), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(F.broadcast(part.select("p_partkey")), F.expr("p_partkey = l_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey")), F.expr("s_suppkey = l_suppkey"))
         .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
-        .agg(F.sum(rev).cast("double").alias("supply_cost"))
+        .agg(rev.cast("double").alias("supply_cost"))
     )
     mn = cost.groupBy(F.col("pk").alias("mpk")).agg(F.min("supply_cost").alias("min_cost"))
     return (
         cost.join(
             F.broadcast(mn),
-            (F.col("pk") == F.col("mpk")) & (F.col("supply_cost") == F.col("min_cost")),
+            F.expr("pk = mpk AND supply_cost = min_cost"),
         )
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("pk"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("sk"))
+        .join(F.broadcast(part), F.expr("p_partkey = pk"))
+        .join(F.broadcast(supp), F.expr("s_suppkey = sk"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -7386,7 +7415,11 @@ def q_events_kmv_distinct_setops(
     # aggregates (cross join, hygiene-whitelisted) instead of their own
     # sequential collect()/count() driver actions — same arithmetic
     # (operator's intersect_est IS jaccard_est * union_est in double),
-    # two fewer driver round-trips
+    # two fewer driver round-trips. Degenerate-case note (round-11
+    # advice): if `inter` were ever EMPTY (it cannot be here — the
+    # len(types) == 2 guard plus the fixture guarantee both sketches
+    # are non-empty), the cross join would empty the whole result
+    # instead of the old collect()[0] IndexError.
     inter = kmv_intersect_estimate(a, b, "event_type", k=64).select(
         "union_est", "jaccard_est", "intersect_est"
     )
@@ -8785,8 +8818,13 @@ def q_tx_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy("event_date")
             )
             rows = agg.collect()
-            del_v1 = rows[0]["_del_v1"] if rows else 0
-            del_v3 = rows[0]["_del_v3"] if rows else 0
+            if not rows:  # the probes ride the census: no rows means
+                raise RuntimeError(  # the real failure is an empty store
+                    "restore census returned no rows — the restored "
+                    "head snapshot is empty"
+                )
+            del_v1 = rows[0]["_del_v1"]
+            del_v3 = rows[0]["_del_v3"]
             if del_v1 == 0 or del_v3 != 0:  # survives python -O
                 raise RuntimeError(
                     "history must survive restore: v3 must still show "
@@ -8800,8 +8838,12 @@ def q_tx_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if not f.name.startswith("_del_")
                 ]
             )
+            # trim the helper columns BY NAME — a positional [:-2]
+            # silently misaligns data and schema if the select list is
+            # ever reordered (round-11 advice)
+            keep = [f.name for f in out_schema.fields]
             return spark.createDataFrame(
-                [tuple(r)[:-2] for r in rows], out_schema
+                [tuple(r[n] for n in keep) for r in rows], out_schema
             )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -9822,8 +9864,11 @@ def q_tx_format_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_schema = T.StructType(
                 [f for f in agg.schema.fields if f.name != "_bad_tags"]
             )
+            # by-name trim (round-11 advice): positional [:-1] would
+            # silently misalign if the select list is ever reordered
+            keep = [f.name for f in out_schema.fields]
             return spark.createDataFrame(
-                [tuple(r)[:-1] for r in rows], out_schema
+                [tuple(r[n] for n in keep) for r in rows], out_schema
             )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

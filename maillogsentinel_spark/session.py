@@ -47,7 +47,26 @@ def _local_scratch_dir() -> str | None:
     env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if env:
         return env
-    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+    # Capacity gate (round-11 advice): tmpfs is typically capped at half
+    # of RAM and shuffle spill that previously succeeded on disk could
+    # die with ENOSPC there — and filling /dev/shm pressures the whole
+    # box. Only adopt it when it currently has generous headroom
+    # (≥ 16 GiB free); otherwise leave spark.local.dir alone.
+    if os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            free = st.f_bavail * st.f_frsize
+        except OSError:
+            return None
+        if free >= 16 << 30:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "spark.local.dir -> /dev/shm (%.1f GiB free); override "
+                "with $SPARK_GRAFT_LOCAL_DIR", free / (1 << 30),
+            )
+            return "/dev/shm"
+    return None
 
 
 def get_spark(

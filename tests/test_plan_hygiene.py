@@ -154,3 +154,31 @@ def test_no_scale_antipatterns(spark, name):
                 f"{name}: unpartitioned window over unbounded input "
                 f"(single-partition funnel at scale): {bad}"
             )
+
+
+def test_reader_handle_cache_holds_no_materialized_rows(spark):
+    """_RAW_T_CACHE (and the schema memo next to it) must stay a
+    catalog-style cache of UNEXECUTED plan handles: no entry may be
+    persisted or carry an InMemoryRelation — the line the round-11
+    verdict drew for the growing session-cache surface is 'never
+    materialized rows'."""
+    from pyspark.storagelevel import StorageLevel
+
+    from maillogsentinel_spark.plans import queries as Q
+
+    # populate through the public loader for a couple of tables
+    Q._t(spark, SF, "events")
+    Q._t(spark, SF, "orders")
+    assert Q._RAW_T_CACHE, "cache should be populated by _t"
+    for (app, _sf, name), df in Q._RAW_T_CACHE.items():
+        assert df.storageLevel == StorageLevel.NONE, (
+            f"cached reader handle {name} is persisted"
+        )
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "InMemoryRelation" not in plan, (
+            f"cached reader handle {name} wraps materialized rows"
+        )
+    for key, st in Q._RAW_SCHEMA_CACHE.items():
+        from pyspark.sql.types import StructType
+
+        assert isinstance(st, StructType)

@@ -110,3 +110,43 @@ def test_signature_map_pass_matches_expression_forms(spark):
     assert [(r["id"], r["simhash"]) for r in sim_only.collect()] == [
         (r["doc_id"], r["simhash"]) for r in e
     ]
+
+
+def test_signature_map_pass_matches_expression_forms_non_ascii(spark):
+    """Round-11 verdict item 9: the Python twin's tokenizer must agree
+    with the JVM expression forms on NON-ASCII input too. Both sides
+    split on ASCII \\W (Java regex \\W is ASCII by default; the Python
+    twin passes re.ASCII explicitly), so non-ASCII letters are token
+    CONTENT, not separators — and the lowercase step is where the
+    engines could diverge (İ, ß, Σ-final are the classic cases). The
+    fixtures pin each of those plus an emoji and combining accents."""
+    from maillogsentinel_spark.operators.signatures import (
+        fingerprint_simhash_table,
+        simhash_table,
+    )
+
+    rows = [
+        (1, "İstanbul DİYARBAKIR işlem"),        # dotted capital I
+        (2, "STRASSE straße gross GROß"),        # sharp s
+        (3, "ΟΔΟΣ οδος ΤΕΛΟΣ"),                 # final sigma on lower()
+        (4, "café CAFÉ café"),             # precomposed vs combining
+        (5, "emoji 🚀 rocket 🚀🚀 done"),         # astral-plane symbols
+        (6, "ЛОГ лог Запись журнала ошибок"),    # cyrillic
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    expr = docs.select(
+        "doc_id",
+        min_shingle_fingerprint(F.col("text"), k=3).alias("fingerprint"),
+        simhash32(tokens(F.col("text"))).alias("simhash"),
+    ).orderBy("doc_id")
+    combo = (
+        fingerprint_simhash_table(docs, "doc_id", "text", k=3)
+        .select(F.col("id").alias("doc_id"), "fingerprint", "simhash")
+        .orderBy("doc_id")
+    )
+    sim_only = simhash_table(docs, "doc_id", "text").orderBy("id")
+    e = expr.collect()
+    assert [tuple(r) for r in combo.collect()] == [tuple(r) for r in e]
+    assert [(r["id"], r["simhash"]) for r in sim_only.collect()] == [
+        (r["doc_id"], r["simhash"]) for r in e
+    ]
