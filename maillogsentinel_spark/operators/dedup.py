@@ -753,6 +753,18 @@ def simhash_pairs(
             )
         ).alias("ck"),
     ).select("id", "sim", "ck.c", "ck.v")
+    # The per-task join work is QUADRATIC in chunk-bucket occupancy while
+    # the signature table is 16 B/doc: on a few-row-group corpus scan the
+    # planner broadcasts one side and the whole candidate generation runs
+    # on the SCAN's partition count (measured at sf1: one 56 s two-task
+    # stage, flat from 8 to 32 cores). Spread the probe side round-robin
+    # when the scan is under-partitioned — the exchange moves ~32 B/row
+    # of signature chunks, nothing like the candidate volume it unlocks.
+    # No-op on multi-split corpora (the 100 TB layout).
+    spark = docs.sparkSession
+    cpus = spark.sparkContext.defaultParallelism
+    if sig.rdd.getNumPartitions() < max(2, cpus // 2):
+        chunks = chunks.repartition(cpus)
     a, b = chunks.alias("a"), chunks.alias("b")
     # hamming filter runs BEFORE the dedup shuffle: a pair can match on
     # up to 4 chunks, so distinct() first would shuffle every duplicate
