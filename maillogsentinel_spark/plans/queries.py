@@ -6849,32 +6849,30 @@ def q_lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregate to distinct (flag, price) BEFORE the window — the
     cumulative sum runs over the collapsed value domain, not raw rows,
     and partitions by flag (no global window)."""
+    from ..operators.quantiles import weighted_median
+
+    # bucketed crossing search (operators/quantiles.weighted_median):
+    # the previous per-flag cumulative window ran each flag's whole
+    # distinct-price domain in ONE WindowExec task — measured at sf1:
+    # ~10 s flat from 8 to 32 cores. The bucketed form cuts the domain
+    # into 1024 value ranges, windows only the per-flag bucket totals
+    # and the crossing bucket's values, and is bit-identical by
+    # construction (integer-exact cumulative weights; see operator
+    # docstring). sf1: 9.3 -> 3.1 s; sf0.1: 1.71 -> 1.60 s.
     li = _t(spark, sf_dir, "lineitem")
     price_c = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
     w_c = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("long")
-    grp = (
-        li.select(
-            F.col("l_returnflag").alias("flag"),
-            price_c.alias("price_c"),
-            w_c.alias("w"),
-        )
-        .groupBy("flag", "price_c")
-        .agg(F.sum("w").alias("w"))
-    )
-    wc = Window.partitionBy("flag").orderBy("price_c")
-    wt = Window.partitionBy("flag")
-    cum = grp.select(
-        "flag",
-        "price_c",
-        F.sum("w").over(wc).alias("cw"),
-        F.sum("w").over(wt).alias("total"),
+    src = li.select(
+        F.col("l_returnflag").alias("flag"),
+        price_c.alias("price_c"),
+        w_c.alias("w"),
     )
     return (
-        cum.filter(F.col("cw") * 2 >= F.col("total"))
-        .groupBy("flag")
-        .agg(
-            F.min("price_c").cast("long").alias("weighted_median_cents"),
-            F.min("total").cast("long").alias("total_weight"),
+        weighted_median(src, ["flag"], "price_c", "w")
+        .select(
+            "flag",
+            F.col("wmedian").cast("long").alias("weighted_median_cents"),
+            F.col("total").cast("long").alias("total_weight"),
         )
         .orderBy("flag")
     )

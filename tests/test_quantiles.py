@@ -188,3 +188,43 @@ def test_median_mad_matches_two_pass_scaffold(spark):
     assert fused == two_pass
     assert fused["d"] == (5.0, 0.0)
     assert fused["e"] == (42.0, 0.0)
+
+
+def test_weighted_median_matches_window_form(spark):
+    """The bucketed weighted-median operator must equal the one-window
+    cumulative form (and a Python brute force) on ties, duplicate-heavy
+    domains, single-value groups, negatives, and domains much wider and
+    much narrower than the bucket count."""
+    import collections
+    import random
+
+    from maillogsentinel_spark.operators.quantiles import weighted_median
+
+    rnd = random.Random(11)
+    rows = []
+    for gi in range(25):
+        n = rnd.choice([1, 2, 3, 7, 50, 500, 3000])
+        scale = rnd.choice([1, 1, 1000, 10_000_000])
+        for _ in range(n):
+            rows.append((f"g{gi}", rnd.randint(-50, 50) * scale,
+                         rnd.randint(1, 9)))
+    rows += [("const", 7, w) for w in (3, 4, 5)]  # single distinct value
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+
+    got = {
+        r["g"]: (r["wmedian"], r["total"])
+        for r in weighted_median(df, ["g"], "v", "w", buckets=64).collect()
+    }
+    agg = collections.defaultdict(collections.Counter)
+    for g, v, w in rows:
+        agg[g][v] += w
+    ref = {}
+    for g, c in agg.items():
+        tot = sum(c.values())
+        cum = 0
+        for v in sorted(c):
+            cum += c[v]
+            if cum * 2 >= tot:
+                ref[g] = (v, tot)
+                break
+    assert got == ref
