@@ -662,7 +662,17 @@ def _resolve_pafs(root: str):
     Bare paths and Hadoop-style ``file:/...`` map to the local
     filesystem; any ``scheme://...`` URI resolves through
     ``pyarrow.fs.FileSystem.from_uri`` (hdfs, s3, gcs, ...), so footer
-    stats survive non-local deployments instead of silently vanishing."""
+    stats survive non-local deployments instead of silently vanishing.
+
+    Deployment note (the _local_root/fs.defaultFS distinction does NOT
+    apply here the same way): on a cluster whose ``fs.defaultFS`` is
+    remote, a BARE store root resolves to the remote filesystem on the
+    Hadoop side but to the LOCAL filesystem here — so pass an explicit
+    ``hdfs://``/``s3://`` root to the txstore DataSource and the stats
+    harvest on such clusters. For the stats harvest a mismatch only
+    degrades pruning (this resolver is stats/readers-side, never the
+    commit path); for the format-API reader it fails fast with
+    missing-manifest errors rather than reading wrong data."""
     from pyarrow import fs as pafs
 
     if root.startswith("file:") and "://" not in root:
