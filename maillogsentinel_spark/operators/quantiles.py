@@ -356,6 +356,14 @@ def weighted_median(
         .groupBy(*g, "_v")
         .agg(F.sum("_iw").alias("_w"))
     )
+    # materialize the collapsed domain ONCE: stats and the bucket pass
+    # both consume grp, and AQE kicks their broadcast branches off
+    # concurrently — unmaterialized, the fact scan + domain agg ran
+    # 2-3x (sf1 breakdown: two concurrent 32-task scan jobs, three
+    # 8-task agg jobs; 7.0 s cold). The checkpointed domain is the
+    # same volume the old one-window form shuffled; blocks spill to
+    # disk and are ContextCleaner-freed with the frame.
+    grp = grp.localCheckpoint(eager=True)
     stats = grp.groupBy(*g).agg(
         F.min("_v").alias("_mn"),
         F.max("_v").alias("_mx"),
